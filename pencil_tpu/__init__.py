@@ -1,0 +1,16 @@
+"""pencil_tpu — TPU-native high-order finite-difference MHD framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the Pencil Code's capability set
+(compressible MHD + coupled astrophysical PDEs + Lagrangian particles on
+high-order central finite differences with RK3-2N time stepping).  See
+SURVEY.md at the repository root for the structural map of the reference
+and docs/ for the design of this framework.
+"""
+from .core.config import Config, GridSpec, MeshSpec, TimeSpec
+from .core.grid import make_grid
+from .model import Model
+from .ops.boundary import BC
+
+__version__ = "0.1.0"
+from .physics import (Density, Entropy, EosIdealGas, Forcing, Gravity,
+                      Hydro, Magnetic, Viscosity)

@@ -1,0 +1,147 @@
+"""Grid construction: coordinates + spacing metrics.
+
+TPU-native analog of reference ``src/grid.f90:59-866`` (``construct_grid``).
+The Grid object is a pytree of arrays (1-D ghosted coordinate vectors and
+inverse-spacing metric vectors) so it can be passed through ``jax.jit`` /
+``shard_map`` and sliced per shard exactly like the field data.
+
+Derivatives on non-equidistant grids follow the coordinate-transform rule
+used by the reference (``src/deriv.f90:89-171``): with x = x(ξ) and uniform
+ξ, ∂f/∂x = x'(ξ)⁻¹ ∂f/∂ξ, so we store ``dx_1 = 1/x'`` and
+``dx_tilde = -x''/x'²`` (for second derivatives).  Uniform grids store
+constant vectors.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GridSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Grid:
+    # Ghosted 1-D coordinate vectors: shapes (mx,), (my,), (mz,)
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    # Inverse grid spacing (ghosted 1-D): 1/x'(ξ) etc.
+    dx_1: jnp.ndarray
+    dy_1: jnp.ndarray
+    dz_1: jnp.ndarray
+    # Nonuniformity metric -x''/x'^2 (ghosted 1-D); zero for uniform grids.
+    dx_tilde: jnp.ndarray
+    dy_tilde: jnp.ndarray
+    dz_tilde: jnp.ndarray
+
+    @property
+    def nghost(self) -> int:
+        return 3
+
+    def interior(self, vec: jnp.ndarray) -> jnp.ndarray:
+        g = self.nghost
+        return vec[g:-g]
+
+    # Interior coordinate fields broadcast to (nx, ny, nz)
+    @property
+    def xg(self) -> jnp.ndarray:
+        return self.interior(self.x)[:, None, None]
+
+    @property
+    def yg(self) -> jnp.ndarray:
+        return self.interior(self.y)[None, :, None]
+
+    @property
+    def zg(self) -> jnp.ndarray:
+        return self.interior(self.z)[None, None, :]
+
+    # Interior inverse spacings broadcast for derivative scaling
+    @property
+    def dx1(self) -> jnp.ndarray:
+        return self.interior(self.dx_1)[:, None, None]
+
+    @property
+    def dy1(self) -> jnp.ndarray:
+        return self.interior(self.dy_1)[None, :, None]
+
+    @property
+    def dz1(self) -> jnp.ndarray:
+        return self.interior(self.dz_1)[None, None, :]
+
+    @property
+    def dxmin(self) -> jnp.ndarray:
+        return 1.0 / jnp.maximum(
+            jnp.max(self.dx_1), jnp.maximum(jnp.max(self.dy_1), jnp.max(self.dz_1))
+        )
+
+    def dline_1(self):
+        """Per-axis inverse line elements broadcast over the box — the
+        reference's ``dline_1`` (used by advective CFL, src/hydro.f90:3803)."""
+        return (self.dx1, self.dy1, self.dz1)
+
+
+def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
+                 func: str, coeff: float, dtype):
+    """Ghosted coordinates + metrics for one axis."""
+    if func != "uniform":
+        raise NotImplementedError(f"grid_func={func!r} not implemented yet")
+    if periodic:
+        dx = L / n
+        # periodic: cell-centered-ish, endpoint excluded (matches reference)
+        base = x0 + dx * np.arange(-nghost, n + nghost)
+    else:
+        dx = L / max(n - 1, 1)
+        base = x0 + dx * np.arange(-nghost, n + nghost)
+    coords = np.asarray(base, dtype=dtype)
+    m = n + 2 * nghost
+    d1 = np.full((m,), 1.0 / dx, dtype=dtype)
+    dt_ = np.zeros((m,), dtype=dtype)
+    return coords, d1, dt_
+
+
+def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:
+    npdtype = np.dtype(jnp.dtype(dtype).name)
+    x, dx1, dxt = _axis_coords(spec.nx, spec.x0, spec.Lx, spec.periodic[0],
+                               spec.nghost, spec.grid_func[0], spec.grid_coeff[0], npdtype)
+    y, dy1, dyt = _axis_coords(spec.ny, spec.y0, spec.Ly, spec.periodic[1],
+                               spec.nghost, spec.grid_func[1], spec.grid_coeff[1], npdtype)
+    z, dz1, dzt = _axis_coords(spec.nz, spec.z0, spec.Lz, spec.periodic[2],
+                               spec.nghost, spec.grid_func[2], spec.grid_coeff[2], npdtype)
+    return Grid(
+        x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),
+        dx_1=jnp.asarray(dx1), dy_1=jnp.asarray(dy1), dz_1=jnp.asarray(dz1),
+        dx_tilde=jnp.asarray(dxt), dy_tilde=jnp.asarray(dyt), dz_tilde=jnp.asarray(dzt),
+    )
+
+
+def local_grid(grid: Grid, spec: GridSpec, shard_idx, shard_counts) -> Grid:
+    """Slice a global Grid down to one shard's local (ghosted) grid.
+
+    shard_idx / shard_counts are per-axis (ix, iy, iz) ints or traced values.
+    Local interiors are contiguous global slices; ghosted vectors overlap
+    neighbours by nghost (the coordinate values there are the true global
+    coordinates, which is what one-sided BC stencils need).
+    """
+    g = spec.nghost
+
+    def sl(vec, n_global, idx, cnt):
+        nloc = n_global // cnt
+        start = idx * nloc
+        return jax.lax.dynamic_slice_in_dim(vec, start, nloc + 2 * g)
+
+    return Grid(
+        x=sl(grid.x, spec.nx, shard_idx[0], shard_counts[0]),
+        y=sl(grid.y, spec.ny, shard_idx[1], shard_counts[1]),
+        z=sl(grid.z, spec.nz, shard_idx[2], shard_counts[2]),
+        dx_1=sl(grid.dx_1, spec.nx, shard_idx[0], shard_counts[0]),
+        dy_1=sl(grid.dy_1, spec.ny, shard_idx[1], shard_counts[1]),
+        dz_1=sl(grid.dz_1, spec.nz, shard_idx[2], shard_counts[2]),
+        dx_tilde=sl(grid.dx_tilde, spec.nx, shard_idx[0], shard_counts[0]),
+        dy_tilde=sl(grid.dy_tilde, spec.ny, shard_idx[1], shard_counts[1]),
+        dz_tilde=sl(grid.dz_tilde, spec.nz, shard_idx[2], shard_counts[2]),
+    )

@@ -1,0 +1,263 @@
+"""Named scalar diagnostics (reference ``src/diagnostics.f90``: modules save
+via save_name/sum_mn_name into fname, MPI-reduced in ``diagnostic``
+:643-817, printed by ``prints`` :205-318 according to ``print.in``).
+
+Here each diagnostic is a named pure function over the Pencils container;
+the whole requested set is evaluated in ONE jitted call (reductions over
+sharded arrays become XLA collectives automatically under jit).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.halo import fill_ghosts
+from ..physics.pencils import Pencils
+
+
+def _rms(x):
+    return jnp.sqrt(jnp.mean(x))
+
+
+DIAG_REGISTRY: Dict[str, Callable] = {}
+
+
+def diag(name):
+    def deco(fn):
+        DIAG_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+# ---- hydro ----------------------------------------------------------------
+@diag("urms")
+def _urms(pen, st):
+    return _rms(pen.u2())
+
+
+@diag("umax")
+def _umax(pen, st):
+    return jnp.sqrt(jnp.max(pen.u2()))
+
+
+@diag("u2m")
+def _u2m(pen, st):
+    return jnp.mean(pen.u2())
+
+
+@diag("ux2m")
+def _ux2m(pen, st):
+    return jnp.mean(pen.uu()[0] ** 2)
+
+
+@diag("uy2m")
+def _uy2m(pen, st):
+    return jnp.mean(pen.uu()[1] ** 2)
+
+
+@diag("uz2m")
+def _uz2m(pen, st):
+    return jnp.mean(pen.uu()[2] ** 2)
+
+
+@diag("uxm")
+def _uxm(pen, st):
+    return jnp.mean(pen.uu()[0])
+
+
+@diag("divum")
+def _divum(pen, st):
+    return jnp.mean(pen.divu())
+
+
+@diag("orms")
+def _orms(pen, st):
+    oo = pen.oo()
+    return _rms(oo[0] ** 2 + oo[1] ** 2 + oo[2] ** 2)
+
+
+@diag("oum")
+def _oum(pen, st):
+    """Mean kinetic helicity <ω·u>."""
+    oo, uu = pen.oo(), pen.uu()
+    return jnp.mean(oo[0] * uu[0] + oo[1] * uu[1] + oo[2] * uu[2])
+
+
+@diag("ekin")
+def _ekin(pen, st):
+    return 0.5 * jnp.mean(pen.rho() * pen.u2())
+
+
+# ---- density --------------------------------------------------------------
+@diag("rhom")
+def _rhom(pen, st):
+    return jnp.mean(pen.rho())
+
+
+@diag("rhomax")
+def _rhomax(pen, st):
+    return jnp.max(pen.rho())
+
+
+@diag("rhomin")
+def _rhomin(pen, st):
+    return jnp.min(pen.rho())
+
+
+@diag("lnrhom")
+def _lnrhom(pen, st):
+    return jnp.mean(pen.lnrho())
+
+
+# ---- entropy / thermo -----------------------------------------------------
+@diag("ssm")
+def _ssm(pen, st):
+    return jnp.mean(pen.ss())
+
+
+@diag("TTm")
+def _ttm(pen, st):
+    return jnp.mean(pen.TT())
+
+
+@diag("TTmax")
+def _ttmax(pen, st):
+    return jnp.max(pen.TT())
+
+
+@diag("csm")
+def _csm(pen, st):
+    return _rms(pen.cs2())
+
+
+@diag("eth")
+def _eth(pen, st):
+    """Mean thermal energy density ρ e = ρ cv T."""
+    e = pen.eos
+    return jnp.mean(pen.rho() * e.cv * pen.TT())
+
+
+# ---- magnetic -------------------------------------------------------------
+@diag("brms")
+def _brms(pen, st):
+    return _rms(pen.b2())
+
+
+@diag("bmax")
+def _bmax(pen, st):
+    return jnp.sqrt(jnp.max(pen.b2()))
+
+
+@diag("bx2m")
+def _bx2m(pen, st):
+    return jnp.mean(pen.bb()[0] ** 2)
+
+
+@diag("by2m")
+def _by2m(pen, st):
+    return jnp.mean(pen.bb()[1] ** 2)
+
+
+@diag("bz2m")
+def _bz2m(pen, st):
+    return jnp.mean(pen.bb()[2] ** 2)
+
+
+@diag("arms")
+def _arms(pen, st):
+    aa = pen.aa()
+    return _rms(aa[0] ** 2 + aa[1] ** 2 + aa[2] ** 2)
+
+
+@diag("abm")
+def _abm(pen, st):
+    """Mean magnetic helicity <A·B>."""
+    aa, bb = pen.aa(), pen.bb()
+    return jnp.mean(aa[0] * bb[0] + aa[1] * bb[1] + aa[2] * bb[2])
+
+
+@diag("jrms")
+def _jrms(pen, st):
+    return _rms(pen.j2())
+
+
+@diag("jbm")
+def _jbm(pen, st):
+    jj, bb = pen.jj(), pen.bb()
+    return jnp.mean(jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2])
+
+
+@diag("emag")
+def _emag(pen, st):
+    return 0.5 * jnp.mean(pen.b2())
+
+
+@diag("vArms")
+def _varms(pen, st):
+    return _rms(pen.va2())
+
+
+def make_diagnostics(model, names: Iterable[str]):
+    """Build a jitted evaluator: state → {name: scalar} for the requested
+    diagnostic columns (plus it/t/dt pulled straight from state)."""
+    cfg = model.cfg
+    reg = model.reg
+    grid = model.grid
+    eos = model.eos
+    special = {"it", "t", "dt"}
+    # timestep-fraction columns (reference dtc/dtu/dtnu/dtchi) need the CFL
+    # accumulators; recompute cheap proxies from pencils
+    names = list(names)
+    unknown = [n for n in names
+               if n not in DIAG_REGISTRY and n not in special
+               and n not in ("dtc", "dtu", "dtnu", "dtchi")]
+    if unknown:
+        raise KeyError(f"unknown diagnostics: {unknown}")
+
+    @jax.jit
+    def evaluate(state):
+        fa = reg.stack(state["fields"])
+        fg = fill_ghosts(fa[: reg.ncom], cfg.grid,
+                         (cfg.bcx, cfg.bcy, cfg.bcz), reg, grid, cfg, eos)
+        pen = Pencils(fg, grid, reg, cfg, eos)
+        out = {}
+        dt = state["dt"]
+        for n in names:
+            if n == "it":
+                out[n] = state["it"]
+            elif n == "t":
+                out[n] = state["t"]
+            elif n == "dt":
+                out[n] = dt
+            elif n == "dtc":
+                # sound-speed timestep fraction: dt·max(cs·Σ1/Δ)/cdt
+                d1 = grid.dline_1()
+                cs = jnp.sqrt(pen.cs2())
+                out[n] = dt * jnp.max(cs * sum(d1)) / cfg.time.cdt
+            elif n == "dtu":
+                d1 = grid.dline_1()
+                uu = pen.uu()
+                adv = sum(jnp.abs(uu[a]) * d1[a] for a in range(3))
+                out[n] = dt * jnp.max(adv) / cfg.time.cdt
+            elif n == "dtnu":
+                visc = cfg.module("viscosity")
+                nu = visc.nu if visc else 0.0
+                dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
+                out[n] = dt * nu * jnp.max(dxyz2) / cfg.time.cdtv
+            elif n == "dtchi":
+                ent = cfg.module("entropy")
+                e = eos
+                chi = 0.0
+                if ent is not None and ent.hcond0 > 0:
+                    chi = ent.hcond0 * jnp.max(pen.rho1()) / e.cp
+                elif ent is not None:
+                    chi = ent.chi
+                dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
+                out[n] = dt * chi * jnp.max(dxyz2) / cfg.time.cdtv
+            else:
+                out[n] = DIAG_REGISTRY[n](pen, state)
+        return out
+
+    return evaluate

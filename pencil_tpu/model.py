@@ -1,0 +1,231 @@
+"""Model assembly: compose physics modules into a jitted, shardable step.
+
+This is the TPU-native replacement for the reference's build-time module
+selection + the run.x hot path (``src/run.f90`` time loop → ``time_step``
+``src/timestep.f90:67`` → ``pde`` ``src/equ.f90:24`` → mn-loop RHS).  The
+whole RK substep — ghost fill, derived-field ("pencil") evaluation, module
+RHS accumulation, CFL reduction, state update — is one traced function; XLA
+fuses it, and ``shard_map`` over a ('x','y','z') device mesh replaces the
+MPI domain decomposition.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .core.config import Config
+from .core.farray import Registry
+from .core.grid import Grid, local_grid, make_grid
+from .integrate.timestep import RK_TABLES, cfl_dt1
+from .parallel.halo import fill_ghosts
+from .physics.base import TimestepAccum
+from .physics.pencils import Pencils
+
+# Fixed RHS evaluation order (reference calc_all_pencils order,
+# src/equ.f90:766-814: grid → hydro → density → ... → magnetic → entropy).
+MODULE_ORDER = (
+    "eos", "density", "hydro", "gravity", "shear", "viscosity",
+    "magnetic", "pscalar", "entropy", "forcing",
+)
+
+
+def _order_key(m):
+    try:
+        return MODULE_ORDER.index(m.name)
+    except ValueError:
+        return len(MODULE_ORDER)
+
+
+class Model:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.modules = tuple(sorted(cfg.modules, key=_order_key))
+        self.reg = Registry()
+        for m in self.modules:
+            m.register(self.reg)
+        self.reg.finalize()
+        self.eos = cfg.module("eos")
+        self.grid = make_grid(cfg.grid, self.dtype)
+        self.bc_axes = (cfg.bcx, cfg.bcy, cfg.bcz)
+        self.rk = RK_TABLES[cfg.time.itorder]
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int = 0) -> Dict:
+        key = jax.random.PRNGKey(seed)
+        fields: Dict[str, jnp.ndarray] = {}
+        for m in self.modules:
+            key, sub = jax.random.split(key)
+            fields.update(m.init_fields(self.grid, self.cfg.grid, self.eos, sub))
+        # ensure every registered slot exists
+        for name, slot in self.reg.slots.items():
+            if name not in fields:
+                shape = (self.cfg.grid.nx, self.cfg.grid.ny, self.cfg.grid.nz)
+                if slot.ncomp > 1:
+                    shape = (slot.ncomp,) + shape
+                fields[name] = jnp.zeros(shape, dtype=self.dtype)
+        fields = {k: v.astype(self.dtype) for k, v in fields.items()}
+        dt0 = self.cfg.time.dt if self.cfg.time.dt > 0 else 1e-4
+        return {
+            "fields": fields,
+            "t": jnp.asarray(0.0, self.dtype),
+            "dt": jnp.asarray(dt0, self.dtype),
+            "it": jnp.asarray(0, jnp.int32),
+            "key": key,
+        }
+
+    # ------------------------------------------------------------------
+    def rhs(self, fa: jnp.ndarray, grid: Grid, t,
+            mesh_axis_names=None, mesh_shape=(1, 1, 1)):
+        """One RHS evaluation on the local block.
+
+        fa: (nf, nx, ny, nz) local interior stack.
+        Returns (dfa (nvar,...), dt1 pointwise inverse-dt field).
+        """
+        cfg = self.cfg
+        fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
+                         self.reg, grid, cfg, self.eos,
+                         mesh_axis_names, mesh_shape)
+        pen = Pencils(fg, grid, self.reg, cfg, self.eos)
+        if self.reg.nf > self.reg.ncom:
+            pen.aux = fa[self.reg.ncom:]
+        df: Dict[str, jnp.ndarray] = {}
+        ts = TimestepAccum()
+        for m in self.modules:
+            m.rhs(pen, df, ts)
+        # stack df in registry order (pde slots only)
+        parts = []
+        for name, slot in self.reg.slots.items():
+            if slot.kind != "pde":
+                continue
+            d = df.get(name)
+            if d is None:
+                shape = (slot.ncomp,) + fa.shape[1:]
+                d = jnp.zeros(shape, fa.dtype)
+            elif d.ndim == 3:
+                d = d[None]
+            parts.append(d)
+        dfa = jnp.concatenate(parts, axis=0)
+        dt1 = cfl_dt1(ts, grid, cfg.time)
+        return dfa, dt1
+
+    # ------------------------------------------------------------------
+    def _local_step(self, state: Dict, grid: Grid,
+                    mesh_axis_names=None, mesh_shape=(1, 1, 1)) -> Dict:
+        """One full RK step on the local shard (traced)."""
+        cfg = self.cfg
+        tcfg = cfg.time
+        alpha, beta, cstage = self.rk
+        reg = self.reg
+        fa = reg.stack(state["fields"])
+        nvar = reg.nvar
+        df = jnp.zeros((nvar,) + fa.shape[1:], fa.dtype)
+        t0 = state["t"]
+        dt = state["dt"]
+        sharded_names = [n for n in (mesh_axis_names or ()) if n is not None]
+
+        for isub in range(len(alpha)):
+            t_sub = t0 + cstage[isub] * dt
+            dfa, dt1 = self.rhs(fa, grid, t_sub, mesh_axis_names, mesh_shape)
+            if isub == 0:
+                if tcfg.dt > 0:
+                    dt = jnp.asarray(tcfg.dt, fa.dtype)
+                else:
+                    dt1m = jnp.max(dt1)
+                    for name in sharded_names:
+                        dt1m = jax.lax.pmax(dt1m, name)
+                    dt_new = 1.0 / jnp.maximum(dt1m, 1.0 / tcfg.dtmax)
+                    if tcfg.ddt > 0:
+                        dt_new = jnp.minimum(dt_new, tcfg.ddt * state["dt"])
+                    dt = dt_new.astype(fa.dtype)
+            df = alpha[isub] * df + dfa if isub > 0 else dfa
+            fa = fa.at[:nvar].add(beta[isub] * dt * df)
+
+        fields = reg.unstack(fa)
+        t1 = t0 + dt
+        key = state["key"]
+        for m in self.modules:
+            key, sub = jax.random.split(key)
+            fields = m.after_timestep(fields, grid, cfg, reg, self.eos,
+                                      dt, t1, sub)
+        return {
+            "fields": fields,
+            "t": t1,
+            "dt": dt,
+            "it": state["it"] + 1,
+            "key": key,
+        }
+
+    # ------------------------------------------------------------------
+    def make_step(self):
+        """Single-device jitted step."""
+        grid = self.grid
+
+        @jax.jit
+        def step(state):
+            return self._local_step(state, grid)
+
+        return step
+
+    # ------------------------------------------------------------------
+    def make_mesh(self, devices=None) -> Mesh:
+        import numpy as np
+        ms = self.cfg.mesh
+        if devices is None:
+            devices = jax.devices()[: ms.ndev]
+        arr = np.asarray(devices).reshape(ms.shape)
+        return Mesh(arr, ("x", "y", "z"))
+
+    def state_pspecs(self):
+        """PartitionSpecs for the state pytree over the ('x','y','z') mesh."""
+        fspecs = {}
+        for name, slot in self.reg.slots.items():
+            if slot.ncomp > 1:
+                fspecs[name] = P(None, "x", "y", "z")
+            else:
+                fspecs[name] = P("x", "y", "z")
+        return {
+            "fields": fspecs,
+            "t": P(), "dt": P(), "it": P(), "key": P(),
+        }
+
+    def make_sharded_step(self, mesh: Mesh):
+        """shard_map'ed step over a 3-D device mesh — the analog of the
+        reference's nprocx×nprocy×nprocz MPI decomposition (§2.3)."""
+        shard_map = jax.shard_map
+
+        ms = self.cfg.mesh
+        mesh_shape = ms.shape
+        names = tuple(n if s > 1 else None
+                      for n, s in zip(("x", "y", "z"), mesh_shape))
+        specs = self.state_pspecs()
+        gspec = jax.tree_util.tree_map(lambda _: P(), self.grid)
+
+        def local(state, grid_global):
+            idx = tuple(
+                jax.lax.axis_index(n) if n is not None else 0 for n in names
+            )
+            lgrid = local_grid(grid_global, self.cfg.grid, idx, mesh_shape)
+            return self._local_step(state, lgrid, names, mesh_shape)
+
+        smapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(specs, gspec),
+            out_specs=specs,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(state):
+            return smapped(state, self.grid)
+
+        return step
+
+
+@functools.lru_cache(maxsize=None)
+def build(cfg: Config) -> Model:
+    return Model(cfg)

@@ -1,0 +1,44 @@
+"""Continuity equation for lnρ (reference ``src/density.f90``, ``dlnrho_dt``
+at :2474-2872):  Dlnρ/Dt = −∇·u  (+ mass diffusion / hyperdiffusion)."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar
+
+import jax.numpy as jnp
+
+from .base import ModuleBase, accumulate
+
+
+@dataclass(frozen=True)
+class Density(ModuleBase):
+    name: ClassVar[str] = "density"
+
+    lupw_lnrho: bool = False       # 5th-order upwinding of the advection term
+    diffrho: float = 0.0           # Fickian mass diffusion
+    diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
+    init: str = "zero"             # initial condition name
+    ampl: float = 0.0
+    width: float = 0.05
+
+    def register(self, reg):
+        reg.register("lnrho", 1, "pde")
+
+    def rhs(self, pen, df, ts):
+        out = -pen.ugrad("lnrho", upwind=self.lupw_lnrho) - pen.divu()
+        if self.diffrho > 0.0:
+            # diffusion of rho in lnrho form: D(∇²lnρ + |∇lnρ|²)
+            gl = pen.glnrho()
+            g2 = gl[0] ** 2 + gl[1] ** 2 + gl[2] ** 2
+            out = out + self.diffrho * (pen.del2lnrho() + g2)
+            ts.diffus(self.diffrho)
+        if self.diffrho_hyper3 > 0.0:
+            out = out + self.diffrho_hyper3 * pen.del6s_scaled("lnrho")
+            ts.diffus3(self.diffrho_hyper3)
+        accumulate(df, "lnrho", out)
+
+    def init_fields(self, grid, spec, eos, key):
+        from .initcond import init_scalar
+        return {"lnrho": init_scalar(self.init, grid, spec, eos, key,
+                                     ampl=self.ampl, width=self.width,
+                                     field="lnrho")}

@@ -1,0 +1,97 @@
+"""Entropy equation (reference ``src/entropy.f90``, ``denergy_dt`` at
+:3242-3452):
+
+    ρT Ds/Dt = ∇·(K∇T) + 2νρS² + ημ₀J² + Γ_heat − Λ_cool
+
+evolved in specific-entropy form:
+
+    Ds/Dt = −u·∇s + conduction + 2νS²/T + ημ₀J²/(ρT) + (Γ−Λ)/(ρT)
+
+Heat-conduction flavors (iheatcond):
+  'K-const'    (K/ρ)(∇²lnT + |∇lnT|²)/cp·cp   — constant conductivity
+  'chi-const'  cp·χ(∇²lnT + ∇lnT·(∇lnT + ∇lnρ)) — constant χ=K/(ρcp)
+Cooling: Newtonian layer near the top boundary relaxing cs² → cs2cool over
+width wcool (reference calc_heat_cool 'cooling profile')."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar, Tuple
+
+import jax.numpy as jnp
+
+from .base import ModuleBase, accumulate
+
+
+@dataclass(frozen=True)
+class Entropy(ModuleBase):
+    name: ClassVar[str] = "entropy"
+
+    iheatcond: Tuple[str, ...] = ("K-const",)
+    hcond0: float = 0.0        # K for 'K-const'
+    chi: float = 0.0           # χ for 'chi-const'
+    chi_hyper3: float = 0.0
+    lupw_ss: bool = False
+    # heating/cooling layers (conv-slab style)
+    luminosity: float = 0.0
+    wheat: float = 0.1
+    cool: float = 0.0
+    wcool: float = 0.2
+    cs2cool: float = 0.0
+    zcool: float = 0.0          # cooling layer center (default: top boundary)
+    init: str = "zero"
+    ampl: float = 0.0
+    width: float = 0.05
+
+    def register(self, reg):
+        reg.register("ss", 1, "pde")
+
+    def rhs(self, pen, df, ts):
+        eos = pen.eos
+        out = -pen.ugrad("ss", upwind=self.lupw_ss)
+
+        glnTT = pen.glnTT()
+        glnTT2 = glnTT[0] ** 2 + glnTT[1] ** 2 + glnTT[2] ** 2
+        if "K-const" in self.iheatcond and self.hcond0 > 0.0:
+            # (1/ρT)∇·(K∇T) = (K/ρ)(∇²lnT + |∇lnT|²)
+            out = out + self.hcond0 * pen.rho1() * (pen.del2lnTT() + glnTT2)
+            # χ = K/(ρ cp) for the CFL; use max over the box via pencil value
+            ts.diffus(self.hcond0 * pen.rho1() / eos.cp * eos.gamma)
+        if "chi-const" in self.iheatcond and self.chi > 0.0:
+            glnrho = pen.glnrho()
+            gdot = sum(glnTT[a] * (glnTT[a] + glnrho[a]) for a in range(3))
+            out = out + eos.cp * self.chi * (pen.del2lnTT() + gdot)
+            ts.diffus(self.chi * eos.gamma)
+        if self.chi_hyper3 > 0.0:
+            out = out + self.chi_hyper3 * pen.del6s_scaled("ss")
+            ts.diffus3(self.chi_hyper3)
+
+        # viscous + ohmic heating published by those modules
+        heat = pen._cache.get("visc_heat")
+        if heat is not None:
+            out = out + heat * pen.TT1()
+        ohm = pen._cache.get("ohmic_heat")
+        if ohm is not None:
+            out = out + ohm * pen.rho1() * pen.TT1()
+
+        # cooling layer near the top: ds/dt −= cool·prof(z)·(cs²−cs2cool)/cs²
+        if self.cool != 0.0:
+            g = pen.grid
+            gs = pen.cfg.grid
+            zref = self.zcool if self.zcool != 0.0 else gs.z0 + gs.Lz
+            prof = jnp.exp(-0.5 * ((g.zg - zref) / self.wcool) ** 2)
+            cs2 = pen.cs2()
+            out = out - self.cool * prof * (cs2 - self.cs2cool) / jnp.maximum(cs2, 1e-30)
+        if self.luminosity != 0.0:
+            # gaussian heating layer at the bottom, total luminosity L
+            g = pen.grid
+            zbot = pen.cfg.grid.z0
+            prof = jnp.exp(-0.5 * ((g.zg - zbot) / self.wheat) ** 2)
+            norm = self.luminosity / (self.wheat * (2.0 * jnp.pi) ** 0.5)
+            out = out + norm * prof * pen.rho1() * pen.TT1()
+
+        accumulate(df, "ss", out)
+
+    def init_fields(self, grid, spec, eos, key):
+        from .initcond import init_scalar
+        return {"ss": init_scalar(self.init, grid, spec, eos, key,
+                                  ampl=self.ampl, width=self.width, field="ss")}

@@ -1,0 +1,77 @@
+"""Initial-condition registry (reference init_uu/init_lnrho/init_ss/init_aa
+switches in each module + the 65 INITIAL_CONDITION plug-ins,
+``src/initial_condition/``).  Names mirror the reference's ``inituu=...``
+namelist values where the physics matches."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _coords(grid):
+    return grid.xg, grid.yg, grid.zg
+
+
+def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
+                kx=1.0, ky=1.0, kz=1.0, field=""):
+    x, y, z = _coords(grid)
+    shape = (spec.nx, spec.ny, spec.nz)
+    zero = jnp.zeros(shape, dtype=grid.x.dtype)
+    if name in ("zero", "nothing"):
+        return zero
+    if name == "const":
+        return zero + ampl
+    if name == "gaussian-noise":
+        return ampl * jax.random.normal(key, shape, dtype=grid.x.dtype)
+    if name == "sinwave-x":
+        return ampl * jnp.sin(kx * x) + zero
+    if name == "sinwave-y":
+        return ampl * jnp.sin(ky * y) + zero
+    if name == "sinwave-z":
+        return ampl * jnp.sin(kz * z) + zero
+    if name == "gaussian-z":
+        return ampl * jnp.exp(-0.5 * (z / width) ** 2) + zero
+    if name == "stratified-z":
+        # isothermal hydrostatic: lnrho = -z/H with H = width
+        return -z / width + zero
+    raise NotImplementedError(f"init_scalar {name!r}")
+
+
+def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
+                kz=1.0, width=0.1):
+    x, y, z = _coords(grid)
+    shape = (spec.nx, spec.ny, spec.nz)
+    zero = jnp.zeros(shape, dtype=grid.x.dtype)
+    zeros3 = jnp.zeros((3,) + shape, dtype=grid.x.dtype)
+    if name in ("zero", "nothing"):
+        return zeros3
+    if name == "gaussian-noise":
+        return ampl * jax.random.normal(key, (3,) + shape, dtype=grid.x.dtype)
+    if name == "sinwave-x":  # u_y = A sin(kx x): transverse wave
+        return jnp.stack([zero, ampl * jnp.sin(kx * x) + zero, zero])
+    if name == "sinwave-z":
+        return jnp.stack([ampl * jnp.sin(kz * z) + zero, zero, zero])
+    if name == "coswave-x":
+        return jnp.stack([ampl * jnp.cos(kx * x) + zero, zero, zero])
+    if name == "beltrami-x":
+        # A = (0, sin(kx x), cos(kx x)): force-free, ∇×A = k A
+        return jnp.stack([zero,
+                          ampl * jnp.sin(kx * x) + zero,
+                          ampl * jnp.cos(kx * x) + zero])
+    if name == "beltrami-z":
+        return jnp.stack([ampl * jnp.sin(kz * z) + zero,
+                          ampl * jnp.cos(kz * z) + zero, zero])
+    if name == "up-down":
+        # conv-slab style convection seed: vertical velocity cells
+        # uz = A sin(kx x) sin(ky y) localized in z
+        prof = jnp.exp(-0.5 * ((z - 0.5) / max(width, 1e-6)) ** 2)
+        return jnp.stack([zero, zero,
+                          ampl * jnp.sin(kx * x) * jnp.sin(ky * y) * prof + zero])
+    if name == "ABC":
+        A = ampl
+        return jnp.stack([
+            A * (jnp.sin(kz * z) + jnp.cos(ky * y)) + zero,
+            A * (jnp.sin(kx * x) + jnp.cos(kz * z)) + zero,
+            A * (jnp.sin(ky * y) + jnp.cos(kx * x)) + zero,
+        ])
+    raise NotImplementedError(f"init_vector {name!r}")

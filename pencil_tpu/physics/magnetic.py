@@ -1,0 +1,58 @@
+"""Induction equation for the vector potential A (reference
+``src/magnetic.f90``, ``daa_dt`` at :4229-5589):
+
+    ∂A/∂t = u×B − η µ₀ J  (+ η₃ hyperresistivity)     (Weyl gauge)
+
+Evolving A keeps ∇·B = 0 to machine precision (reference magnetic.f90:4229
+comment).  µ₀ = 1 code units.  The Lorentz force (J×B)/ρ is added to the
+momentum equation and the Ohmic heating ηµ₀J² published for entropy."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar, Tuple
+
+import jax.numpy as jnp
+
+from .base import ModuleBase, accumulate
+
+
+@dataclass(frozen=True)
+class Magnetic(ModuleBase):
+    name: ClassVar[str] = "magnetic"
+
+    eta: float = 0.0
+    eta_hyper3: float = 0.0
+    B_ext: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    llorentzforce: bool = True
+    lohmic_heat: bool = True
+    init: str = "zero"
+    ampl: float = 0.0
+    kx: float = 1.0
+    ky: float = 1.0
+    kz: float = 1.0
+
+    def register(self, reg):
+        reg.register("aa", 3, "pde", comps=("ax", "ay", "az"))
+
+    def rhs(self, pen, df, ts):
+        out = pen.uxb()
+        if self.eta > 0.0:
+            # η µ0 J = η(∇(∇·A) − ∇²A); Weyl gauge: −ηµ0J (+η∇∇·A resistive
+            # gauge term kept: use −η·jj which is the standard choice)
+            out = out - self.eta * pen.jj()
+            ts.diffus(self.eta)
+        if self.eta_hyper3 > 0.0:
+            out = out + self.eta_hyper3 * pen.del6v_scaled("aa")
+            ts.diffus3(self.eta_hyper3)
+        accumulate(df, "aa", out)
+
+        if self.llorentzforce and "uu" in pen.reg.slots:
+            accumulate(df, "uu", pen.jxbr())
+        if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:
+            pen._cache["ohmic_heat"] = self.eta * pen.j2()
+
+    def init_fields(self, grid, spec, eos, key):
+        from .initcond import init_vector
+        return {"aa": init_vector(self.init, grid, spec, eos, key,
+                                  ampl=self.ampl, kx=self.kx, ky=self.ky,
+                                  kz=self.kz)}

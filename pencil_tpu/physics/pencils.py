@@ -1,0 +1,364 @@
+"""Lazy derived-field container — the pencil mechanism, TPU style.
+
+The reference strip-mines the RHS one x-line at a time, filling a generated
+``pencil_case`` struct of derived quantities per (m,n) iteration
+(``src/equ.f90:713-814`` calc_all_pencils; codegen in §2.1 of SURVEY.md).
+On TPU the whole local block is "the pencil": derived fields are memoized
+lazily on first access, the dependency closure the reference computes via
+``pencil_interdep`` fixed-point iteration (src/register.f90:579-751) falls
+out of Python attribute access order, and XLA's CSE/fusion removes any
+redundancy inside the jitted step.
+
+All quantities are *interior*-shaped (nx, ny, nz); derivatives read the
+ghosted stack ``fg``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import stencil as st
+from ..ops.stencil import NGHOST, i as interior
+
+
+def _memo(fn):
+    name = fn.__name__
+
+    def wrapper(self, *args):
+        key = (name, args) if args else name
+        if key not in self._cache:
+            self._cache[key] = fn(self, *args)
+        return self._cache[key]
+
+    return wrapper
+
+
+_OTHER_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+
+class Pencils:
+    def __init__(self, fg, grid, reg, cfg, eos=None):
+        self.fg = fg            # ghosted stack (nc, mx, my, mz)
+        self.grid = grid
+        self.reg = reg
+        self.cfg = cfg
+        self.eos = eos
+        self._cache = {}
+
+    # ---- raw derivative helpers (on stacked slices) --------------------
+    def _inv(self, axis):
+        return (self.grid.dx1, self.grid.dy1, self.grid.dz1)[axis]
+
+    def _gh(self, name):
+        """Ghosted slab of a named field: (ncomp, mx, my, mz)."""
+        return self.fg[self.reg.slice(name)]
+
+    @_memo
+    def d(self, name, axis):
+        """∂(field)/∂x_axis, interior, shape (ncomp, nx, ny, nz)."""
+        out = st.der(self._gh(name), axis, None)
+        return interior(out, _OTHER_AXES[axis]) * self._inv(axis)
+
+    @_memo
+    def d2(self, name, axis):
+        out = st.der2(self._gh(name), axis, None)
+        return interior(out, _OTHER_AXES[axis]) * self._inv(axis) ** 2
+
+    @_memo
+    def d6_raw(self, name, axis):
+        """Plain 6th difference Σc_k f_{i+k} (no Δ scaling) — hyperdiffusion
+        'mesh' flavor (reference hyper3-mesh) and upwinding building block."""
+        out = st.der6(self._gh(name), axis, None)
+        return interior(out, _OTHER_AXES[axis])
+
+    @_memo
+    def dij(self, name, ax1, ax2):
+        if ax1 == ax2:
+            return self.d2(name, ax1)
+        a, b = min(ax1, ax2), max(ax1, ax2)
+        out = st.derij(self._gh(name), a, b)
+        rest = tuple(set((0, 1, 2)) - {a, b})
+        return interior(out, rest) * self._inv(a) * self._inv(b)
+
+    @_memo
+    def grad(self, name):
+        """(3, ncomp?, nx, ny, nz) gradient of a scalar field."""
+        return jnp.stack([self.d(name, a)[0] for a in range(3)])
+
+    @_memo
+    def del2s(self, name):
+        """Laplacian of a scalar field."""
+        return sum(self.d2(name, a)[0] for a in range(3))
+
+    @_memo
+    def del2v(self, name):
+        """Laplacian of a vector field: (3, nx, ny, nz)."""
+        return sum(self.d2(name, a) for a in range(3))
+
+    @_memo
+    def del6s(self, name):
+        """Unscaled Σ_a δ⁶_a f — hyperdiffusion operator (×Δ⁻⁶ applied by
+        caller for 'simplified' flavor, or used as-is for mesh flavor)."""
+        return sum(self.d6_raw(name, a)[0] for a in range(3))
+
+    @_memo
+    def del6v(self, name):
+        return sum(self.d6_raw(name, a) for a in range(3))
+
+    @_memo
+    def del6v_scaled(self, name):
+        """Σ_a ∂⁶f/∂x_a⁶ with physical Δ⁻⁶ scaling (hyper3 'simplified')."""
+        return sum(self.d6_raw(name, a) * self._inv(a) ** 6 for a in range(3))
+
+    @_memo
+    def del6s_scaled(self, name):
+        return sum(self.d6_raw(name, a)[0] * self._inv(a) ** 6 for a in range(3))
+
+    @_memo
+    def field(self, name):
+        """Interior values of a stored field: (ncomp, nx, ny, nz) / squeezed."""
+        arr = interior(self._gh(name))
+        return arr[0] if self.reg.slots[name].ncomp == 1 else arr
+
+    def ugrad(self, name, upwind=False):
+        """u·∇f for a scalar field, optionally with 5th-order upwinding
+        (reference der6_upwind / lupw_* flags): subtracts |u_a|·δ⁶f/(60Δ)."""
+        uu = self.uu()
+        out = sum(uu[a] * self.d(name, a)[0] for a in range(3))
+        if upwind:
+            out = out - sum(
+                jnp.abs(uu[a]) * self.d6_raw(name, a)[0] * self._inv(a) / 60.0
+                for a in range(3)
+            )
+        return out
+
+    # ---- hydro ---------------------------------------------------------
+    @_memo
+    def uu(self):
+        return self.field("uu")
+
+    @_memo
+    def u2(self):
+        uu = self.uu()
+        return uu[0] ** 2 + uu[1] ** 2 + uu[2] ** 2
+
+    @_memo
+    def uij(self):
+        """u_{i;j} = ∂u_i/∂x_j: (3, 3, nx, ny, nz)."""
+        return jnp.stack([self.d("uu", j) for j in range(3)], axis=1)
+
+    @_memo
+    def divu(self):
+        uij = self.uij()
+        return uij[0, 0] + uij[1, 1] + uij[2, 2]
+
+    @_memo
+    def oo(self):
+        """Vorticity ∇×u."""
+        uij = self.uij()
+        return jnp.stack([
+            uij[2, 1] - uij[1, 2],
+            uij[0, 2] - uij[2, 0],
+            uij[1, 0] - uij[0, 1],
+        ])
+
+    @_memo
+    def sij(self):
+        """Traceless rate-of-strain S_ij: (3, 3, nx, ny, nz)."""
+        uij = self.uij()
+        div3 = self.divu() / 3.0
+        s = 0.5 * (uij + jnp.swapaxes(uij, 0, 1))
+        return s - div3 * jnp.eye(3, dtype=s.dtype)[:, :, None, None, None]
+
+    @_memo
+    def sij2(self):
+        s = self.sij()
+        return jnp.sum(s * s, axis=(0, 1))
+
+    @_memo
+    def ugu(self):
+        """(u·∇)u: (3, nx, ny, nz)."""
+        uu = self.uu()
+        uij = self.uij()
+        return jnp.stack([
+            sum(uu[j] * uij[a, j] for j in range(3)) for a in range(3)
+        ])
+
+    @_memo
+    def del2u(self):
+        return self.del2v("uu")
+
+    @_memo
+    def graddivu(self):
+        """∇(∇·u): (3, nx, ny, nz)."""
+        out = []
+        for a in range(3):
+            out.append(sum(self.dij("uu", a, j)[j] for j in range(3)))
+        return jnp.stack(out)
+
+    # ---- density -------------------------------------------------------
+    @_memo
+    def lnrho(self):
+        return self.field("lnrho")
+
+    @_memo
+    def glnrho(self):
+        return self.grad("lnrho")
+
+    @_memo
+    def del2lnrho(self):
+        return self.del2s("lnrho")
+
+    @_memo
+    def rho(self):
+        return jnp.exp(self.lnrho())
+
+    @_memo
+    def rho1(self):
+        return jnp.exp(-self.lnrho())
+
+    # ---- entropy / eos -------------------------------------------------
+    @_memo
+    def ss(self):
+        return self.field("ss")
+
+    @_memo
+    def gss(self):
+        return self.grad("ss")
+
+    @_memo
+    def del2ss(self):
+        return self.del2s("ss")
+
+    @_memo
+    def cs2(self):
+        e = self.eos
+        if "ss" in self.reg.slots:
+            return e.cs20 * jnp.exp(
+                e.gamma / e.cp * self.ss()
+                + (e.gamma - 1.0) * (self.lnrho() - e.lnrho0)
+            )
+        # no entropy slot: isothermal closure (reference noentropy)
+        return jnp.full_like(self.lnrho(), e.cs20)
+
+    @_memo
+    def lnTT(self):
+        e = self.eos
+        if "ss" in self.reg.slots:
+            return (e.lnTT0 + e.gamma / e.cp * self.ss()
+                    + (e.gamma - 1.0) * (self.lnrho() - e.lnrho0))
+        return jnp.full_like(self.lnrho(), e.lnTT0)
+
+    @_memo
+    def TT(self):
+        return jnp.exp(self.lnTT())
+
+    @_memo
+    def TT1(self):
+        return jnp.exp(-self.lnTT())
+
+    @_memo
+    def glnTT(self):
+        """∇lnT = γ∇s/cp + (γ−1)∇lnρ (ideal gas)."""
+        e = self.eos
+        out = (e.gamma - 1.0) * self.glnrho()
+        if "ss" in self.reg.slots:
+            out = out + (e.gamma / e.cp) * self.gss()
+        return out
+
+    @_memo
+    def del2lnTT(self):
+        e = self.eos
+        out = (e.gamma - 1.0) * self.del2lnrho()
+        if "ss" in self.reg.slots:
+            out = out + (e.gamma / e.cp) * self.del2ss()
+        return out
+
+    @_memo
+    def fpres(self):
+        """−∇p/ρ = −cs²(∇lnρ + ∇s/cp) for the ideal-gas EOS."""
+        cs2 = self.cs2()
+        gl = self.glnrho()
+        if "ss" in self.reg.slots:
+            gl = gl + self.gss() / self.eos.cp
+        return -cs2 * gl
+
+    # ---- magnetic ------------------------------------------------------
+    @_memo
+    def aa(self):
+        return self.field("aa")
+
+    @_memo
+    def aij(self):
+        return jnp.stack([self.d("aa", j) for j in range(3)], axis=1)
+
+    @_memo
+    def bb(self):
+        """B = ∇×A (+ optional uniform external field B_ext)."""
+        aij = self.aij()
+        bb = jnp.stack([
+            aij[2, 1] - aij[1, 2],
+            aij[0, 2] - aij[2, 0],
+            aij[1, 0] - aij[0, 1],
+        ])
+        mag = self.cfg.module("magnetic")
+        if mag is not None and any(b != 0.0 for b in mag.B_ext):
+            bext = jnp.asarray(mag.B_ext, dtype=bb.dtype)[:, None, None, None]
+            bb = bb + bext
+        return bb
+
+    @_memo
+    def b2(self):
+        bb = self.bb()
+        return bb[0] ** 2 + bb[1] ** 2 + bb[2] ** 2
+
+    @_memo
+    def del2a(self):
+        return self.del2v("aa")
+
+    @_memo
+    def diva(self):
+        aij = self.aij()
+        return aij[0, 0] + aij[1, 1] + aij[2, 2]
+
+    @_memo
+    def graddiva(self):
+        out = []
+        for a in range(3):
+            out.append(sum(self.dij("aa", a, j)[j] for j in range(3)))
+        return jnp.stack(out)
+
+    @_memo
+    def jj(self):
+        """µ₀J = ∇×B = ∇(∇·A) − ∇²A (µ₀ = 1 code units)."""
+        return self.graddiva() - self.del2a()
+
+    @_memo
+    def j2(self):
+        jj = self.jj()
+        return jj[0] ** 2 + jj[1] ** 2 + jj[2] ** 2
+
+    @_memo
+    def uxb(self):
+        uu, bb = self.uu(), self.bb()
+        return jnp.stack([
+            uu[1] * bb[2] - uu[2] * bb[1],
+            uu[2] * bb[0] - uu[0] * bb[2],
+            uu[0] * bb[1] - uu[1] * bb[0],
+        ])
+
+    @_memo
+    def jxb(self):
+        jj, bb = self.jj(), self.bb()
+        return jnp.stack([
+            jj[1] * bb[2] - jj[2] * bb[1],
+            jj[2] * bb[0] - jj[0] * bb[2],
+            jj[0] * bb[1] - jj[1] * bb[0],
+        ])
+
+    @_memo
+    def jxbr(self):
+        return self.jxb() * self.rho1()
+
+    @_memo
+    def va2(self):
+        return self.b2() * self.rho1()

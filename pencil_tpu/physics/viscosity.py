@@ -1,0 +1,55 @@
+"""Viscous force (reference ``src/viscosity.f90``, ivisc multi-select at
+:347-460).  Implemented flavors:
+
+  'nu-const'           ν(∇²u + ⅓∇∇·u + 2S·∇lnρ)   — compressible, ρν=const...
+                       (constant kinematic ν; reference 'nu-const')
+  'hyper3-simplified'  ν₃ Σ_a ∂⁶u/∂x_a⁶
+  'hyper3-mesh'        ν₃ᵐ Σ_a δ⁶u / 60 · dline_1  (resolution-independent)
+
+Viscous heating 2νS² is published into the pencil cache for the entropy
+module (reference: calc_viscous_heat)."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar, Tuple
+
+import jax.numpy as jnp
+
+from .base import ModuleBase, accumulate
+
+
+@dataclass(frozen=True)
+class Viscosity(ModuleBase):
+    name: ClassVar[str] = "viscosity"
+
+    ivisc: Tuple[str, ...] = ("nu-const",)
+    nu: float = 0.0
+    nu_hyper3: float = 0.0
+    nu_hyper3_mesh: float = 5.0
+
+    def rhs(self, pen, df, ts):
+        fvisc = 0.0
+        heat = 0.0
+        if "nu-const" in self.ivisc and self.nu > 0.0:
+            sij = pen.sij()
+            glnrho = pen.glnrho()
+            sglnrho = jnp.einsum("ij...,j...->i...", sij, glnrho)
+            fvisc = fvisc + self.nu * (
+                pen.del2u() + (1.0 / 3.0) * pen.graddivu() + 2.0 * sglnrho
+            )
+            heat = heat + 2.0 * self.nu * pen.sij2()
+            ts.diffus(self.nu)
+        if "hyper3-simplified" in self.ivisc and self.nu_hyper3 > 0.0:
+            fvisc = fvisc + self.nu_hyper3 * pen.del6v_scaled("uu")
+            ts.diffus3(self.nu_hyper3)
+        if "hyper3-mesh" in self.ivisc and self.nu_hyper3_mesh > 0.0:
+            d1 = pen.grid.dline_1()
+            fvisc = fvisc + self.nu_hyper3_mesh * sum(
+                pen.d6_raw("uu", a) * d1[a] / 60.0 for a in range(3)
+            )
+            # mesh flavor acts like an advection speed ν₃ᵐ on each axis
+            ts.advec(self.nu_hyper3_mesh * sum(d1))
+        if not isinstance(fvisc, float):
+            accumulate(df, "uu", fvisc)
+        if not isinstance(heat, float):
+            pen._cache["visc_heat"] = heat
