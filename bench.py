@@ -1,0 +1,64 @@
+"""Benchmark: forced isothermal MHD turbulence, single chip.
+
+The reference's universal metric is µs per step per mesh point
+(src/run.f90:945-951); BASELINE.json's north-star is >1e9 grid-point
+updates/s/chip at 256³ MHD.  vs_baseline = updates_per_sec / 1e9.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    n = int(os.environ.get("BENCH_N", 256 if on_accel else 32))
+    nwarm = 3
+    nsteps = int(os.environ.get("BENCH_STEPS", 20 if on_accel else 5))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _flagship_cfg
+    from pencil_tpu import Model
+
+    cfg = _flagship_cfg(n=n)
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+
+    for _ in range(nwarm):
+        state = step(state)
+    jax.block_until_ready(state["fields"]["uu"])
+
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state = step(state)
+    jax.block_until_ready(state["fields"]["uu"])
+    elapsed = time.perf_counter() - t0
+
+    npts = n ** 3
+    updates_per_s = nsteps * npts / elapsed
+    us_per_pt_step = elapsed * 1e6 / (nsteps * npts)
+    assert np.isfinite(np.asarray(state["fields"]["uu"])).all()
+
+    print(json.dumps({
+        "metric": f"grid-point updates/sec/chip, {n}^3 forced isothermal MHD "
+                  f"(8 vars, RK3, 6th-order FD), {platform}",
+        "value": updates_per_s,
+        "unit": "updates/s",
+        "vs_baseline": updates_per_s / 1.0e9,
+        "us_per_point_step": us_per_pt_step,
+        "steps": nsteps,
+        "grid": n,
+    }))
+
+
+if __name__ == "__main__":
+    main()

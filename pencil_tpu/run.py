@@ -1,0 +1,153 @@
+"""Host-side run driver — the analog of reference ``src/run.f90``'s
+Time_loop (:519-869) plus the ``pc_run`` CLI (L9).
+
+Everything data-dependent-but-slow lives here, outside jit: output cadences
+(it1 diagnostics, dsnap snapshots, isave rolling checkpoint), control-file
+polling (STOP / SAVE — reference :526-580), dtmin abort with crash dump
+(:843-849), and walltime limits.  The jitted step (optionally shard_mapped)
+is called in a tight loop; an inner ``steps_per_call`` lets the host batch
+device steps between Python round-trips.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from .io.diagnostics import make_diagnostics
+from .io.snapshot import load_snapshot, save_snapshot
+from .io.timeseries import TimeSeriesWriter, parse_print_in
+from .model import Model
+
+
+@dataclasses.dataclass
+class RunParams:
+    """run.in-equivalent runtime parameters (reference &run_pars)."""
+
+    nt: int = 100               # number of steps
+    it1: int = 10               # diagnostics cadence (steps)
+    isave: int = 200            # rolling var.dat cadence (steps)
+    dsnap: float = 0.0          # VAR<N> cadence (sim time); 0 = off
+    tmax: float = 1.0e37
+    dtmin: float = 1.0e-10
+    max_walltime: float = 0.0   # seconds; 0 = unlimited
+    print_columns: tuple = ("it", "t", "dt", "urms", "umax", "rhom")
+
+
+class Run:
+    def __init__(self, model: Model, datadir="data", params: Optional[RunParams] = None,
+                 sharded: bool = False, quiet: bool = False):
+        self.model = model
+        self.datadir = str(datadir)
+        self.params = params or RunParams()
+        self.quiet = quiet
+        os.makedirs(self.datadir, exist_ok=True)
+        cols = []
+        for c in self.params.print_columns:
+            if isinstance(c, tuple):
+                cols.append(c)
+            else:
+                from .io.timeseries import _DEFAULT_FMT
+                cols.append((c, _DEFAULT_FMT.get(c, "E11.3")))
+        self.ts_writer = TimeSeriesWriter(
+            os.path.join(self.datadir, "time_series.dat"), cols)
+        self.diag = make_diagnostics(model, [c[0] for c in cols])
+        if sharded:
+            mesh = model.make_mesh()
+            self.step = model.make_sharded_step(mesh)
+        else:
+            self.step = model.make_step()
+        self._nsnap = 0
+        self._tsnap_last = 0.0
+
+    # ------------------------------------------------------------------
+    def _control(self, name: str) -> bool:
+        p = os.path.join(self.datadir, name)
+        if os.path.exists(p):
+            os.remove(p)
+            return True
+        return False
+
+    def _write_diag(self, state):
+        vals = {k: float(np.asarray(v)) for k, v in self.diag(state).items()}
+        vals["it"] = int(np.asarray(state["it"]))
+        self.ts_writer.append(vals)
+        if not self.quiet:
+            print(self.ts_writer.format_row(vals), flush=True)
+        return vals
+
+    def _checkpoint(self, state, name="var.npz"):
+        save_snapshot(os.path.join(self.datadir, name), state)
+
+    # ------------------------------------------------------------------
+    def resume(self):
+        """Restart from the rolling checkpoint (reference rsnap)."""
+        path = os.path.join(self.datadir, "var.npz")
+        return load_snapshot(path)
+
+    def main_loop(self, state: Dict) -> Dict:
+        p = self.params
+        t_wall0 = time.time()
+        it0 = int(np.asarray(state["it"]))
+        if not self.quiet:
+            print(self.ts_writer.header(), flush=True)
+        self._tsnap_last = float(np.asarray(state["t"]))
+        completed = False
+        npoints = self.model.cfg.grid.nx * self.model.cfg.grid.ny * self.model.cfg.grid.nz
+        for i in range(p.nt):
+            state = self.step(state)
+            it = it0 + i + 1
+            dt = float(np.asarray(state["dt"]))
+            t = float(np.asarray(state["t"]))
+            if (i + 1) % p.it1 == 0 or i == 0:
+                vals = self._write_diag(state)
+                if not np.isfinite(vals.get("urms", 0.0)):
+                    self._checkpoint(state, "crash.npz")
+                    raise FloatingPointError(f"NaN diagnostics at it={it}")
+            if dt < p.dtmin:
+                # reference: dt<dtmin abort with crash dump (run.f90:843)
+                self._checkpoint(state, "crash.npz")
+                raise RuntimeError(f"dt={dt} < dtmin={p.dtmin} at it={it}")
+            if p.isave and (i + 1) % p.isave == 0:
+                self._checkpoint(state)
+            if p.dsnap > 0 and t - self._tsnap_last >= p.dsnap:
+                self._nsnap += 1
+                self._checkpoint(state, f"VAR{self._nsnap}.npz")
+                self._tsnap_last = t
+            if self._control("STOP"):
+                break
+            if self._control("SAVE"):
+                self._checkpoint(state)
+            if t >= p.tmax:
+                completed = True
+                break
+            if p.max_walltime and time.time() - t_wall0 > p.max_walltime:
+                break
+        else:
+            completed = True
+        self._checkpoint(state)
+        elapsed = time.time() - t_wall0
+        nsteps = int(np.asarray(state["it"])) - it0
+        if not self.quiet and nsteps > 0:
+            us_per_pt_step = elapsed * 1e6 / (nsteps * npoints)
+            # the reference's universal metric (src/run.f90:945-951)
+            print(f"Wall clock time/timestep/meshpoint [microsec] ="
+                  f" {us_per_pt_step:.4e}", flush=True)
+        if completed:
+            open(os.path.join(self.datadir, "COMPLETED"), "w").close()
+        return state
+
+
+def simulate(cfg_or_model, nt=100, datadir="data", seed=0, resume=False,
+             params: Optional[RunParams] = None, sharded=False, quiet=False):
+    """One-call convenience entry: build, init (or resume), run."""
+    model = cfg_or_model if isinstance(cfg_or_model, Model) else Model(cfg_or_model)
+    params = params or RunParams()
+    params.nt = nt
+    run = Run(model, datadir=datadir, params=params, sharded=sharded, quiet=quiet)
+    state = run.resume() if resume else model.init_state(seed)
+    return run.main_loop(state)

@@ -1,0 +1,61 @@
+"""Layout-invariance: the sharded step over a virtual 8-device CPU mesh must
+reproduce the single-device run (the reference's implicit guarantee that
+reference.out is identical across committed proc layouts — SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pencil_tpu import (BC, Config, Density, EosIdealGas, Gravity, GridSpec,
+                        Hydro, Magnetic, MeshSpec, Model, TimeSpec, Viscosity)
+
+
+def _cfg(mesh, periodic=(True, True, True), bcz=()):
+    return Config(
+        grid=GridSpec(nx=16, ny=16, nz=16, periodic=periodic),
+        mesh=mesh,
+        time=TimeSpec(itorder=3),
+        modules=(
+            EosIdealGas(gamma=1.4, cs0=1.0),
+            Density(init="sinwave-z", ampl=0.05),
+            Hydro(init="gaussian-noise", ampl=1e-2),
+            Viscosity(ivisc=("nu-const",), nu=2e-3),
+            Magnetic(init="gaussian-noise", ampl=1e-3, eta=2e-3),
+        ),
+        bcz=bcz,
+    )
+
+
+def _run(cfg, nsteps, sharded):
+    model = Model(cfg)
+    state = model.init_state(7)
+    if sharded:
+        mesh = model.make_mesh()
+        step = model.make_sharded_step(mesh)
+    else:
+        step = model.make_step()
+    for _ in range(nsteps):
+        state = step(state)
+    return {k: np.asarray(v) for k, v in state["fields"].items()}, float(state["dt"])
+
+
+@pytest.mark.parametrize("mesh", [MeshSpec(1, 2, 4), MeshSpec(2, 2, 2)])
+def test_sharded_matches_single_periodic(mesh):
+    assert len(jax.devices()) >= mesh.ndev, "conftest must give 8 cpu devices"
+    ref, dt_ref = _run(_cfg(MeshSpec(1, 1, 1)), 5, sharded=False)
+    shr, dt_shr = _run(_cfg(mesh), 5, sharded=True)
+    assert abs(dt_ref - dt_shr) < 1e-6 * abs(dt_ref)
+    for k in ref:
+        np.testing.assert_allclose(shr[k], ref[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_sharded_matches_single_nonperiodic_z():
+    bcz = (BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
+           BC.parse("lnrho", "a2"),
+           BC.parse("ax", "s"), BC.parse("ay", "s"), BC.parse("az", "a"))
+    ref, _ = _run(_cfg(MeshSpec(1, 1, 1), (True, True, False), bcz), 5, False)
+    shr, _ = _run(_cfg(MeshSpec(1, 2, 4), (True, True, False), bcz), 5, True)
+    for k in ref:
+        np.testing.assert_allclose(shr[k], ref[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
