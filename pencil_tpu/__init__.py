@@ -14,3 +14,6 @@ from .ops.boundary import BC
 __version__ = "0.1.0"
 from .physics import (Density, Entropy, EosIdealGas, Forcing, Gravity,
                       Hydro, Magnetic, Viscosity)
+from .physics import Shock
+from .physics import PassiveScalar, Shear
+from .physics import SelfGravity

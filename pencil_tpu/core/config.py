@@ -125,6 +125,9 @@ class Config:
     time: TimeSpec = field(default_factory=TimeSpec)
     modules: tuple = ()
     dtype: str = "float32"
+    # Evaluate the RHS with the fused Pallas megakernel (ops/fused_rhs.py)
+    # instead of the jnp graph; falls back automatically where unsupported.
+    fused: bool = False
     # Boundary conditions per axis: tuples of per-field mnemonic strings,
     # keyed by field name; empty = periodic everywhere (see ops/boundary.py).
     bcx: tuple = ()

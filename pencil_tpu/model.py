@@ -53,6 +53,17 @@ class Model:
         self.grid = make_grid(cfg.grid, self.dtype)
         self.bc_axes = (cfg.bcx, cfg.bcy, cfg.bcz)
         self.rk = RK_TABLES[cfg.time.itorder]
+        on_tpu = jax.default_backend() == "tpu"
+        self._aux_modules = tuple(
+            m for m in self.modules if hasattr(m, "compute_aux"))
+        self._fused_ok = (
+            cfg.fused
+            and cfg.grid.periodic[2]
+            and cfg.grid.coords == "cartesian"
+            and cfg.grid.grid_func == ("uniform", "uniform", "uniform")
+            and (not on_tpu or cfg.grid.nz % 128 == 0)
+            and not self._aux_modules
+        )
 
     # ------------------------------------------------------------------
     def init_state(self, seed: int = 0) -> Dict:
@@ -87,12 +98,53 @@ class Model:
         Returns (dfa (nvar,...), dt1 pointwise inverse-dt field).
         """
         cfg = self.cfg
+        shear = cfg.module("shear")
+        shear_dy = None
+        if shear is not None:
+            shear_dy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly)
+        if self._fused_ok and not any(n for n in (mesh_axis_names or ())):
+            # fused path: ghost x/y in HBM, z halo is built in VMEM by the
+            # kernel (keeps the lane dim 128-aligned for DMA)
+            fg_xy = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
+                                self.reg, grid, cfg, self.eos,
+                                mesh_axis_names, mesh_shape, axes=(0, 1),
+                                shear_dy=shear_dy)
+            return self._fused_rhs()(fg_xy, grid.z)
         fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                          self.reg, grid, cfg, self.eos,
-                         mesh_axis_names, mesh_shape)
+                         mesh_axis_names, mesh_shape, shear_dy=shear_dy)
         pen = Pencils(fg, grid, self.reg, cfg, self.eos)
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
+        if self._aux_modules:
+            # farray-level auxiliary fields with their own communication
+            # (reference calc_shock_profile, src/equ.f90:211): compute from
+            # the ghosted evolved fields, then re-ghost the aux slots.
+            from .ops.boundary import bc_sym
+
+            def halo1(x):
+                xg = fill_ghosts(x[None], cfg.grid, ((), (), ()), self.reg,
+                                 grid, cfg, None, mesh_axis_names, mesh_shape,
+                                 shear_dy=shear_dy)
+                for axis in range(3):
+                    if cfg.grid.periodic[axis]:
+                        continue
+                    name = (mesh_axis_names or (None,) * 3)[axis]
+                    psize = mesh_shape[axis]
+                    for side in (0, 1):
+                        new = bc_sym(xg[0], axis, side, 0.0, None)
+                        if name is not None and psize > 1:
+                            idx = jax.lax.axis_index(name)
+                            edge = idx == (0 if side == 0 else psize - 1)
+                            xg = xg.at[0].set(jnp.where(edge, new, xg[0]))
+                        else:
+                            xg = xg.at[0].set(new)
+                return xg[0]
+
+            for m in self._aux_modules:
+                for aname, interior in m.compute_aux(pen, halo1).items():
+                    fg = fg.at[self.reg.slice(aname)].set(halo1(interior)[None])
+            pen.fg = fg
         df: Dict[str, jnp.ndarray] = {}
         ts = TimestepAccum()
         for m in self.modules:
@@ -112,6 +164,12 @@ class Model:
         dfa = jnp.concatenate(parts, axis=0)
         dt1 = cfl_dt1(ts, grid, cfg.time)
         return dfa, dt1
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=1)
+    def _fused_rhs(self):
+        from .ops.fused_rhs import make_fused_rhs
+        return make_fused_rhs(self)
 
     # ------------------------------------------------------------------
     def _local_step(self, state: Dict, grid: Grid,

@@ -62,18 +62,24 @@ def fill_ghosts(
     eos=None,
     mesh_axis_names: Optional[Tuple[Optional[str], ...]] = None,
     mesh_shape: Tuple[int, int, int] = (1, 1, 1),
+    axes: Tuple[int, ...] = (0, 1, 2),
+    shear_dy=None,
 ) -> jnp.ndarray:
     """Interior stack (nc, nx, ny, nz) → ghosted stack (nc, mx, my, mz).
 
     When called inside ``shard_map``, ``mesh_axis_names`` gives the mesh
     axis name per spatial axis (None = unsharded) and ``mesh_shape`` the
     static device counts; physical BCs are then masked to domain-edge
-    shards via ``lax.axis_index``.
+    shards via ``lax.axis_index``.  ``axes`` restricts which spatial axes
+    get ghosted (the fused-RHS path keeps z unghosted in HBM and builds the
+    z halo in VMEM for lane alignment).
     """
     g = NGHOST
-    pad = [(0, 0)] * (fa.ndim - 3) + [(g, g)] * 3
+    pad = [(0, 0)] * (fa.ndim - 3) + [
+        (g, g) if a in axes else (0, 0) for a in range(3)
+    ]
     fg = jnp.pad(fa, pad)
-    for axis in range(3):
+    for axis in axes:
         name = mesh_axis_names[axis] if mesh_axis_names else None
         psize = mesh_shape[axis]
         if name is not None and psize > 1:
@@ -88,4 +94,21 @@ def fill_ghosts(
             if not spec.periodic[axis]:
                 fg = apply_axis_bcs(fg, axis, bc_axes[axis], reg, grid, cfg,
                                     eos, edge_mask=(True, True))
+        if axis == 0 and shear_dy is not None:
+            # shear-periodic x faces: ghost slabs y-shifted by ±deltay
+            # (reference initiate_shearing, src/mpicomm.f90:2104)
+            from ..physics.shear import fourier_shift_y
+            if name is not None and psize > 1:
+                raise NotImplementedError("shear with sharded x axis")
+            yname = mesh_axis_names[1] if mesh_axis_names else None
+            if yname is not None and mesh_shape[1] > 1:
+                raise NotImplementedError("shear with sharded y axis")
+            ax = fg.ndim - 3
+            m = fg.shape[ax]
+            lo = jax.lax.slice_in_dim(fg, 0, g, axis=ax)
+            hi = jax.lax.slice_in_dim(fg, m - g, m, axis=ax)
+            lo = fourier_shift_y(lo, shear_dy, spec.Ly)
+            hi = fourier_shift_y(hi, -shear_dy, spec.Ly)
+            fg = jax.lax.dynamic_update_slice_in_dim(fg, lo, 0, axis=ax)
+            fg = jax.lax.dynamic_update_slice_in_dim(fg, hi, m - g, axis=ax)
     return fg

@@ -20,6 +20,9 @@ class Density(ModuleBase):
     init: str = "zero"             # initial condition name
     ampl: float = 0.0
     width: float = 0.05
+    kx: float = 1.0
+    ky: float = 1.0
+    kz: float = 1.0
 
     def register(self, reg):
         reg.register("lnrho", 1, "pde")
@@ -41,4 +44,5 @@ class Density(ModuleBase):
         from .initcond import init_scalar
         return {"lnrho": init_scalar(self.init, grid, spec, eos, key,
                                      ampl=self.ampl, width=self.width,
+                                     kx=self.kx, ky=self.ky, kz=self.kz,
                                      field="lnrho")}

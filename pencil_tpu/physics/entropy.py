@@ -41,6 +41,9 @@ class Entropy(ModuleBase):
     init: str = "zero"
     ampl: float = 0.0
     width: float = 0.05
+    kx: float = 1.0
+    ky: float = 1.0
+    kz: float = 1.0
 
     def register(self, reg):
         reg.register("ss", 1, "pde")
@@ -94,4 +97,6 @@ class Entropy(ModuleBase):
     def init_fields(self, grid, spec, eos, key):
         from .initcond import init_scalar
         return {"ss": init_scalar(self.init, grid, spec, eos, key,
-                                  ampl=self.ampl, width=self.width, field="ss")}
+                                  ampl=self.ampl, width=self.width,
+                                  kx=self.kx, ky=self.ky, kz=self.kz,
+                                  field="ss")}

@@ -163,11 +163,20 @@ class Pencils:
 
     @_memo
     def sij(self):
-        """Traceless rate-of-strain S_ij: (3, 3, nx, ny, nz)."""
+        """Traceless rate-of-strain S_ij: (3, 3, nx, ny, nz).  Built
+        component-wise (no eye-broadcast) so it lowers inside Pallas."""
         uij = self.uij()
         div3 = self.divu() / 3.0
-        s = 0.5 * (uij + jnp.swapaxes(uij, 0, 1))
-        return s - div3 * jnp.eye(3, dtype=s.dtype)[:, :, None, None, None]
+        rows = []
+        for a in range(3):
+            row = []
+            for b in range(3):
+                s = 0.5 * (uij[a, b] + uij[b, a])
+                if a == b:
+                    s = s - div3
+                row.append(s)
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
 
     @_memo
     def sij2(self):

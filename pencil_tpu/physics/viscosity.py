@@ -26,6 +26,7 @@ class Viscosity(ModuleBase):
     nu: float = 0.0
     nu_hyper3: float = 0.0
     nu_hyper3_mesh: float = 5.0
+    nu_shock: float = 0.0
 
     def rhs(self, pen, df, ts):
         fvisc = 0.0
@@ -33,12 +34,28 @@ class Viscosity(ModuleBase):
         if "nu-const" in self.ivisc and self.nu > 0.0:
             sij = pen.sij()
             glnrho = pen.glnrho()
-            sglnrho = jnp.einsum("ij...,j...->i...", sij, glnrho)
+            # S·∇lnρ without einsum (keeps the expression Pallas-lowerable)
+            sglnrho = jnp.stack([
+                sum(sij[a, b] * glnrho[b] for b in range(3)) for a in range(3)
+            ])
             fvisc = fvisc + self.nu * (
                 pen.del2u() + (1.0 / 3.0) * pen.graddivu() + 2.0 * sglnrho
             )
             heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
+        if "nu-shock" in self.ivisc and self.nu_shock > 0.0:
+            # bulk shock viscosity (reference viscosity.f90 'nu-shock'):
+            # f = ν_sh [shock(∇∇·u + ∇·u ∇lnρ) + ∇·u ∇shock]
+            shock = pen.field("shock")
+            gshock = pen.grad("shock")
+            divu = pen.divu()
+            glnrho = pen.glnrho()
+            fvisc = fvisc + self.nu_shock * (
+                shock[None] * (pen.graddivu() + divu[None] * glnrho)
+                + divu[None] * gshock
+            )
+            heat = heat + self.nu_shock * shock * divu * divu
+            ts.diffus(self.nu_shock * shock)
         if "hyper3-simplified" in self.ivisc and self.nu_hyper3 > 0.0:
             fvisc = fvisc + self.nu_hyper3 * pen.del6v_scaled("uu")
             ts.diffus3(self.nu_hyper3)
