@@ -17,3 +17,4 @@ from .physics import (Density, Entropy, EosIdealGas, Forcing, Gravity,
 from .physics import Shock
 from .physics import PassiveScalar, Shear
 from .physics import SelfGravity
+from .particles import ParticlesDust

@@ -23,6 +23,8 @@ import numpy as np
 
 def save_snapshot(path, state: Dict, extra: Optional[Dict] = None):
     arrays = {f"field_{k}": np.asarray(v) for k, v in state["fields"].items()}
+    for k, v in state.get("particles", {}).items():
+        arrays[f"par_{k}"] = np.asarray(v)
     arrays["t"] = np.asarray(state["t"])
     arrays["dt"] = np.asarray(state["dt"])
     arrays["it"] = np.asarray(state["it"])
@@ -42,11 +44,14 @@ def save_snapshot(path, state: Dict, extra: Optional[Dict] = None):
 def load_snapshot(path) -> Dict:
     with np.load(path) as z:
         fields = {}
+        particles = {}
         key = None
         extra = None
         for k in z.files:
             if k.startswith("field_"):
                 fields[k[6:]] = jnp.asarray(z[k])
+            elif k.startswith("par_"):
+                particles[k[4:]] = jnp.asarray(z[k])
             elif k == "key":
                 raw = z[k]
                 if raw.dtype == np.uint32 and raw.shape == (2,):
@@ -62,6 +67,8 @@ def load_snapshot(path) -> Dict:
             "it": jnp.asarray(z["it"]),
             "key": key,
         }
+        if particles:
+            state["particles"] = particles
     if extra is not None:
         state["extra"] = extra
     return state

@@ -53,6 +53,7 @@ class Model:
         self.grid = make_grid(cfg.grid, self.dtype)
         self.bc_axes = (cfg.bcx, cfg.bcy, cfg.bcz)
         self.rk = RK_TABLES[cfg.time.itorder]
+        self.particles = cfg.module("particles")
         on_tpu = jax.default_backend() == "tpu"
         self._aux_modules = tuple(
             m for m in self.modules if hasattr(m, "compute_aux"))
@@ -63,6 +64,7 @@ class Model:
             and cfg.grid.grid_func == ("uniform", "uniform", "uniform")
             and (not on_tpu or cfg.grid.nz % 128 == 0)
             and not self._aux_modules
+            and self.particles is None
         )
 
     # ------------------------------------------------------------------
@@ -81,21 +83,27 @@ class Model:
                 fields[name] = jnp.zeros(shape, dtype=self.dtype)
         fields = {k: v.astype(self.dtype) for k, v in fields.items()}
         dt0 = self.cfg.time.dt if self.cfg.time.dt > 0 else 1e-4
-        return {
+        state = {
             "fields": fields,
             "t": jnp.asarray(0.0, self.dtype),
             "dt": jnp.asarray(dt0, self.dtype),
             "it": jnp.asarray(0, jnp.int32),
             "key": key,
         }
+        if self.particles is not None:
+            key, sub = jax.random.split(key)
+            state["key"] = key
+            state["particles"] = self.particles.init_particles(
+                self.grid, self.cfg.grid, sub, self.dtype)
+        return state
 
     # ------------------------------------------------------------------
     def rhs(self, fa: jnp.ndarray, grid: Grid, t,
-            mesh_axis_names=None, mesh_shape=(1, 1, 1)):
+            mesh_axis_names=None, mesh_shape=(1, 1, 1), pstate=None):
         """One RHS evaluation on the local block.
 
         fa: (nf, nx, ny, nz) local interior stack.
-        Returns (dfa (nvar,...), dt1 pointwise inverse-dt field).
+        Returns (dfa (nvar,...), dt1 pointwise inverse-dt field, dpstate).
         """
         cfg = self.cfg
         shear = cfg.module("shear")
@@ -109,7 +117,8 @@ class Model:
                                 self.reg, grid, cfg, self.eos,
                                 mesh_axis_names, mesh_shape, axes=(0, 1),
                                 shear_dy=shear_dy)
-            return self._fused_rhs()(fg_xy, grid.z)
+            dfa, dt1 = self._fused_rhs()(fg_xy, grid.z)
+            return dfa, dt1, None
         fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                          self.reg, grid, cfg, self.eos,
                          mesh_axis_names, mesh_shape, shear_dy=shear_dy)
@@ -149,6 +158,10 @@ class Model:
         ts = TimestepAccum()
         for m in self.modules:
             m.rhs(pen, df, ts)
+        dpstate = None
+        if self.particles is not None and pstate is not None:
+            dpstate = self.particles.rhs_particles(pstate, pen, cfg.grid,
+                                                   df, ts)
         # stack df in registry order (pde slots only)
         parts = []
         for name, slot in self.reg.slots.items():
@@ -163,7 +176,7 @@ class Model:
             parts.append(d)
         dfa = jnp.concatenate(parts, axis=0)
         dt1 = cfl_dt1(ts, grid, cfg.time)
-        return dfa, dt1
+        return dfa, dt1, dpstate
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=1)
@@ -184,11 +197,14 @@ class Model:
         df = jnp.zeros((nvar,) + fa.shape[1:], fa.dtype)
         t0 = state["t"]
         dt = state["dt"]
+        pstate = state.get("particles")
+        dfp = None
         sharded_names = [n for n in (mesh_axis_names or ()) if n is not None]
 
         for isub in range(len(alpha)):
             t_sub = t0 + cstage[isub] * dt
-            dfa, dt1 = self.rhs(fa, grid, t_sub, mesh_axis_names, mesh_shape)
+            dfa, dt1, dp = self.rhs(fa, grid, t_sub, mesh_axis_names,
+                                    mesh_shape, pstate=pstate)
             if isub == 0:
                 if tcfg.dt > 0:
                     dt = jnp.asarray(tcfg.dt, fa.dtype)
@@ -202,6 +218,15 @@ class Model:
                     dt = dt_new.astype(fa.dtype)
             df = alpha[isub] * df + dfa if isub > 0 else dfa
             fa = fa.at[:nvar].add(beta[isub] * dt * df)
+            if pstate is not None:
+                if isub == 0:
+                    dfp = dp
+                else:
+                    dfp = jax.tree_util.tree_map(
+                        lambda o, n, a=alpha[isub]: a * o + n, dfp, dp)
+                pstate = jax.tree_util.tree_map(
+                    lambda s_, d_, b=beta[isub]: s_ + b * dt * d_,
+                    pstate, dfp)
 
         fields = reg.unstack(fa)
         t1 = t0 + dt
@@ -210,13 +235,16 @@ class Model:
             key, sub = jax.random.split(key)
             fields = m.after_timestep(fields, grid, cfg, reg, self.eos,
                                       dt, t1, sub)
-        return {
+        out = {
             "fields": fields,
             "t": t1,
             "dt": dt,
             "it": state["it"] + 1,
             "key": key,
         }
+        if pstate is not None:
+            out["particles"] = self.particles.wrap_positions(pstate, cfg.grid)
+        return out
 
     # ------------------------------------------------------------------
     def make_step(self):
@@ -235,6 +263,11 @@ class Model:
         ms = self.cfg.mesh
         if devices is None:
             devices = jax.devices()[: ms.ndev]
+        if len(devices) < ms.ndev:
+            raise ValueError(
+                f"mesh {ms.shape} needs {ms.ndev} devices but only "
+                f"{len(devices)} available (try "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N)")
         arr = np.asarray(devices).reshape(ms.shape)
         return Mesh(arr, ("x", "y", "z"))
 
@@ -246,15 +279,22 @@ class Model:
                 fspecs[name] = P(None, "x", "y", "z")
             else:
                 fspecs[name] = P("x", "y", "z")
-        return {
+        out = {
             "fields": fspecs,
             "t": P(), "dt": P(), "it": P(), "key": P(),
         }
+        if self.particles is not None:
+            out["particles"] = {"xp": P(), "vp": P()}
+        return out
 
     def make_sharded_step(self, mesh: Mesh):
         """shard_map'ed step over a 3-D device mesh — the analog of the
         reference's nprocx×nprocy×nprocz MPI decomposition (§2.3)."""
         shard_map = jax.shard_map
+        if self.particles is not None and self.cfg.mesh.ndev > 1:
+            raise NotImplementedError(
+                "sharded particle runs land with sort-based migration; "
+                "run particles single-device for now")
 
         ms = self.cfg.mesh
         mesh_shape = ms.shape

@@ -1,0 +1,2 @@
+from .dust import ParticlesDust
+from .interp import deposit, interpolate

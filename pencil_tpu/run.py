@@ -30,12 +30,19 @@ class RunParams:
 
     nt: int = 100               # number of steps
     it1: int = 10               # diagnostics cadence (steps)
+    it1d: int = 0               # 1-D/2-D averages cadence (steps); 0 = off
     isave: int = 200            # rolling var.dat cadence (steps)
     dsnap: float = 0.0          # VAR<N> cadence (sim time); 0 = off
+    dvid: float = 0.0           # video-slice cadence (sim time); 0 = off
+    dspec: float = 0.0          # power-spectra cadence (sim time); 0 = off
     tmax: float = 1.0e37
     dtmin: float = 1.0e-10
     max_walltime: float = 0.0   # seconds; 0 = unlimited
     print_columns: tuple = ("it", "t", "dt", "urms", "umax", "rhom")
+    aver_names: tuple = ()      # e.g. ("uxmz", "rhomz") — see io/averages.py
+    slice_fields: tuple = ("ux", "uz")
+    slice_planes: tuple = ("xy", "xz")
+    power_fields: tuple = ()    # e.g. ("kin", "mag")
 
 
 class Run:
@@ -63,6 +70,27 @@ class Run:
             self.step = model.make_step()
         self._nsnap = 0
         self._tsnap_last = 0.0
+        self._tvid_last = 0.0
+        self._tspec_last = 0.0
+        self.averages = None
+        self.aver_writer = None
+        if self.params.aver_names:
+            from .io.averages import AveragesWriter, make_averages
+            self.averages = make_averages(model, self.params.aver_names)
+            self.aver_writer = AveragesWriter(
+                os.path.join(self.datadir, "averages.dat"),
+                self.params.aver_names)
+        self.slices = None
+        if self.params.dvid > 0:
+            from .io.slices import SliceWriter
+            self.slices = SliceWriter(self.datadir, self.params.slice_fields,
+                                      self.params.slice_planes)
+        self._spec_writers = {}
+        if self.params.dspec > 0 and self.params.power_fields:
+            from .io.spectra import SpectrumWriter
+            for pf in self.params.power_fields:
+                self._spec_writers[pf] = SpectrumWriter(
+                    os.path.join(self.datadir, f"power_{pf}.dat"))
 
     # ------------------------------------------------------------------
     def _control(self, name: str) -> bool:
@@ -82,6 +110,26 @@ class Run:
 
     def _checkpoint(self, state, name="var.npz"):
         save_snapshot(os.path.join(self.datadir, name), state)
+
+    def _write_spectra(self, state, t):
+        from .io.spectra import shell_spectrum
+        spec = self.model.cfg.grid
+        for pf, w in self._spec_writers.items():
+            if pf == "kin":
+                field = state["fields"]["uu"]
+            elif pf == "mag":
+                # B from A via the diagnostics pencil path
+                from .parallel.halo import fill_ghosts
+                from .physics.pencils import Pencils
+                m = self.model
+                fa = m.reg.stack(state["fields"])
+                fg = fill_ghosts(fa[: m.reg.ncom], m.cfg.grid,
+                                 (m.cfg.bcx, m.cfg.bcy, m.cfg.bcz),
+                                 m.reg, m.grid, m.cfg, m.eos)
+                field = Pencils(fg, m.grid, m.reg, m.cfg, m.eos).bb()
+            else:
+                field = state["fields"][pf]
+            w.append(t, np.asarray(shell_spectrum(field, spec)))
 
     # ------------------------------------------------------------------
     def resume(self):
@@ -118,6 +166,16 @@ class Run:
                 self._nsnap += 1
                 self._checkpoint(state, f"VAR{self._nsnap}.npz")
                 self._tsnap_last = t
+            if p.it1d and (i + 1) % p.it1d == 0 and self.averages:
+                vals = {k: np.asarray(v)
+                        for k, v in self.averages(state).items()}
+                self.aver_writer.append(t, vals)
+            if self.slices and p.dvid > 0 and t - self._tvid_last >= p.dvid:
+                self.slices.capture(self.model, state)
+                self._tvid_last = t
+            if self._spec_writers and t - self._tspec_last >= p.dspec:
+                self._write_spectra(state, t)
+                self._tspec_last = t
             if self._control("STOP"):
                 break
             if self._control("SAVE"):
@@ -129,6 +187,8 @@ class Run:
                 break
         else:
             completed = True
+        if self.slices:
+            self.slices.flush()
         self._checkpoint(state)
         elapsed = time.time() - t_wall0
         nsteps = int(np.asarray(state["it"])) - it0

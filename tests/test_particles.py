@@ -1,0 +1,144 @@
+"""Lagrangian dust-particle tests (reference particles_dust/particles_map
+semantics, SURVEY.md §2.8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro, Model,
+                        ParticlesDust, TimeSpec, Viscosity)
+from pencil_tpu.particles.interp import deposit, interpolate
+
+
+def _spec(n=16):
+    return GridSpec(nx=n, ny=n, nz=n, x0=0.0, y0=0.0, z0=0.0,
+                    Lx=1.0, Ly=1.0, Lz=1.0)
+
+
+def test_tsc_weights_partition_of_unity():
+    """Depositing unit values conserves the total exactly (weights sum to 1,
+    ghost-fold catches boundary contributions)."""
+    spec = _spec()
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.uniform(0, 1, (500, 3)), jnp.float32)
+    vals = jnp.ones((500,), jnp.float32)
+    for scheme in ("ngp", "cic", "tsc"):
+        dep = deposit(vals, xp, spec, spec.shape, scheme)
+        np.testing.assert_allclose(float(dep.sum()), 500.0, rtol=1e-4,
+                                   err_msg=scheme)
+
+
+def test_interpolation_exact_for_linear_field():
+    """CIC/TSC reproduce a linear function exactly (2nd-order schemes)."""
+    spec = _spec(16)
+    g = 3
+    dx = spec.dx
+    # ghosted linear field f = 2 + 3x (periodic ghosts WRONG for linear, so
+    # keep particles away from the boundary)
+    xg = spec.x0 + dx * (np.arange(16 + 6) - g)
+    f = (2.0 + 3.0 * xg)[:, None, None] * np.ones((1, 22, 22))
+    fg = jnp.asarray(f[None], jnp.float32)
+    rng = np.random.default_rng(1)
+    xp = jnp.asarray(rng.uniform(0.3, 0.7, (200, 3)), jnp.float32)
+    for scheme in ("cic", "tsc"):
+        vals = np.asarray(interpolate(fg, xp, spec, scheme))[0]
+        np.testing.assert_allclose(vals, 2.0 + 3.0 * np.asarray(xp[:, 0]),
+                                   rtol=1e-4, err_msg=scheme)
+
+
+def test_drag_equilibration():
+    """Particles in a uniform gas flow approach the gas velocity on the
+    stopping-time scale: v(t) = u(1 − e^(−t/τ))."""
+    tau = 0.1
+    u0 = 0.05
+    cfg = Config(
+        grid=_spec(8),
+        time=TimeSpec(itorder=3, dt=1e-3),
+        modules=(
+            EosIdealGas(gamma=1.0001, cs0=1.0),
+            Density(),
+            Hydro(init="zero"),
+            ParticlesDust(npar=64, tausp=tau),
+        ),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    state["fields"]["uu"] = state["fields"]["uu"].at[0].add(u0)
+    step = model.make_step()
+    T = 0.2
+    for _ in range(int(T / 1e-3)):
+        state = step(state)
+    vpx = np.asarray(state["particles"]["vp"][:, 0])
+    expect = u0 * (1.0 - np.exp(-T / tau))
+    np.testing.assert_allclose(vpx, expect, rtol=1e-2)
+
+
+def test_particles_advect_and_wrap():
+    """Free-streaming particles wrap around the periodic box."""
+    cfg = Config(
+        grid=_spec(8),
+        time=TimeSpec(itorder=3, dt=5e-3),
+        modules=(
+            EosIdealGas(gamma=1.0001, cs0=1.0),
+            Density(),
+            Hydro(init="zero"),
+            ParticlesDust(npar=32, tausp=1e6),  # effectively no drag
+        ),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    state["particles"]["vp"] = state["particles"]["vp"].at[:, 1].set(1.0)
+    step = model.make_step()
+    x_before = np.asarray(state["particles"]["xp"])
+    for _ in range(100):  # t = 0.5 → half a box crossing
+        state = step(state)
+    x_after = np.asarray(state["particles"]["xp"])
+    assert (x_after[:, 1] >= 0).all() and (x_after[:, 1] <= 1.0).all()
+    # y displaced by 0.5 mod 1
+    dy = np.mod(x_after[:, 1] - x_before[:, 1], 1.0)
+    np.testing.assert_allclose(dy, 0.5, atol=1e-3)
+
+
+def test_dusty_turbulence_with_backreaction_runs():
+    from pencil_tpu import Forcing
+    cfg = Config(
+        grid=_spec(16),
+        time=TimeSpec(itorder=3),
+        modules=(
+            EosIdealGas(gamma=1.0001, cs0=1.0),
+            Density(),
+            Hydro(init="gaussian-noise", ampl=1e-2),
+            Viscosity(ivisc=("nu-const",), nu=5e-3),
+            Forcing(force=0.05, kf=2.0),
+            ParticlesDust(npar=256, tausp=0.3, eps_dtog=0.01),
+        ),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    for _ in range(10):
+        state = step(state)
+    assert np.isfinite(np.asarray(state["particles"]["vp"])).all()
+    assert np.isfinite(np.asarray(state["fields"]["uu"])).all()
+
+
+def test_particle_restart_bit_exact(tmp_path):
+    from pencil_tpu.io.snapshot import load_snapshot, save_snapshot
+    cfg = Config(
+        grid=_spec(8),
+        time=TimeSpec(itorder=3, dt=1e-3),
+        modules=(EosIdealGas(gamma=1.0001), Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-2),
+                 ParticlesDust(npar=32, tausp=0.5)),
+    )
+    model = Model(cfg)
+    step = model.make_step()
+    s = model.init_state(1)
+    for _ in range(3):
+        s = step(s)
+    save_snapshot(tmp_path / "var.npz", s)
+    b = load_snapshot(tmp_path / "var.npz")
+    for _ in range(3):
+        s = step(s)
+        b = step(b)
+    np.testing.assert_array_equal(np.asarray(s["particles"]["xp"]),
+                                  np.asarray(b["particles"]["xp"]))
