@@ -1,0 +1,96 @@
+"""Fortran namelist parser (reference ``src/param_io.f90``: start.in /
+run.in are groups like ``&hydro_init_pars ... /``; values are Fortran
+literals: T/F logicals, 1.e-3 reals, 'strings', repeat counts ``3*0.0`` and
+comma-separated arrays; ``!`` comments)."""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List
+
+
+def _parse_value(tok: str) -> Any:
+    tok = tok.strip()
+    if not tok:
+        return None
+    if tok in ("T", ".true.", ".TRUE.", "t"):
+        return True
+    if tok in ("F", ".false.", ".FALSE.", "f"):
+        return False
+    if tok.startswith(("'", '"')):
+        return tok.strip("'\"")
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok.replace("d", "e").replace("D", "E"))
+    except ValueError:
+        return tok
+
+
+def _split_values(raw: str) -> List[str]:
+    """Split a namelist RHS into value tokens, respecting quotes."""
+    out, cur, q = [], "", None
+    for ch in raw:
+        if q:
+            cur += ch
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur += ch
+        elif ch == ",":
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur)
+    return [t for t in (s.strip() for s in out) if t]
+
+
+def parse_namelists(text: str) -> Dict[str, Dict[str, Any]]:
+    """→ {group_name: {param: value-or-list}}."""
+    # strip comments (! to EOL, but not inside quotes — good enough: quotes
+    # in pencil namelists don't contain '!')
+    lines = []
+    for line in text.splitlines():
+        q = False
+        out = ""
+        for ch in line:
+            if ch in "'\"":
+                q = not q
+            if ch == "!" and not q:
+                break
+            out += ch
+        lines.append(out)
+    text = "\n".join(lines)
+
+    groups: Dict[str, Dict[str, Any]] = {}
+    for m in re.finditer(r"&(\w+)(.*?)(?:^|\s)/\s*$", text,
+                         re.DOTALL | re.MULTILINE):
+        gname = m.group(1).lower()
+        body = m.group(2)
+        params: Dict[str, Any] = {}
+        # split into key=value chunks: find assignments
+        for am in re.finditer(
+                r"([A-Za-z]\w*)\s*=\s*((?:[^=]|=(?=[^,\s]))*?)(?=(?:,\s*)?[A-Za-z]\w*\s*=|\Z)",
+                body, re.DOTALL):
+            key = am.group(1).lower()
+            raw = am.group(2).strip().rstrip(",")
+            toks = _split_values(raw)
+            vals: List[Any] = []
+            for t in toks:
+                rep = re.match(r"^(\d+)\*(.+)$", t)
+                if rep:
+                    vals.extend([_parse_value(rep.group(2))] * int(rep.group(1)))
+                else:
+                    vals.append(_parse_value(t))
+            params[key] = vals[0] if len(vals) == 1 else vals
+        groups[gname] = params
+    return groups
+
+
+def read_namelist_file(path) -> Dict[str, Dict[str, Any]]:
+    with open(path) as f:
+        return parse_namelists(f.read())

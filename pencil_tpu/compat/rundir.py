@@ -1,0 +1,291 @@
+"""Load a reference-format run directory (start.in / run.in /
+src/cparam.local) into a pencil_tpu Config — the switch-over path for
+existing Pencil Code users (reference contract: src/param_io.f90 namelists,
+src/cparam.local compile-time grid).
+
+Coverage: the module set exercised by the acceptance samples (eos, density,
+hydro, entropy, gravity, viscosity, magnetic, forcing, shear, shock,
+pscalar).  Unknown namelist groups are reported, unknown parameters within
+known groups are ignored with a warning list returned alongside."""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Tuple
+
+from ..core.config import Config, GridSpec, TimeSpec
+from ..ops.boundary import BC
+from ..physics import (Density, Entropy, EosIdealGas, Forcing, Gravity,
+                       Hydro, Magnetic, PassiveScalar, Shear, Shock,
+                       Viscosity)
+from .namelist import read_namelist_file
+
+
+def parse_cparam_local(path) -> Dict[str, int]:
+    """Extract name=value integer constants from a cparam.local."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            line = line.split("!")[0]
+            for m in re.finditer(r"(\w+)\s*=\s*(\d+)", line):
+                out[m.group(1).lower()] = int(m.group(2))
+    return out
+
+
+def _as_tuple(v):
+    return tuple(v) if isinstance(v, list) else (v,)
+
+
+def _g(groups, name) -> Dict:
+    return dict(groups.get(name, {}))
+
+
+def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
+    """→ (Config, info) where info carries run_pars (nt, it1, ...) and any
+    unmapped parameters for the caller to inspect."""
+    path = str(path)
+    start = read_namelist_file(os.path.join(path, "start.in"))
+    runf = os.path.join(path, "run.in")
+    run = read_namelist_file(runf) if os.path.exists(runf) else {}
+    cpar = parse_cparam_local(os.path.join(path, "src", "cparam.local"))
+
+    init_pars = _g(start, "init_pars")
+    run_pars = _g(run, "run_pars")
+
+    nx = (nxyz or (cpar.get("nxgrid", 32),))[0] if nxyz else cpar.get("nxgrid", 32)
+    ny = nxyz[1] if nxyz else cpar.get("nygrid", nx)
+    nz = nxyz[2] if nxyz else cpar.get("nzgrid", nx)
+
+    xyz0 = init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416])
+    Lxyz = init_pars.get("lxyz", [6.2832, 6.2832, 6.2832])
+    lperi = init_pars.get("lperi", [True, True, True])
+    grid = GridSpec(nx=nx, ny=ny, nz=nz,
+                    x0=xyz0[0], y0=xyz0[1], z0=xyz0[2],
+                    Lx=Lxyz[0], Ly=Lxyz[1], Lz=Lxyz[2],
+                    periodic=tuple(bool(p) for p in lperi))
+
+    time = TimeSpec(
+        itorder=int(run_pars.get("itorder", 3)),
+        cdt=float(run_pars.get("cdt", 0.9)),
+        cdtv=float(run_pars.get("cdtv", 0.25)),
+        dt=float(run_pars.get("dt", 0.0)),
+        dtmin=float(run_pars.get("dtmin", 1e-10)),
+    )
+
+    modules = []
+    known = {"init_pars", "run_pars"}
+
+    def grp(stem):
+        known.update({f"{stem}_init_pars", f"{stem}_run_pars"})
+        d = _g(start, f"{stem}_init_pars")
+        d.update(_g(run, f"{stem}_run_pars"))
+        return d
+
+    eos_p = grp("eos")
+    if eos_p or "density_init_pars" in start:
+        modules.append(EosIdealGas(
+            gamma=float(eos_p.get("gamma", 5.0 / 3.0)),
+            cs0=float(eos_p.get("cs0", 1.0)),
+            rho0=float(eos_p.get("rho0", 1.0)),
+        ))
+
+    den_p = grp("density")
+    if "density_init_pars" in start or den_p:
+        modules.append(Density(
+            init=str(den_p.get("initlnrho", "zero")),
+            ampl=float(den_p.get("ampllnrho", 0.0)),
+            width=float(den_p.get("widthlnrho", 0.05)),
+            lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
+            diffrho=float(den_p.get("diffrho", den_p.get("cdiffrho", 0.0))),
+            diffrho_hyper3=float(den_p.get("diffrho_hyper3", 0.0)),
+        ))
+
+    hyd_p = grp("hydro")
+    if "hydro_init_pars" in start or hyd_p:
+        modules.append(Hydro(
+            init=str(hyd_p.get("inituu", "zero")),
+            ampl=float(hyd_p.get("ampluu", 0.0)),
+            kx=float(hyd_p.get("kx_uu", 1.0)),
+            ky=float(hyd_p.get("ky_uu", 1.0)),
+            kz=float(hyd_p.get("kz_uu", 1.0)),
+            width=float(hyd_p.get("widthuu", 0.1)),
+            Omega=float(hyd_p.get("omega", 0.0)),
+            theta=float(hyd_p.get("theta", 0.0)),
+            lupw_uu=bool(hyd_p.get("lupw_uu", False)),
+        ))
+
+    grav_p = grp("grav")
+    if grav_p:
+        modules.append(Gravity(
+            gravz_profile=str(grav_p.get("gravz_profile", "const")),
+            gravz=float(grav_p.get("gravz", 0.0)),
+        ))
+
+    ent_p = grp("entropy")
+    if "entropy_init_pars" in start or ent_p:
+        ihc = ent_p.get("iheatcond", "K-const")
+        modules.append(Entropy(
+            init=str(ent_p.get("initss", "zero")),
+            width=float(ent_p.get("widthss", 0.05)),
+            iheatcond=_as_tuple(ihc),
+            hcond0=float(ent_p.get("hcond0", 0.0)),
+            chi=float(ent_p.get("chi", 0.0)),
+            chi_hyper3=float(ent_p.get("chi_hyper3", 0.0)),
+            lupw_ss=bool(ent_p.get("lupw_ss", False)),
+            luminosity=float(ent_p.get("luminosity", 0.0)),
+            wheat=float(ent_p.get("wheat", 0.1)),
+            cool=float(ent_p.get("cool", 0.0)),
+            wcool=float(ent_p.get("wcool", 0.2)),
+            cs2cool=float(ent_p.get("cs2cool", 0.0)),
+            mpoly0=float(ent_p.get("mpoly0", 1.0)),
+            mpoly1=float(ent_p.get("mpoly1", 3.0)),
+            mpoly2=float(ent_p.get("mpoly2", 0.0)),
+            z1=float(grav_p.get("z1", ent_p.get("z1", 0.0))),
+            z2=float(grav_p.get("z2", ent_p.get("z2", 1.0))),
+            isothtop=int(ent_p.get("isothtop", 1)),
+        ))
+
+    vis_p = grp("viscosity")
+    if vis_p:
+        modules.append(Viscosity(
+            ivisc=tuple(str(v) for v in _as_tuple(vis_p.get("ivisc", "nu-const"))),
+            nu=float(vis_p.get("nu", 0.0)),
+            nu_hyper3=float(vis_p.get("nu_hyper3", 0.0)),
+            nu_shock=float(vis_p.get("nu_shock", 0.0)),
+        ))
+
+    mag_p = grp("magnetic")
+    if "magnetic_init_pars" in start or mag_p:
+        bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
+        modules.append(Magnetic(
+            init=str(mag_p.get("initaa", "zero")),
+            ampl=float(mag_p.get("amplaa", 0.0)),
+            eta=float(mag_p.get("eta", 0.0)),
+            eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
+            B_ext=tuple(float(b) for b in bext),
+        ))
+
+    for_p = grp("forcing")
+    if for_p:
+        kf = float(for_p.get("kf", 0.0))
+        kdat = os.path.join(path, "k.dat")
+        if kf == 0.0 and os.path.exists(kdat):
+            # first line of k.dat: n_vectors, mean |k| (reference forcing
+            # reads the shell from this file, src/forcing.f90)
+            with open(kdat) as f:
+                kf = float(f.readline().split()[1])
+        modules.append(Forcing(
+            force=float(for_p.get("force", 0.02)),
+            kf=kf or 3.0,
+            relhel=float(for_p.get("relhel", 1.0)),
+        ))
+
+    shear_p = grp("shear")
+    if shear_p:
+        modules.append(Shear(
+            qshear=float(shear_p.get("qshear", 1.5)),
+            Omega=float(shear_p.get("omega", hyd_p.get("omega", 1.0))),
+        ))
+
+    shk_p = grp("shock")
+    if shk_p or any("nu-shock" in str(v) for v in
+                    _as_tuple(vis_p.get("ivisc", ""))):
+        modules.append(Shock())
+
+    psc_p = grp("pscalar")
+    if psc_p:
+        pinit = str(psc_p.get("initcc", psc_p.get("initlncc", "zero")))
+        pinit = {"wave-z": "sinwave-z"}.get(pinit, pinit)
+        modules.append(PassiveScalar(
+            init=pinit,
+            ampl=float(psc_p.get("amplcc", psc_p.get("ampllncc", 0.0))),
+            diffcc=float(psc_p.get("pscalar_diff", psc_p.get("diffcc", 0.0))),
+        ))
+
+    par_p = grp("particles")
+    known.update({"particles_stalker_init_pars", "particles_stalker_run_pars"})
+    if par_p:
+        from ..particles import ParticlesDust
+        scheme = "tsc" if par_p.get("lparticlemesh_tsc") else (
+            "cic" if par_p.get("lparticlemesh_cic") else "tsc")
+        modules.append(ParticlesDust(
+            npar=int(cpar.get("npar", 1024)),
+            tausp=float(par_p.get("tausp", 1.0)) or 1.0,
+            eps_dtog=float(par_p.get("eps_dtog", 0.0)),
+            scheme=scheme,
+            init=str(par_p.get("initxxp", "random")),
+        ))
+
+    # BCs: run.in overrides start.in; component order = registry order
+    from ..core.farray import Registry
+    reg = Registry()
+    tmp_modules = tuple(modules)
+    from ..model import _reg_key
+    for m in sorted(tmp_modules, key=_reg_key):
+        m.register(reg)
+    reg.finalize()
+    comp_names = reg.comp_names[: reg.nvar]
+
+    def bcs_for(axis_key, side_vals):
+        codes = run_pars.get(axis_key, init_pars.get(axis_key))
+        if codes is None:
+            return ()
+        codes = codes if isinstance(codes, list) else [codes]
+        pairs = list(zip(comp_names, codes))
+        # apply density BCs before entropy (cT/c1 read lnrho ghosts)
+        pairs.sort(key=lambda p: 1 if p[0] == "ss" else 0)
+        ent = next((m for m in modules if m.name == "entropy"), None)
+        grav = next((m for m in modules if m.name == "gravity"), None)
+        eos = next((m for m in modules if m.name == "eos"), None)
+        out = []
+        for comp, code in pairs:
+            lval = hval = 0.0
+            parts = str(code).split(":")
+            lo_code = parts[0]
+            hi_code = parts[-1]
+            for side, c in ((0, lo_code), (1, hi_code)):
+                v = 0.0
+                if c == "cT" and ent is not None and ent.cs2cool > 0:
+                    v = ent.cs2cool
+                elif c == "c1" and ent is not None and grav is not None \
+                        and eos is not None:
+                    # equilibrium flux F/K = −dT/dz of the bottom polytrope:
+                    # dT/dz = γ·gravz/((m+1)(γ−1)cp)
+                    mlay = ent.mpoly1 if side == 0 else ent.mpoly2
+                    v = -eos.gamma * grav.gravz / (
+                        (mlay + 1.0) * (eos.gamma - 1.0) * eos.cp)
+                if side == 0:
+                    lval = v
+                else:
+                    hval = v
+            out.append(BC.parse(comp, str(code), lval, hval))
+        return tuple(out)
+
+    cfg = Config(
+        grid=grid, time=time, modules=tuple(modules),
+        bcx=bcs_for("bcx", None), bcy=bcs_for("bcy", None),
+        bcz=bcs_for("bcz", None),
+    )
+    unmapped = [g for g in list(start) + list(run) if g not in known]
+    info = {
+        "run_pars": run_pars,
+        "unmapped_groups": sorted(set(unmapped)),
+        "nt": int(run_pars.get("nt", 100)),
+        "it1": int(run_pars.get("it1", 10)),
+        "isave": int(run_pars.get("isave", 200)),
+        "dsnap": float(run_pars.get("dsnap", 0.0)),
+        "dvid": float(run_pars.get("dvid", 0.0)),
+    }
+    return cfg, info
+
+
+def load_print_in(path) -> tuple:
+    """print.in → print_columns for RunParams."""
+    from ..io.timeseries import parse_print_in
+    p = os.path.join(str(path), "print.in")
+    if not os.path.exists(p):
+        return ("it", "t", "dt", "urms", "umax", "rhom")
+    with open(p) as f:
+        return tuple(parse_print_in(f.read()))

@@ -51,14 +51,26 @@ def cfl_dt1(ts, grid, time_cfg):
     """Pointwise inverse-timestep field from the module accumulators."""
     dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
     adv = ts.maxadvec
+    adv2 = ts.advec_cs2
     dif = 0.0
     if not (isinstance(ts.maxdiffus, float) and ts.maxdiffus == 0.0):
         dif = ts.maxdiffus * dxyz2 / time_cfg.cdtv
     if not (isinstance(ts.maxdiffus3, float) and ts.maxdiffus3 == 0.0):
         dxyz6 = grid.dx1 ** 6 + grid.dy1 ** 6 + grid.dz1 ** 6
         dif = dif + ts.maxdiffus3 * dxyz6 / time_cfg.cdtv3
-    if isinstance(adv, float) and isinstance(dif, float):
+    if all(isinstance(v, float) for v in (adv, adv2, dif)):
         return jnp.zeros((1, 1, 1))
-    a2 = (adv / time_cfg.cdt) ** 2 if not isinstance(adv, float) else 0.0
-    d2 = dif ** 2 if not isinstance(dif, float) else 0.0
-    return jnp.sqrt(a2 + d2)
+    a2 = 0.0
+    if not isinstance(adv, float):
+        a2 = a2 + adv ** 2
+    if not isinstance(adv2, float):
+        a2 = a2 + adv2
+    # reference rule: dt = min(cdt/advec, cdtv/diffus) — the classes compete
+    # by MAX of rates, advec itself is sqrt(advec_uu² + advec_cs2)
+    # (src/equ.f90:916-931 + timestep.f90:148)
+    dt1_a = jnp.sqrt(a2) / time_cfg.cdt if not isinstance(a2, float) else 0.0
+    if isinstance(dif, float):
+        return dt1_a + jnp.zeros((1, 1, 1))
+    if isinstance(dt1_a, float):
+        return dif + jnp.zeros((1, 1, 1))
+    return jnp.maximum(dt1_a, dif)

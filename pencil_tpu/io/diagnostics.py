@@ -199,6 +199,99 @@ def _varms(pen, st):
     return _rms(pen.va2())
 
 
+@diag("jmax")
+def _jmax(pen, st):
+    return jnp.sqrt(jnp.max(pen.j2()))
+
+
+@diag("omax")
+def _omax(pen, st):
+    oo = pen.oo()
+    return jnp.sqrt(jnp.max(oo[0] ** 2 + oo[1] ** 2 + oo[2] ** 2))
+
+
+@diag("vAmax")
+def _vamax(pen, st):
+    return jnp.sqrt(jnp.max(pen.va2()))
+
+
+@diag("mass")
+def _mass(pen, st):
+    """Total mass: <ρ>·V_box (reference 'mass' diagnostic)."""
+    gs = pen.cfg.grid
+    return jnp.mean(pen.rho()) * gs.Lx * gs.Ly * gs.Lz
+
+
+@diag("ccmax")
+def _ccmax(pen, st):
+    return jnp.max(pen.field("cc"))
+
+
+@diag("ccm")
+def _ccm(pen, st):
+    return jnp.mean(pen.field("cc"))
+
+
+@diag("abmn")
+def _abmn(pen, st):
+    """<A·B> over the northern half (z > mid; reference lequatorz)."""
+    aa, bb = pen.aa(), pen.bb()
+    ab = sum(aa[a] * bb[a] for a in range(3))
+    nz = ab.shape[2]
+    return jnp.mean(ab[:, :, nz // 2:])
+
+
+@diag("abms")
+def _abms(pen, st):
+    aa, bb = pen.aa(), pen.bb()
+    ab = sum(aa[a] * bb[a] for a in range(3))
+    nz = ab.shape[2]
+    return jnp.mean(ab[:, :, : nz // 2])
+
+
+@diag("bmx")
+def _bmx(pen, st):
+    """RMS of the yz-mean field component (reference bmx: mean-field
+    strength diagnostics, src/magnetic.f90)."""
+    return jnp.sqrt(jnp.mean(jnp.mean(pen.bb()[0], axis=(1, 2)) ** 2))
+
+
+@diag("bmy")
+def _bmy(pen, st):
+    return jnp.sqrt(jnp.mean(jnp.mean(pen.bb()[1], axis=(0, 2)) ** 2))
+
+
+@diag("bmz")
+def _bmz(pen, st):
+    return jnp.sqrt(jnp.mean(jnp.mean(pen.bb()[2], axis=(0, 1)) ** 2))
+
+
+@diag("xp2m")
+def _xp2m(pen, st):
+    return jnp.mean(st["particles"]["xp"][:, 0] ** 2)
+
+
+@diag("yp2m")
+def _yp2m(pen, st):
+    return jnp.mean(st["particles"]["xp"][:, 1] ** 2)
+
+
+@diag("zp2m")
+def _zp2m(pen, st):
+    return jnp.mean(st["particles"]["xp"][:, 2] ** 2)
+
+
+@diag("vpxm")
+def _vpxm(pen, st):
+    return jnp.mean(st["particles"]["vp"][:, 0])
+
+
+@diag("vprms")
+def _vprms(pen, st):
+    vp = st["particles"]["vp"]
+    return jnp.sqrt(jnp.mean(jnp.sum(vp * vp, axis=1)))
+
+
 def make_diagnostics(model, names: Iterable[str]):
     """Build a jitted evaluator: state → {name: scalar} for the requested
     diagnostic columns (plus it/t/dt pulled straight from state)."""
@@ -232,10 +325,10 @@ def make_diagnostics(model, names: Iterable[str]):
             elif n == "dt":
                 out[n] = dt
             elif n == "dtc":
-                # sound-speed timestep fraction: dt·max(cs·Σ1/Δ)/cdt
+                # sound-speed fraction: dt·max(sqrt(cs²·Σ Δ⁻²))/cdt
                 d1 = grid.dline_1()
-                cs = jnp.sqrt(pen.cs2())
-                out[n] = dt * jnp.max(cs * sum(d1)) / cfg.time.cdt
+                dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+                out[n] = dt * jnp.sqrt(jnp.max(pen.cs2() * dxyz2)) / cfg.time.cdt
             elif n == "dtu":
                 d1 = grid.dline_1()
                 uu = pen.uu()
@@ -251,11 +344,18 @@ def make_diagnostics(model, names: Iterable[str]):
                 e = eos
                 chi = 0.0
                 if ent is not None and ent.hcond0 > 0:
-                    chi = ent.hcond0 * jnp.max(pen.rho1()) / e.cp
+                    if "K-profile" in ent.iheatcond:
+                        from ..physics.stratification import hcond_profile
+                        K = hcond_profile(grid.zg, ent.z1, ent.z2,
+                                          ent.mpoly0, ent.mpoly1, ent.mpoly2,
+                                          ent.hcond0, ent.width)
+                    else:
+                        K = ent.hcond0
+                    chi = K * pen.rho1() / e.cp
                 elif ent is not None:
                     chi = ent.chi
                 dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
-                out[n] = dt * chi * jnp.max(dxyz2) / cfg.time.cdtv
+                out[n] = dt * e.gamma * jnp.max(chi * dxyz2) / cfg.time.cdtv
             else:
                 out[n] = DIAG_REGISTRY[n](pen, state)
         return out

@@ -32,6 +32,14 @@ MODULE_ORDER = (
     "magnetic", "pscalar", "entropy", "forcing",
 )
 
+# f-array slot order — must match the reference's registration sequence
+# (uu, lnrho, ss, aa, cc...: src/hydro.f90 "MVAR CONTRIBUTION 3" first,
+# then density, entropy, magnetic) so bcx/bcy/bcz arrays and index.pro
+# line up component-for-component.
+REGISTRATION_ORDER = (
+    "hydro", "density", "entropy", "magnetic", "pscalar",
+)
+
 
 def _order_key(m):
     try:
@@ -40,13 +48,20 @@ def _order_key(m):
         return len(MODULE_ORDER)
 
 
+def _reg_key(m):
+    try:
+        return REGISTRATION_ORDER.index(m.name)
+    except ValueError:
+        return len(REGISTRATION_ORDER)
+
+
 class Model:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self.modules = tuple(sorted(cfg.modules, key=_order_key))
         self.reg = Registry()
-        for m in self.modules:
+        for m in sorted(cfg.modules, key=_reg_key):
             m.register(self.reg)
         self.reg.finalize()
         self.eos = cfg.module("eos")
@@ -73,7 +88,8 @@ class Model:
         fields: Dict[str, jnp.ndarray] = {}
         for m in self.modules:
             key, sub = jax.random.split(key)
-            fields.update(m.init_fields(self.grid, self.cfg.grid, self.eos, sub))
+            fields.update(m.init_fields(self.grid, self.cfg.grid,
+                                        self.eos, sub, self.cfg))
         # ensure every registered slot exists
         for name, slot in self.reg.slots.items():
             if name not in fields:

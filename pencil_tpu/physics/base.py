@@ -19,12 +19,19 @@ class TimestepAccum:
     ``src/equ.f90:916-931``).  Modules add; the integrator reduces."""
 
     def __init__(self):
-        self.maxadvec = 0.0    # Σ_a (|u_a| + c_eff)·dline_1_a
+        self.maxadvec = 0.0    # Σ_a |u_a|·dline_1_a  (linear advection terms)
+        self.advec_cs2 = 0.0   # (cs² + vA²)·Σ_a Δ_a⁻²  (wave speeds, squared)
         self.maxdiffus = 0.0   # max(ν, η, χ, D) — scaled by dxyz_2 at the end
         self.maxdiffus3 = 0.0  # hyper-diffusivities — scaled by dxyz_6
 
     def advec(self, val):
         self.maxadvec = self.maxadvec + val
+
+    def advec2(self, val):
+        """Squared wave-speed CFL term (reference advec_cs2/advec_va2:
+        combined as dt1_advec = sqrt(advec_uu² + advec_cs2)/cdt,
+        src/equ.f90:916-931)."""
+        self.advec_cs2 = self.advec_cs2 + val
 
     def diffus(self, val):
         self.maxdiffus = jnp.maximum(self.maxdiffus, val)
@@ -53,7 +60,7 @@ class ModuleBase:
         """Accumulate RHS contributions into df and CFL terms into ts
         (reference dX_dt inside the mn-loop, src/equ.f90:940-1058)."""
 
-    def init_fields(self, grid, spec, eos, key):
+    def init_fields(self, grid, spec, eos, key, cfg=None):
         """Initial condition for this module's fields (reference init_X)."""
         return {}
 

@@ -40,7 +40,22 @@ class Density(ModuleBase):
             ts.diffus3(self.diffrho_hyper3)
         accumulate(df, "lnrho", out)
 
-    def init_fields(self, grid, spec, eos, key):
+    def init_fields(self, grid, spec, eos, key, cfg=None):
+        import jax.numpy as jnp
+        if self.init == "piecew-poly":
+            from .stratification import piecew_poly_profiles
+            ent = cfg.module("entropy") if cfg else None
+            grav = cfg.module("gravity") if cfg else None
+            lnrho, _ = piecew_poly_profiles(
+                grid.interior(grid.z), spec, eos,
+                gravz=grav.gravz if grav else -1.0,
+                z1=ent.z1 if ent else 0.0, z2=ent.z2 if ent else 1.0,
+                mpoly0=ent.mpoly0 if ent else 1.0,
+                mpoly1=ent.mpoly1 if ent else 3.0,
+                mpoly2=ent.mpoly2 if ent else 0.0,
+                isothtop=ent.isothtop if ent else 1, width=self.width)
+            return {"lnrho": lnrho[None, None, :]
+                    * jnp.ones(spec.shape, grid.z.dtype)}
         from .initcond import init_scalar
         return {"lnrho": init_scalar(self.init, grid, spec, eos, key,
                                      ampl=self.ampl, width=self.width,

@@ -38,6 +38,13 @@ class Entropy(ModuleBase):
     wcool: float = 0.2
     cs2cool: float = 0.0
     zcool: float = 0.0          # cooling layer center (default: top boundary)
+    # piecewise-polytrope stratification parameters (conv-slab style)
+    mpoly0: float = 1.0
+    mpoly1: float = 3.0
+    mpoly2: float = 0.0
+    z1: float = 0.0
+    z2: float = 1.0
+    isothtop: int = 1
     init: str = "zero"
     ampl: float = 0.0
     width: float = 0.05
@@ -59,6 +66,21 @@ class Entropy(ModuleBase):
             out = out + self.hcond0 * pen.rho1() * (pen.del2lnTT() + glnTT2)
             # χ = K/(ρ cp) for the CFL; use max over the box via pencil value
             ts.diffus(self.hcond0 * pen.rho1() / eos.cp * eos.gamma)
+        if "K-profile" in self.iheatcond and self.hcond0 > 0.0:
+            # z-dependent conductivity, K ∝ (mpoly+1) per polytrope layer
+            # (reference entropy.f90 iheatcond='K-profile')
+            from .stratification import hcond_profile
+            g = pen.grid
+            K = hcond_profile(g.zg, self.z1, self.z2, self.mpoly0,
+                              self.mpoly1, self.mpoly2, self.hcond0,
+                              self.width)
+            dz = 1e-3 * (1.0 / jnp.max(g.dz_1))
+            dKdz = (hcond_profile(g.zg + dz, self.z1, self.z2, self.mpoly0,
+                                  self.mpoly1, self.mpoly2, self.hcond0,
+                                  self.width) - K) / dz
+            out = out + pen.rho1() * (
+                K * (pen.del2lnTT() + glnTT2) + dKdz * glnTT[2])
+            ts.diffus(K * pen.rho1() / eos.cp * eos.gamma)
         if "chi-const" in self.iheatcond and self.chi > 0.0:
             glnrho = pen.glnrho()
             gdot = sum(glnTT[a] * (glnTT[a] + glnrho[a]) for a in range(3))
@@ -94,7 +116,18 @@ class Entropy(ModuleBase):
 
         accumulate(df, "ss", out)
 
-    def init_fields(self, grid, spec, eos, key):
+    def init_fields(self, grid, spec, eos, key, cfg=None):
+        if self.init == "piecew-poly":
+            from .stratification import piecew_poly_profiles
+            grav = cfg.module("gravity") if cfg else None
+            _, ss = piecew_poly_profiles(
+                grid.interior(grid.z), spec, eos,
+                gravz=grav.gravz if grav else -1.0,
+                z1=self.z1, z2=self.z2, mpoly0=self.mpoly0,
+                mpoly1=self.mpoly1, mpoly2=self.mpoly2,
+                isothtop=self.isothtop, width=self.width)
+            return {"ss": ss[None, None, :]
+                    * jnp.ones(spec.shape, grid.z.dtype)}
         from .initcond import init_scalar
         return {"ss": init_scalar(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, width=self.width,

@@ -56,15 +56,16 @@ class Hydro(ModuleBase):
             ])
         accumulate(df, "uu", out)
 
-        # advective CFL: |u_a| + fast wave speed, per axis
+        # advective CFL (reference split: advec_uu linear, advec_cs2/va2
+        # squared — dt1 = sqrt(advec_uu² + advec_cs2)/cdt)
         ceff2 = pen.cs2()
         if "aa" in pen.reg.slots:
             ceff2 = ceff2 + pen.va2()
-        ceff = jnp.sqrt(ceff2)
         d1 = pen.grid.dline_1()
-        ts.advec(sum((jnp.abs(uu[a]) + ceff) * d1[a] for a in range(3)))
+        ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
+        ts.advec2(ceff2 * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 
-    def init_fields(self, grid, spec, eos, key):
+    def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector
         return {"uu": init_vector(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,

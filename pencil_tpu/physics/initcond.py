@@ -62,11 +62,17 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         return jnp.stack([ampl * jnp.sin(kz * z) + zero,
                           ampl * jnp.cos(kz * z) + zero, zero])
     if name == "up-down":
-        # conv-slab style convection seed: vertical velocity cells
-        # uz = A sin(kx x) sin(ky y) localized in z
-        prof = jnp.exp(-0.5 * ((z - 0.5) / max(width, 1e-6)) ** 2)
-        return jnp.stack([zero, zero,
-                          ampl * jnp.sin(kx * x) * jnp.sin(ky * y) * prof + zero])
+        # flow up in one spot, down (×0.7) in another, gaussian z-profile
+        # centred on z1=0 (reference init_uu 'up-down', src/hydro.f90:2189)
+        w = max(width, 1e-6)
+        prof = ampl * jnp.exp(-0.5 * (z / w) ** 2)
+        x1, y1 = spec.x0 + 0.3 * spec.Lx, spec.y0 + 0.3 * spec.Ly
+        x2, y2 = spec.x0 + 0.5 * spec.Lx, spec.y0 + 0.8 * spec.Ly
+        r1 = (x - x1) ** 2 + (y - y1) ** 2
+        r2 = (x - x2) ** 2 + (y - y2) ** 2
+        uz = prof * (jnp.exp(-0.5 * r1 / w ** 2)
+                     - 0.7 * jnp.exp(-0.5 * r2 / w ** 2))
+        return jnp.stack([zero, zero, uz + zero])
     if name == "ABC":
         A = ampl
         return jnp.stack([

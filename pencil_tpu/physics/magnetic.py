@@ -51,7 +51,7 @@ class Magnetic(ModuleBase):
         if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:
             pen._cache["ohmic_heat"] = self.eta * pen.j2()
 
-    def init_fields(self, grid, spec, eos, key):
+    def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector
         return {"aa": init_vector(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,

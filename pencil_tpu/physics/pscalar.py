@@ -35,7 +35,7 @@ class PassiveScalar(ModuleBase):
             ts.diffus3(self.diffcc_hyper3)
         accumulate(df, "cc", out)
 
-    def init_fields(self, grid, spec, eos, key):
+    def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_scalar
         return {"cc": init_scalar(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,
