@@ -18,3 +18,4 @@ from .physics import Shock
 from .physics import PassiveScalar, Shear
 from .physics import SelfGravity
 from .particles import ParticlesDust
+from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas

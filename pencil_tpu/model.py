@@ -28,8 +28,9 @@ from .physics.pencils import Pencils
 # Fixed RHS evaluation order (reference calc_all_pencils order,
 # src/equ.f90:766-814: grid → hydro → density → ... → magnetic → entropy).
 MODULE_ORDER = (
-    "eos", "density", "hydro", "gravity", "shear", "viscosity",
-    "magnetic", "pscalar", "entropy", "forcing",
+    "eos", "density", "hydro", "hydro_kinematic", "gravity", "shear",
+    "viscosity", "magnetic", "pscalar", "radiation", "entropy",
+    "temperature", "forcing",
 )
 
 # f-array slot order — must match the reference's registration sequence
@@ -37,7 +38,7 @@ MODULE_ORDER = (
 # then density, entropy, magnetic) so bcx/bcy/bcz arrays and index.pro
 # line up component-for-component.
 REGISTRATION_ORDER = (
-    "hydro", "density", "entropy", "magnetic", "pscalar",
+    "hydro", "density", "entropy", "temperature", "magnetic", "pscalar",
 )
 
 

@@ -1,0 +1,88 @@
+"""Prescribed (kinematic) velocity field (reference
+``src/hydro_kinematic.f90``, 3719 LoC): no momentum equation is evolved;
+the flow is an analytic profile used by induction/scalars — the classic
+kinematic-dynamo configuration.
+
+Profiles: 'ABC' (A sin kz + C cos ky, ...) and 'roberts' (Roberts flow I).
+Analytic derivatives are supplied so uij/divu need no ghost zones."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar
+
+import jax.numpy as jnp
+
+from .base import ModuleBase
+
+
+@dataclass(frozen=True)
+class HydroKinematic(ModuleBase):
+    name: ClassVar[str] = "hydro_kinematic"
+
+    profile: str = "ABC"
+    ampl: float = 1.0
+    kx: float = 1.0
+    ky: float = 1.0
+    kz: float = 1.0
+    # ABC coefficients
+    A: float = 1.0
+    B: float = 1.0
+    C: float = 1.0
+
+    def flow(self, pen):
+        g = pen.grid
+        x, y, z = g.xg, g.yg, g.zg
+        a = self.ampl
+        if self.profile == "ABC":
+            ux = a * (self.A * jnp.sin(self.kz * z) + self.C * jnp.cos(self.ky * y))
+            uy = a * (self.B * jnp.sin(self.kx * x) + self.A * jnp.cos(self.kz * z))
+            uz = a * (self.C * jnp.sin(self.ky * y) + self.B * jnp.cos(self.kx * x))
+            one = jnp.ones(pen_shape(pen), x.dtype)
+            return jnp.stack([ux * one, uy * one, uz * one])
+        if self.profile == "roberts":
+            # Roberts flow I: u = (cos kx sin ky, −sin kx cos ky, √2 cos kx cos ky)
+            kx, ky = self.kx, self.ky
+            ux = a * jnp.cos(kx * x) * jnp.sin(ky * y)
+            uy = -a * jnp.sin(kx * x) * jnp.cos(ky * y)
+            uz = a * jnp.sqrt(2.0) * jnp.cos(kx * x) * jnp.cos(ky * y)
+            one = jnp.ones(pen_shape(pen), x.dtype)
+            return jnp.stack([ux * one, uy * one, uz * one])
+        raise NotImplementedError(self.profile)
+
+    def flow_uij(self, pen):
+        """Analytic u_{i;j}: (3,3,nx,ny,nz)."""
+        g = pen.grid
+        x, y, z = g.xg, g.yg, g.zg
+        a = self.ampl
+        one = jnp.ones(pen_shape(pen), x.dtype)
+        zero = 0.0 * one
+        if self.profile == "ABC":
+            kx, ky, kz = self.kx, self.ky, self.kz
+            rows = [
+                [zero, -a * self.C * ky * jnp.sin(ky * y) * one,
+                 a * self.A * kz * jnp.cos(kz * z) * one],
+                [a * self.B * kx * jnp.cos(kx * x) * one, zero,
+                 -a * self.A * kz * jnp.sin(kz * z) * one],
+                [-a * self.B * kx * jnp.sin(kx * x) * one,
+                 a * self.C * ky * jnp.cos(ky * y) * one, zero],
+            ]
+            return jnp.stack([jnp.stack(r) for r in rows])
+        if self.profile == "roberts":
+            kx, ky = self.kx, self.ky
+            sx, cx = jnp.sin(kx * x), jnp.cos(kx * x)
+            sy, cy = jnp.sin(ky * y), jnp.cos(ky * y)
+            s2 = jnp.sqrt(2.0)
+            rows = [
+                [-a * kx * sx * sy * one, a * ky * cx * cy * one, zero],
+                [-a * kx * cx * cy * one, a * ky * sx * sy * one, zero],
+                [-a * s2 * kx * sx * cy * one, -a * s2 * ky * cx * sy * one,
+                 zero],
+            ]
+            return jnp.stack([jnp.stack(r) for r in rows])
+        raise NotImplementedError(self.profile)
+
+
+def pen_shape(pen):
+    g = 3
+    nc, mx, my, mz = pen.fg.shape
+    return (mx - 2 * g, my - 2 * g, mz - 2 * g)

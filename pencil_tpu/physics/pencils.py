@@ -134,6 +134,14 @@ class Pencils:
     # ---- hydro ---------------------------------------------------------
     @_memo
     def uu(self):
+        if "uu" not in self.reg.slots:
+            kin = self.cfg.module("hydro_kinematic")
+            if kin is not None:
+                return kin.flow(self)
+            z = jnp.zeros(self.fg.shape[-3:], self.fg.dtype)
+            from ..ops.stencil import i as _interior
+            zi = _interior(z[None])[0]
+            return jnp.stack([zi, zi, zi])
         return self.field("uu")
 
     @_memo
@@ -144,6 +152,12 @@ class Pencils:
     @_memo
     def uij(self):
         """u_{i;j} = ∂u_i/∂x_j: (3, 3, nx, ny, nz)."""
+        if "uu" not in self.reg.slots:
+            kin = self.cfg.module("hydro_kinematic")
+            if kin is not None:
+                return kin.flow_uij(self)
+            u = self.uu()
+            return jnp.zeros((3,) + u.shape, u.dtype)
         return jnp.stack([self.d("uu", j) for j in range(3)], axis=1)
 
     @_memo
@@ -241,6 +255,8 @@ class Pencils:
     @_memo
     def cs2(self):
         e = self.eos
+        if "lnTT" in self.reg.slots:
+            return (e.gamma - 1.0) * e.cp * self.TT()
         if "ss" in self.reg.slots:
             return e.cs20 * jnp.exp(
                 e.gamma / e.cp * self.ss()
@@ -252,6 +268,8 @@ class Pencils:
     @_memo
     def lnTT(self):
         e = self.eos
+        if "lnTT" in self.reg.slots:
+            return self.field("lnTT")
         if "ss" in self.reg.slots:
             return (e.lnTT0 + e.gamma / e.cp * self.ss()
                     + (e.gamma - 1.0) * (self.lnrho() - e.lnrho0))
@@ -269,6 +287,8 @@ class Pencils:
     def glnTT(self):
         """∇lnT = γ∇s/cp + (γ−1)∇lnρ (ideal gas)."""
         e = self.eos
+        if "lnTT" in self.reg.slots:
+            return self.grad("lnTT")
         out = (e.gamma - 1.0) * self.glnrho()
         if "ss" in self.reg.slots:
             out = out + (e.gamma / e.cp) * self.gss()
@@ -277,6 +297,8 @@ class Pencils:
     @_memo
     def del2lnTT(self):
         e = self.eos
+        if "lnTT" in self.reg.slots:
+            return self.del2s("lnTT")
         out = (e.gamma - 1.0) * self.del2lnrho()
         if "ss" in self.reg.slots:
             out = out + (e.gamma / e.cp) * self.del2ss()
@@ -284,8 +306,11 @@ class Pencils:
 
     @_memo
     def fpres(self):
-        """−∇p/ρ = −cs²(∇lnρ + ∇s/cp) for the ideal-gas EOS."""
+        """−∇p/ρ for the ideal-gas EOS: −cs²(∇lnρ + ∇s/cp), or with lnTT
+        evolved, −(cs²/γ)(∇lnρ + ∇lnT)."""
         cs2 = self.cs2()
+        if "lnTT" in self.reg.slots:
+            return -(cs2 / self.eos.gamma) * (self.glnrho() + self.glnTT())
         gl = self.glnrho()
         if "ss" in self.reg.slots:
             gl = gl + self.gss() / self.eos.cp
