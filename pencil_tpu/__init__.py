@@ -19,3 +19,4 @@ from .physics import PassiveScalar, Shear
 from .physics import SelfGravity
 from .particles import ParticlesDust
 from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas
+from .physics import TestfieldZ

@@ -30,7 +30,7 @@ from .physics.pencils import Pencils
 MODULE_ORDER = (
     "eos", "density", "hydro", "hydro_kinematic", "gravity", "shear",
     "viscosity", "magnetic", "pscalar", "radiation", "entropy",
-    "temperature", "forcing",
+    "temperature", "testfield", "forcing",
 )
 
 # f-array slot order — must match the reference's registration sequence
@@ -39,6 +39,7 @@ MODULE_ORDER = (
 # line up component-for-component.
 REGISTRATION_ORDER = (
     "hydro", "density", "entropy", "temperature", "magnetic", "pscalar",
+    "testfield",
 )
 
 
@@ -127,14 +128,16 @@ class Model:
         shear_dy = None
         if shear is not None:
             shear_dy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly)
-        if self._fused_ok and not any(n for n in (mesh_axis_names or ())):
-            # fused path: ghost x/y in HBM, z halo is built in VMEM by the
-            # kernel (keeps the lane dim 128-aligned for DMA)
+        z_unsharded = mesh_axis_names is None or mesh_axis_names[2] is None
+        if self._fused_ok and z_unsharded:
+            # fused path: ghost x/y in HBM (ppermute across shards when
+            # sharded), z halo is built in VMEM by the kernel (keeps the
+            # lane dim 128-aligned for DMA)
             fg_xy = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                                 self.reg, grid, cfg, self.eos,
                                 mesh_axis_names, mesh_shape, axes=(0, 1),
                                 shear_dy=shear_dy)
-            dfa, dt1 = self._fused_rhs()(fg_xy, grid.z)
+            dfa, dt1 = self._fused_rhs(tuple(fa.shape[1:]))(fg_xy, grid.z)
             return dfa, dt1, None
         fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                          self.reg, grid, cfg, self.eos,
@@ -196,10 +199,11 @@ class Model:
         return dfa, dt1, dpstate
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=1)
-    def _fused_rhs(self):
+    @functools.lru_cache(maxsize=8)
+    def _fused_rhs(self, local_shape=None, fuse_update=False):
         from .ops.fused_rhs import make_fused_rhs
-        return make_fused_rhs(self)
+        return make_fused_rhs(self, local_shape=local_shape,
+                              fuse_update=fuse_update)
 
     # ------------------------------------------------------------------
     def _local_step(self, state: Dict, grid: Grid,
@@ -218,8 +222,30 @@ class Model:
         dfp = None
         sharded_names = [n for n in (mesh_axis_names or ()) if n is not None]
 
+        z_unsharded = mesh_axis_names is None or mesh_axis_names[2] is None
+        use_fused_update = (self._fused_ok and z_unsharded
+                            and pstate is None)
+
         for isub in range(len(alpha)):
             t_sub = t0 + cstage[isub] * dt
+            if use_fused_update and isub > 0:
+                # substeps 2+: RHS + 2N-RK combine + state update in ONE
+                # Pallas kernel (dt is already known from substep 1)
+                shear = cfg.module("shear")
+                sdy = shear.deltay(t_sub, cfg.grid.Lx, cfg.grid.Ly) \
+                    if shear else None
+                fg_xy = fill_ghosts(fa[: reg.ncom], cfg.grid, self.bc_axes,
+                                    reg, grid, cfg, self.eos,
+                                    mesh_axis_names, mesh_shape, axes=(0, 1),
+                                    shear_dy=sdy)
+                fused = self._fused_rhs(tuple(fa.shape[1:]), True)
+                df, fa_new, _ = fused(fg_xy, grid.z, df,
+                                      alpha[isub], beta[isub] * dt)
+                if reg.nf > nvar:
+                    fa = jnp.concatenate([fa_new, fa[nvar:]], axis=0)
+                else:
+                    fa = fa_new
+                continue
             dfa, dt1, dp = self.rhs(fa, grid, t_sub, mesh_axis_names,
                                     mesh_shape, pstate=pstate)
             if isub == 0:

@@ -46,11 +46,18 @@ def _choose_tile(n, target=16):
     return n
 
 
-def make_fused_rhs(model, tx=None, ty=None):
-    """Returns rhs_fused(fg, z_int) -> (dfa, dt1_tiles).
+def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
+                   fuse_update=False):
+    """Returns rhs_fused(fg, z_int) -> (dfa, dt1_tiles), or with
+    ``fuse_update`` rhs_fused(fg, z_int, df_prev, alpha, beta_dt) ->
+    (df_new, fa_new, dt1_tiles) — the 2N-RK combine df ← α·df + rhs and
+    state update f ← f + βΔt·df happen inside the kernel, saving ~3 full
+    field-set round trips of HBM traffic per substep.
 
     fg: ghosted stack (nc, mx, my, mz); dfa: (nvar, nx, ny, nz);
     dt1_tiles: (gx, gy) per-tile max inverse timestep.
+    ``local_shape`` overrides the global grid dims for sharded (per-device)
+    evaluation inside shard_map.
     """
     cfg = model.cfg
     reg = model.reg
@@ -58,7 +65,7 @@ def make_fused_rhs(model, tx=None, ty=None):
     gs = cfg.grid
     if gs.grid_func != ("uniform", "uniform", "uniform") or gs.coords != "cartesian":
         raise NotImplementedError("fused RHS v1: uniform Cartesian only")
-    nx, ny, nz = gs.nx, gs.ny, gs.nz
+    nx, ny, nz = local_shape or (gs.nx, gs.ny, gs.nz)
     g = NGHOST
     TX = tx or _choose_tile(nx)
     TY = ty or _choose_tile(ny)
@@ -71,21 +78,9 @@ def make_fused_rhs(model, tx=None, ty=None):
     dy1 = 1.0 / gs.dy
     dz1 = 1.0 / gs.dz
 
-    def kernel(fg_ref, z_ref, df_ref, dt1_ref, scratch, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            fg_ref.at[:, pl.ds(i * TX, TX + 2 * g), pl.ds(j * TY, YS), :],
-            scratch,
-            sem,
-        )
-        cp.start()
-        cp.wait()
-        txy = scratch[:, :, : TY + 2 * g, :]
-        # z is periodic and spans the full extent per tile: build the z halo
-        # in VMEM (lane-dim concat) so HBM stays 128-aligned.
-        tile = jnp.concatenate(
-            [txy[..., nz - g:], txy, txy[..., :g]], axis=-1)
+    def body(i, j, tile_fn, z_ref):
+        """Shared RHS evaluation on the DMA'd tile; returns (dfa, dt1max)."""
+        tile = tile_fn()
         dt = tile.dtype
         tgrid = TileGrid(
             dx1=jnp.asarray(dx1, dt), dy1=jnp.asarray(dy1, dt),
@@ -111,47 +106,133 @@ def make_fused_rhs(model, tx=None, ty=None):
             elif d.ndim == 3:
                 d = d[None]
             parts.append(d)
-        df_ref[:] = jnp.concatenate(parts, axis=0)
+        dfa = jnp.concatenate(parts, axis=0)
         dt1 = cfl_dt1(ts, tgrid, cfg.time)
-        dt1_ref[i, j] = jnp.max(dt1)
+        return tile, dfa, jnp.max(dt1)
 
-    out_shape = (
-        jax.ShapeDtypeStruct((nvar, nx, ny, nz), jnp.dtype(cfg.dtype)),
-        jax.ShapeDtypeStruct((gx, gy), jnp.dtype(cfg.dtype)),
-    )
+    def _dma_tile(fg_ref, scratch, sem, i, j):
+        """Double-buffered tile fetch: grid iterations run sequentially on
+        the core and scratch persists across them, so each iteration waits
+        on the DMA its predecessor launched and prefetches the next tile
+        (Pallas double-buffering pattern)."""
+        it = i * gy + j
+
+        def dma_for(step_idx, slot):
+            ii = step_idx // gy
+            jj = step_idx % gy
+            return pltpu.make_async_copy(
+                fg_ref.at[:, pl.ds(ii * TX, TX + 2 * g),
+                          pl.ds(jj * TY, YS), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        slot = jax.lax.rem(it, 2)
+        nslot = jax.lax.rem(it + 1, 2)
+
+        @pl.when(it == 0)
+        def _():
+            dma_for(it, slot).start()
+
+        @pl.when(it + 1 < gx * gy)
+        def _():
+            dma_for(it + 1, nslot).start()
+
+        dma_for(it, slot).wait()
+        txy = scratch[slot, :, :, : TY + 2 * g, :]
+        # z is periodic and spans the full extent per tile: build the z halo
+        # in VMEM (lane-dim concat) so HBM stays 128-aligned.
+        return jnp.concatenate([txy[..., nz - g:], txy, txy[..., :g]],
+                               axis=-1)
+
+    def kernel(fg_ref, z_ref, df_ref, dt1_ref, scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        _, dfa, dt1m = body(i, j, lambda: _dma_tile(fg_ref, scratch, sem, i, j),
+                            z_ref)
+        df_ref[:] = dfa
+        dt1_ref[i, j] = dt1m
+
+    def kernel_upd(fg_ref, z_ref, dfp_ref, ab_ref, df_ref, fa_ref, dt1_ref,
+                   scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tile, dfa, dt1m = body(
+            i, j, lambda: _dma_tile(fg_ref, scratch, sem, i, j), z_ref)
+        alpha = ab_ref[0, 0]
+        beta_dt = ab_ref[0, 1]
+        dfn = alpha * dfp_ref[:] + dfa
+        df_ref[:] = dfn
+        fa_ref[:] = (tile[:nvar, g:-g, g:-g, g:-g] + beta_dt * dfn)
+        dt1_ref[i, j] = dt1m
+
     vmem_bytes = (nc * (TX + 2 * g) * (TY + 2 * g) * (nz + 2 * g)) * 4
     interpret = jax.devices()[0].platform != "tpu"
 
     if not gs.periodic[2]:
         raise NotImplementedError("fused RHS v1 needs periodic z")
 
+    dtype = jnp.dtype(cfg.dtype)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    blk = pl.BlockSpec((nvar, TX, TY, nz), lambda i, j: (0, i, j, 0),
+                       memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.VMEM((2, nc, TX + 2 * g, YS, nz), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    if not fuse_update:
+        call = pl.pallas_call(
+            kernel,
+            grid=(gx, gy),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # z vector (1, mz)
+            ],
+            out_specs=(blk, pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),
+                jax.ShapeDtypeStruct((gx, gy), dtype),
+            ),
+            scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
+            interpret=interpret,
+        )
+
+        def rhs_fused(fg, z_vec):
+            if ypad:
+                # high-side y padding so every DMA slab is sublane-aligned
+                fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
+            return call(fg, z_vec.reshape(1, -1))
+
+        return rhs_fused
+
     call = pl.pallas_call(
-        kernel,
+        kernel_upd,
         grid=(gx, gy),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # z vector (1, mz)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # z vector
+            blk,                                         # df_prev
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # (1,2) alpha,βΔt
         ],
-        out_specs=(
-            pl.BlockSpec((nvar, TX, TY, nz), lambda i, j: (0, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=(blk, blk, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),  # df_new
+            jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),  # fa_new
+            jax.ShapeDtypeStruct((gx, gy), dtype),
         ),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((nc, TX + 2 * g, YS, nz), jnp.dtype(cfg.dtype)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        scratch_shapes=scratch_shapes,
+        compiler_params=cparams,
         interpret=interpret,
+        input_output_aliases={2: 0},  # df_prev buffer reused for df_new
     )
 
-    def rhs_fused(fg, z_vec):
+    def rhs_fused_update(fg, z_vec, df_prev, alpha, beta_dt):
         if ypad:
-            # high-side y padding so every DMA slab is sublane-aligned
             fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
-        return call(fg, z_vec.reshape(1, -1))
+        ab = jnp.stack([jnp.asarray(alpha, dtype),
+                        jnp.asarray(beta_dt, dtype)]).reshape(1, 2)
+        return call(fg, z_vec.reshape(1, -1), df_prev, ab)
 
-    return rhs_fused
+    return rhs_fused_update

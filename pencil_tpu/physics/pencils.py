@@ -71,11 +71,17 @@ class Pencils:
         return interior(out, _OTHER_AXES[axis])
 
     @_memo
+    def _d_partial(self, name, axis):
+        """First derivative reducing only ``axis`` (other axes ghosted) —
+        shared by the mixed second derivatives."""
+        return st._der_n(self._gh(name), axis, None, 1, 6)
+
+    @_memo
     def dij(self, name, ax1, ax2):
         if ax1 == ax2:
             return self.d2(name, ax1)
         a, b = min(ax1, ax2), max(ax1, ax2)
-        out = st.derij(self._gh(name), a, b)
+        out = st._der_n(self._d_partial(name, a), b, None, 1, 6)
         rest = tuple(set((0, 1, 2)) - {a, b})
         return interior(out, rest) * self._inv(a) * self._inv(b)
 

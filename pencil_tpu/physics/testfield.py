@@ -1,0 +1,135 @@
+"""Test-field method (reference ``src/test_methods/testfield_z.f90``;
+SURVEY.md §2.5 TESTFIELD): measures the turbulent transport tensors α_ij,
+η_ij of a given flow by evolving extra *linear* induction equations
+
+    ∂a^q/∂t = u × b^q + η_test ∇²a^q ,   b^q = ∇×a^q + B̄^q(z)
+
+for a set of prescribed mean fields B̄^q.  Standard z-dependent quartet
+(ktestfield = k):
+    B̄¹ = B₀(cos kz, 0, 0)   B̄² = B₀(sin kz, 0, 0)
+    B̄³ = B₀(0, cos kz, 0)   B̄⁴ = B₀(0, sin kz, 0)
+The xy-averaged EMFs ε^q(z) = <u×b^q>_xy then yield
+    α_i1 = (2/B₀)<ε^1_i cos kz + ε^2_i sin kz>_z          (i = x,y)
+    η_i1 = (2/(B₀k))<−ε^1_i sin kz + ε^2_i cos kz>_z  (η-tensor contraction)
+and columns 2 from the (3,4) pair.  Diagnostics: alp11, alp21, alp12,
+alp22, eta11, eta21 (reference rprint_testfield names).
+
+The test solutions are periodically rescaled (reference daainit) to stop
+secular growth from contaminating the linear measurement."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar
+
+import jax
+import jax.numpy as jnp
+
+from .base import ModuleBase, accumulate
+
+NTEST = 4
+
+
+@dataclass(frozen=True)
+class TestfieldZ(ModuleBase):
+    name: ClassVar[str] = "testfield"
+
+    ktestfield: float = 1.0
+    B0: float = 1.0
+    etatest: float = 1e-2
+    daainit: float = 0.0       # rescale interval in time units (0 = off)
+    rescale_aatest: float = 0.0  # rescale factor (0 = zero out)
+
+    def register(self, reg):
+        comps = tuple(f"a{q+1}test{c}" for q in range(NTEST) for c in "xyz")
+        reg.register("aatest", 3 * NTEST, "pde", comps=comps)
+
+    def mean_fields(self, pen):
+        """B̄^q(z): (NTEST, 3, 1, 1, nz) broadcastable."""
+        k = self.ktestfield
+        z = pen.grid.zg
+        c, s = self.B0 * jnp.cos(k * z), self.B0 * jnp.sin(k * z)
+        zero = jnp.zeros_like(c)
+        return [
+            (c, zero, zero), (s, zero, zero),
+            (zero, c, zero), (zero, s, zero),
+        ]
+
+    def rhs(self, pen, df, ts):
+        uu = pen.uu()
+        aij = jnp.stack([pen.d("aatest", j) for j in range(3)], axis=1)
+        # aij: (12, 3, nx, ny, nz) → per test field q: rows 3q..3q+2
+        out = []
+        bmean = self.mean_fields(pen)
+        del2 = pen.del2v("aatest")
+        emfs = []
+        for q in range(NTEST):
+            sl = slice(3 * q, 3 * q + 3)
+            aq = aij[sl]  # (3, 3, nx, ny, nz): ∂a_i/∂x_j
+            bq = [
+                aq[2, 1] - aq[1, 2] + bmean[q][0],
+                aq[0, 2] - aq[2, 0] + bmean[q][1],
+                aq[1, 0] - aq[0, 1] + bmean[q][2],
+            ]
+            uxb = jnp.stack([
+                uu[1] * bq[2] - uu[2] * bq[1],
+                uu[2] * bq[0] - uu[0] * bq[2],
+                uu[0] * bq[1] - uu[1] * bq[0],
+            ])
+            emfs.append(uxb)
+            out.append(uxb + self.etatest * del2[sl])
+        pen._cache["testfield_emf"] = emfs
+        accumulate(df, "aatest", jnp.concatenate(out, axis=0))
+        ts.diffus(self.etatest)
+
+    def after_timestep(self, state, grid, cfg, reg, eos, dt, t, key):
+        if self.daainit <= 0:
+            return state
+        # rescale when t crosses a multiple of daainit (traced-safe)
+        phase = jnp.mod(t, self.daainit)
+        trigger = phase < dt
+        fac = jnp.where(trigger, self.rescale_aatest, 1.0)
+        state = dict(state)
+        state["aatest"] = state["aatest"] * fac if "aatest" in state else state
+        if "aatest" in state.get("fields", {}):
+            f = dict(state["fields"])
+            f["aatest"] = f["aatest"] * fac
+            state["fields"] = f
+        return state
+
+
+def transport_coefficients(model, state):
+    """Extract (alpha, eta) tensors' measured columns from the current
+    state: returns dict alp11, alp21, alp12, alp22, eta11, eta21."""
+    import numpy as np
+    from ..parallel.halo import fill_ghosts
+    from ..physics.pencils import Pencils
+
+    cfg = model.cfg
+    tf = cfg.module("testfield")
+    fa = model.reg.stack(state["fields"])
+    fg = fill_ghosts(fa[: model.reg.ncom], cfg.grid,
+                     (cfg.bcx, cfg.bcy, cfg.bcz), model.reg, model.grid,
+                     cfg, model.eos)
+    pen = Pencils(fg, model.grid, model.reg, cfg, model.eos)
+    df = {}
+    from .base import TimestepAccum
+    tf.rhs(pen, df, TimestepAccum())
+    emfs = pen._cache["testfield_emf"]
+    k = tf.ktestfield
+    z = np.asarray(model.grid.interior(model.grid.z))
+    c, s = np.cos(k * z), np.sin(k * z)
+    # xy-average each emf: (3, nz)
+    e = [np.asarray(jnp.mean(emf, axis=(1, 2))) for emf in emfs]
+    out = {}
+    B0 = tf.B0
+    for i, nm in ((0, "1"), (1, "2")):
+        out[f"alp{nm}1"] = 2.0 / B0 * np.mean(e[0][i] * c + e[1][i] * s)
+        out[f"alp{nm}2"] = 2.0 / B0 * np.mean(e[2][i] * c + e[3][i] * s)
+        out[f"eta{nm}1"] = 2.0 / (B0 * k) * np.mean(-e[0][i] * s + e[1][i] * c)
+        out[f"eta{nm}2"] = 2.0 / (B0 * k) * np.mean(-e[2][i] * s + e[3][i] * c)
+    # scalar turbulent coefficients in the usual E = αB̄ − η_t µ0 J̄ form:
+    # the eta columns above are w.r.t. dB̄/dz, which is J̄ rotated by 90° in
+    # (x,y) — so η_t = (eta21 − eta12)/2 and α = (alp11 + alp22)/2.
+    out["alphat"] = 0.5 * (out["alp11"] + out["alp22"])
+    out["etat"] = 0.5 * (out["eta21"] - out["eta12"])
+    return out
