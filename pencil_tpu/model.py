@@ -180,8 +180,8 @@ class Model:
             m.rhs(pen, df, ts)
         dpstate = None
         if self.particles is not None and pstate is not None:
-            dpstate = self.particles.rhs_particles(pstate, pen, cfg.grid,
-                                                   df, ts)
+            dpstate = self.particles.rhs_particles(
+                pstate, pen, cfg.grid, df, ts, mesh_axis_names, mesh_shape)
         # stack df in registry order (pde slots only)
         parts = []
         for name, slot in self.reg.slots.items():
@@ -334,10 +334,6 @@ class Model:
         """shard_map'ed step over a 3-D device mesh — the analog of the
         reference's nprocx×nprocy×nprocz MPI decomposition (§2.3)."""
         shard_map = jax.shard_map
-        if self.particles is not None and self.cfg.mesh.ndev > 1:
-            raise NotImplementedError(
-                "sharded particle runs land with sort-based migration; "
-                "run particles single-device for now")
 
         ms = self.cfg.mesh
         mesh_shape = ms.shape

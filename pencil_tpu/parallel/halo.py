@@ -112,3 +112,37 @@ def fill_ghosts(
             fg = jax.lax.dynamic_update_slice_in_dim(fg, lo, 0, axis=ax)
             fg = jax.lax.dynamic_update_slice_in_dim(fg, hi, m - g, axis=ax)
     return fg
+
+
+def fold_ghosts(acc, spec, mesh_axis_names=None, mesh_shape=(1, 1, 1)):
+    """Adjoint of the ghost fill for scatter-deposits: ghost-zone
+    contributions are shipped to the neighbor that owns those cells
+    (reverse ppermute) or wrapped locally, then added to the interior.
+
+    acc: ghosted accumulator (..., mx, my, mz) → interior (..., nx, ny, nz).
+    """
+    g = NGHOST
+    for axis in range(3):
+        ax = acc.ndim - 3 + axis
+        m = acc.shape[ax]
+        n = m - 2 * g
+        lo_ghost = jax.lax.slice_in_dim(acc, 0, g, axis=ax)
+        hi_ghost = jax.lax.slice_in_dim(acc, m - g, m, axis=ax)
+        body = jax.lax.slice_in_dim(acc, g, m - g, axis=ax)
+        name = mesh_axis_names[axis] if mesh_axis_names else None
+        psize = mesh_shape[axis]
+        if name is not None and psize > 1:
+            # my low ghosts belong to my LEFT neighbour's high interior
+            fwd = [(i, (i + 1) % psize) for i in range(psize)]
+            bwd = [(i, (i - 1) % psize) for i in range(psize)]
+            from_right = jax.lax.ppermute(lo_ghost, name, bwd)   # their lo → my hi
+            from_left = jax.lax.ppermute(hi_ghost, name, fwd)    # their hi → my lo
+            hi_img = jax.lax.slice_in_dim(body, n - g, n, axis=ax) + from_right
+            lo_img = jax.lax.slice_in_dim(body, 0, g, axis=ax) + from_left
+        else:
+            hi_img = jax.lax.slice_in_dim(body, n - g, n, axis=ax) + lo_ghost
+            lo_img = jax.lax.slice_in_dim(body, 0, g, axis=ax) + hi_ghost
+        body = jax.lax.dynamic_update_slice_in_dim(body, hi_img, n - g, axis=ax)
+        body = jax.lax.dynamic_update_slice_in_dim(body, lo_img, 0, axis=ax)
+        acc = body
+    return acc

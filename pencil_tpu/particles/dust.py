@@ -53,13 +53,45 @@ class ParticlesDust(ModuleBase):
         return {"xp": xp, "vp": vp}
 
     # -- dynamics -------------------------------------------------------
-    def rhs_particles(self, pstate, pen, spec, df, ts):
-        """Returns d(pstate); adds drag back-reaction to the gas df."""
+    def rhs_particles(self, pstate, pen, spec, df, ts,
+                      mesh_axis_names=None, mesh_shape=(1, 1, 1)):
+        """Returns d(pstate); adds drag back-reaction to the gas df.
+
+        Sharded mode (reference particles_mpicomm's role): particle state
+        is replicated across shards; each shard gathers/deposits only the
+        particles inside its subdomain (owner masking), gathers are psum'd
+        over the mesh, and deposit spill into ghost zones is shipped to the
+        owning neighbour by the reverse halo exchange."""
         xp, vp = pstate["xp"], pstate["vp"]
         uu_slots = "uu" in pen.reg.slots
+        sharded = bool(mesh_axis_names) and any(
+            n is not None and s > 1
+            for n, s in zip(mesh_axis_names, mesh_shape))
+        origin = mask = None
+        names = []
+        g = 3
+        nloc = tuple(d - 2 * g for d in pen.fg.shape[1:])
+        if sharded:
+            dxyz = jnp.asarray([spec.dx, spec.dy, spec.dz], xp.dtype)
+            x0 = jnp.asarray([spec.x0, spec.y0, spec.z0], xp.dtype)
+            idxs = []
+            for a, n in enumerate(mesh_axis_names):
+                if n is not None and mesh_shape[a] > 1:
+                    idxs.append(jax.lax.axis_index(n).astype(xp.dtype))
+                    names.append(n)
+                else:
+                    idxs.append(jnp.asarray(0.0, xp.dtype))
+            nl = jnp.asarray(nloc, xp.dtype)
+            origin = x0 + jnp.stack(idxs) * nl * dxyz
+            fc = (xp - origin) / dxyz
+            inb = (fc >= 0.0) & (fc < nl)
+            mask = (inb[:, 0] & inb[:, 1] & inb[:, 2]).astype(xp.dtype)
         if uu_slots:
             ug = interpolate(pen.fg[pen.reg.slice("uu")], xp, spec,
-                             self.scheme).T  # (npar, 3)
+                             self.scheme, origin=origin, mask=mask).T
+            if sharded:
+                for n in names:
+                    ug = jax.lax.psum(ug, n)
         else:
             ug = jnp.zeros_like(vp)
         tausp1 = 1.0 / self.tausp
@@ -75,8 +107,10 @@ class ParticlesDust(ModuleBase):
                 * spec.Lx * spec.Ly * spec.Lz / self.npar
             dV = spec.dx * spec.dy * spec.dz
             mom = ((vp - ug) * tausp1 * (mp / dV)).T  # (3, npar) force dens.
-            fdrag = deposit(mom, xp, spec, spec.shape, self.scheme,
-                            dtype=vp.dtype)
+            fdrag = deposit(mom, xp, spec, nloc, self.scheme,
+                            dtype=vp.dtype, origin=origin, mask=mask,
+                            mesh_axis_names=mesh_axis_names,
+                            mesh_shape=mesh_shape)
             accumulate(df, "uu", fdrag * pen.rho1())
         # drag CFL: like a diffusive rate 1/τ_s
         ts.advec(tausp1 * 0.1)

@@ -15,11 +15,15 @@ import jax.numpy as jnp
 from ..ops.stencil import NGHOST
 
 
-def _cell_coords(xp, spec, dtype):
+def _cell_coords(xp, spec, dtype, origin=None):
     """Fractional cell coordinates of particles relative to the ghosted
-    array origin.  xp: (npar, 3) positions."""
+    array origin.  xp: (npar, 3) positions; ``origin`` overrides the box
+    corner for per-shard local frames."""
     g = NGHOST
-    x0 = jnp.asarray([spec.x0, spec.y0, spec.z0], dtype)
+    if origin is None:
+        x0 = jnp.asarray([spec.x0, spec.y0, spec.z0], dtype)
+    else:
+        x0 = origin
     d = jnp.asarray([spec.dx, spec.dy, spec.dz], dtype)
     return (xp - x0) / d + g  # grid-point i sits at x0 + (i-g)*dx
 
@@ -43,11 +47,14 @@ def _cic_weights(fc):
     return i0, (1.0 - d, d)
 
 
-def interpolate(fields, xp, spec, scheme="tsc"):
+def interpolate(fields, xp, spec, scheme="tsc", origin=None, mask=None):
     """Gather gas values at particle positions.
 
-    fields: ghosted (nc, mx, my, mz); xp: (npar, 3); returns (nc, npar)."""
-    fc = _cell_coords(xp, spec, fields.dtype)
+    fields: ghosted (nc, mx, my, mz); xp: (npar, 3); returns (nc, npar).
+    With ``origin``/``mask`` (sharded mode) the gather is in the shard's
+    local frame, indices are clipped, and non-owned particles zeroed —
+    psum over the mesh then reconstructs every particle's value."""
+    fc = _cell_coords(xp, spec, fields.dtype, origin)
     if scheme == "tsc":
         i0, wx = _tsc_weights(fc[:, 0])
         j0, wy = _tsc_weights(fc[:, 1])
@@ -61,28 +68,41 @@ def interpolate(fields, xp, spec, scheme="tsc"):
         return fields[:, idx[:, 0], idx[:, 1], idx[:, 2]]
     else:
         raise ValueError(scheme)
+    if mask is not None:
+        mx_, my_, mz_ = fields.shape[1:]
+        i0 = jnp.clip(i0, 0, mx_ - 3)
+        j0 = jnp.clip(j0, 0, my_ - 3)
+        k0 = jnp.clip(k0, 0, mz_ - 3)
     out = 0.0
     for a, wa in enumerate(wx):
         for b, wb in enumerate(wy):
             for c, wc in enumerate(wz):
                 w = wa * wb * wc
                 out = out + w * fields[:, i0 + a, j0 + b, k0 + c]
+    if mask is not None:
+        out = out * mask[None, :]
     return out
 
 
-def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32):
+def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32,
+            origin=None, mask=None, mesh_axis_names=None,
+            mesh_shape=(1, 1, 1)):
     """Scatter particle values onto the grid (ghosted accumulate + fold).
 
     values: (npar,) or (nc, npar); returns interior (nc?, nx, ny, nz) with
-    the particle quantity *density* (sum of value·weight per cell)."""
+    the particle quantity *density* (sum of value·weight per cell).
+    Sharded mode (origin/mask given): deposit into the local ghosted block
+    and ship ghost-zone spill to the owning neighbours (reverse halo)."""
     g = NGHOST
     squeeze = values.ndim == 1
     if squeeze:
         values = values[None]
+    if mask is not None:
+        values = values * mask[None, :]
     nc = values.shape[0]
     mx, my, mz = shape[0] + 2 * g, shape[1] + 2 * g, shape[2] + 2 * g
     acc = jnp.zeros((nc, mx, my, mz), dtype)
-    fc = _cell_coords(xp, spec, dtype)
+    fc = _cell_coords(xp, spec, dtype, origin)
     if scheme == "tsc":
         i0, wx = _tsc_weights(fc[:, 0])
         j0, wy = _tsc_weights(fc[:, 1])
@@ -93,15 +113,31 @@ def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32):
         k0, wz = _cic_weights(fc[:, 2])
     else:
         idx = jnp.rint(fc).astype(jnp.int32)
+        if mask is not None:
+            idx = jnp.clip(idx, 0, jnp.asarray([mx - 1, my - 1, mz - 1]))
         acc = acc.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].add(values)
-        return _fold_ghosts(acc, spec)[0] if squeeze else _fold_ghosts(acc, spec)
+        out = _fold(acc, spec, mesh_axis_names, mesh_shape)
+        return out[0] if squeeze else out
+    if mask is not None:
+        i0 = jnp.clip(i0, 0, mx - 3)
+        j0 = jnp.clip(j0, 0, my - 3)
+        k0 = jnp.clip(k0, 0, mz - 3)
     for a, wa in enumerate(wx):
         for b, wb in enumerate(wy):
             for c, wc in enumerate(wz):
                 w = wa * wb * wc
                 acc = acc.at[:, i0 + a, j0 + b, k0 + c].add(values * w)
-    out = _fold_ghosts(acc, spec)
+    out = _fold(acc, spec, mesh_axis_names, mesh_shape)
     return out[0] if squeeze else out
+
+
+def _fold(acc, spec, mesh_axis_names, mesh_shape):
+    if mesh_axis_names and any(
+            n is not None and s > 1
+            for n, s in zip(mesh_axis_names, mesh_shape)):
+        from ..parallel.halo import fold_ghosts
+        return fold_ghosts(acc, spec, mesh_axis_names, mesh_shape)
+    return _fold_ghosts(acc, spec)
 
 
 def _fold_ghosts(acc, spec):

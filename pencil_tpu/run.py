@@ -43,12 +43,16 @@ class RunParams:
     slice_fields: tuple = ("ux", "uz")
     slice_planes: tuple = ("xy", "xz")
     power_fields: tuple = ()    # e.g. ("kin", "mag")
+    sound_points: tuple = ()    # ((x,y,z), ...) probe locations (sound.in)
+    sound_fields: tuple = ("ux",)
 
 
 class Run:
     def __init__(self, model: Model, datadir="data", params: Optional[RunParams] = None,
-                 sharded: bool = False, quiet: bool = False):
+                 sharded: bool = False, quiet: bool = False, rundir=None):
         self.model = model
+        self.rundir = rundir        # enables RELOAD hot-reconfiguration
+        self.sharded = sharded
         self.datadir = str(datadir)
         self.params = params or RunParams()
         self.quiet = quiet
@@ -131,6 +135,41 @@ class Run:
                 field = state["fields"][pf]
             w.append(t, np.asarray(shell_spectrum(field, spec)))
 
+    def _reload(self, state):
+        from .compat.rundir import load_rundir
+        cfg, info = load_rundir(self.rundir)
+        new_model = Model(cfg)
+        if list(new_model.reg.slots) != list(self.model.reg.slots):
+            print("RELOAD: slot set changed; keeping old model", flush=True)
+            return state
+        self.model = new_model
+        self.step = (new_model.make_sharded_step(new_model.make_mesh())
+                     if self.sharded else new_model.make_step())
+        self.diag = make_diagnostics(new_model,
+                                     [c[0] for c in self.ts_writer.columns])
+        if not self.quiet:
+            print("RELOAD: run parameters re-read, step re-jitted", flush=True)
+        return state
+
+    def _write_sound(self, state, t):
+        """Point probes (reference write_sound / sound.in,
+        src/diagnostics.f90:497-617): one row per sample in sound.dat."""
+        gs = self.model.cfg.grid
+        vals = [f"{t:.6e}"]
+        for (px, py, pz) in self.params.sound_points:
+            ix = int((px - gs.x0) / gs.dx) % gs.nx
+            iy = int((py - gs.y0) / gs.dy) % gs.ny
+            iz = int((pz - gs.z0) / gs.dz) % gs.nz
+            for f in self.params.sound_fields:
+                arr = state["fields"][("uu" if f.startswith("u") else f)]
+                if f in ("ux", "uy", "uz"):
+                    v = arr["xyz".index(f[1])][ix, iy, iz]
+                else:
+                    v = arr[ix, iy, iz]
+                vals.append(f"{float(np.asarray(v)):.6e}")
+        with open(os.path.join(self.datadir, "sound.dat"), "a") as fh:
+            fh.write(" ".join(vals) + "\n")
+
     # ------------------------------------------------------------------
     def resume(self):
         """Restart from the rolling checkpoint (reference rsnap)."""
@@ -180,6 +219,12 @@ class Run:
                 break
             if self._control("SAVE"):
                 self._checkpoint(state)
+            if self._control("RELOAD") and self.rundir:
+                # reference RELOAD: re-read run.in and hot-swap run_pars
+                # (src/run.f90:543-580) — here: rebuild model+step, keep state
+                state = self._reload(state)
+            if self.params.sound_points:
+                self._write_sound(state, t)
             if t >= p.tmax:
                 completed = True
                 break

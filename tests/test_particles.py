@@ -142,3 +142,43 @@ def test_particle_restart_bit_exact(tmp_path):
         b = step(b)
     np.testing.assert_array_equal(np.asarray(s["particles"]["xp"]),
                                   np.asarray(b["particles"]["xp"]))
+
+
+def test_sharded_particles_match_single_device():
+    """Replicated-particle sharded run must reproduce the single-device
+    run (owner masking + psum gathers + reverse-halo deposits)."""
+    import jax
+    from pencil_tpu import Forcing, MeshSpec
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+
+    def run(mesh, sharded):
+        cfg = Config(
+            grid=_spec(16),
+            time=TimeSpec(itorder=3, dt=2e-3),
+            modules=(
+                EosIdealGas(gamma=1.0001, cs0=1.0),
+                Density(init="sinwave-x", ampl=0.05),
+                Hydro(init="gaussian-noise", ampl=5e-2),
+                Viscosity(ivisc=("nu-const",), nu=2e-3),
+                ParticlesDust(npar=200, tausp=0.2, eps_dtog=0.02),
+            ),
+            mesh=mesh,
+        )
+        model = Model(cfg)
+        state = model.init_state(11)
+        step = (model.make_sharded_step(model.make_mesh()) if sharded
+                else model.make_step())
+        for _ in range(5):
+            state = step(state)
+        return state
+
+    a = run(MeshSpec(1, 1, 1), False)
+    b = run(MeshSpec(2, 2, 2), True)
+    np.testing.assert_allclose(np.asarray(a["particles"]["vp"]),
+                               np.asarray(b["particles"]["vp"]),
+                               rtol=5e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a["fields"]["uu"]),
+                               np.asarray(b["fields"]["uu"]),
+                               rtol=5e-4, atol=1e-6)
