@@ -20,3 +20,5 @@ from .physics import SelfGravity
 from .particles import ParticlesDust
 from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas
 from .physics import TestfieldZ
+from .physics import BorderProfiles, CosmicRay
+from .physics import DustFluid, Neutrals

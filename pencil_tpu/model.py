@@ -29,8 +29,9 @@ from .physics.pencils import Pencils
 # src/equ.f90:766-814: grid → hydro → density → ... → magnetic → entropy).
 MODULE_ORDER = (
     "eos", "density", "hydro", "hydro_kinematic", "gravity", "shear",
-    "viscosity", "magnetic", "pscalar", "radiation", "entropy",
-    "temperature", "testfield", "forcing",
+    "viscosity", "magnetic", "pscalar", "cosmicray", "dust", "neutrals",
+    "radiation", "entropy", "temperature", "testfield", "border",
+    "forcing",
 )
 
 # f-array slot order — must match the reference's registration sequence
@@ -39,7 +40,7 @@ MODULE_ORDER = (
 # line up component-for-component.
 REGISTRATION_ORDER = (
     "hydro", "density", "entropy", "temperature", "magnetic", "pscalar",
-    "testfield",
+    "cosmicray", "dust", "neutrals", "testfield",
 )
 
 

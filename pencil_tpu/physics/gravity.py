@@ -20,10 +20,20 @@ class Gravity(ModuleBase):
     gravz: float = 0.0
     gravx: float = 0.0
     kappa_z: float = 1.0     # for 'sin-z': g = gravz·sin(kappa_z·z)
+    # central potential (reference src/gravity_r.f90): g = −GM r̂/(r²+r₀²)
+    mass: float = 0.0
+    r0: float = 0.1
 
     def rhs(self, pen, df, ts):
         g = pen.grid
         zero = jnp.zeros_like(pen.uu()[0])
+        if self.gravz_profile == "central":
+            x, y, z = g.xg, g.yg, g.zg
+            r2 = x * x + y * y + z * z + self.r0 ** 2
+            fac = -self.mass * r2 ** -1.5
+            accumulate(df, "uu", jnp.stack([
+                fac * x + zero, fac * y + zero, fac * z + zero]))
+            return
         if self.gravz_profile == "const":
             gz = self.gravz + zero
         elif self.gravz_profile == "linear-z":

@@ -22,6 +22,11 @@ class Magnetic(ModuleBase):
 
     eta: float = 0.0
     eta_hyper3: float = 0.0
+    eta_shock: float = 0.0
+    # mean-field closure (reference src/magnetic/meanfield.f90): adds the
+    # parameterized EMF  E = α·B − η_t µ0 J  to the induction equation
+    meanfield_alpha: float = 0.0
+    meanfield_etat: float = 0.0
     B_ext: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     llorentzforce: bool = True
     lohmic_heat: bool = True
@@ -44,6 +49,15 @@ class Magnetic(ModuleBase):
         if self.eta_hyper3 > 0.0:
             out = out + self.eta_hyper3 * pen.del6v_scaled("aa")
             ts.diffus3(self.eta_hyper3)
+        if self.eta_shock > 0.0 and "shock" in pen.reg.slots:
+            shock = pen.field("shock")
+            out = out - self.eta_shock * shock[None] * pen.jj()
+            ts.diffus(self.eta_shock * shock)
+        if self.meanfield_alpha != 0.0:
+            out = out + self.meanfield_alpha * pen.bb()
+        if self.meanfield_etat > 0.0:
+            out = out - self.meanfield_etat * pen.jj()
+            ts.diffus(self.meanfield_etat)
         accumulate(df, "aa", out)
 
         if self.llorentzforce and "uu" in pen.reg.slots:
