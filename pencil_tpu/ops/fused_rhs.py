@@ -40,7 +40,9 @@ class TileGrid(SimpleNamespace):
 
 
 def _choose_tile(n, target=16):
-    for t in (target, 8, 4, 32, 2, n):
+    """Largest candidate ≤ n dividing n, preferring ``target`` (empirically
+    TX=8, TY=32 is the sweet spot at 256³ on v5e)."""
+    for t in (target, 16, 8, 4, 32, 2, n):
         if n % t == 0 and t <= n:
             return t
     return n
@@ -67,8 +69,8 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         raise NotImplementedError("fused RHS v1: uniform Cartesian only")
     nx, ny, nz = local_shape or (gs.nx, gs.ny, gs.nz)
     g = NGHOST
-    TX = tx or _choose_tile(nx)
-    TY = ty or _choose_tile(ny)
+    TX = tx or _choose_tile(nx, target=8)
+    TY = ty or _choose_tile(ny, target=32)
     gx, gy = nx // TX, ny // TY
     nc = reg.ncom
     nvar = reg.nvar
