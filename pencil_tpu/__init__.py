@@ -22,3 +22,4 @@ from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas
 from .physics import TestfieldZ
 from .physics import BorderProfiles, CosmicRay
 from .physics import DustFluid, Neutrals
+from .physics import Chemistry

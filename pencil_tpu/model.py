@@ -30,8 +30,8 @@ from .physics.pencils import Pencils
 MODULE_ORDER = (
     "eos", "density", "hydro", "hydro_kinematic", "gravity", "shear",
     "viscosity", "magnetic", "pscalar", "cosmicray", "dust", "neutrals",
-    "radiation", "entropy", "temperature", "testfield", "border",
-    "forcing",
+    "chemistry", "radiation", "entropy", "temperature", "testfield",
+    "border", "forcing",
 )
 
 # f-array slot order — must match the reference's registration sequence
@@ -40,7 +40,7 @@ MODULE_ORDER = (
 # line up component-for-component.
 REGISTRATION_ORDER = (
     "hydro", "density", "entropy", "temperature", "magnetic", "pscalar",
-    "cosmicray", "dust", "neutrals", "testfield",
+    "cosmicray", "dust", "neutrals", "chemistry", "testfield",
 )
 
 
