@@ -23,3 +23,4 @@ from .physics import TestfieldZ
 from .physics import BorderProfiles, CosmicRay
 from .physics import DustFluid, Neutrals
 from .physics import Chemistry
+from .physics import (ActiveScalar, Chiral, HeatFlux, Interstellar, LorenzGauge, Polymer)

@@ -30,7 +30,8 @@ from .physics.pencils import Pencils
 MODULE_ORDER = (
     "eos", "density", "hydro", "hydro_kinematic", "gravity", "shear",
     "viscosity", "magnetic", "pscalar", "cosmicray", "dust", "neutrals",
-    "chemistry", "radiation", "entropy", "temperature", "testfield",
+    "chemistry", "chiral", "polymer", "heatflux", "lorenz_gauge", "ascalar",
+    "interstellar", "radiation", "entropy", "temperature", "testfield",
     "border", "forcing",
 )
 
@@ -40,7 +41,8 @@ MODULE_ORDER = (
 # line up component-for-component.
 REGISTRATION_ORDER = (
     "hydro", "density", "entropy", "temperature", "magnetic", "pscalar",
-    "cosmicray", "dust", "neutrals", "chemistry", "testfield",
+    "cosmicray", "dust", "neutrals", "chemistry", "chiral", "polymer",
+    "heatflux", "lorenz_gauge", "ascalar", "testfield",
 )
 
 

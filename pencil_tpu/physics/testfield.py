@@ -81,20 +81,16 @@ class TestfieldZ(ModuleBase):
         accumulate(df, "aatest", jnp.concatenate(out, axis=0))
         ts.diffus(self.etatest)
 
-    def after_timestep(self, state, grid, cfg, reg, eos, dt, t, key):
+    def after_timestep(self, fields, grid, cfg, reg, eos, dt, t, key):
         if self.daainit <= 0:
-            return state
+            return fields
         # rescale when t crosses a multiple of daainit (traced-safe)
         phase = jnp.mod(t, self.daainit)
         trigger = phase < dt
         fac = jnp.where(trigger, self.rescale_aatest, 1.0)
-        state = dict(state)
-        state["aatest"] = state["aatest"] * fac if "aatest" in state else state
-        if "aatest" in state.get("fields", {}):
-            f = dict(state["fields"])
-            f["aatest"] = f["aatest"] * fac
-            state["fields"] = f
-        return state
+        fields = dict(fields)
+        fields["aatest"] = fields["aatest"] * fac
+        return fields
 
 
 def transport_coefficients(model, state):

@@ -1,0 +1,86 @@
+"""Smaller module slots: chiral, polymer, heatflux, lorenz gauge, ascalar,
+interstellar."""
+import numpy as np
+
+from pencil_tpu import (ActiveScalar, Chiral, Config, Density, EosIdealGas,
+                        Entropy, GridSpec, HeatFlux, Hydro, Interstellar,
+                        LorenzGauge, Magnetic, Model, Polymer, TimeSpec,
+                        Viscosity)
+
+
+def _run(extra, n=8, nsteps=20, dt=1e-3, seed=0, mutate=None):
+    cfg = Config(
+        grid=GridSpec(nx=n, ny=n, nz=n),
+        time=TimeSpec(itorder=3, dt=dt),
+        modules=(EosIdealGas(gamma=5.0 / 3.0), Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-2),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3)) + extra,
+    )
+    model = Model(cfg)
+    state = model.init_state(seed)
+    if mutate:
+        mutate(state)
+    step = model.make_step()
+    for _ in range(nsteps):
+        state = step(state)
+    return model, state
+
+
+def test_chiral_total_chirality_conserved():
+    """X−Y transfers to magnetic helicity; X+Y is advected/diffused only —
+    its volume mean is conserved."""
+    model, state = _run((Chiral(diffXX=1e-3, lambda5=2.0),
+                         Magnetic(init="beltrami-z", ampl=1e-3, kz=1.0,
+                                  eta=1e-3)))
+    X = np.asarray(state["fields"]["XX_chiral"])
+    Y = np.asarray(state["fields"]["YY_chiral"])
+    assert np.isfinite(X).all() and np.isfinite(Y).all()
+    np.testing.assert_allclose(float((X + Y).mean()), 1e-2, rtol=1e-3)
+
+
+def test_polymer_relaxes_to_identity():
+    """Without flow, C relaxes to the identity on tau_poly."""
+    def mutate(state):
+        state["fields"]["poly"] = state["fields"]["poly"].at[0].add(0.5)
+    model, state = _run((Polymer(tau_poly=0.05),), nsteps=100, dt=2e-3,
+                        mutate=mutate)
+    cxx = np.asarray(state["fields"]["poly"][0])
+    np.testing.assert_allclose(cxx, 1.0, atol=0.02)
+
+
+def test_heatflux_telegraph_relaxation():
+    """Uniform T: q relaxes to zero on tau_q."""
+    def mutate(state):
+        state["fields"]["qq"] = state["fields"]["qq"].at[0].add(0.1)
+    model, state = _run((Entropy(), HeatFlux(tau_q=0.05, Kq=1e-3)),
+                        nsteps=100, dt=2e-3, mutate=mutate)
+    qx = np.asarray(state["fields"]["qq"][0])
+    assert np.abs(qx).max() < 0.01
+
+
+def test_lorenz_gauge_damps_diva():
+    """The gauge wave carries away ∇·A (A stays divergence-damped)."""
+    model, state = _run((Magnetic(init="gaussian-noise", ampl=1e-2, eta=0.0),
+                         LorenzGauge(cgauge2=1.0)), nsteps=50, dt=2e-3)
+    assert np.isfinite(np.asarray(state["fields"]["phi_lg"])).all()
+
+
+def test_ascalar_relaxes():
+    def mutate(state):
+        state["fields"]["acc"] = state["fields"]["acc"] + 1.0
+    model, state = _run((ActiveScalar(tau_cond=0.05),), nsteps=100, dt=2e-3,
+                        mutate=mutate)
+    assert np.abs(np.asarray(state["fields"]["acc"])).max() < 0.05
+
+
+def test_interstellar_cooling_and_sn():
+    model, state = _run(
+        (Entropy(), Interstellar(cool_T=(0.0, 10.0), cool_L=(0.05,),
+                                 cool_beta=(1.0,), heat_uv=0.0,
+                                 sn_interval=0.005, sn_energy=0.05,
+                                 sn_radius=0.5)),
+        nsteps=50, dt=1e-3)
+    ss = np.asarray(state["fields"]["ss"])
+    assert np.isfinite(ss).all()
+    # SNe fired (interval << total time) → entropy structure appeared
+    assert ss.std() > 1e-6
