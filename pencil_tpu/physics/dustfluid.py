@@ -70,7 +70,7 @@ class DustFluid(ModuleBase):
             ts.diffus(self.diffnd)
         accumulate(df, "lnnd", out_n)
 
-        d1 = pen.grid.dline_1()
+        d1 = pen.dline_1()
         ts.advec(sum(jnp.abs(uud[a]) * d1[a] for a in range(3)))
 
     def init_fields(self, grid, spec, eos, key, cfg=None):

@@ -61,7 +61,7 @@ class Hydro(ModuleBase):
         ceff2 = pen.cs2()
         if "aa" in pen.reg.slots:
             ceff2 = ceff2 + pen.va2()
-        d1 = pen.grid.dline_1()
+        d1 = pen.dline_1()
         ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
         ts.advec2(ceff2 * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 

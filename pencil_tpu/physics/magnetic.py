@@ -41,10 +41,15 @@ class Magnetic(ModuleBase):
 
     def rhs(self, pen, df, ts):
         out = pen.uxb()
+        curvilinear = pen.cfg.grid.coords != "cartesian"
         if self.eta > 0.0:
-            # η µ0 J = η(∇(∇·A) − ∇²A); Weyl gauge: −ηµ0J (+η∇∇·A resistive
-            # gauge term kept: use −η·jj which is the standard choice)
-            out = out - self.eta * pen.jj()
+            if curvilinear:
+                # resistive gauge: ∂A/∂t = u×B + η∇²A (the η∇(∇·A) part is
+                # absorbed into the gauge; B evolution is identical)
+                out = out + self.eta * pen.del2v("aa")
+            else:
+                # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A)
+                out = out - self.eta * pen.jj()
             ts.diffus(self.eta)
         if self.eta_hyper3 > 0.0:
             out = out + self.eta_hyper3 * pen.del6v_scaled("aa")
@@ -61,6 +66,10 @@ class Magnetic(ModuleBase):
         accumulate(df, "aa", out)
 
         if self.llorentzforce and "uu" in pen.reg.slots:
+            if curvilinear:
+                raise NotImplementedError(
+                    "Lorentz force in curvilinear coords needs the full "
+                    "grad(div A) expansion; set llorentzforce=False")
             accumulate(df, "uu", pen.jxbr())
         if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:
             pen._cache["ohmic_heat"] = self.eta * pen.j2()

@@ -55,7 +55,7 @@ class Neutrals(ModuleBase):
         out_n = -sum(uun[a] * glnrhon[a] for a in range(3)) - divun
         accumulate(df, "lnrhon", out_n)
 
-        d1 = pen.grid.dline_1()
+        d1 = pen.dline_1()
         ts.advec(sum(jnp.abs(uun[a]) * d1[a] for a in range(3)))
         ts.advec2(self.csn0 ** 2 * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 

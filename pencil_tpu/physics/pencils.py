@@ -46,7 +46,18 @@ class Pencils:
 
     # ---- raw derivative helpers (on stacked slices) --------------------
     def _inv(self, axis):
+        """Physical inverse line element (metric-scaled off-cartesian:
+        1/h_i · 1/Δξ_i; see physics/curvilinear.py)."""
+        if self.cfg is not None and self.cfg.grid.coords != "cartesian":
+            from .curvilinear import dline_1_curv
+            key = "_dline_curv"
+            if key not in self._cache:
+                self._cache[key] = dline_1_curv(self)
+            return self._cache[key][axis]
         return (self.grid.dx1, self.grid.dy1, self.grid.dz1)[axis]
+
+    def dline_1(self):
+        return tuple(self._inv(a) for a in range(3))
 
     def _gh(self, name):
         """Ghosted slab of a named field: (ncomp, mx, my, mz)."""
@@ -93,11 +104,17 @@ class Pencils:
     @_memo
     def del2s(self, name):
         """Laplacian of a scalar field."""
+        if self.cfg is not None and self.cfg.grid.coords != "cartesian":
+            from .curvilinear import del2s_curv
+            return del2s_curv(self, name)
         return sum(self.d2(name, a)[0] for a in range(3))
 
     @_memo
     def del2v(self, name):
         """Laplacian of a vector field: (3, nx, ny, nz)."""
+        if self.cfg is not None and self.cfg.grid.coords != "cartesian":
+            from .curvilinear import del2v_curv
+            return del2v_curv(self, name)
         return sum(self.d2(name, a) for a in range(3))
 
     @_memo
@@ -169,12 +186,18 @@ class Pencils:
     @_memo
     def divu(self):
         uij = self.uij()
+        if self.cfg.grid.coords != "cartesian":
+            from .curvilinear import divu_curv
+            return divu_curv(self, self.uu(), uij)
         return uij[0, 0] + uij[1, 1] + uij[2, 2]
 
     @_memo
     def oo(self):
         """Vorticity ∇×u."""
         uij = self.uij()
+        if self.cfg.grid.coords != "cartesian":
+            from .curvilinear import curl_curv
+            return curl_curv(self, self.uu(), uij)
         return jnp.stack([
             uij[2, 1] - uij[1, 2],
             uij[0, 2] - uij[2, 0],
@@ -205,9 +228,12 @@ class Pencils:
 
     @_memo
     def ugu(self):
-        """(u·∇)u: (3, nx, ny, nz)."""
+        """(u·∇)u: (3, nx, ny, nz) (+ curvature terms off-cartesian)."""
         uu = self.uu()
         uij = self.uij()
+        if self.cfg.grid.coords != "cartesian":
+            from .curvilinear import ugu_curv
+            return ugu_curv(self, uu, uij)
         return jnp.stack([
             sum(uu[j] * uij[a, j] for j in range(3)) for a in range(3)
         ])
@@ -335,6 +361,9 @@ class Pencils:
     def bb(self):
         """B = ∇×A (+ optional uniform external field B_ext)."""
         aij = self.aij()
+        if self.cfg.grid.coords != "cartesian":
+            from .curvilinear import curl_curv
+            return curl_curv(self, self.aa(), aij)
         bb = jnp.stack([
             aij[2, 1] - aij[1, 2],
             aij[0, 2] - aij[2, 0],
@@ -369,7 +398,15 @@ class Pencils:
 
     @_memo
     def jj(self):
-        """µ₀J = ∇×B = ∇(∇·A) − ∇²A (µ₀ = 1 code units)."""
+        """µ₀J = ∇×B = ∇(∇·A) − ∇²A (µ₀ = 1 code units).
+
+        Curvilinear: the full ∇(∇·A) expansion is not wired yet — magnetic
+        runs off-cartesian use the resistive gauge η∇²A and must disable
+        the Lorentz force (see physics/magnetic.py)."""
+        if self.cfg.grid.coords != "cartesian":
+            raise NotImplementedError(
+                "J in curvilinear coordinates: use resistive-gauge η∇²A "
+                "and llorentzforce=False for now")
         return self.graddiva() - self.del2a()
 
     @_memo

@@ -54,7 +54,7 @@ class Shear(ModuleBase):
             zero = jnp.zeros_like(aa[0])
             accumulate(df, "aa", jnp.stack([-S * aa[1], zero, zero]))
         # background-flow advective CFL
-        d1 = pen.grid.dline_1()
+        d1 = pen.dline_1()
         ts.advec(jnp.abs(uy0) * d1[1])
 
 

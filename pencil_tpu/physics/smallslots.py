@@ -147,7 +147,7 @@ class LorenzGauge(ModuleBase):
         accumulate(df, "phi_lg", -self.cgauge2 * pen.diva())
         if "aa" in pen.reg.slots:
             accumulate(df, "aa", -pen.grad("phi_lg"))
-        d1 = pen.grid.dline_1()
+        d1 = pen.dline_1()
         ts.advec2(self.cgauge2 * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 
 

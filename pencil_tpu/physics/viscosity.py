@@ -32,16 +32,25 @@ class Viscosity(ModuleBase):
         fvisc = 0.0
         heat = 0.0
         if "nu-const" in self.ivisc and self.nu > 0.0:
-            sij = pen.sij()
-            glnrho = pen.glnrho()
-            # S·∇lnρ without einsum (keeps the expression Pallas-lowerable)
-            sglnrho = jnp.stack([
-                sum(sij[a, b] * glnrho[b] for b in range(3)) for a in range(3)
-            ])
-            fvisc = fvisc + self.nu * (
-                pen.del2u() + (1.0 / 3.0) * pen.graddivu() + 2.0 * sglnrho
-            )
-            heat = heat + 2.0 * self.nu * pen.sij2()
+            if pen.cfg.grid.coords != "cartesian":
+                # curvilinear: ν∇²u via the metric-aware vector Laplacian
+                # (the 2S·∇lnρ and ⅓∇∇·u pieces need the full Christoffel
+                # strain tensor — reference-parity item for spherical runs)
+                fvisc = fvisc + self.nu * pen.del2v("uu")
+                heat = heat + 2.0 * self.nu * pen.sij2()
+            else:
+                sij = pen.sij()
+                glnrho = pen.glnrho()
+                # S·∇lnρ without einsum (keeps it Pallas-lowerable)
+                sglnrho = jnp.stack([
+                    sum(sij[a, b] * glnrho[b] for b in range(3))
+                    for a in range(3)
+                ])
+                fvisc = fvisc + self.nu * (
+                    pen.del2u() + (1.0 / 3.0) * pen.graddivu()
+                    + 2.0 * sglnrho
+                )
+                heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
         if "nu-shock" in self.ivisc and self.nu_shock > 0.0:
             # bulk shock viscosity (reference viscosity.f90 'nu-shock'):
@@ -60,7 +69,7 @@ class Viscosity(ModuleBase):
             fvisc = fvisc + self.nu_hyper3 * pen.del6v_scaled("uu")
             ts.diffus3(self.nu_hyper3)
         if "hyper3-mesh" in self.ivisc and self.nu_hyper3_mesh > 0.0:
-            d1 = pen.grid.dline_1()
+            d1 = pen.dline_1()
             fvisc = fvisc + self.nu_hyper3_mesh * sum(
                 pen.d6_raw("uu", a) * d1[a] / 60.0 for a in range(3)
             )
