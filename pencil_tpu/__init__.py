@@ -24,3 +24,4 @@ from .physics import BorderProfiles, CosmicRay
 from .physics import DustFluid, Neutrals
 from .physics import Chemistry
 from .physics import (ActiveScalar, Chiral, HeatFlux, Interstellar, LorenzGauge, Polymer)
+from .physics import EosIonization

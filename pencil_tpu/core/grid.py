@@ -84,24 +84,57 @@ class Grid:
         reference's ``dline_1`` (used by advective CFL, src/hydro.f90:3803)."""
         return (self.dx1, self.dy1, self.dz1)
 
+    # nonuniformity metric, interior broadcast
+    @property
+    def dxt(self):
+        return self.interior(self.dx_tilde)[:, None, None]
+
+    @property
+    def dyt(self):
+        return self.interior(self.dy_tilde)[None, :, None]
+
+    @property
+    def dzt(self):
+        return self.interior(self.dz_tilde)[None, None, :]
+
 
 def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
                  func: str, coeff: float, dtype):
-    """Ghosted coordinates + metrics for one axis."""
-    if func != "uniform":
-        raise NotImplementedError(f"grid_func={func!r} not implemented yet")
-    if periodic:
-        dx = L / n
-        # periodic: cell-centered-ish, endpoint excluded (matches reference)
-        base = x0 + dx * np.arange(-nghost, n + nghost)
-    else:
-        dx = L / max(n - 1, 1)
-        base = x0 + dx * np.arange(-nghost, n + nghost)
-    coords = np.asarray(base, dtype=dtype)
+    """Ghosted coordinates + metrics for one axis.
+
+    Non-equidistant functions follow the reference (src/grid.f90 grid_func
+    :441,637,824): x(ξ) with uniform ξ ∈ [0, 1]; stored metrics are
+    dx_1 = 1/x'(ξ̂) and dx_tilde = −x''/x'² (per unit ξ̂ = grid index), the
+    exact factors the der/der2 coordinate-transform rule needs.
+      'uniform':  x = x0 + L·ξ
+      'sinh':     clustering toward the centre, coeff = a:
+                  x = x0 + L·(sinh(a(ξ−½))/(2 sinh(a/2)) + ½)
+    """
     m = n + 2 * nghost
-    d1 = np.full((m,), 1.0 / dx, dtype=dtype)
-    dt_ = np.zeros((m,), dtype=dtype)
-    return coords, d1, dt_
+    if periodic:
+        dxi = 1.0 / n
+    else:
+        dxi = 1.0 / max(n - 1, 1)
+    xi = dxi * np.arange(-nghost, n + nghost)   # uniform computational coord
+
+    if func == "uniform":
+        coords = x0 + L * xi
+        d1 = np.full((m,), 1.0 / (L * dxi))
+        dt_ = np.zeros((m,))
+    elif func == "sinh":
+        a = coeff if coeff else 2.0
+        s0 = 2.0 * np.sinh(a / 2.0)
+        coords = x0 + L * (np.sinh(a * (xi - 0.5)) / s0 + 0.5)
+        xp = L * a * np.cosh(a * (xi - 0.5)) / s0          # dx/dξ
+        xpp = L * a * a * np.sinh(a * (xi - 0.5)) / s0     # d²x/dξ²
+        d1 = 1.0 / (xp * dxi)                              # per grid index
+        # tilde = −x_jj/x_j² with j the unit grid index: the dξ factors
+        # cancel to −x''(ξ)/x'(ξ)²  (see der2 coordinate-transform rule)
+        dt_ = -xpp / (xp * xp)
+    else:
+        raise NotImplementedError(f"grid_func={func!r}")
+    return (np.asarray(coords, dtype), np.asarray(d1, dtype),
+            np.asarray(dt_, dtype))
 
 
 def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:

@@ -1,7 +1,7 @@
 from .base import ModuleBase
 from .density import Density
 from .entropy import Entropy
-from .eos import EosIdealGas
+from .eos import EosIdealGas, EosIonization
 from .forcing import Forcing
 from .gravity import Gravity
 from .hydro import Hydro

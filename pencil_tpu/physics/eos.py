@@ -50,3 +50,54 @@ class EosIdealGas(ModuleBase):
         # accumulates advec_cs2 in the eos/pressure path, equ.f90:916-931).
         # Handled in hydro (needs |u| too); nothing to do here.
         pass
+
+    # -- thermodynamic closure (overridable by EOS variants) -------------
+    def cs2(self, pen):
+        import jax.numpy as jnp
+        if "lnTT" in pen.reg.slots:
+            return (self.gamma - 1.0) * self.cp * pen.TT()
+        if "ss" in pen.reg.slots:
+            return self.cs20 * jnp.exp(
+                self.gamma / self.cp * pen.ss()
+                + (self.gamma - 1.0) * (pen.lnrho() - self.lnrho0))
+        return jnp.full_like(pen.lnrho(), self.cs20)
+
+    def lnTT(self, pen):
+        import jax.numpy as jnp
+        if "lnTT" in pen.reg.slots:
+            return pen.field("lnTT")
+        if "ss" in pen.reg.slots:
+            return (self.lnTT0 + self.gamma / self.cp * pen.ss()
+                    + (self.gamma - 1.0) * (pen.lnrho() - self.lnrho0))
+        return jnp.full_like(pen.lnrho(), self.lnTT0)
+
+
+@dataclass(frozen=True)
+class EosIonization(EosIdealGas):
+    """Hydrogen partial ionization via the Saha equation (reference
+    ``src/eos_ionization.f90`` / ``eos_temperature_ionization.f90``, 2086 +
+    2373 LoC — Saha-equation y(ρ, T)).
+
+    y²/(1−y) = (saha_A/ρ)·T^{3/2}·exp(−TT_ion/T), solved in closed form
+    (quadratic).  The closure keeps the ideal-gas (lnρ, s)→T relation for
+    the neutral backbone (dy/ds entropy terms neglected — the reference's
+    fixed-ionization limit is recovered as saha_A→0/∞) and corrects the
+    pressure/sound speed with the (1 + y) free-particle factor."""
+
+    name: ClassVar[str] = "eos"
+    TT_ion: float = 10.0       # ionization temperature χ/k in code units
+    saha_A: float = 1.0        # Saha prefactor in code units
+
+    def yH(self, pen):
+        import jax.numpy as jnp
+        TT = jnp.exp(super().lnTT(pen))
+        rho = pen.rho()
+        K = self.saha_A / rho * TT ** 1.5 * jnp.exp(-self.TT_ion
+                                                    / jnp.maximum(TT, 1e-30))
+        # y² + Ky − K = 0 → y = (−K + sqrt(K² + 4K))/2, clipped to [0, 1)
+        y = 0.5 * (-K + jnp.sqrt(K * K + 4.0 * K))
+        return jnp.clip(y, 0.0, 1.0 - 1e-6)
+
+    def cs2(self, pen):
+        y = pen.get_cached("yH", lambda: self.yH(pen))
+        return (1.0 + y) * super().cs2(pen)

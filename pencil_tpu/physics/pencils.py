@@ -72,7 +72,15 @@ class Pencils:
     @_memo
     def d2(self, name, axis):
         out = st.der2(self._gh(name), axis, None)
-        return interior(out, _OTHER_AXES[axis]) * self._inv(axis) ** 2
+        out = interior(out, _OTHER_AXES[axis]) * self._inv(axis) ** 2
+        if (self.cfg is not None
+                and self.cfg.grid.grid_func[axis] != "uniform"):
+            if self.cfg.grid.coords != "cartesian":
+                raise NotImplementedError(
+                    "stretched grid + curvilinear coordinates")
+            tilde = (self.grid.dxt, self.grid.dyt, self.grid.dzt)[axis]
+            out = out + tilde * self.d(name, axis)
+        return out
 
     @_memo
     def d6_raw(self, name, axis):
@@ -284,28 +292,20 @@ class Pencils:
     def del2ss(self):
         return self.del2s("ss")
 
+    def get_cached(self, key, fn):
+        if key not in self._cache:
+            self._cache[key] = fn()
+        return self._cache[key]
+
     @_memo
     def cs2(self):
-        e = self.eos
-        if "lnTT" in self.reg.slots:
-            return (e.gamma - 1.0) * e.cp * self.TT()
-        if "ss" in self.reg.slots:
-            return e.cs20 * jnp.exp(
-                e.gamma / e.cp * self.ss()
-                + (e.gamma - 1.0) * (self.lnrho() - e.lnrho0)
-            )
-        # no entropy slot: isothermal closure (reference noentropy)
-        return jnp.full_like(self.lnrho(), e.cs20)
+        # delegated to the EOS slot (swappable closure: ideal gas, Saha
+        # ionization, ... — reference select_eos_variable)
+        return self.eos.cs2(self)
 
     @_memo
     def lnTT(self):
-        e = self.eos
-        if "lnTT" in self.reg.slots:
-            return self.field("lnTT")
-        if "ss" in self.reg.slots:
-            return (e.lnTT0 + e.gamma / e.cp * self.ss()
-                    + (e.gamma - 1.0) * (self.lnrho() - e.lnrho0))
-        return jnp.full_like(self.lnrho(), e.lnTT0)
+        return self.eos.lnTT(self)
 
     @_memo
     def TT(self):

@@ -100,3 +100,34 @@ def test_der6_damps_nyquist():
     # delta^6 of (-1)^i = -64 * (-1)^i ... sign opposes the field
     assert (out[:, 0, 0] * f < 0).all()
     np.testing.assert_allclose(np.abs(out[:, 0, 0]), 64.0, rtol=1e-5)
+
+
+def test_stretched_grid_derivatives():
+    """sinh-stretched z grid: der and der2 of sin(z) via the metric vectors
+    match the analytic derivatives (reference nonuniform-grid rule,
+    src/deriv.f90:141-160)."""
+    import jax.numpy as jnp
+    from pencil_tpu.core.config import Config, GridSpec
+    from pencil_tpu.core.farray import Registry
+    from pencil_tpu.core.grid import make_grid
+    from pencil_tpu.physics.pencils import Pencils
+
+    spec = GridSpec(nx=4, ny=4, nz=96, z0=0.0, Lz=3.0,
+                    periodic=(True, True, False),
+                    grid_func=("uniform", "uniform", "sinh"),
+                    grid_coeff=(0.0, 0.0, 3.0))
+    cfg = Config(grid=spec)
+    grid = make_grid(spec, jnp.float32)
+    z = np.asarray(grid.z, np.float64)
+    # grid really is stretched: sinh clusters points toward the centre
+    dz_edge = z[4] - z[3]
+    dz_mid = z[len(z) // 2 + 1] - z[len(z) // 2]
+    assert dz_edge > 2.0 * dz_mid
+    f = np.broadcast_to(np.sin(z)[None, None, :], (10, 10, len(z)))
+    reg = Registry(); reg.register("ff", 1, "pde"); reg.finalize()
+    pen = Pencils(jnp.asarray(f[None], jnp.float32), grid, reg, cfg, None)
+    zi = z[3:-3]
+    d1 = np.asarray(pen.d("ff", 2)[0])[0, 0]
+    np.testing.assert_allclose(d1, np.cos(zi), atol=2e-4)
+    d2 = np.asarray(pen.d2("ff", 2)[0])[0, 0]
+    np.testing.assert_allclose(d2, -np.sin(zi), atol=2e-3)
