@@ -10,9 +10,8 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sys
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

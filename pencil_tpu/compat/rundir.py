@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 from ..core.config import Config, GridSpec, TimeSpec
 from ..ops.boundary import BC

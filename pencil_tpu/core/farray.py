@@ -15,7 +15,7 @@ PDE slots always come first so ``fa[:nvar]`` is the evolved state.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ constant vectors.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import jax

@@ -11,7 +11,6 @@ with advec = Î£_a(|u_a|+c_fast)/Î”_a and diffus = max(Î½,Î·,Ï‡,...)Â·Î£_a Î”_aâ
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 # itorder -> (alpha, beta, stage_time_fraction)

@@ -3,9 +3,7 @@
 differences with transposes; here periodic rolls under jit)."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def structure_function(field, orders=(2,), axis=0, max_sep=None):

@@ -86,10 +86,8 @@ class TimeSeriesWriter:
         )
 
     def append(self, values: Dict[str, float]):
-        mode = "a"
-        with open(self.path, mode) as f:
+        with open(self.path, "a") as f:
             if not self._header_written:
-                import os
                 if f.tell() == 0:
                     f.write(self.header() + "\n")
                 self._header_written = True

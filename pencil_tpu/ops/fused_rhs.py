@@ -18,7 +18,6 @@ Requirements of the v1 kernel (asserted at build time):
 """
 from __future__ import annotations
 
-import functools
 from types import SimpleNamespace
 
 import jax

@@ -14,7 +14,7 @@ and the fill happens ONCE per RHS evaluation for all fields.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ hooks; an absent module is simply not composed in (replacing the ~100
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import ClassVar, Dict
 
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import ClassVar, Tuple
 
-import jax.numpy as jnp
-
 from .base import ModuleBase, accumulate
 
 

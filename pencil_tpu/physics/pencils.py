@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import stencil as st
-from ..ops.stencil import NGHOST, i as interior
+from ..ops.stencil import i as interior
 
 
 def _memo(fn):

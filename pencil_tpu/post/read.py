@@ -45,7 +45,7 @@ def var(varfile="var.npz", datadir="data", trimall=False):
             ns.xp = np.asarray(st["particles"]["xp"])
             ns.vp = np.asarray(st["particles"]["vp"])
         return ns
-    from ..compat.io_dist import read_dim, read_var
+    from ..compat.io_dist import read_var
     vf = read_var(path, datadir=datadir)
     ns = SimpleNamespace(f=vf.f, t=vf.t, x=vf.x, y=vf.y, z=vf.z,
                          dx=vf.dx, dy=vf.dy, dz=vf.dz, deltay=vf.deltay)

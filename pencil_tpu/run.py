@@ -11,7 +11,6 @@ device steps between Python round-trips.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Dict, Optional
@@ -20,7 +19,7 @@ import numpy as np
 
 from .io.diagnostics import make_diagnostics
 from .io.snapshot import load_snapshot, save_snapshot
-from .io.timeseries import TimeSeriesWriter, parse_print_in
+from .io.timeseries import TimeSeriesWriter
 from .model import Model
 
 
