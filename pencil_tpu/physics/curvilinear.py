@@ -157,3 +157,40 @@ def dline_1_curv(pen):
     if coords == "cylindrical":
         return (g.dx1, g.dy1 * m["inv_r"], g.dz1)
     return (g.dx1, g.dy1 * m["inv_r"], g.dz1 * m["inv_rsin"])
+
+
+def graddiv_curv(pen, name):
+    """∇(∇·A) in curvilinear coordinates, expanded into the physical
+    first/second derivatives plus metric terms (derivation: apply the
+    gradient to the curvilinear divergence term-by-term; all mixed
+    derivatives come from the ghosted stack via pen.dij)."""
+    m = metric(pen)
+    coords = pen.cfg.grid.coords
+    inv_r = m["inv_r"]
+    inv_r2 = inv_r * inv_r
+    A = pen.field(name)
+    da = [pen.d(name, a) for a in range(3)]      # da[j][i] = (1/h_j)∂_j A_i
+    d2 = [pen.d2(name, a) for a in range(3)]
+    dij01 = pen.dij(name, 0, 1)
+    dij02 = pen.dij(name, 0, 2)
+    dij12 = pen.dij(name, 1, 2)
+    if coords == "cylindrical":
+        gr = (d2[0][0] + inv_r * da[0][0] - inv_r2 * A[0]
+              + dij01[1] - inv_r * da[1][1] + dij02[2])
+        gp = (dij01[0] + inv_r * da[1][0] + d2[1][1] + dij12[2])
+        gz = (dij02[0] + inv_r * da[2][0] + dij12[1] + d2[2][2])
+        return jnp.stack([gr, gp, gz])
+    # spherical
+    cot_r = m["cot_r"]
+    inv_rsin = m["inv_rsin"]
+    gr = (d2[0][0] + 2.0 * inv_r * da[0][0] - 2.0 * inv_r2 * A[0]
+          + dij01[1] - inv_r * da[1][1]
+          + cot_r * da[0][1] - inv_r * cot_r * A[1]
+          + dij02[2] - inv_r * da[2][2])
+    gt = (dij01[0] + 2.0 * inv_r * da[1][0]
+          + d2[1][1] - A[1] * inv_rsin ** 2 + cot_r * da[1][1]
+          - cot_r * da[2][2] + dij12[2])
+    gp = (dij02[0] + 2.0 * inv_r * da[2][0]
+          + dij12[1] + cot_r * da[2][1]
+          + d2[2][2])
+    return jnp.stack([gr, gt, gp])

@@ -39,15 +39,9 @@ class Magnetic(ModuleBase):
 
     def rhs(self, pen, df, ts):
         out = pen.uxb()
-        curvilinear = pen.cfg.grid.coords != "cartesian"
         if self.eta > 0.0:
-            if curvilinear:
-                # resistive gauge: ∂A/∂t = u×B + η∇²A (the η∇(∇·A) part is
-                # absorbed into the gauge; B evolution is identical)
-                out = out + self.eta * pen.del2v("aa")
-            else:
-                # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A)
-                out = out - self.eta * pen.jj()
+            # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A); pen.jj is metric-aware
+            out = out - self.eta * pen.jj()
             ts.diffus(self.eta)
         if self.eta_hyper3 > 0.0:
             out = out + self.eta_hyper3 * pen.del6v_scaled("aa")
@@ -64,10 +58,6 @@ class Magnetic(ModuleBase):
         accumulate(df, "aa", out)
 
         if self.llorentzforce and "uu" in pen.reg.slots:
-            if curvilinear:
-                raise NotImplementedError(
-                    "Lorentz force in curvilinear coords needs the full "
-                    "grad(div A) expansion; set llorentzforce=False")
             accumulate(df, "uu", pen.jxbr())
         if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:
             pen._cache["ohmic_heat"] = self.eta * pen.j2()

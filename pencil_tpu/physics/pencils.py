@@ -398,15 +398,11 @@ class Pencils:
 
     @_memo
     def jj(self):
-        """µ₀J = ∇×B = ∇(∇·A) − ∇²A (µ₀ = 1 code units).
-
-        Curvilinear: the full ∇(∇·A) expansion is not wired yet — magnetic
-        runs off-cartesian use the resistive gauge η∇²A and must disable
-        the Lorentz force (see physics/magnetic.py)."""
+        """µ₀J = ∇×B = ∇(∇·A) − ∇²A (µ₀ = 1 code units; metric-aware
+        expansions off-cartesian)."""
         if self.cfg.grid.coords != "cartesian":
-            raise NotImplementedError(
-                "J in curvilinear coordinates: use resistive-gauge η∇²A "
-                "and llorentzforce=False for now")
+            from .curvilinear import del2v_curv, graddiv_curv
+            return graddiv_curv(self, "aa") - del2v_curv(self, "aa")
         return self.graddiva() - self.del2a()
 
     @_memo

@@ -167,3 +167,53 @@ def test_spherical_hydro_smoke():
         state = step(state)
     for k, v in state["fields"].items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_spherical_current_closed_form():
+    """A = r φ̂: B = (cotθ, −2, 0) and µ₀J = ∇×B has the closed form
+    J_φ = (1/r)(1/sin²θ − 2), J_r = J_θ = 0."""
+    spec, cfg, grid = _setup("spherical")
+    r, th, ph = _ghost_coords(grid)
+    shape = (spec.mx, spec.my, spec.mz)
+    aa = np.zeros((3,) + shape)
+    aa[2] = r * np.ones_like(th) * np.ones_like(ph)
+    pen = _pen({"aa": aa}, cfg, grid)
+    bb = np.asarray(pen.bb())
+    thi = np.asarray(grid.y)[G:-G][None, :, None]
+    np.testing.assert_allclose(bb[0], np.cos(thi) / np.sin(thi)
+                               * np.ones_like(bb[0]), atol=5e-3)
+    np.testing.assert_allclose(bb[1], -2.0, atol=5e-3)
+    jj = np.asarray(pen.jj())
+    ri = np.asarray(grid.x)[G:-G][:, None, None]
+    expect = (1.0 / np.sin(thi) ** 2 - 2.0) / ri
+    np.testing.assert_allclose(jj[2], expect * np.ones_like(jj[2]), atol=2e-2)
+    assert np.abs(jj[0]).max() < 2e-2 and np.abs(jj[1]).max() < 2e-2
+
+
+def test_spherical_mhd_with_lorentz_runs():
+    from pencil_tpu import (BC, Density, EosIdealGas, Hydro, Magnetic, Model,
+                            TimeSpec, Viscosity)
+    spec = GridSpec(nx=16, ny=16, nz=16, coords="spherical",
+                    x0=1.0, Lx=1.0, y0=0.6, Ly=1.9, z0=0.0, Lz=2 * np.pi,
+                    periodic=(False, False, True))
+    cfg = Config(
+        grid=spec, time=TimeSpec(itorder=3, dt=1e-3),
+        modules=(EosIdealGas(gamma=1.0001), Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-3),
+                 Magnetic(init="gaussian-noise", ampl=1e-3, eta=2e-3),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3)),
+        bcx=(BC.parse("ux", "a"), BC.parse("uy", "s"), BC.parse("uz", "s"),
+             BC.parse("lnrho", "s"), BC.parse("ax", "s"),
+             BC.parse("ay", "a"), BC.parse("az", "a")),
+        bcy=(BC.parse("ux", "s"), BC.parse("uy", "a"), BC.parse("uz", "s"),
+             BC.parse("lnrho", "s"), BC.parse("ax", "a"),
+             BC.parse("ay", "s"), BC.parse("az", "a")),
+    )
+    from pencil_tpu import Model
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    for _ in range(20):
+        state = step(state)
+    for k, v in state["fields"].items():
+        assert np.isfinite(np.asarray(v)).all(), k
