@@ -59,7 +59,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     nz = nxyz[2] if nxyz else cpar.get("nzgrid", nx)
 
     xyz0 = init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416])
-    Lxyz = init_pars.get("lxyz", [6.2832, 6.2832, 6.2832])
+    if "xyz1" in init_pars:
+        xyz1 = init_pars["xyz1"]
+        Lxyz = [b - a for a, b in zip(xyz0, xyz1)]
+    else:
+        Lxyz = init_pars.get("lxyz", [6.2832, 6.2832, 6.2832])
     lperi = init_pars.get("lperi", [True, True, True])
     grid = GridSpec(nx=nx, ny=ny, nz=nz,
                     x0=xyz0[0], y0=xyz0[1], z0=xyz0[2],
@@ -100,6 +104,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
             diffrho=float(den_p.get("diffrho", den_p.get("cdiffrho", 0.0))),
             diffrho_hyper3=float(den_p.get("diffrho_hyper3", 0.0)),
+            rho_left=float(den_p.get("rho_left", 1.0)),
+            rho_right=float(den_p.get("rho_right", 1.0)),
         ))
 
     hyd_p = grp("hydro")
@@ -145,6 +151,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             z1=float(grav_p.get("z1", ent_p.get("z1", 0.0))),
             z2=float(grav_p.get("z2", ent_p.get("z2", 1.0))),
             isothtop=int(ent_p.get("isothtop", 1)),
+            ss_left=float(ent_p.get("ss_left", 0.0)),
+            ss_right=float(ent_p.get("ss_right", 0.0)),
         ))
 
     vis_p = grp("viscosity")

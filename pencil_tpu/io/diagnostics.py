@@ -139,6 +139,22 @@ def _eth(pen, st):
     return jnp.mean(pen.rho() * e.cv * pen.TT())
 
 
+@diag("ethm")
+def _ethm(pen, st):
+    e = pen.eos
+    return jnp.mean(pen.rho() * e.cv * pen.TT())
+
+
+@diag("ruxm")
+def _ruxm(pen, st):
+    return jnp.mean(pen.rho() * pen.uu()[0])
+
+
+@diag("ruym")
+def _ruym(pen, st):
+    return jnp.mean(pen.rho() * pen.uu()[1])
+
+
 # ---- magnetic -------------------------------------------------------------
 @diag("brms")
 def _brms(pen, st):

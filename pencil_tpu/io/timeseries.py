@@ -109,7 +109,12 @@ def read_time_series(path) -> Dict[str, list]:
             continue
         vals = line.split()
         if len(vals) != len(names):
-            continue
+            # Fortran fixed-width rows can juxtapose columns with no space
+            # before a minus sign ("3.739E+01-3.761E-01"): extract numbers
+            vals = re.findall(
+                r"[-+]?\d+\.?\d*(?:[EeDd][-+]?\d+)?", line)
+            if len(vals) != len(names):
+                continue
         for n, v in zip(names, vals):
-            data[n].append(float(v))
+            data[n].append(float(v.replace("D", "E").replace("d", "e")))
     return data

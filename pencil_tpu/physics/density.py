@@ -23,6 +23,8 @@ class Density(ModuleBase):
     kx: float = 1.0
     ky: float = 1.0
     kz: float = 1.0
+    rho_left: float = 1.0      # for init='xjump'
+    rho_right: float = 1.0
 
     def register(self, reg):
         reg.register("lnrho", 1, "pde")
@@ -41,7 +43,13 @@ class Density(ModuleBase):
         accumulate(df, "lnrho", out)
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
+        import math
         import jax.numpy as jnp
+        if self.init == "xjump":
+            from .initcond import init_scalar
+            return {"lnrho": init_scalar(
+                "xjump", grid, spec, eos, key, width=self.width,
+                left=math.log(self.rho_left), right=math.log(self.rho_right))}
         if self.init == "piecew-poly":
             from .stratification import piecew_poly_profiles
             ent = cfg.module("entropy") if cfg else None

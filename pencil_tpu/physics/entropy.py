@@ -51,6 +51,8 @@ class Entropy(ModuleBase):
     kx: float = 1.0
     ky: float = 1.0
     kz: float = 1.0
+    ss_left: float = 0.0       # for init='xjump'
+    ss_right: float = 0.0
 
     def register(self, reg):
         reg.register("ss", 1, "pde")
@@ -117,6 +119,11 @@ class Entropy(ModuleBase):
         accumulate(df, "ss", out)
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
+        if self.init == "xjump":
+            from .initcond import init_scalar
+            return {"ss": init_scalar("xjump", grid, spec, eos, key,
+                                      width=self.width, left=self.ss_left,
+                                      right=self.ss_right)}
         if self.init == "piecew-poly":
             from .stratification import piecew_poly_profiles
             grav = cfg.module("gravity") if cfg else None

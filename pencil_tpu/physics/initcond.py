@@ -13,12 +13,17 @@ def _coords(grid):
 
 
 def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
-                kx=1.0, ky=1.0, kz=1.0, field=""):
+                kx=1.0, ky=1.0, kz=1.0, field="", left=0.0, right=0.0,
+                xjump=0.0):
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
     zero = jnp.zeros(shape, dtype=grid.x.dtype)
     if name in ("zero", "nothing"):
         return zero
+    if name == "xjump":
+        # tanh step in x (reference init 'xjump': Sod-type discontinuity)
+        prof = 0.5 * (1.0 + jnp.tanh((x - xjump) / max(width, 1e-9)))
+        return left + (right - left) * prof + zero
     if name == "const":
         return zero + ampl
     if name == "gaussian-noise":

@@ -74,3 +74,31 @@ def test_helical_mhdturb_golden(tmp_path):
     assert ours["brms"][-1] < ours["brms"][0]
     # forcing spins the flow up to the same order of magnitude
     assert 0.2 * ref["urms"][-1] < ours["urms"][-1] < 5 * ref["urms"][-1]
+
+
+@needs_ref
+def test_sod_shock_tube_golden(tmp_path):
+    """samples/1d-tests/sod_100: the Sod shock tube trajectory matches the
+    committed golden at matched simulation time (our adaptive dt differs,
+    so compare by interpolating the reference columns in t)."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/sod_100")
+    assert cfg.grid.nx == 400 and cfg.grid.ny == 1
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=250, it1=50,
+                               print_columns=("it", "t", "dt", "urms",
+                                              "ekin", "ethm", "ruxm",
+                                              "rhom")),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/1d-tests/sod_100/reference.out")
+    np.testing.assert_allclose(ours["rhom"], ref["rhom"][0], rtol=1e-3)
+    for col, tol in (("urms", 0.10), ("ekin", 0.05), ("ethm", 0.01),
+                     ("ruxm", 0.05)):
+        ref_interp = np.interp(ours["t"], ref["t"], ref[col])
+        # skip the first rows (start-up transient, steep ramp between the
+        # reference's coarse output samples)
+        np.testing.assert_allclose(ours[col][2:], ref_interp[2:], rtol=tol,
+                                   err_msg=col)
