@@ -102,6 +102,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ampl=float(den_p.get("ampllnrho", 0.0)),
             width=float(den_p.get("widthlnrho", 0.05)),
             lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
+            lnolog=bool(den_p.get("ldensity_nolog", False)),
             diffrho=float(den_p.get("diffrho", den_p.get("cdiffrho", 0.0))),
             diffrho_hyper3=float(den_p.get("diffrho_hyper3", 0.0)),
             rho_left=float(den_p.get("rho_left", 1.0)),

@@ -1,5 +1,7 @@
-"""Continuity equation for lnρ (reference ``src/density.f90``, ``dlnrho_dt``
-at :2474-2872):  Dlnρ/Dt = −∇·u  (+ mass diffusion / hyperdiffusion)."""
+"""Continuity equation (reference ``src/density.f90``, ``dlnrho_dt`` at
+:2474-2872):  Dlnρ/Dt = −∇·u in the default log formulation, or with
+``lnolog`` (reference ldensity_nolog) ∂ρ/∂t = −∇·(ρu) in conservative
+flux form (+ mass diffusion / hyperdiffusion)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
@@ -15,6 +17,7 @@ class Density(ModuleBase):
     name: ClassVar[str] = "density"
 
     lupw_lnrho: bool = False       # 5th-order upwinding of the advection term
+    lnolog: bool = False           # evolve rho itself (ldensity_nolog)
     diffrho: float = 0.0           # Fickian mass diffusion
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
     init: str = "zero"             # initial condition name
@@ -27,9 +30,18 @@ class Density(ModuleBase):
     rho_right: float = 1.0
 
     def register(self, reg):
-        reg.register("lnrho", 1, "pde")
+        reg.register("rho" if self.lnolog else "lnrho", 1, "pde")
 
     def rhs(self, pen, df, ts):
+        if self.lnolog:
+            rho = pen.field("rho")
+            out = (-pen.ugrad("rho", upwind=self.lupw_lnrho)
+                   - rho * pen.divu())
+            if self.diffrho > 0.0:
+                out = out + self.diffrho * pen.del2s("rho")
+                ts.diffus(self.diffrho)
+            accumulate(df, "rho", out)
+            return
         out = -pen.ugrad("lnrho", upwind=self.lupw_lnrho) - pen.divu()
         if self.diffrho > 0.0:
             # diffusion of rho in lnrho form: D(∇²lnρ + |∇lnρ|²)
@@ -45,6 +57,10 @@ class Density(ModuleBase):
     def init_fields(self, grid, spec, eos, key, cfg=None):
         import math
         import jax.numpy as jnp
+        if self.lnolog:
+            out = Density(**{**self.__dict__, "lnolog": False}).init_fields(
+                grid, spec, eos, key, cfg)
+            return {"rho": jnp.exp(out["lnrho"])}
         if self.init == "xjump":
             from .initcond import init_scalar
             return {"lnrho": init_scalar(

@@ -258,25 +258,37 @@ class Pencils:
             out.append(sum(self.dij("uu", a, j)[j] for j in range(3)))
         return jnp.stack(out)
 
-    # ---- density -------------------------------------------------------
+    # ---- density (either lnρ or ρ slot: reference ldensity_nolog) ------
     @_memo
     def lnrho(self):
+        if "rho" in self.reg.slots:
+            return jnp.log(jnp.maximum(self.field("rho"), 1e-30))
         return self.field("lnrho")
 
     @_memo
     def glnrho(self):
+        if "rho" in self.reg.slots:
+            return self.grad("rho") * self.rho1()
         return self.grad("lnrho")
 
     @_memo
     def del2lnrho(self):
+        if "rho" in self.reg.slots:
+            gl = self.glnrho()
+            g2 = gl[0] ** 2 + gl[1] ** 2 + gl[2] ** 2
+            return self.del2s("rho") * self.rho1() - g2
         return self.del2s("lnrho")
 
     @_memo
     def rho(self):
+        if "rho" in self.reg.slots:
+            return self.field("rho")
         return jnp.exp(self.lnrho())
 
     @_memo
     def rho1(self):
+        if "rho" in self.reg.slots:
+            return 1.0 / jnp.maximum(self.field("rho"), 1e-30)
         return jnp.exp(-self.lnrho())
 
     # ---- entropy / eos -------------------------------------------------

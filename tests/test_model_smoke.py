@@ -168,3 +168,28 @@ def test_divB_zero_machine_precision():
     )
     bscale = np.abs(bb).max() * inv
     assert np.abs(divb).max() < 1e-4 * bscale, (np.abs(divb).max(), bscale)
+
+
+def test_density_nolog_matches_log_formulation():
+    """ldensity_nolog: evolving rho directly matches the lnrho run."""
+    import dataclasses
+    base = Config(
+        grid=GridSpec(nx=16, ny=8, nz=8),
+        time=TimeSpec(itorder=3, dt=2e-3),
+        modules=(EosIdealGas(gamma=1.0001), Density(init="sinwave-x",
+                                                    ampl=0.05),
+                 Hydro(init="gaussian-noise", ampl=2e-2),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3)),
+    )
+    m1 = Model(base)
+    mods = tuple(dataclasses.replace(m, lnolog=True)
+                 if m.name == "density" else m for m in base.modules)
+    m2 = Model(base.replace(modules=mods))
+    s1, s2 = m1.init_state(2), m2.init_state(2)
+    s2["fields"]["rho"] = jnp.exp(m1.init_state(2)["fields"]["lnrho"])
+    st1, st2 = m1.make_step(), m2.make_step()
+    for _ in range(20):
+        s1, s2 = st1(s1), st2(s2)
+    rho_log = np.exp(np.asarray(s1["fields"]["lnrho"]))
+    rho_nolog = np.asarray(s2["fields"]["rho"])
+    np.testing.assert_allclose(rho_nolog, rho_log, rtol=2e-4, atol=1e-6)
