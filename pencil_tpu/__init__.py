@@ -25,3 +25,4 @@ from .physics import DustFluid, Neutrals
 from .physics import Chemistry
 from .physics import (ActiveScalar, Chiral, HeatFlux, Interstellar, LorenzGauge, Polymer)
 from .physics import EosIonization
+from .physics import InitialCondition

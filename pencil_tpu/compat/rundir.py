@@ -21,6 +21,21 @@ from ..physics import (Density, Entropy, EosIdealGas, Forcing, Gravity,
 from .namelist import read_namelist_file
 
 
+def parse_makefile_local(path) -> Dict[str, str]:
+    """Module-slot assignments from a Makefile.local
+    (e.g. INITIAL_CONDITION = initial_condition/kelvin_helmholtz)."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0]
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k.strip().upper()] = v.strip()
+    return out
+
+
 def parse_cparam_local(path) -> Dict[str, int]:
     """Extract name=value integer constants from a cparam.local."""
     out = {}
@@ -50,6 +65,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     runf = os.path.join(path, "run.in")
     run = read_namelist_file(runf) if os.path.exists(runf) else {}
     cpar = parse_cparam_local(os.path.join(path, "src", "cparam.local"))
+    mkf = parse_makefile_local(os.path.join(path, "src", "Makefile.local"))
 
     init_pars = _g(start, "init_pars")
     run_pars = _g(run, "run_pars")
@@ -65,10 +81,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     else:
         Lxyz = init_pars.get("lxyz", [6.2832, 6.2832, 6.2832])
     lperi = init_pars.get("lperi", [True, True, True])
+    lshift = init_pars.get("lshift_origin", [False, False, False])
+    if not isinstance(lshift, list):
+        lshift = [lshift] * 3
     grid = GridSpec(nx=nx, ny=ny, nz=nz,
                     x0=xyz0[0], y0=xyz0[1], z0=xyz0[2],
                     Lx=Lxyz[0], Ly=Lxyz[1], Lz=Lxyz[2],
-                    periodic=tuple(bool(p) for p in lperi))
+                    periodic=tuple(bool(p) for p in lperi),
+                    lshift_origin=tuple(bool(v) for v in lshift))
 
     time = TimeSpec(
         itorder=int(run_pars.get("itorder", 3)),
@@ -140,6 +160,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             hcond0=float(ent_p.get("hcond0", 0.0)),
             chi=float(ent_p.get("chi", 0.0)),
             chi_hyper3=float(ent_p.get("chi_hyper3", 0.0)),
+            chi_hyper3_mesh=float(ent_p.get("chi_hyper3_mesh", 0.0)),
             lupw_ss=bool(ent_p.get("lupw_ss", False)),
             luminosity=float(ent_p.get("luminosity", 0.0)),
             wheat=float(ent_p.get("wheat", 0.1)),
@@ -226,6 +247,15 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             scheme=scheme,
             init=str(par_p.get("initxxp", "random")),
         ))
+
+    ic_p = grp("initial_condition")
+    ic_slot = mkf.get("INITIAL_CONDITION", "")
+    if ic_slot:
+        from ..physics.initial_condition import InitialCondition
+        plugin = ic_slot.split("/")[-1]
+        modules.append(InitialCondition(
+            plugin=plugin,
+            params=tuple(sorted((k, v) for k, v in ic_p.items()))))
 
     # BCs: run.in overrides start.in; component order = registry order
     from ..core.farray import Registry

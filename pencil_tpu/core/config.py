@@ -42,6 +42,9 @@ class GridSpec:
     # mirroring reference src/grid.f90 grid_func.
     grid_func: Tuple[str, str, str] = ("uniform", "uniform", "uniform")
     grid_coeff: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # shift coordinates by +Δ/2 per axis (reference lshift_origin): cell
+    # centres instead of cell edges
+    lshift_origin: Tuple[bool, bool, bool] = (False, False, False)
 
     @property
     def shape(self) -> Tuple[int, int, int]:

@@ -138,11 +138,13 @@ def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
 
 def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:
     npdtype = np.dtype(jnp.dtype(dtype).name)
-    x, dx1, dxt = _axis_coords(spec.nx, spec.x0, spec.Lx, spec.periodic[0],
+    sh = [0.5 * d if ls else 0.0 for ls, d in
+          zip(spec.lshift_origin, (spec.dx, spec.dy, spec.dz))]
+    x, dx1, dxt = _axis_coords(spec.nx, spec.x0 + sh[0], spec.Lx, spec.periodic[0],
                                spec.nghost, spec.grid_func[0], spec.grid_coeff[0], npdtype)
-    y, dy1, dyt = _axis_coords(spec.ny, spec.y0, spec.Ly, spec.periodic[1],
+    y, dy1, dyt = _axis_coords(spec.ny, spec.y0 + sh[1], spec.Ly, spec.periodic[1],
                                spec.nghost, spec.grid_func[1], spec.grid_coeff[1], npdtype)
-    z, dz1, dzt = _axis_coords(spec.nz, spec.z0, spec.Lz, spec.periodic[2],
+    z, dz1, dzt = _axis_coords(spec.nz, spec.z0 + sh[2], spec.Lz, spec.periodic[2],
                                spec.nghost, spec.grid_func[2], spec.grid_coeff[2], npdtype)
     return Grid(
         x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),

@@ -68,7 +68,14 @@ def cfl_dt1(ts, grid, time_cfg):
     # by MAX of rates, advec itself is sqrt(advec_uu² + advec_cs2)
     # (src/equ.f90:916-931 + timestep.f90:148)
     dt1_a = jnp.sqrt(a2) / time_cfg.cdt if not isinstance(a2, float) else 0.0
+    mesh = getattr(ts, "maxadvec_mesh", 0.0)
+    if not isinstance(mesh, float):
+        mesh = mesh * (64.0 / 60.0) / 2.5
+        dt1_a = jnp.maximum(dt1_a, mesh) if not isinstance(dt1_a, float) \
+            else mesh
     if isinstance(dif, float):
+        if isinstance(dt1_a, float):
+            return jnp.zeros((1, 1, 1))
         return dt1_a + jnp.zeros((1, 1, 1))
     if isinstance(dt1_a, float):
         return dif + jnp.zeros((1, 1, 1))

@@ -155,6 +155,16 @@ def _ruym(pen, st):
     return jnp.mean(pen.rho() * pen.uu()[1])
 
 
+@diag("ruy2m")
+def _ruy2m(pen, st):
+    return jnp.mean(pen.rho() * pen.uu()[1] ** 2)
+
+
+@diag("rux2m")
+def _rux2m(pen, st):
+    return jnp.mean(pen.rho() * pen.uu()[0] ** 2)
+
+
 # ---- magnetic -------------------------------------------------------------
 @diag("brms")
 def _brms(pen, st):

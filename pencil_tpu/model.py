@@ -32,7 +32,7 @@ MODULE_ORDER = (
     "viscosity", "magnetic", "pscalar", "cosmicray", "dust", "neutrals",
     "chemistry", "chiral", "polymer", "heatflux", "lorenz_gauge", "ascalar",
     "interstellar", "radiation", "entropy", "temperature", "testfield",
-    "border", "forcing",
+    "border", "forcing", "initial_condition",
 )
 
 # f-array slot order — must match the reference's registration sequence

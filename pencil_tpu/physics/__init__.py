@@ -22,3 +22,4 @@ from .neutrals import Neutrals
 from .chemistry import Chemistry
 from .interstellar import Interstellar
 from .smallslots import ActiveScalar, Chiral, HeatFlux, LorenzGauge, Polymer
+from .initial_condition import InitialCondition

@@ -27,6 +27,14 @@ class TimestepAccum:
     def advec(self, val):
         self.maxadvec = self.maxadvec + val
 
+    def advec_mesh(self, val):
+        """Mesh-hyperdiffusion stability rate: the Nyquist damping rate of
+        the ν₃ᵐ·δ⁶/(60Δ) term is ν₃ᵐ·(64/60)·Σ1/Δ; explicit RK3 tolerates
+        dt·rate ≲ 2.5, so it enters dt1 directly as rate/2.5 (independent
+        of cdt)."""
+        self.maxadvec_mesh = jnp.maximum(
+            getattr(self, "maxadvec_mesh", 0.0), val)
+
     def advec2(self, val):
         """Squared wave-speed CFL term (reference advec_cs2/advec_va2:
         combined as dt1_advec = sqrt(advec_uu² + advec_cs2)/cdt,

@@ -20,6 +20,7 @@ class Density(ModuleBase):
     lnolog: bool = False           # evolve rho itself (ldensity_nolog)
     diffrho: float = 0.0           # Fickian mass diffusion
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
+    diffrho_hyper3_mesh: float = 0.0  # resolution-independent mesh flavor
     init: str = "zero"             # initial condition name
     ampl: float = 0.0
     width: float = 0.05
@@ -40,6 +41,11 @@ class Density(ModuleBase):
             if self.diffrho > 0.0:
                 out = out + self.diffrho * pen.del2s("rho")
                 ts.diffus(self.diffrho)
+            if self.diffrho_hyper3_mesh > 0.0:
+                d1 = pen.dline_1()
+                pi5_1 = 1.0 / 306.0196847852814
+                out = out + self.diffrho_hyper3_mesh * pi5_1 * sum(
+                    pen.d6_raw("rho", a)[0] * d1[a] / 60.0 for a in range(3))
             accumulate(df, "rho", out)
             return
         out = -pen.ugrad("lnrho", upwind=self.lupw_lnrho) - pen.divu()
@@ -52,6 +58,12 @@ class Density(ModuleBase):
         if self.diffrho_hyper3 > 0.0:
             out = out + self.diffrho_hyper3 * pen.del6s_scaled("lnrho")
             ts.diffus3(self.diffrho_hyper3)
+        if self.diffrho_hyper3_mesh > 0.0:
+            d1 = pen.dline_1()
+            pi5_1 = 1.0 / 306.0196847852814
+            out = out + self.diffrho_hyper3_mesh * pi5_1 * sum(
+                pen.d6_raw("lnrho", a)[0] * d1[a] / 60.0 for a in range(3))
+            ts.advec_mesh(self.diffrho_hyper3_mesh * pi5_1 * sum(d1))
         accumulate(df, "lnrho", out)
 
     def init_fields(self, grid, spec, eos, key, cfg=None):

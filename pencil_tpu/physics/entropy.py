@@ -30,6 +30,7 @@ class Entropy(ModuleBase):
     hcond0: float = 0.0        # K for 'K-const'
     chi: float = 0.0           # χ for 'chi-const'
     chi_hyper3: float = 0.0
+    chi_hyper3_mesh: float = 0.0
     lupw_ss: bool = False
     # heating/cooling layers (conv-slab style)
     luminosity: float = 0.0
@@ -91,6 +92,12 @@ class Entropy(ModuleBase):
         if self.chi_hyper3 > 0.0:
             out = out + self.chi_hyper3 * pen.del6s_scaled("ss")
             ts.diffus3(self.chi_hyper3)
+        if self.chi_hyper3_mesh > 0.0:
+            d1 = pen.dline_1()
+            pi5_1 = 1.0 / 306.0196847852814
+            out = out + self.chi_hyper3_mesh * pi5_1 * sum(
+                pen.d6_raw("ss", a)[0] * d1[a] / 60.0 for a in range(3))
+            ts.advec_mesh(self.chi_hyper3_mesh * pi5_1 * sum(d1))
 
         # viscous + ohmic heating published by those modules
         heat = pen._cache.get("visc_heat")

@@ -70,11 +70,13 @@ class Viscosity(ModuleBase):
             ts.diffus3(self.nu_hyper3)
         if "hyper3-mesh" in self.ivisc and self.nu_hyper3_mesh > 0.0:
             d1 = pen.dline_1()
-            fvisc = fvisc + self.nu_hyper3_mesh * sum(
+            # reference normalization: ν₃ᵐ/π⁵ · δ⁶u/60 · dline_1
+            # (src/viscosity.f90:1857)
+            pi5_1 = 1.0 / 306.0196847852814
+            fvisc = fvisc + self.nu_hyper3_mesh * pi5_1 * sum(
                 pen.d6_raw("uu", a) * d1[a] / 60.0 for a in range(3)
             )
-            # mesh flavor acts like an advection speed ν₃ᵐ on each axis
-            ts.advec(self.nu_hyper3_mesh * sum(d1))
+            ts.advec_mesh(self.nu_hyper3_mesh * pi5_1 * sum(d1))
         if not isinstance(fvisc, float):
             accumulate(df, "uu", fvisc)
         if not isinstance(heat, float):

@@ -102,3 +102,33 @@ def test_sod_shock_tube_golden(tmp_path):
         # reference's coarse output samples)
         np.testing.assert_allclose(ours[col][2:], ref_interp[2:], rtol=tol,
                                    err_msg=col)
+
+
+@needs_ref
+def test_kelvin_helmholtz_golden(tmp_path):
+    """samples/2d-tests/Kelvin-Helmholtz: IC plug-in + ldensity_nolog +
+    hyper3-mesh diffusion.  The background state must hold (urms/rhom flat,
+    the reference's values to ~1%); the seed perturbation stays small."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/Kelvin-Helmholtz")
+    assert cfg.grid.shape == (32, 32, 1)
+    assert cfg.module("initial_condition").plugin == "kelvin_helmholtz"
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=40, it1=10,
+                               print_columns=("it", "t", "dt", "rhomax",
+                                              "rhom", "urms", "umax",
+                                              "ruy2m")),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/2d-tests/Kelvin-Helmholtz/reference.out")
+    np.testing.assert_allclose(ours["rhom"], 1.5, rtol=1e-5)
+    np.testing.assert_allclose(ours["dt"][0], ref["dt"][0], rtol=0.3)
+    # background shear state flat and matching to ~1%
+    np.testing.assert_allclose(ours["urms"], ref["urms"][0], rtol=0.01)
+    np.testing.assert_allclose(ours["umax"], 0.5, rtol=0.02)
+    assert ours["rhomax"][-1] < 2.1
+    # perturbation seeded at the reference level, still small at t≈0.17
+    np.testing.assert_allclose(ours["ruy2m"][0], ref["ruy2m"][0], rtol=0.3)
+    assert ours["ruy2m"][-1] < 2e-3
