@@ -77,6 +77,15 @@ class Model:
         on_tpu = jax.default_backend() == "tpu"
         self._aux_modules = tuple(
             m for m in self.modules if hasattr(m, "compute_aux"))
+        # 'f'/'fg' freeze BCs: df is zeroed on the boundary plane of the
+        # frozen component (reference bc_freeze_var_* + lfrozen bookkeeping)
+        self._freeze = tuple(
+            (self.reg.comp_index(bc.comp), axis, side)
+            for axis, bcs in enumerate(self.bc_axes)
+            for bc in bcs
+            for side, code in ((0, bc.low), (1, bc.high))
+            if code in ("f", "fg") and not cfg.grid.periodic[axis]
+        )
         self._fused_ok = (
             cfg.fused
             and cfg.grid.periodic[2]
@@ -84,6 +93,7 @@ class Model:
             and cfg.grid.grid_func == ("uniform", "uniform", "uniform")
             and (not on_tpu or cfg.grid.nz % 128 == 0)
             and not self._aux_modules
+            and not self._freeze
             and self.particles is None
         )
 
@@ -145,7 +155,8 @@ class Model:
         fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                          self.reg, grid, cfg, self.eos,
                          mesh_axis_names, mesh_shape, shear_dy=shear_dy)
-        pen = Pencils(fg, grid, self.reg, cfg, self.eos)
+        pen = Pencils(fg, grid, self.reg, cfg, self.eos,
+                      mesh_axis_names, mesh_shape)
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
         if self._aux_modules:
@@ -209,6 +220,27 @@ class Model:
                               fuse_update=fuse_update)
 
     # ------------------------------------------------------------------
+    def _apply_freeze(self, dfa, mesh_axis_names, mesh_shape):
+        """Zero df on frozen ('f'/'fg') boundary planes, masked to
+        domain-edge shards (reference bc_freeze_var_* lfrozen flags)."""
+        names = mesh_axis_names or (None, None, None)
+        for ci, axis, side in self._freeze:
+            ax = 1 + axis                       # component arrays: (n?, ...)
+            comp = dfa[ci]
+            n = comp.shape[ax - 1]
+            idxp = 0 if side == 0 else n - 1
+            plane = jax.lax.slice_in_dim(comp, idxp, idxp + 1, axis=ax - 1)
+            new = jnp.zeros_like(plane)
+            if names[axis] is not None and mesh_shape[axis] > 1:
+                mesh_idx = jax.lax.axis_index(names[axis])
+                edge = mesh_idx == (0 if side == 0 else mesh_shape[axis] - 1)
+                new = jnp.where(edge, new, plane)
+            comp = jax.lax.dynamic_update_slice_in_dim(
+                comp, new, idxp, axis=ax - 1)
+            dfa = dfa.at[ci].set(comp)
+        return dfa
+
+    # ------------------------------------------------------------------
     def _local_step(self, state: Dict, grid: Grid,
                     mesh_axis_names=None, mesh_shape=(1, 1, 1)) -> Dict:
         """One full RK step on the local shard (traced)."""
@@ -251,6 +283,8 @@ class Model:
                 continue
             dfa, dt1, dp = self.rhs(fa, grid, t_sub, mesh_axis_names,
                                     mesh_shape, pstate=pstate)
+            if self._freeze:
+                dfa = self._apply_freeze(dfa, mesh_axis_names, mesh_shape)
             if isub == 0:
                 if tcfg.dt > 0:
                     dt = jnp.asarray(tcfg.dt, fa.dtype)

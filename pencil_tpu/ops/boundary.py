@@ -1,9 +1,13 @@
 """Boundary conditions on ghost zones.
 
 TPU-native analog of reference ``src/boundcond.f90`` (``boundconds_x/y/z``
-dispatch at :735-861/:1085/:1283).  The reference has 476 BC case labels; we
-implement the core set used by the acceptance samples as an extensible
-registry keyed by the same mnemonics:
+dispatch at :735-861/:1085/:1283).  The reference has 476 BC case labels,
+most of which are x/y/z triplications of the same formula; here each
+condition is ONE axis-generic function, and the registry covers every
+mnemonic that appears in the bcx/bcy/bcz namelists of the reference's 94
+sample setups (census: s a a2 set p nfr e2 spr nil ap cop ism wip pp cT c1
+sfr sT StS ubs out f v3 ouf e3 str pfe g c2 Fgs s0d pot fg ctz cpc cdz pwd
+hs div der c3 Fct 0).  Core set:
 
   'p'    periodic (realized by the halo exchange itself)
   's'    symmetric about the boundary plane (zero normal derivative)
@@ -11,10 +15,17 @@ registry keyed by the same mnemonics:
   'a2'   antisymmetric about the boundary *value*
   'set'  Dirichlet: boundary pinned to val, ghosts antisymmetric about it
   'der'  fixed normal derivative = val
-  'out'  zero-order extrapolation (outflow)
+  'cop'  zero-order extrapolation (copy boundary point)
+  'out'  outflow: no inflow allowed, ghosts forced outward-pointing
   'cT'   constant temperature (entropy ghosts tied to density via the EOS;
          reference bc_ss_temp_z)
   'c1'   constant heat flux through the boundary (reference bc_ss_flux)
+
+plus the census batch defined below.  Remaining gaps (implemented as
+explicit raises, not silent wrong answers): 'StS' stellar surface, 'hs'
+hydrostatic, 'pot'/'pwd'/'pfe' potential-field extrapolation, 'Fgs'/'Fct'
+turbulent-flux entropy, 'c3' ADI flux, 'g' forced profile, 'wip'
+special-module BCs, 'cpc/cpp/cpz' cylindrical perfect conductor.
 
 Each code maps to ``fn(fgc, axis, side, val, ctx) -> fgc`` acting on one
 component's ghosted array (mx, my, mz).  Cross-field conditions read other
@@ -61,6 +72,7 @@ class BCContext:
         self.grid = grid
         self.cfg = cfg
         self.eos = eos  # EosConstants or None
+        self.comp = None  # name of the component currently being filled
 
 
 def _plane_idx(m: int, side: int, j: int) -> tuple:
@@ -120,16 +132,6 @@ def bc_der(fgc, axis, side, val, ctx):
     for j in (1, 2, 3):
         gi, mi, _ = _plane_idx(m, side, j)
         fgc = _put(fgc, axis, gi, _take(fgc, axis, mi) + sgn * 2.0 * j * d * val)
-    return fgc
-
-
-def bc_out(fgc, axis, side, val, ctx):
-    m = fgc.shape[_ax(fgc, axis)]
-    _, _, bi = _plane_idx(m, side, 1)
-    bnd = _take(fgc, axis, bi)
-    for j in (1, 2, 3):
-        gi, _, _ = _plane_idx(m, side, j)
-        fgc = _put(fgc, axis, gi, bnd)
     return fgc
 
 
@@ -199,15 +201,445 @@ def bc_ss_flux(fgc, axis, side, val, ctx):
     return fgc
 
 
+# ---------------------------------------------------------------------------
+# Census-driven BC zoo (the mnemonics actually used across the reference's
+# samples/**/start.in+run.in; dispatch src/boundcond.f90:735-861 x, :1085 y,
+# :1283 z).  All are axis-generic here — the reference's per-axis triplication
+# (bc_*_x / bc_*_y / bc_*_z) collapses into one function per condition.
+# ---------------------------------------------------------------------------
+
+def _coordvec(ctx, axis):
+    """Ghosted 1-D coordinate vector along ``axis``."""
+    return (ctx.grid.x, ctx.grid.y, ctx.grid.z)[axis]
+
+
+def _coord_at(ctx, fgc, axis, idx):
+    """Coordinate value at plane ``idx``, broadcastable against a plane."""
+    c = _coordvec(ctx, axis)[idx]
+    return c
+
+
+def bc_zero(fgc, axis, side, val, ctx):
+    """'0': zero value in ghost zones, free value on boundary."""
+    m = fgc.shape[_ax(fgc, axis)]
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, jnp.zeros_like(_take(fgc, axis, gi)))
+    return fgc
+
+
+def bc_copy(fgc, axis, side, val, ctx):
+    """'cop': copy last physical point to all ghost cells
+    (reference bc_copy_x)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    _, _, bi = _plane_idx(m, side, 1)
+    bnd = _take(fgc, axis, bi)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, bnd)
+    return fgc
+
+
+# Polynomial extrapolation coefficient tables (reference bcx_extrap_2_1/2_2,
+# rows = ghost layer 1..3, columns = boundary + 3 (e1) / 4 (e2) interior pts.
+_E1 = ((9 / 4, -3 / 4, -5 / 4, 3 / 4),
+       (81 / 20, -43 / 20, -57 / 20, 39 / 20),
+       (127 / 20, -81 / 20, -99 / 20, 73 / 20))
+_E2 = ((9 / 5, 0.0, -4 / 5, -3 / 5, 3 / 5),
+       (3.0, -2 / 5, -9 / 5, -6 / 5, 7 / 5),
+       (157 / 35, -33 / 35, -108 / 35, -68 / 35, 87 / 35))
+
+
+def _bc_extrap_poly(fgc, axis, side, coefs):
+    m = fgc.shape[_ax(fgc, axis)]
+    inward = 1 if side == 0 else -1
+    _, _, bi = _plane_idx(m, side, 1)
+    for j, row in enumerate(coefs, start=1):
+        gi, _, _ = _plane_idx(m, side, j)
+        acc = None
+        for k, c in enumerate(row):
+            if c == 0.0:
+                continue
+            term = c * _take(fgc, axis, bi + inward * k)
+            acc = term if acc is None else acc + term
+        fgc = _put(fgc, axis, gi, acc)
+    return fgc
+
+
+def bc_extrap_e1(fgc, axis, side, val, ctx):
+    """'e1': quadratic extrapolation into the ghosts
+    (reference bcx_extrap_2_1)."""
+    return _bc_extrap_poly(fgc, axis, side, _E1)
+
+
+def bc_extrap_e2(fgc, axis, side, val, ctx):
+    """'e2': extrapolation (reference bcx_extrap_2_2)."""
+    return _bc_extrap_poly(fgc, axis, side, _E2)
+
+
+def bc_extrap_e3(fgc, axis, side, val, ctx):
+    """'e3': power-law (log-log) extrapolation — maintain f ∝ coordᵖ
+    (reference bcx_extrap_2_3).  Needs positive f and coordinates."""
+    m = fgc.shape[_ax(fgc, axis)]
+    cv = _coordvec(ctx, axis)
+    eps = 1e-30
+    for j in (1, 2, 3):
+        gi, mi, bi = _plane_idx(m, side, j)
+        yb = jnp.log(jnp.maximum(_take(fgc, axis, bi), eps))
+        ym = jnp.log(jnp.maximum(_take(fgc, axis, mi), eps))
+        xb = jnp.log(jnp.abs(cv[bi]))
+        xm = jnp.log(jnp.abs(cv[mi]))
+        xg = jnp.log(jnp.abs(cv[gi]))
+        slope = (yb - ym) / (xb - xm)
+        fgc = _put(fgc, axis, gi, jnp.exp(yb + slope * (xg - xb)))
+    return fgc
+
+
+def bc_symset0der(fgc, axis, side, val, ctx):
+    """'s0d': boundary value from the 6th-order one-sided zero-derivative
+    formula, then symmetric ghosts (reference bc_symset0der_x)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    inward = 1 if side == 0 else -1
+    _, _, bi = _plane_idx(m, side, 1)
+    w = (360.0, -450.0, 400.0, -225.0, 72.0, -10.0)
+    acc = None
+    for k, c in enumerate(w, start=1):
+        term = c * _take(fgc, axis, bi + inward * k)
+        acc = term if acc is None else acc + term
+    fgc = _put(fgc, axis, bi, acc / 147.0)
+    return bc_sym(fgc, axis, side, val, ctx, sign=1.0)
+
+
+def bc_van(fgc, axis, side, val, ctx):
+    """'v': vanishing third derivative — linear ramp of the boundary value
+    to zero across the ghosts (reference bc_van_x)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    _, _, bi = _plane_idx(m, side, 1)
+    bnd = _take(fgc, axis, bi)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, bnd * ((NGHOST + 1.0 - j) / (NGHOST + 1)))
+    return fgc
+
+
+def bc_van3rd(fgc, axis, side, val, ctx):
+    """'v3': vanishing third derivative via one-sided quadratic
+    extrapolation (reference bc_van3rd_y)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    d = _spacing(ctx, axis)
+    inward = 1 if side == 0 else -1
+    _, _, bi = _plane_idx(m, side, 1)
+    f0 = _take(fgc, axis, bi)
+    f1 = _take(fgc, axis, bi + inward)
+    f2 = _take(fgc, axis, bi + 2 * inward)
+    # one-sided first/second derivative along the inward direction
+    c1 = -(3.0 * f0 - 4.0 * f1 + f2) / (2.0 * d)
+    c2 = -(-f0 + 2.0 * f1 - f2) / (2.0 * d * d)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, f0 - c1 * (j * d) + c2 * (j * d) ** 2)
+    return fgc
+
+
+def bc_outflow(fgc, axis, side, val, ctx, force_ghost=False):
+    """'ouf' (and 'out' with force_ghost): allow outflow but no inflow —
+    pointwise symmetric where the boundary velocity points out,
+    antisymmetric (pinned to 0) where it points in (reference
+    bc_outflow_z); 'out' additionally clips any inward-pointing ghost."""
+    m = fgc.shape[_ax(fgc, axis)]
+    _, _, bi = _plane_idx(m, side, 1)
+    bnd = _take(fgc, axis, bi)
+    outflowing = (bnd < 0.0) if side == 0 else (bnd > 0.0)
+    fgc = _put(fgc, axis, bi, jnp.where(outflowing, bnd, 0.0))
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        mirror = _take(fgc, axis, mi)
+        ghost = jnp.where(outflowing, mirror, -mirror)
+        if force_ghost:
+            ghost = jnp.minimum(ghost, 0.0) if side == 0 else \
+                jnp.maximum(ghost, 0.0)
+        fgc = _put(fgc, axis, gi, ghost)
+    return fgc
+
+
+def bc_steady(fgc, axis, side, val, ctx):
+    """'ubs': copy boundary outflow but limit inflow gradient
+    (reference bc_steady_z)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    inward = 1 if side == 0 else -1
+    _, _, bi = _plane_idx(m, side, 1)
+    f0 = _take(fgc, axis, bi)
+    f1 = _take(fgc, axis, bi + inward)
+    outflowing = (f0 <= 0.0) if side == 0 else (f0 >= 0.0)
+    steep = (f0 > f1) if side == 0 else (f0 < f1)
+    g1 = jnp.where(outflowing, f0,
+                   jnp.where(steep, 0.5 * (f0 + f1), 2.0 * f0 - f1))
+    prev2, prev1 = f0, g1
+    fgc = _put(fgc, axis, bi - inward, g1)
+    for j in (2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        gj = jnp.where(outflowing, f0, 2.0 * prev1 - prev2)
+        fgc = _put(fgc, axis, gi, gj)
+        prev2, prev1 = prev1, gj
+    return fgc
+
+
+def bc_nfr(fgc, axis, side, val, ctx):
+    """'nfr': normal-field ("hedgehog") BC for spherical r — r·f symmetric:
+    f_ghost = f_mirror · r_mirror/r_ghost (reference bc_set_nfr_x)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    cv = _coordvec(ctx, axis)
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, _take(fgc, axis, mi) * (cv[mi] / cv[gi]))
+    return fgc
+
+
+def bc_sfr(fgc, axis, side, val, ctx):
+    """'sfr': stress-free BC for spherical r — f/r symmetric:
+    f_ghost = f_mirror · r_ghost/r_mirror (reference bc_set_sfree_x,
+    Λ-effect-free branch)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    cv = _coordvec(ctx, axis)
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, _take(fgc, axis, mi) * (cv[gi] / cv[mi]))
+    return fgc
+
+
+def bc_spr(fgc, axis, side, val, ctx):
+    """'spr': spherical perfect conductor — f(boundary)=0 and
+    r·f antisymmetric (reference bc_spr_x)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    cv = _coordvec(ctx, axis)
+    _, _, bi = _plane_idx(m, side, 1)
+    fgc = _put(fgc, axis, bi, jnp.zeros_like(_take(fgc, axis, bi)))
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, -_take(fgc, axis, mi) * (cv[mi] / cv[gi]))
+    return fgc
+
+
+def bc_ss_stemp(fgc, axis, side, val, ctx):
+    """'sT': symmetric temperature — ghost entropy compensates the density
+    ghosts so T is mirrored (reference bc_ss_stemp_x,
+    src/eos_idealgas.f90)."""
+    eos = ctx.eos
+    lnrho = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    cpmcv = eos.cp - eos.cp / eos.gamma
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        dlnrho = _take(lnrho, axis, mi) - _take(lnrho, axis, gi)
+        fgc = _put(fgc, axis, gi, _take(fgc, axis, mi) + cpmcv * dlnrho)
+    return fgc
+
+
+def bc_ss_temp_old(fgc, axis, side, val, ctx):
+    """'c2': constant temperature via the boundary plane (requires 'a2' on
+    lnrho) — reference bc_ss_temp_old.  val = target cs² (cs2bot/cs2top);
+    val == 0 uses the instantaneous boundary temperature."""
+    eos = ctx.eos
+    lnrho = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    _, _, bi = _plane_idx(m, side, 1)
+    g1 = (eos.gamma - 1.0) / eos.gamma
+    if val > 0.0:
+        ss_b = eos.cp * (jnp.log(val / eos.cs20) / eos.gamma
+                         - g1 * (_take(lnrho, axis, bi) - eos.lnrho0))
+    else:
+        ss_b = _take(fgc, axis, bi)
+    fgc = _put(fgc, axis, bi, ss_b)
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, 2.0 * ss_b - _take(fgc, axis, mi))
+    return fgc
+
+
+def bc_ism(fgc, axis, side, val, ctx):
+    """'ism': interstellar-run exponential density/entropy ghost profile
+    with scale height ``val`` (reference bc_ism; scale defaults to
+    density_scale_factor)."""
+    scale = val if val > 0 else 1.0
+    m = fgc.shape[_ax(fgc, axis)]
+    cv = _coordvec(ctx, axis)
+    _, _, bi = _plane_idx(m, side, 1)
+    bnd = _take(fgc, axis, bi)
+    if ctx.comp == "ss":
+        eos = ctx.eos
+        lnrho = _lnrho_comp(ctx)
+        cp = eos.cp
+        cvs = eos.cp / eos.gamma
+        lnrho_b = _take(lnrho, axis, bi)
+        for j in (1, 2, 3):
+            gi, _, _ = _plane_idx(m, side, j)
+            dist = jnp.abs(cv[gi] - cv[bi])
+            fgc = _put(fgc, axis, gi,
+                       bnd + (cp - cvs) * (lnrho_b - _take(lnrho, axis, gi))
+                       + cvs * jnp.log(dist * scale + 1.0))
+    else:
+        for j in (1, 2, 3):
+            gi, _, _ = _plane_idx(m, side, j)
+            dist = jnp.abs(cv[gi] - cv[bi])
+            fgc = _put(fgc, axis, gi, bnd - dist * scale)
+    return fgc
+
+
+def bc_cdz(fgc, axis, side, val, ctx):
+    """'cdz': geometric density decay into the ghosts (reference bc_cdz,
+    factor (1 − 1.11·dz) per layer)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    d = _spacing(ctx, axis)
+    fac = 1.0 - 1.11 * d
+    _, _, bi = _plane_idx(m, side, 1)
+    prev = _take(fgc, axis, bi)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        prev = prev * fac
+        fgc = _put(fgc, axis, gi, prev)
+    return fgc
+
+
+def bc_ctz(fgc, axis, side, val, ctx):
+    """'ctz': copy T into the ghosts — entropy ghosts track the (already
+    filled) density ghosts at constant temperature (reference bc_ctz)."""
+    eos = ctx.eos
+    lnrho = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    cpmcv = eos.cp - eos.cp / eos.gamma
+    _, _, bi = _plane_idx(m, side, 1)
+    prev_ss = _take(fgc, axis, bi)
+    prev_lnr = _take(lnrho, axis, bi)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        lnr = _take(lnrho, axis, gi)
+        prev_ss = prev_ss + cpmcv * (prev_lnr - lnr)
+        prev_lnr = lnr
+        fgc = _put(fgc, axis, gi, prev_ss)
+    return fgc
+
+
+def bc_set_div(fgc, axis, side, val, ctx):
+    """'div': set ∇·u = val on the boundary by fixing the normal-derivative
+    ghosts of u_normal (reference bc_set_div_z; normal component only)."""
+    from . import stencil as st
+    m = fgc.shape[_ax(fgc, axis)]
+    _, _, bi = _plane_idx(m, side, 1)
+    taxes = tuple(a for a in range(3) if a != axis)
+    # tangential divergence on the boundary plane from the other components
+    tang = None
+    for a2 in taxes:
+        comp = ("ux", "uy", "uz")[a2]
+        u2 = ctx.fg[ctx.reg.comp_index(comp)]
+        plane = _take(u2, axis, bi)            # ghosted in tangential axes
+        der = st.der(plane, a2, None)          # reduces a2 to interior
+        other = tuple(a for a in taxes if a != a2)
+        der = st.i(der, other)                 # crop the other tangential axis
+        d1 = (ctx.grid.dx_1, ctx.grid.dy_1, ctx.grid.dz_1)[a2]
+        shp = [1, 1, 1]
+        shp[a2] = -1
+        der = der * d1[NGHOST:-NGHOST].reshape(shp)
+        tang = der if tang is None else tang + der
+    # pad back to the ghosted plane shape (ghost corners take edge values;
+    # the reference only writes the interior of the ghost planes)
+    pads = [(0, 0)] * tang.ndim
+    for a in taxes:
+        pads[tang.ndim - 3 + a] = (NGHOST, NGHOST)
+    target = val - jnp.pad(tang, pads, mode="edge")
+    d = _spacing(ctx, axis)
+    sgn = -1.0 if side == 0 else 1.0
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi,
+                   _take(fgc, axis, mi) + sgn * 2.0 * j * d * target)
+    return fgc
+
+
+def bc_pole_periodic(fgc, axis, side, val, ctx, sign=1.0):
+    """'pp'/'ap': (anti)periodic across the spherical pole — ghost rows
+    mirror the first interior rows with the azimuth rotated by π
+    (reference bc_pper_y, src/boundcond.f90).  Requires axis==1 (θ) and an
+    unsharded φ axis; the staggered mirror assumes the first grid point
+    sits half a spacing from the pole."""
+    if axis != 1:
+        raise NotImplementedError("'pp'/'ap' pole BC is θ-axis only")
+    m = fgc.shape[_ax(fgc, axis)]
+    nz = fgc.shape[-1] - 2 * NGHOST
+    g = NGHOST
+    # φ rotation by π = roll of half the *interior* z extent; ghosted z
+    # is refilled afterwards by the z-axis pass (axis order x→y→z).
+    rolled = jnp.roll(fgc, nz // 2, axis=-1)
+    for j in (1, 2, 3):
+        gi, _, bi = _plane_idx(m, side, j)
+        src_idx = bi + (j - 1) if side == 0 else bi - (j - 1)
+        fgc = _put(fgc, axis, gi, sign * _take(rolled, axis, src_idx))
+    return fgc
+
+
+def bc_stratified(fgc, axis, side, val, ctx):
+    """'str': hydrostatic Gaussian stratification of density across a
+    spherical θ boundary: ln ρ_g = ln ρ_b − (z_g²−z_b²)/2H², z = r cosθ,
+    H = cs0·r (reference bc_stratified_y)."""
+    if axis != 1:
+        raise NotImplementedError("'str' is θ-axis only")
+    eos = ctx.eos
+    m = fgc.shape[_ax(fgc, axis)]
+    r = ctx.grid.x[:, None, None]      # (mx,1,1) broadcast over plane
+    H2 = (eos.cs0 * r) ** 2
+    cth = jnp.cos(_coordvec(ctx, axis))
+    _, _, bi = _plane_idx(m, side, 1)
+    za2 = (r * cth[bi]) ** 2
+    bnd = _take(fgc, axis, bi)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        zg2 = (r * cth[gi]) ** 2
+        fgc = _put(fgc, axis, gi, bnd - (zg2 - za2) / (2.0 * H2))
+    return fgc
+
+
+def bc_freeze(fgc, axis, side, val, ctx):
+    """'f': freeze the boundary value (df is zeroed on the boundary plane by
+    the freeze mask in Model) + antisymmetric-about-value ghosts
+    (reference bc_freeze_var + bc_sym REL)."""
+    return bc_sym(fgc, axis, side, val, ctx, about_value=True)
+
+
 BC_REGISTRY: Dict[str, Callable] = {
     "s": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=1.0),
     "a": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=-1.0),
     "a2": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, about_value=True),
     "set": bc_set,
     "der": bc_der,
-    "out": bc_out,
     "cT": bc_ss_temp,
     "c1": bc_ss_flux,
+    # census batch (see docstrings for reference routines)
+    "0": bc_zero,
+    "nil": lambda f, a, s, v, c: f,
+    "": lambda f, a, s, v, c: f,
+    "cop": bc_copy,
+    "e1": bc_extrap_e1,
+    "e2": bc_extrap_e2,
+    "e3": bc_extrap_e3,
+    "s0d": bc_symset0der,
+    "v": bc_van,
+    "v3": bc_van3rd,
+    "out": lambda f, a, s, v, c: bc_outflow(f, a, s, v, c, force_ghost=True),
+    "ouf": bc_outflow,
+    "ubs": bc_steady,
+    "nfr": bc_nfr,
+    "sfr": bc_sfr,
+    "spr": bc_spr,
+    "sT": bc_ss_stemp,
+    "c2": bc_ss_temp_old,
+    "ism": bc_ism,
+    "cdz": bc_cdz,
+    "ctz": bc_ctz,
+    "div": bc_set_div,
+    "pp": lambda f, a, s, v, c: bc_pole_periodic(f, a, s, v, c, sign=1.0),
+    "ap": lambda f, a, s, v, c: bc_pole_periodic(f, a, s, v, c, sign=-1.0),
+    "str": bc_stratified,
+    "f": bc_freeze,
+    "fg": bc_freeze,
 }
 
 
@@ -225,6 +657,7 @@ def apply_axis_bcs(fg, axis, bcs, reg, grid, cfg, eos=None,
     ctx = BCContext(fg, reg, grid, cfg, eos)
     for bc in bcs:
         ci = reg.comp_index(bc.comp)
+        ctx.comp = bc.comp
         fgc = fg[ci]
         for side, code, val in ((0, bc.low, bc.lval), (1, bc.high, bc.hval)):
             if code in ("p", "", "none"):

@@ -9,6 +9,7 @@ reference hand-codes in ``transp`` (src/mpicomm.f90:5298).  Solves
 up to a constant; f must have zero mean for solvability)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,3 +31,31 @@ def inverse_laplacian(f, spec):
     inv = jnp.where(k2 > 0, -1.0 / jnp.maximum(k2, 1e-30), 0.0)
     phik = fk * inv
     return jnp.real(jnp.fft.ifftn(phik, axes=(-3, -2, -1))).astype(f.dtype)
+
+
+def inverse_laplacian_sharded(f_local, spec, mesh_axis_names=None,
+                              mesh_shape=(1, 1, 1)):
+    """Global periodic Poisson solve from inside a ``shard_map`` region.
+
+    The reference's solve is global by construction (src/poisson.f90:85
+    over ``transp``-rotated full pencils, src/mpicomm.f90:5298); a local
+    per-shard FFT would silently solve nproc independent small problems.
+    Here each shard ``all_gather``s the source to the full grid, solves
+    spectrally, and slices its own block back out — O(N) replicated memory
+    per device, which is fine at the grid sizes a Poisson-gravity run uses;
+    an all_to_all transposed FFT is the scalable upgrade path.
+    """
+    names = mesh_axis_names or (None, None, None)
+    full = f_local
+    for axis in range(3):
+        if names[axis] is not None and mesh_shape[axis] > 1:
+            full = jax.lax.all_gather(full, names[axis], axis=axis,
+                                      tiled=True)
+    phi = inverse_laplacian(full, spec)
+    for axis in range(3):
+        if names[axis] is not None and mesh_shape[axis] > 1:
+            n_loc = phi.shape[axis] // mesh_shape[axis]
+            idx = jax.lax.axis_index(names[axis])
+            phi = jax.lax.dynamic_slice_in_dim(phi, idx * n_loc, n_loc,
+                                               axis=axis)
+    return phi

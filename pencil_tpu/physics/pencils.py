@@ -36,12 +36,19 @@ _OTHER_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
 
 class Pencils:
-    def __init__(self, fg, grid, reg, cfg, eos=None):
+    def __init__(self, fg, grid, reg, cfg, eos=None,
+                 mesh_axis_names=None, mesh_shape=(1, 1, 1)):
         self.fg = fg            # ghosted stack (nc, mx, my, mz)
         self.grid = grid
         self.reg = reg
         self.cfg = cfg
         self.eos = eos
+        # mesh topology of the enclosing shard_map region (None axis names
+        # = unsharded); modules needing GLOBAL operations (self-gravity
+        # Poisson solve, spectral transforms) must consult these rather
+        # than operating on the local shard alone.
+        self.mesh_axis_names = mesh_axis_names
+        self.mesh_shape = mesh_shape
         self._cache = {}
 
     # ---- raw derivative helpers (on stacked slices) --------------------

@@ -10,9 +10,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import ClassVar
 
+import jax
 import jax.numpy as jnp
 
-from ..ops.poisson import inverse_laplacian
+from ..ops.poisson import inverse_laplacian_sharded
 from .base import ModuleBase, accumulate
 
 
@@ -27,8 +28,16 @@ class SelfGravity(ModuleBase):
 
     def compute_aux(self, pen, halo1):
         rho = pen.rho()
-        src = 4.0 * jnp.pi * self.gravitational_const * (rho - jnp.mean(rho))
-        phi = inverse_laplacian(src, pen.cfg.grid)
+        # GLOBAL mean over the mesh (Jeans swindle): a local jnp.mean inside
+        # shard_map would subtract per-shard means and decouple the shards.
+        mean = jnp.mean(rho)
+        names = pen.mesh_axis_names or (None, None, None)
+        for n in names:
+            if n is not None:
+                mean = jax.lax.pmean(mean, n)
+        src = 4.0 * jnp.pi * self.gravitational_const * (rho - mean)
+        phi = inverse_laplacian_sharded(src, pen.cfg.grid, names,
+                                        pen.mesh_shape)
         return {"gpotself": phi}
 
     def rhs(self, pen, df, ts):

@@ -50,6 +50,37 @@ def test_sharded_matches_single_periodic(mesh):
                                    err_msg=k)
 
 
+def test_sharded_selfgravity_shock_matches_single():
+    """Self-gravity's Poisson solve and shock's max/smooth aux pass must be
+    GLOBAL operations: an 8-device run has to reproduce the single-device
+    fields (round-1 regression: a per-shard FFT solved 8 independent
+    periodic problems without erroring)."""
+    from pencil_tpu import SelfGravity, Shock
+
+    def cfg(mesh):
+        return Config(
+            grid=GridSpec(nx=16, ny=16, nz=16),
+            mesh=mesh,
+            time=TimeSpec(itorder=3),
+            modules=(
+                EosIdealGas(gamma=1.4, cs0=1.0),
+                Density(init="sinwave-z", ampl=0.2),
+                Hydro(init="gaussian-noise", ampl=1e-2),
+                Viscosity(ivisc=("nu-const", "nu-shock"), nu=2e-3,
+                          nu_shock=1.0),
+                SelfGravity(gravitational_const=0.05),
+                Shock(),
+            ),
+        )
+
+    ref, dt_ref = _run(cfg(MeshSpec(1, 1, 1)), 4, sharded=False)
+    shr, dt_shr = _run(cfg(MeshSpec(2, 2, 2)), 4, sharded=True)
+    assert abs(dt_ref - dt_shr) < 1e-5 * abs(dt_ref)
+    for k in ref:
+        np.testing.assert_allclose(shr[k], ref[k], rtol=5e-4, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_sharded_matches_single_nonperiodic_z():
     bcz = (BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
            BC.parse("lnrho", "a2"),
