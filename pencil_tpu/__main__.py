@@ -25,7 +25,7 @@ def cmd_start(args):
     from .model import Model
     cfg, info, _ = _load(args.rundir)
     model = Model(cfg)
-    state = model.init_state(args.seed)
+    state = model.init_state(args.seed, overrides=info.get("init_overrides"))
     datadir = os.path.join(args.rundir, "data")
     os.makedirs(datadir, exist_ok=True)
     save_snapshot(os.path.join(datadir, "var.npz"), state)
@@ -47,7 +47,7 @@ def cmd_run(args):
     if os.path.exists(os.path.join(datadir, "var.npz")) and not args.fresh:
         state = run.resume()
     else:
-        state = model.init_state(args.seed)
+        state = model.init_state(args.seed, overrides=info.get("init_overrides"))
     run.main_loop(state)
 
 

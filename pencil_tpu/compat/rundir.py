@@ -57,6 +57,72 @@ def _g(groups, name) -> Dict:
     return dict(groups.get(name, {}))
 
 
+def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
+    """``random_gen='nr_f90'``: reproduce the reference's machine-independent
+    RNG stream (src/general.f90 mars_ran) through start.x's exact draw order
+    (src/start.f90:383,416-423,451 — seed put, init_uu, init_lnrho,
+    init_energy, init_aa, ..., particles) and precompute the run.x helical
+    forcing draws, so sample goldens can be matched at format precision.
+
+    Returns (overrides, modules): interior-field init overrides (numpy) and
+    the module tuple with Forcing swapped to replay mode.  Single-rank
+    streams only (every committed golden runs ncpus=1 for nr_f90 samples).
+    """
+    from .pencil_rng import (forcing_hel_sequence, gaunoise_vect, read_k_dat,
+                             start_seed)
+
+    gen = run_pars.get("random_gen", init_pars.get("random_gen", ""))
+    if gen != "nr_f90":
+        return None, modules
+    seed0 = int(init_pars.get("seed0", 1812))
+    rng = start_seed(seed0, 0)
+    mx, my, mz = grid.nx + 6, grid.ny + 6, grid.nz + 6
+    overrides = {}
+
+    def noise_for(mod, field, ncomp):
+        if mod is None:
+            return
+        init = getattr(mod, "init", "nothing")
+        ampl = float(getattr(mod, "ampl", 0.0))
+        if init in ("gaussian-noise", "gaussian_noise") and ampl != 0.0:
+            full = gaunoise_vect(rng, ampl, mx, my, mz, ncomp)
+            arr = full[:, 3:-3, 3:-3, 3:-3]
+            overrides[field] = arr if ncomp > 1 else arr[0]
+
+    by_name = {m.name: m for m in modules}
+    # reference init cascade order (src/start.f90:416-423)
+    noise_for(by_name.get("hydro"), "uu", 3)
+    noise_for(by_name.get("density"),
+              "rho" if getattr(by_name.get("density"), "lnolog", False)
+              else "lnrho", 1)
+    noise_for(by_name.get("entropy"), "ss", 1)
+    noise_for(by_name.get("magnetic"), "aa", 3)
+
+    part = by_name.get("particles")
+    if part is not None and getattr(part, "init", "") == "random":
+        import numpy as np
+        npar = part.npar
+        draws = rng.draw(3 * npar).reshape(npar, 3)
+        lo = np.asarray([grid.x0, grid.y0, grid.z0], np.float32)
+        L = np.asarray([grid.Lx, grid.Ly, grid.Lz], np.float32)
+        overrides["particles_xp"] = lo + draws * L
+
+    forc = by_name.get("forcing")
+    kdat = os.path.join(path, "k.dat")
+    if forc is not None and os.path.exists(kdat):
+        nk, kav, kkx, kky, kkz = read_k_dat(kdat)
+        kk, phase, phi = forcing_hel_sequence(rng, nt, kkx, kky, kkz)
+        seq = tuple(
+            (float(kk[i, 0]), float(kk[i, 1]), float(kk[i, 2]),
+             float(phase[i]), float(phi[i]))
+            for i in range(nt))
+        modules = tuple(
+            Forcing(force=m.force, kf=m.kf, relhel=m.relhel,
+                    sequence=seq, kav=kav) if m.name == "forcing" else m
+            for m in modules)
+    return (overrides or None), modules
+
+
 def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     """→ (Config, info) where info carries run_pars (nt, it1, ...) and any
     unmapped parameters for the caller to inspect."""
@@ -242,7 +308,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             "cic" if par_p.get("lparticlemesh_cic") else "tsc")
         modules.append(ParticlesDust(
             npar=int(cpar.get("npar", 1024)),
-            tausp=float(par_p.get("tausp", 1.0)) or 1.0,
+            tausp=float(par_p.get("tausp", 0.0)),
             eps_dtog=float(par_p.get("eps_dtog", 0.0)),
             scheme=scheme,
             init=str(par_p.get("initxxp", "random")),
@@ -302,13 +368,18 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             out.append(BC.parse(comp, str(code), lval, hval))
         return tuple(out)
 
+    overrides, modules_final = _parity_replay(
+        path, tuple(modules), grid, int(run_pars.get("nt", 100)),
+        init_pars, run_pars, cpar)
+
     cfg = Config(
-        grid=grid, time=time, modules=tuple(modules),
+        grid=grid, time=time, modules=modules_final,
         bcx=bcs_for("bcx", None), bcy=bcs_for("bcy", None),
         bcz=bcs_for("bcz", None),
     )
     unmapped = [g for g in list(start) + list(run) if g not in known]
     info = {
+        "init_overrides": overrides,
         "run_pars": run_pars,
         "unmapped_groups": sorted(set(unmapped)),
         "nt": int(run_pars.get("nt", 100)),

@@ -47,36 +47,40 @@ RK_TABLES = {
 
 
 def cfl_dt1(ts, grid, time_cfg):
-    """Pointwise inverse-timestep field from the module accumulators."""
+    """Pointwise inverse-timestep field from the module accumulators —
+    reference-exact assembly (src/equ.f90:1100-1151):
+
+        maxadvec   = Σ advec_lin + √(advec_cs2 + …) + √(advec2_hypermesh)
+        dt1_advec  = maxadvec/cdt
+        dt1_diffus = maxdiffus·dxyz₂/cdtv + maxdiffus3·dxyz₆/cdtv3
+        dt1_max    = √(dt1_advec² + dt1_diffus²)
+
+    Note the LINEAR addition of the wave-speed root to the velocity
+    advection (not root-sum-square of the two), and the RSS combination of
+    the advective and diffusive classes at the end.
+    """
     dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
     adv = ts.maxadvec
-    adv2 = ts.advec_cs2
+    if not isinstance(ts.advec_cs2, float):
+        adv = adv + jnp.sqrt(ts.advec_cs2)
+    if not isinstance(ts.advec2_hypermesh, float):
+        adv = adv + jnp.sqrt(ts.advec2_hypermesh)
     dif = 0.0
     if not (isinstance(ts.maxdiffus, float) and ts.maxdiffus == 0.0):
         dif = ts.maxdiffus * dxyz2 / time_cfg.cdtv
     if not (isinstance(ts.maxdiffus3, float) and ts.maxdiffus3 == 0.0):
         dxyz6 = grid.dx1 ** 6 + grid.dy1 ** 6 + grid.dz1 ** 6
         dif = dif + ts.maxdiffus3 * dxyz6 / time_cfg.cdtv3
-    if all(isinstance(v, float) for v in (adv, adv2, dif)):
+    if isinstance(adv, float) and isinstance(dif, float):
         return jnp.zeros((1, 1, 1))
-    a2 = 0.0
-    if not isinstance(adv, float):
-        a2 = a2 + adv ** 2
-    if not isinstance(adv2, float):
-        a2 = a2 + adv2
-    # reference rule: dt = min(cdt/advec, cdtv/diffus) — the classes compete
-    # by MAX of rates, advec itself is sqrt(advec_uu² + advec_cs2)
-    # (src/equ.f90:916-931 + timestep.f90:148)
-    dt1_a = jnp.sqrt(a2) / time_cfg.cdt if not isinstance(a2, float) else 0.0
-    mesh = getattr(ts, "maxadvec_mesh", 0.0)
-    if not isinstance(mesh, float):
-        mesh = mesh * (64.0 / 60.0) / 2.5
-        dt1_a = jnp.maximum(dt1_a, mesh) if not isinstance(dt1_a, float) \
-            else mesh
+    dt1_a = adv / time_cfg.cdt if not isinstance(adv, float) else 0.0
     if isinstance(dif, float):
-        if isinstance(dt1_a, float):
-            return jnp.zeros((1, 1, 1))
-        return dt1_a + jnp.zeros((1, 1, 1))
-    if isinstance(dt1_a, float):
-        return dif + jnp.zeros((1, 1, 1))
-    return jnp.maximum(dt1_a, dif)
+        out = dt1_a + jnp.zeros((1, 1, 1))
+    elif isinstance(dt1_a, float):
+        out = dif + jnp.zeros((1, 1, 1))
+    else:
+        out = jnp.sqrt(dt1_a ** 2 + dif ** 2)
+    extra = getattr(ts, "dt1_extra", 0.0)
+    if not isinstance(extra, float):
+        out = jnp.maximum(out, extra)
+    return out

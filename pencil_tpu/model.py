@@ -22,7 +22,7 @@ from .core.farray import Registry
 from .core.grid import Grid, local_grid, make_grid
 from .integrate.timestep import RK_TABLES, cfl_dt1
 from .parallel.halo import fill_ghosts
-from .physics.base import TimestepAccum
+from .physics.base import ModuleBase, TimestepAccum
 from .physics.pencils import Pencils
 
 # Fixed RHS evaluation order (reference calc_all_pencils order,
@@ -98,7 +98,11 @@ class Model:
         )
 
     # ------------------------------------------------------------------
-    def init_state(self, seed: int = 0) -> Dict:
+    def init_state(self, seed: int = 0, overrides: Dict = None) -> Dict:
+        """``overrides``: field name → array (and 'particles_xp') replacing
+        the module-generated initial condition — used by the run-dir parity
+        path (compat.rundir._parity_replay) to install reference-exact
+        nr_f90 initial noise."""
         key = jax.random.PRNGKey(seed)
         fields: Dict[str, jnp.ndarray] = {}
         for m in self.modules:
@@ -126,6 +130,12 @@ class Model:
             state["key"] = key
             state["particles"] = self.particles.init_particles(
                 self.grid, self.cfg.grid, sub, self.dtype)
+        if overrides:
+            for name, arr in overrides.items():
+                if name == "particles_xp":
+                    state["particles"]["xp"] = jnp.asarray(arr, self.dtype)
+                else:
+                    state["fields"][name] = jnp.asarray(arr, self.dtype)
         return state
 
     # ------------------------------------------------------------------
@@ -248,6 +258,15 @@ class Model:
         tcfg = cfg.time
         alpha, beta, cstage = self.rk
         reg = self.reg
+        pre = state["fields"]
+        key0 = state["key"]
+        for m in self.modules:
+            if type(m).before_timestep is not ModuleBase.before_timestep:
+                key0, sub = jax.random.split(key0)
+                pre = m.before_timestep(pre, grid, cfg, reg, self.eos,
+                                        state["dt"], state["t"], sub,
+                                        it=state["it"])
+        state = {**state, "fields": pre, "key": key0}
         fa = reg.stack(state["fields"])
         nvar = reg.nvar
         df = jnp.zeros((nvar,) + fa.shape[1:], fa.dtype)
@@ -314,7 +333,7 @@ class Model:
         for m in self.modules:
             key, sub = jax.random.split(key)
             fields = m.after_timestep(fields, grid, cfg, reg, self.eos,
-                                      dt, t1, sub)
+                                      dt, t1, sub, it=state["it"])
         out = {
             "fields": fields,
             "t": t1,

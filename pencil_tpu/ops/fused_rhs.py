@@ -68,8 +68,9 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         raise NotImplementedError("fused RHS v1: uniform Cartesian only")
     nx, ny, nz = local_shape or (gs.nx, gs.ny, gs.nz)
     g = NGHOST
-    TX = tx or _choose_tile(nx, target=8)
-    TY = ty or _choose_tile(ny, target=32)
+    import os
+    TX = tx or int(os.environ.get("PC_TX", 0)) or _choose_tile(nx, target=8)
+    TY = ty or int(os.environ.get("PC_TY", 0)) or _choose_tile(ny, target=32)
     gx, gy = nx // TX, ny // TY
     nc = reg.ncom
     nvar = reg.nvar

@@ -158,12 +158,41 @@ def der6_upw(fg, axis, inv_d):
 
 
 def derij(fg, ax1, ax2, inv1=None, inv2=None):
-    """Mixed second derivative ∂²/∂x_i∂x_j (reference derij, bidiagonal
-    scheme replaced by straightforward composition — same accuracy)."""
+    """Mixed second derivative ∂²/∂x_i∂x_j by composition of two 1-D
+    first-derivative passes (reference derij_main with
+    lbidiagonal_derij=F)."""
     if ax1 == ax2:
         raise ValueError("use der2 for repeated axes")
     d1 = _der_n(fg, ax1, None, 1, 6)   # reduces ax1, keeps ax2 ghosted
     out = _der_n(d1, ax2, None, 1, 6)
+    if inv1 is not None:
+        out = out * inv1
+    if inv2 is not None:
+        out = out * inv2
+    return out
+
+
+def derij_bidiag(fg, ax1, ax2, inv1=None, inv2=None):
+    """Mixed second derivative, 12-point bidiagonal scheme — the
+    reference DEFAULT (``derij_main``, deriv.f90:1376-1420,
+    ``lbidiagonal_derij=.true.`` cdata.f90:568): 6th-order using only the
+    three neighbours on each half-diagonal, one pass instead of two."""
+    if ax1 == ax2:
+        raise ValueError("use der2 for repeated axes")
+    a1 = _axis_index(fg, ax1)
+    a2 = _axis_index(fg, ax2)
+    n1 = fg.shape[a1] - 2 * NGHOST
+    n2 = fg.shape[a2] - 2 * NGHOST
+    out = None
+    for o, c in zip((1, 2, 3), (270.0 / 720.0, -27.0 / 720.0, 2.0 / 720.0)):
+        for s1, s2, sgn in ((o, o, 1.0), (-o, o, -1.0),
+                            (-o, -o, 1.0), (o, -o, -1.0)):
+            sl = jax.lax.slice_in_dim(fg, NGHOST + s1, NGHOST + s1 + n1,
+                                      axis=a1)
+            sl = jax.lax.slice_in_dim(sl, NGHOST + s2, NGHOST + s2 + n2,
+                                      axis=a2)
+            t = (sgn * c) * sl
+            out = t if out is None else out + t
     if inv1 is not None:
         out = out * inv1
     if inv2 is not None:

@@ -94,7 +94,7 @@ class ParticlesDust(ModuleBase):
                     ug = jax.lax.psum(ug, n)
         else:
             ug = jnp.zeros_like(vp)
-        tausp1 = 1.0 / self.tausp
+        tausp1 = 1.0 / self.tausp if self.tausp > 0.0 else 0.0
         dvp = -(vp - ug) * tausp1
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz)
@@ -112,8 +112,10 @@ class ParticlesDust(ModuleBase):
                             mesh_axis_names=mesh_axis_names,
                             mesh_shape=mesh_shape)
             accumulate(df, "uu", fdrag * pen.rho1())
-        # drag CFL: like a diffusive rate 1/τ_s
-        ts.advec(tausp1 * 0.1)
+        # drag CFL: dt1_drag = max(1/τ_s)/cdtp_drag joins dt1_max by max
+        # (reference particles_dust.f90:4839-4908, cdtp_drag=0.2)
+        if tausp1 > 0.0:
+            ts.max_rate(tausp1 / 0.2)
         return {"xp": dxp, "vp": dvp}
 
     def wrap_positions(self, pstate, spec):

@@ -21,6 +21,7 @@ class TimestepAccum:
     def __init__(self):
         self.maxadvec = 0.0    # Σ_a |u_a|·dline_1_a  (linear advection terms)
         self.advec_cs2 = 0.0   # (cs² + vA²)·Σ_a Δ_a⁻²  (wave speeds, squared)
+        self.advec2_hypermesh = 0.0  # Σ (ν₃ᵐ·π⁻⁵·√dxyz₂)² (mesh hyperdiff)
         self.maxdiffus = 0.0   # max(ν, η, χ, D) — scaled by dxyz_2 at the end
         self.maxdiffus3 = 0.0  # hyper-diffusivities — scaled by dxyz_6
 
@@ -28,18 +29,22 @@ class TimestepAccum:
         self.maxadvec = self.maxadvec + val
 
     def advec_mesh(self, val):
-        """Mesh-hyperdiffusion stability rate: the Nyquist damping rate of
-        the ν₃ᵐ·δ⁶/(60Δ) term is ν₃ᵐ·(64/60)·Σ1/Δ; explicit RK3 tolerates
-        dt·rate ≲ 2.5, so it enters dt1 directly as rate/2.5 (independent
-        of cdt)."""
-        self.maxadvec_mesh = jnp.maximum(
-            getattr(self, "maxadvec_mesh", 0.0), val)
+        """Mesh-hyperdiffusion advection-class rate.  Reference semantics
+        (src/density.f90:2801-2803 etc.): each module adds
+        (coef·π⁻⁵·√dxyz₂)² into advec2_hypermesh, whose square root joins
+        maxadvec linearly (src/equ.f90:1100-1107)."""
+        self.advec2_hypermesh = self.advec2_hypermesh + val * val
 
     def advec2(self, val):
         """Squared wave-speed CFL term (reference advec_cs2/advec_va2:
         combined as dt1_advec = sqrt(advec_uu² + advec_cs2)/cdt,
         src/equ.f90:916-931)."""
         self.advec_cs2 = self.advec_cs2 + val
+
+    def max_rate(self, val):
+        """A rate that joins dt1_max directly by MAX (reference per-class
+        dt1_... = max(dt1_..., rate) terms like particle drag)."""
+        self.dt1_extra = jnp.maximum(getattr(self, "dt1_extra", 0.0), val)
 
     def diffus(self, val):
         self.maxdiffus = jnp.maximum(self.maxdiffus, val)
@@ -72,7 +77,18 @@ class ModuleBase:
         """Initial condition for this module's fields (reference init_X)."""
         return {}
 
-    def after_timestep(self, state, grid, cfg, reg, eos, dt, t, key):
+    def before_timestep(self, state, grid, cfg, reg, eos, dt, t, key,
+                        it=None):
+        """Applied at the START of each full step (before RK substeps).
+        Replay-mode forcing lands here so diagnostics sample the state at
+        the same point as the reference time loop, which prints BEFORE
+        addforce (src/run.f90:696-729): our state after step N then equals
+        the reference's it=N time-series row."""
+        return state
+
+    def after_timestep(self, state, grid, cfg, reg, eos, dt, t, key,
+                       it=None):
         """Applied once per full step outside the RK substeps (reference
-        run.f90:729 addforce and X_after_timestep hooks)."""
+        run.f90:729 addforce and X_after_timestep hooks).  ``it`` is the
+        0-based index of the step just completed (traced int32)."""
         return state

@@ -63,7 +63,8 @@ class Density(ModuleBase):
             pi5_1 = 1.0 / 306.0196847852814
             out = out + self.diffrho_hyper3_mesh * pi5_1 * sum(
                 pen.d6_raw("lnrho", a)[0] * d1[a] / 60.0 for a in range(3))
-            ts.advec_mesh(self.diffrho_hyper3_mesh * pi5_1 * sum(d1))
+            ts.advec_mesh(self.diffrho_hyper3_mesh * pi5_1
+                          * jnp.sqrt(d1[0]**2 + d1[1]**2 + d1[2]**2))
         accumulate(df, "lnrho", out)
 
     def init_fields(self, grid, spec, eos, key, cfg=None):

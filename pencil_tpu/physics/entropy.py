@@ -97,7 +97,8 @@ class Entropy(ModuleBase):
             pi5_1 = 1.0 / 306.0196847852814
             out = out + self.chi_hyper3_mesh * pi5_1 * sum(
                 pen.d6_raw("ss", a)[0] * d1[a] / 60.0 for a in range(3))
-            ts.advec_mesh(self.chi_hyper3_mesh * pi5_1 * sum(d1))
+            ts.advec_mesh(self.chi_hyper3_mesh * pi5_1
+                          * jnp.sqrt(d1[0]**2 + d1[1]**2 + d1[2]**2))
 
         # viscous + ohmic heating published by those modules
         heat = pen._cache.get("visc_heat")

@@ -57,7 +57,7 @@ class Hydro(ModuleBase):
         accumulate(df, "uu", out)
 
         # advective CFL (reference split: advec_uu linear, advec_cs2/va2
-        # squared — dt1 = sqrt(advec_uu² + advec_cs2)/cdt)
+        # squared — maxadvec = advec_uu + sqrt(advec_cs2), equ.f90:1100)
         ceff2 = pen.cs2()
         if "aa" in pen.reg.slots:
             ceff2 = ceff2 + pen.va2()

@@ -44,7 +44,7 @@ class Interstellar(ModuleBase):
         net = self.heat_uv - rho * lam
         accumulate(df, "ss", net * pen.rho1() * pen.TT1())
 
-    def after_timestep(self, fields, grid, cfg, reg, eos, dt, t, key):
+    def after_timestep(self, fields, grid, cfg, reg, eos, dt, t, key, it=None):
         # NOTE: the hook receives the FIELDS dict (see Model._local_step)
         if self.sn_interval <= 0.0 or "ss" not in fields:
             return fields

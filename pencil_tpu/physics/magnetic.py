@@ -1,7 +1,11 @@
 """Induction equation for the vector potential A (reference
 ``src/magnetic.f90``, ``daa_dt`` at :4229-5589):
 
-    ∂A/∂t = u×B − η µ₀ J  (+ η₃ hyperresistivity)     (Weyl gauge)
+    ∂A/∂t = u×B + η ∇²A  (+ η₃ hyperresistivity)    (resistive gauge,
+                                                     the reference default
+                                                     lweyl_gauge=F,
+                                                     magnetic.f90:319,4394)
+or, with lweyl_gauge=True, −ηµ₀J instead of η∇²A.
 
 Evolving A keeps ∇·B = 0 to machine precision (reference magnetic.f90:4229
 comment).  µ₀ = 1 code units.  The Lorentz force (J×B)/ρ is added to the
@@ -28,6 +32,7 @@ class Magnetic(ModuleBase):
     B_ext: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     llorentzforce: bool = True
     lohmic_heat: bool = True
+    lweyl_gauge: bool = False
     init: str = "zero"
     ampl: float = 0.0
     kx: float = 1.0
@@ -40,8 +45,13 @@ class Magnetic(ModuleBase):
     def rhs(self, pen, df, ts):
         out = pen.uxb()
         if self.eta > 0.0:
-            # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A); pen.jj is metric-aware
-            out = out - self.eta * pen.jj()
+            if self.lweyl_gauge:
+                # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A); pen.jj metric-aware
+                out = out - self.eta * pen.jj()
+            else:
+                # resistive gauge η∇²A — the reference default
+                # (magnetic.f90:4399)
+                out = out + self.eta * pen.del2a()
             ts.diffus(self.eta)
         if self.eta_hyper3 > 0.0:
             out = out + self.eta_hyper3 * pen.del6v_scaled("aa")

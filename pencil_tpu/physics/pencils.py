@@ -107,8 +107,14 @@ class Pencils:
         if ax1 == ax2:
             return self.d2(name, ax1)
         a, b = min(ax1, ax2), max(ax1, ax2)
-        out = st._der_n(self._d_partial(name, a), b, None, 1, 6)
         rest = tuple(set((0, 1, 2)) - {a, b})
+        if self.cfg is None or self.cfg.grid.coords == "cartesian":
+            # one-pass 12-point bidiagonal scheme — the reference default
+            # (lbidiagonal_derij, deriv.f90:1376); pointwise metric factors
+            # make it exact on stretched grids too (no x'' term in d²/didj)
+            out = st.derij_bidiag(self._gh(name), a, b)
+        else:
+            out = st._der_n(self._d_partial(name, a), b, None, 1, 6)
         return interior(out, rest) * self._inv(a) * self._inv(b)
 
     @_memo

@@ -80,7 +80,7 @@ class TestfieldZ(ModuleBase):
         accumulate(df, "aatest", jnp.concatenate(out, axis=0))
         ts.diffus(self.etatest)
 
-    def after_timestep(self, fields, grid, cfg, reg, eos, dt, t, key):
+    def after_timestep(self, fields, grid, cfg, reg, eos, dt, t, key, it=None):
         if self.daainit <= 0:
             return fields
         # rescale when t crosses a multiple of daainit (traced-safe)

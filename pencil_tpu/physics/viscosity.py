@@ -76,7 +76,8 @@ class Viscosity(ModuleBase):
             fvisc = fvisc + self.nu_hyper3_mesh * pi5_1 * sum(
                 pen.d6_raw("uu", a) * d1[a] / 60.0 for a in range(3)
             )
-            ts.advec_mesh(self.nu_hyper3_mesh * pi5_1 * sum(d1))
+            ts.advec_mesh(self.nu_hyper3_mesh * pi5_1
+                          * jnp.sqrt(d1[0]**2 + d1[1]**2 + d1[2]**2))
         if not isinstance(fvisc, float):
             accumulate(df, "uu", fvisc)
         if not isinstance(heat, float):
