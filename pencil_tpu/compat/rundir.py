@@ -53,6 +53,11 @@ def _as_tuple(v):
     return tuple(v) if isinstance(v, list) else (v,)
 
 
+def _first(v):
+    """Namelist arrays like kx_lnrho(ninit): take the first entry."""
+    return v[0] if isinstance(v, list) else v
+
+
 def _g(groups, name) -> Dict:
     return dict(groups.get(name, {}))
 
@@ -160,6 +165,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         itorder=int(run_pars.get("itorder", 3)),
         cdt=float(run_pars.get("cdt", 0.9)),
         cdtv=float(run_pars.get("cdtv", 0.25)),
+        cdtv3=float(run_pars.get("cdtv3", 0.25)),
         dt=float(run_pars.get("dt", 0.0)),
         dtmin=float(run_pars.get("dtmin", 1e-10)),
     )
@@ -190,10 +196,27 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
             lnolog=bool(den_p.get("ldensity_nolog", False)),
             diffrho=float(den_p.get("diffrho", den_p.get("cdiffrho", 0.0))),
+            # idiff selects the operators (reference src/density.f90
+            # multi-select); samples only set a diffrho_* coefficient when
+            # the matching idiff label is chosen, so presence == selection
             diffrho_hyper3=float(den_p.get("diffrho_hyper3", 0.0)),
+            diffrho_hyper3_mesh=float(den_p.get("diffrho_hyper3_mesh", 0.0)),
             rho_left=float(den_p.get("rho_left", 1.0)),
             rho_right=float(den_p.get("rho_right", 1.0)),
+            kx=float(_first(den_p.get("kx_lnrho", 1.0))),
         ))
+
+    sg_p = grp("selfgrav")
+    known.update({"poisson_init_pars", "poisson_run_pars"})
+    if sg_p:
+        import math as _math
+        from ..physics.selfgravity import SelfGravity
+        # reference: rhs_poisson_const = 4πG (src/selfgravity.f90:33,112)
+        if float(sg_p.get("gravitational_const", 0.0)) > 0.0:
+            G = float(sg_p.get("gravitational_const"))
+        else:
+            G = float(sg_p.get("rhs_poisson_const", 1.0)) / (4.0 * _math.pi)
+        modules.append(SelfGravity(gravitational_const=G))
 
     hyd_p = grp("hydro")
     if "hydro_init_pars" in start or hyd_p:

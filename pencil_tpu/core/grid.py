@@ -110,11 +110,22 @@ def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
                   x = x0 + L·(sinh(a(ξ−½))/(2 sinh(a/2)) + ½)
     """
     m = n + 2 * nghost
+    if n == 1:
+        # degenerate dimension: centered coordinate, ZERO inverse metric
+        # (reference src/grid.f90 "if (nxgrid==1) ... dx_1 = 0"), so the
+        # axis contributes nothing to derivatives or CFL sums
+        coords = np.full((m,), x0 + 0.5 * L)
+        return (np.asarray(coords, dtype), np.zeros((m,), dtype),
+                np.zeros((m,), dtype))
     if periodic:
         dxi = 1.0 / n
+        # periodic axes are cell-centered — the reference ALWAYS half-cell
+        # shifts them (``if (lperi) xi = xi + 0.5``, src/grid.f90:141), so
+        # the first point sits at x0 + dx/2, never on x0
+        xi = dxi * (np.arange(-nghost, n + nghost) + 0.5)
     else:
         dxi = 1.0 / max(n - 1, 1)
-    xi = dxi * np.arange(-nghost, n + nghost)   # uniform computational coord
+        xi = dxi * np.arange(-nghost, n + nghost)   # node-centered
 
     if func == "uniform":
         coords = x0 + L * xi

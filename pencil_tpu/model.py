@@ -105,10 +105,17 @@ class Model:
         nr_f90 initial noise."""
         key = jax.random.PRNGKey(seed)
         fields: Dict[str, jnp.ndarray] = {}
+        additive = []   # "+name" keys: cross-field contributions ADDED after
         for m in self.modules:
             key, sub = jax.random.split(key)
-            fields.update(m.init_fields(self.grid, self.cfg.grid,
-                                        self.eos, sub, self.cfg))
+            for k, v in m.init_fields(self.grid, self.cfg.grid,
+                                      self.eos, sub, self.cfg).items():
+                if k.startswith("+"):
+                    additive.append((k[1:], v))
+                else:
+                    fields[k] = v
+        for k, v in additive:
+            fields[k] = fields.get(k, 0.0) + v
         # ensure every registered slot exists
         for name, slot in self.reg.slots.items():
             if name not in fields:

@@ -41,11 +41,16 @@ class Density(ModuleBase):
             if self.diffrho > 0.0:
                 out = out + self.diffrho * pen.del2s("rho")
                 ts.diffus(self.diffrho)
+            if self.diffrho_hyper3 > 0.0:
+                out = out + self.diffrho_hyper3 * pen.del6s_scaled("rho")
+                ts.diffus3(self.diffrho_hyper3)
             if self.diffrho_hyper3_mesh > 0.0:
                 d1 = pen.dline_1()
                 pi5_1 = 1.0 / 306.0196847852814
                 out = out + self.diffrho_hyper3_mesh * pi5_1 * sum(
                     pen.d6_raw("rho", a)[0] * d1[a] / 60.0 for a in range(3))
+                ts.advec_mesh(self.diffrho_hyper3_mesh * pi5_1
+                              * jnp.sqrt(d1[0]**2 + d1[1]**2 + d1[2]**2))
             accumulate(df, "rho", out)
             return
         out = -pen.ugrad("lnrho", upwind=self.lupw_lnrho) - pen.divu()
@@ -93,6 +98,24 @@ class Density(ModuleBase):
                 isothtop=ent.isothtop if ent else 1, width=self.width)
             return {"lnrho": lnrho[None, None, :]
                     * jnp.ones(spec.shape, grid.z.dtype)}
+        if self.init == "jeans-wave-x":
+            # Jeans wave: lnρ = A sin(kx·x), ux += |ω_J A| sin(kx·x + arg)
+            # with ω_J = sqrt(cs₀²kx² − rhs_poisson·ρ₀)/(ρ₀ kx)
+            # (reference src/density.f90:1526-1549); rhs_poisson = 4πG.
+            sg = cfg.module("selfgravity") if cfg else None
+            rhs_pc = 4.0 * math.pi * (sg.gravitational_const if sg else 0.0)
+            rho0 = eos.rho0 if eos else 1.0
+            cs20 = eos.cs20 if eos else 1.0
+            om2 = cs20 * self.kx ** 2 - rhs_pc * rho0
+            omega = complex(om2, 0.0) ** 0.5 / (rho0 * self.kx)
+            x = grid.xg
+            ones = jnp.ones(spec.shape, grid.x.dtype)
+            lnrho = self.ampl * jnp.sin(self.kx * x) * ones
+            oa = omega * self.ampl
+            ux = abs(oa) * jnp.sin(self.kx * x
+                                   + math.atan2(oa.imag, oa.real)) * ones
+            uu = jnp.stack([ux, jnp.zeros_like(ux), jnp.zeros_like(ux)])
+            return {"lnrho": lnrho, "+uu": uu}
         from .initcond import init_scalar
         return {"lnrho": init_scalar(self.init, grid, spec, eos, key,
                                      ampl=self.ampl, width=self.width,

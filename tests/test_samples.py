@@ -164,3 +164,60 @@ def test_kelvin_helmholtz_golden(tmp_path):
     # perturbation seeded at the reference level, still small at t≈0.17
     np.testing.assert_allclose(ours["ruy2m"][0], ref["ruy2m"][0], rtol=0.3)
     assert ours["ruy2m"][-1] < 2e-3
+
+
+@needs_ref
+def test_jeans_x_golden():
+    """samples/1d-tests/jeans-x: Jeans-instability growth — self-gravity
+    Poisson solve + hydro, matched to the committed golden at format
+    precision through 3 decades of exponential growth (deterministic IC,
+    reference src/density.f90:1526 'jeans-wave-x')."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/jeans-x")
+    assert cfg.module("selfgravity") is not None
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    rows = [l.split() for l in
+            open(f"{REF}/1d-tests/jeans-x/reference.out")
+            if l.strip() and not l.startswith("#")]
+    gold = {int(float(r[0])): (float(r[1]), float(r[2]), float(r[3]))
+            for r in rows}
+
+    def diag(s):
+        uu = np.asarray(s["fields"]["uu"], np.float64)
+        rho = np.exp(np.asarray(s["fields"]["lnrho"], np.float64))
+        return np.sqrt((uu ** 2).sum(0)).max(), rho.max()
+
+    umax, rhomax = diag(state)
+    np.testing.assert_allclose(umax, gold[0][1], rtol=0.01, atol=5e-5)
+    for it in range(1, max(gold) + 1):
+        state = step(state)
+        if it in gold:
+            t_ref, umax_ref, rhomax_ref = gold[it]
+            umax, rhomax = diag(state)
+            np.testing.assert_allclose(float(state["t"]), t_ref, atol=0.011)
+            np.testing.assert_allclose(umax, umax_ref, rtol=0.01, atol=5e-5)
+            np.testing.assert_allclose(rhomax, rhomax_ref, rtol=0.002)
+
+
+@needs_ref
+def test_hyperdiffusion_golden():
+    """samples/1d-tests/hyperdiffusion: Nyquist square wave damped by
+    hyper3 + hyper3-mesh diffusion (ldensity_nolog, Euler step).  Exercises
+    the half-cell-shifted periodic grid (the IC is sin(8x) = ±1 ONLY on the
+    shifted grid), degenerate-axis zero metrics, and the mesh-hyper CFL.
+    dt matches at format precision."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/hyperdiffusion")
+    model = Model(cfg)
+    state = model.init_state(0)
+    rho = np.asarray(state["fields"]["rho"], np.float64)
+    np.testing.assert_allclose([rho.max(), rho.min(), rho.mean()],
+                               [2.0, 0.5, 1.25], rtol=1e-6)
+    step = model.make_step()
+    state = step(state)
+    rho = np.asarray(state["fields"]["rho"], np.float64)
+    np.testing.assert_allclose(float(state["dt"]), 1.545530e-01, rtol=1e-5)
+    np.testing.assert_allclose(rho.max(), 1.9928328466, rtol=1e-6)
+    np.testing.assert_allclose(rho.min(), 0.5071671534, rtol=1e-6)

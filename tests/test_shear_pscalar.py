@@ -74,5 +74,8 @@ def test_passive_scalar_advection_diffusion():
         state = step(state)
     cc = np.asarray(state["fields"]["cc"])
     amp = np.abs(cc).max()
-    expect = np.exp(-D * 1.0 ** 2 * T)
+    # the half-cell-shifted periodic grid (reference convention) puts the
+    # sine crest midway between points: max sampled |sin| = cos(dx/2)
+    crest = np.cos(np.pi / 32)
+    expect = crest * np.exp(-D * 1.0 ** 2 * T)
     np.testing.assert_allclose(amp, expect, rtol=2e-3)
