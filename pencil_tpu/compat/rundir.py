@@ -37,15 +37,30 @@ def parse_makefile_local(path) -> Dict[str, str]:
 
 
 def parse_cparam_local(path) -> Dict[str, int]:
-    """Extract name=value integer constants from a cparam.local."""
+    """Extract name=value integer constants from a cparam.local.
+
+    Values may be simple integer expressions over previously defined names
+    (the reference uses e.g. ``nzgrid=1024/4``, ``nprocy=ncpus/nprocz``),
+    evaluated left to right like the Fortran parameter statements."""
     out = {}
     if not os.path.exists(path):
         return out
     with open(path) as f:
         for line in f:
             line = line.split("!")[0]
-            for m in re.finditer(r"(\w+)\s*=\s*(\d+)", line):
-                out[m.group(1).lower()] = int(m.group(2))
+            if "::" in line:
+                line = line.split("::", 1)[1]
+            for part in line.split(","):
+                m = re.match(r"\s*(\w+)\s*=\s*([\w+\-*/() ]+?)\s*$", part)
+                if not m:
+                    continue
+                name, expr = m.group(1).lower(), m.group(2).lower()
+                if not re.fullmatch(r"[0-9a-z_+\-*/() ]+", expr):
+                    continue
+                try:
+                    out[name] = int(eval(expr, {"__builtins__": {}}, out))
+                except Exception:
+                    pass
     return out
 
 
@@ -192,6 +207,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(Density(
             init=str(den_p.get("initlnrho", "zero")),
             ampl=float(den_p.get("ampllnrho", 0.0)),
+            rho_const=float(den_p.get("rho_const", 1.0)),
             width=float(den_p.get("widthlnrho", 0.05)),
             lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
             lnolog=bool(den_p.get("ldensity_nolog", False)),
@@ -204,6 +220,23 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             rho_left=float(den_p.get("rho_left", 1.0)),
             rho_right=float(den_p.get("rho_right", 1.0)),
             kx=float(_first(den_p.get("kx_lnrho", 1.0))),
+        ))
+
+    nv_p = grp("neutralvelocity")
+    nd_p = grp("neutraldensity")
+    if nv_p or nd_p:
+        from ..physics.neutrals import Neutrals
+        modules.append(Neutrals(
+            csn0=float(nv_p.get("csn0", 1.0)),
+            colldrag=float(nv_p.get("colldrag", 0.0)),
+            nun=float(nv_p.get("nun", 0.0)),
+            electron_pressure=float(nv_p.get("electron_pressure", 1.0))
+            if nv_p.get("lelectron_pressure") else 0.0,
+            zeta=float(nd_p.get("zeta", 0.0)),
+            alpha=float(nd_p.get("alpha", 0.0)),
+            lnolog=bool(nd_p.get("lneutraldensity_nolog", False)),
+            rhon0=float(nd_p.get("rhon_const", 1.0)),
+            init=str(nv_p.get("inituun", "zero")),
         ))
 
     sg_p = grp("selfgrav")
@@ -361,20 +394,31 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         if codes is None:
             return ()
         codes = codes if isinstance(codes, list) else [codes]
-        pairs = list(zip(comp_names, codes))
+        # per-component BC values: fbcz = bottom, fbcz2 = top (reference
+        # fbcx/fbcy/fbcz(:,k) arrays read from the init_pars namelist)
+        fbc_lo = init_pars.get("f" + axis_key, run_pars.get("f" + axis_key))
+        fbc_hi = init_pars.get("f" + axis_key + "2",
+                               run_pars.get("f" + axis_key + "2"))
+        fbc_lo = fbc_lo if isinstance(fbc_lo, list) else None
+        fbc_hi = fbc_hi if isinstance(fbc_hi, list) else None
+        pairs = [(c, code, i) for i, (c, code) in
+                 enumerate(zip(comp_names, codes))]
         # apply density BCs before entropy (cT/c1 read lnrho ghosts)
         pairs.sort(key=lambda p: 1 if p[0] == "ss" else 0)
         ent = next((m for m in modules if m.name == "entropy"), None)
         grav = next((m for m in modules if m.name == "gravity"), None)
         eos = next((m for m in modules if m.name == "eos"), None)
         out = []
-        for comp, code in pairs:
+        for comp, code, ci in pairs:
             lval = hval = 0.0
             parts = str(code).split(":")
             lo_code = parts[0]
             hi_code = parts[-1]
             for side, c in ((0, lo_code), (1, hi_code)):
                 v = 0.0
+                arr = fbc_lo if side == 0 else fbc_hi
+                if arr is not None and ci < len(arr):
+                    v = float(arr[ci])
                 if c == "cT" and ent is not None and ent.cs2cool > 0:
                     v = ent.cs2cool
                 elif c == "c1" and ent is not None and grav is not None \

@@ -29,6 +29,7 @@ class Density(ModuleBase):
     kz: float = 1.0
     rho_left: float = 1.0      # for init='xjump'
     rho_right: float = 1.0
+    rho_const: float = 1.0     # for init='const_rho'
 
     def register(self, reg):
         reg.register("rho" if self.lnolog else "lnrho", 1, "pde")
@@ -79,6 +80,11 @@ class Density(ModuleBase):
             out = Density(**{**self.__dict__, "lnolog": False}).init_fields(
                 grid, spec, eos, key, cfg)
             return {"rho": jnp.exp(out["lnrho"])}
+        if self.init in ("const_rho", "const_lnrho"):
+            lnrho0 = math.log(self.rho_const) if self.init == "const_rho" \
+                else self.ampl
+            return {"lnrho": jnp.full(spec.shape, lnrho0,
+                                      dtype=grid.x.dtype)}
         if self.init == "xjump":
             from .initcond import init_scalar
             return {"lnrho": init_scalar(

@@ -57,13 +57,11 @@ class Hydro(ModuleBase):
         accumulate(df, "uu", out)
 
         # advective CFL (reference split: advec_uu linear, advec_cs2/va2
-        # squared — maxadvec = advec_uu + sqrt(advec_cs2), equ.f90:1100)
-        ceff2 = pen.cs2()
-        if "aa" in pen.reg.slots:
-            ceff2 = ceff2 + pen.va2()
+        # squared — maxadvec = advec_uu + sqrt(advec_cs2), equ.f90:1100;
+        # the Alfvén contribution is accumulated by Magnetic, anisotropic)
         d1 = pen.dline_1()
         ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
-        ts.advec2(ceff2 * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
+        ts.advec2(pen.cs2() * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector

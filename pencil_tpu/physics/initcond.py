@@ -58,6 +58,10 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         return jnp.stack([ampl * jnp.sin(kz * z) + zero, zero, zero])
     if name == "coswave-x":
         return jnp.stack([ampl * jnp.cos(kx * x) + zero, zero, zero])
+    if name == "linear-zx":
+        # A_y = −½·A·z²/Lz → B_x = A·z/Lz (reference magnetic.f90:2110)
+        ay = -0.5 * ampl * z ** 2 / spec.Lz + zero
+        return jnp.stack([zero, ay, zero])
     if name == "beltrami-x":
         # A = (0, sin(kx x), cos(kx x)): force-free, ∇×A = k A
         return jnp.stack([zero,

@@ -67,6 +67,15 @@ class Magnetic(ModuleBase):
             ts.diffus(self.meanfield_etat)
         accumulate(df, "aa", out)
 
+        if "uu" in pen.reg.slots:
+            # anisotropic Alfvén CFL: advec_va2 = Σ(B_i·dline_1_i)²/(µ0ρ)
+            # (reference magnetic.f90:5438) — waves along degenerate axes
+            # impose no constraint
+            bb = pen.bb()
+            d1 = pen.dline_1()
+            ts.advec2(sum((bb[a] * d1[a]) ** 2 for a in range(3))
+                      * pen.rho1())
+
         if self.llorentzforce and "uu" in pen.reg.slots:
             accumulate(df, "uu", pen.jxbr())
         if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:

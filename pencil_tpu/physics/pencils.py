@@ -108,7 +108,10 @@ class Pencils:
             return self.d2(name, ax1)
         a, b = min(ax1, ax2), max(ax1, ax2)
         rest = tuple(set((0, 1, 2)) - {a, b})
-        if self.cfg is None or self.cfg.grid.coords == "cartesian":
+        import os
+        use_bidiag = (os.environ.get("PC_DERIJ", "bidiag") == "bidiag")
+        if use_bidiag and (self.cfg is None
+                           or self.cfg.grid.coords == "cartesian"):
             # one-pass 12-point bidiagonal scheme — the reference default
             # (lbidiagonal_derij, deriv.f90:1376); pointwise metric factors
             # make it exact on stretched grids too (no x'' term in d²/didj)
@@ -264,12 +267,45 @@ class Pencils:
         return self.del2v("uu")
 
     @_memo
-    def graddivu(self):
-        """∇(∇·u): (3, nx, ny, nz)."""
+    def dij_comp(self, name, comp, ax1, ax2):
+        """Mixed second derivative of ONE component — avoids the 3×
+        over-compute of dij() when only a single component is consumed
+        (the graddiv pattern)."""
+        if ax1 == ax2:
+            return self.d2(name, ax1)[comp]
+        a, b = min(ax1, ax2), max(ax1, ax2)
+        rest = tuple(set((0, 1, 2)) - {a, b})
+        gh = self._gh(name)[comp:comp + 1]
+        if self.cfg is None or self.cfg.grid.coords == "cartesian":
+            out = st.derij_bidiag(gh, a, b)
+        else:
+            key = ("_dp1", name, comp, a)
+            if key not in self._cache:
+                self._cache[key] = st._der_n(gh, a, None, 1, 6)
+            out = st._der_n(self._cache[key], b, None, 1, 6)
+        return (interior(out, rest) * self._inv(a) * self._inv(b))[0]
+
+    def _graddiv(self, name):
+        """∇(∇·v) with single-component cross terms; the diagonal reuses
+        the del2 second derivatives (reference del2v_etc GRADDIV)."""
+        import os
+        if os.environ.get("PC_GRADDIV", "comp") == "batch":
+            return jnp.stack([
+                sum(self.dij(name, a, j)[j] for j in range(3))
+                for a in range(3)])
         out = []
         for a in range(3):
-            out.append(sum(self.dij("uu", a, j)[j] for j in range(3)))
+            acc = self.d2(name, a)[a]
+            for j in range(3):
+                if j != a:
+                    acc = acc + self.dij_comp(name, j, a, j)
+            out.append(acc)
         return jnp.stack(out)
+
+    @_memo
+    def graddivu(self):
+        """∇(∇·u): (3, nx, ny, nz)."""
+        return self._graddiv("uu")
 
     # ---- density (either lnρ or ρ slot: reference ldensity_nolog) ------
     @_memo
@@ -416,10 +452,7 @@ class Pencils:
 
     @_memo
     def graddiva(self):
-        out = []
-        for a in range(3):
-            out.append(sum(self.dij("aa", a, j)[j] for j in range(3)))
-        return jnp.stack(out)
+        return self._graddiv("aa")
 
     @_memo
     def jj(self):

@@ -221,3 +221,45 @@ def test_hyperdiffusion_golden():
     np.testing.assert_allclose(float(state["dt"]), 1.545530e-01, rtol=1e-5)
     np.testing.assert_allclose(rho.max(), 1.9928328466, rtol=1e-6)
     np.testing.assert_allclose(rho.min(), 0.5071671534, rtol=1e-6)
+
+
+@needs_ref
+def test_ambipolar_diffusion_golden():
+    """samples/1d-tests/ambipolar_diffusion: two-fluid ion-neutral plasma
+    (colldrag + ionization/recombination + electron pressure) relaxing a
+    stratified Bx(z) — dt exact, mean velocities/urms ≤0.5%."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/ambipolar_diffusion")
+    assert cfg.grid.shape == (1, 1, 256)
+    assert cfg.module("neutrals").colldrag == 10.0
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    gold = {}
+    for ln in open(f"{REF}/1d-tests/ambipolar_diffusion/reference.out"):
+        if ln.strip() and not ln.startswith("#"):
+            r = [float(v) for v in ln.split()]
+            gold[int(r[0])] = r[1:]  # t dt rhom rhonm uzm unzm urms vA2m bmax
+
+    def diag(s):
+        f = s["fields"]
+        rho = np.asarray(f["rho"], np.float64)
+        uu = np.asarray(f["uu"], np.float64)
+        uun = np.asarray(f["uun"], np.float64)
+        ay = np.asarray(f["aa"], np.float64)[1]
+        bx = -np.gradient(ay, 1.0 / 255, axis=2)
+        return (uu[2].mean(), uun[2].mean(),
+                np.sqrt((uu ** 2).sum(0).mean()),
+                (bx ** 2 / np.maximum(rho, 1e-30)).mean())
+
+    for it in range(1, 21):
+        state = step(state)
+        if it in gold:
+            g = gold[it]
+            uzm, unzm, urms, va2m = diag(state)
+            np.testing.assert_allclose(float(state["t"]), g[0], atol=2e-5)
+            np.testing.assert_allclose(float(state["dt"]), g[1], rtol=0.01)
+            np.testing.assert_allclose(uzm, g[4], rtol=0.005)
+            np.testing.assert_allclose(unzm, g[5], rtol=0.005)
+            np.testing.assert_allclose(urms, g[6], rtol=0.005)
+            np.testing.assert_allclose(va2m, g[7], rtol=0.005)
