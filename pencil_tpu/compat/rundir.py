@@ -222,6 +222,37 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             kx=float(_first(den_p.get("kx_lnrho", 1.0))),
         ))
 
+    cr_p = grp("cosmicray")
+    if cr_p:
+        from ..physics.cosmicray import CosmicRay
+        modules.append(CosmicRay(
+            gammacr=float(cr_p.get("gammacr", 4.0 / 3.0)),
+            Kperp=float(cr_p.get("cosmicray_diff",
+                                 cr_p.get("k_perp", 0.0))),
+            Kpara=float(cr_p.get("k_para", 0.0)),
+            init={"const_ecr": "const"}.get(str(cr_p.get("initecr", "const")),
+                 str(cr_p.get("initecr", "const"))),
+            ampl=float(cr_p.get("ecr_const", cr_p.get("amplecr", 0.0))),
+        ))
+
+    ch_p = grp("chiral")
+    if ch_p:
+        from ..physics.smallslots import Chiral
+        modules.append(Chiral(
+            chiral_diff=float(ch_p.get("chiral_diff", 0.0)),
+            chiral_diffXX=float(ch_p.get("chiral_diffxx", -1.0)),
+            crossinhibition=float(ch_p.get("chiral_crossinhibition", 1.0)),
+            fidelity=float(ch_p.get("chiral_fidelity", 1.0)),
+            initX=str(ch_p.get("initxx_chiral", "zero")),
+            initY=str(ch_p.get("inityy_chiral", "zero")),
+            amplX=float(ch_p.get("amplxx_chiral", 0.0)),
+            amplY=float(ch_p.get("amplyy_chiral", 0.0)),
+            radiusX=float(ch_p.get("radiusxx_chiral", 1.0)),
+            radiusY=float(ch_p.get("radiusyy_chiral", 1.0)),
+            xposX=float(ch_p.get("xposxx_chiral", 0.0)),
+            xposY=float(ch_p.get("xposyy_chiral", 0.0)),
+        ))
+
     nv_p = grp("neutralvelocity")
     nd_p = grp("neutraldensity")
     if nv_p or nd_p:

@@ -162,12 +162,15 @@ class Model:
         if self._fused_ok and z_unsharded:
             # fused path: ghost x/y in HBM (ppermute across shards when
             # sharded), z halo is built in VMEM by the kernel (keeps the
-            # lane dim 128-aligned for DMA)
+            # lane dim 128-aligned for DMA); the kernel's sublane-alignment
+            # padding rides the same single jnp.pad via extra_hi
+            fused = self._fused_rhs(tuple(fa.shape[1:]))
             fg_xy = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                                 self.reg, grid, cfg, self.eos,
                                 mesh_axis_names, mesh_shape, axes=(0, 1),
-                                shear_dy=shear_dy)
-            dfa, dt1 = self._fused_rhs(tuple(fa.shape[1:]))(fg_xy, grid.z)
+                                shear_dy=shear_dy,
+                                extra_hi=(0, fused.ypad, 0))
+            dfa, dt1 = fused(fg_xy, grid.z)
             return dfa, dt1, None
         fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                          self.reg, grid, cfg, self.eos,
@@ -295,11 +298,12 @@ class Model:
                 shear = cfg.module("shear")
                 sdy = shear.deltay(t_sub, cfg.grid.Lx, cfg.grid.Ly) \
                     if shear else None
+                fused = self._fused_rhs(tuple(fa.shape[1:]), True)
                 fg_xy = fill_ghosts(fa[: reg.ncom], cfg.grid, self.bc_axes,
                                     reg, grid, cfg, self.eos,
                                     mesh_axis_names, mesh_shape, axes=(0, 1),
-                                    shear_dy=sdy)
-                fused = self._fused_rhs(tuple(fa.shape[1:]), True)
+                                    shear_dy=sdy,
+                                    extra_hi=(0, fused.ypad, 0))
                 df, fa_new, _ = fused(fg_xy, grid.z, df,
                                       alpha[isub], beta[isub] * dt)
                 if reg.nf > nvar:

@@ -80,7 +80,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     dy1 = 1.0 / gs.dy
     dz1 = 1.0 / gs.dz
 
-    def body(i, j, tile_fn, z_ref):
+    def body(i, j, tile_fn, z_ref, want_dt1=True):
         """Shared RHS evaluation on the DMA'd tile; returns (dfa, dt1max)."""
         tile = tile_fn()
         dt = tile.dtype
@@ -109,6 +109,10 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
                 d = d[None]
             parts.append(d)
         dfa = jnp.concatenate(parts, axis=0)
+        if not want_dt1:
+            # 2N-RK substeps 2+ reuse substep 1's dt — skip the pointwise
+            # CFL field (exp/sqrt per point) and its reduction entirely
+            return tile, dfa, jnp.zeros((), dt)
         dt1 = cfl_dt1(ts, tgrid, cfg.time)
         return tile, dfa, jnp.max(dt1)
 
@@ -160,7 +164,8 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         i = pl.program_id(0)
         j = pl.program_id(1)
         tile, dfa, dt1m = body(
-            i, j, lambda: _dma_tile(fg_ref, scratch, sem, i, j), z_ref)
+            i, j, lambda: _dma_tile(fg_ref, scratch, sem, i, j), z_ref,
+            want_dt1=False)
         alpha = ab_ref[0, 0]
         beta_dt = ab_ref[0, 1]
         dfn = alpha * dfp_ref[:] + dfa
@@ -202,11 +207,13 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         )
 
         def rhs_fused(fg, z_vec):
-            if ypad:
+            if ypad and fg.shape[2] == ny + 2 * g:
                 # high-side y padding so every DMA slab is sublane-aligned
+                # (callers that pre-pad via fill_ghosts extra_hi skip this)
                 fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
             return call(fg, z_vec.reshape(1, -1))
 
+        rhs_fused.ypad = ypad
         return rhs_fused
 
     call = pl.pallas_call(
@@ -231,10 +238,11 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     )
 
     def rhs_fused_update(fg, z_vec, df_prev, alpha, beta_dt):
-        if ypad:
+        if ypad and fg.shape[2] == ny + 2 * g:
             fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
         ab = jnp.stack([jnp.asarray(alpha, dtype),
                         jnp.asarray(beta_dt, dtype)]).reshape(1, 2)
         return call(fg, z_vec.reshape(1, -1), df_prev, ab)
 
+    rhs_fused_update.ypad = ypad
     return rhs_fused_update

@@ -23,11 +23,15 @@ from ..ops.boundary import apply_axis_bcs
 from ..ops.stencil import NGHOST
 
 
-def _wrap_axis(fg: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Periodic fill of one spatial axis from the local interior."""
+def _wrap_axis(fg: jnp.ndarray, axis: int, extra: int = 0) -> jnp.ndarray:
+    """Periodic fill of one spatial axis from the local interior.
+
+    ``extra`` = alignment padding beyond the high ghost zone (ignored by
+    the wrap; the fused kernel's sublane-aligned DMA slabs read into it).
+    """
     g = NGHOST
     ax = fg.ndim - 3 + axis
-    m = fg.shape[ax]
+    m = fg.shape[ax] - extra
     hi_int = jax.lax.slice_in_dim(fg, m - 2 * g, m - g, axis=ax)
     lo_int = jax.lax.slice_in_dim(fg, g, 2 * g, axis=ax)
     fg = jax.lax.dynamic_update_slice_in_dim(fg, hi_int, 0, axis=ax)
@@ -35,11 +39,12 @@ def _wrap_axis(fg: jnp.ndarray, axis: int) -> jnp.ndarray:
     return fg
 
 
-def _exchange_axis(fg: jnp.ndarray, axis: int, axis_name: str, psize: int) -> jnp.ndarray:
+def _exchange_axis(fg: jnp.ndarray, axis: int, axis_name: str, psize: int,
+                   extra: int = 0) -> jnp.ndarray:
     """ppermute ring exchange of ghost slabs along one sharded mesh axis."""
     g = NGHOST
     ax = fg.ndim - 3 + axis
-    m = fg.shape[ax]
+    m = fg.shape[ax] - extra
     hi_int = jax.lax.slice_in_dim(fg, m - 2 * g, m - g, axis=ax)
     lo_int = jax.lax.slice_in_dim(fg, g, 2 * g, axis=ax)
     fwd = [(i, (i + 1) % psize) for i in range(psize)]
@@ -64,6 +69,7 @@ def fill_ghosts(
     mesh_shape: Tuple[int, int, int] = (1, 1, 1),
     axes: Tuple[int, ...] = (0, 1, 2),
     shear_dy=None,
+    extra_hi: Tuple[int, int, int] = (0, 0, 0),
 ) -> jnp.ndarray:
     """Interior stack (nc, nx, ny, nz) → ghosted stack (nc, mx, my, mz).
 
@@ -76,21 +82,23 @@ def fill_ghosts(
     """
     g = NGHOST
     pad = [(0, 0)] * (fa.ndim - 3) + [
-        (g, g) if a in axes else (0, 0) for a in range(3)
+        (g, g + extra_hi[a]) if a in axes else (0, 0) for a in range(3)
     ]
     fg = jnp.pad(fa, pad)
     for axis in axes:
+        if extra_hi[axis]:
+            assert spec.periodic[axis], "extra_hi only on periodic axes"
         name = mesh_axis_names[axis] if mesh_axis_names else None
         psize = mesh_shape[axis]
         if name is not None and psize > 1:
-            fg = _exchange_axis(fg, axis, name, psize)
+            fg = _exchange_axis(fg, axis, name, psize, extra_hi[axis])
             if not spec.periodic[axis]:
                 idx = jax.lax.axis_index(name)
                 edge = (idx == 0, idx == psize - 1)
                 fg = apply_axis_bcs(fg, axis, bc_axes[axis], reg, grid, cfg,
                                     eos, edge_mask=edge)
         else:
-            fg = _wrap_axis(fg, axis)
+            fg = _wrap_axis(fg, axis, extra_hi[axis])
             if not spec.periodic[axis]:
                 fg = apply_axis_bcs(fg, axis, bc_axes[axis], reg, grid, cfg,
                                     eos, edge_mask=(True, True))

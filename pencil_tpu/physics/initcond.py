@@ -58,6 +58,17 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         return jnp.stack([ampl * jnp.sin(kz * z) + zero, zero, zero])
     if name == "coswave-x":
         return jnp.stack([ampl * jnp.cos(kx * x) + zero, zero, zero])
+    if name in ("soundwave-x", "soundwave-y", "soundwave-z"):
+        # u_i = sqrt(|A/k|)·sin(k·x_i) (reference initcond.f90:2316
+        # soundwave; width envelope unsupported → width=0 case)
+        axis = "xyz".index(name[-1])
+        k = (kx, ky, kz)[axis]
+        fac = abs(ampl / k) ** 0.5 * (1.0 if ampl >= 0 else -1.0)
+        c = (x, y, z)[axis]
+        w = fac * jnp.sin(k * c) + zero
+        out = [zero, zero, zero]
+        out[axis] = w
+        return jnp.stack(out)
     if name == "linear-zx":
         # A_y = −½·A·z²/Lz → B_x = A·z/Lz (reference magnetic.f90:2110)
         ay = -0.5 * ampl * z ** 2 / spec.Lz + zero

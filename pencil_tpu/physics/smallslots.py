@@ -25,38 +25,81 @@ from .base import ModuleBase, accumulate
 
 @dataclass(frozen=True)
 class Chiral(ModuleBase):
+    """Chirality equations in reduced form (reference ``src/chiral.f90``
+    ``dXY_chiral_dt`` :253-435, q-bio/0401036): enantiomer concentrations
+    X, Y advected and diffused, with the BAHN autocatalysis reaction
+
+        RR_X = X + ci·Y,  RR_Y = Y + ci·X
+        X₂ = ½X²/RR_X,    Y₂ = ½Y²/RR_Y,   R21 = 1/(X₂+Y₂)
+        dX += (p·X₂ + q·Y₂)·R21 − X·RR_X,  p = ½(1+f), q = ½(1−f)
+        dY += (p·Y₂ + q·X₂)·R21 − Y·RR_Y
+
+    (f = chiral_fidelity, ci = chiral_crossinhibition)."""
+
     name: ClassVar[str] = "chiral"
 
-    diffXX: float = 1e-3
-    lambda5: float = 1.0      # chiral feedback coupling
-    init: str = "const"
-    ampl: float = 1e-2
+    chiral_diff: float = 0.0          # YY diffusion
+    chiral_diffXX: float = -1.0       # XX diffusion (<0 → use chiral_diff)
+    crossinhibition: float = 1.0
+    fidelity: float = 1.0
+    reaction: str = "BAHN_model"
+    initX: str = "zero"
+    initY: str = "zero"
+    amplX: float = 0.0
+    amplY: float = 0.0
+    radiusX: float = 1.0
+    radiusY: float = 1.0
+    xposX: float = 0.0
+    xposY: float = 0.0
 
     def register(self, reg):
         reg.register("XX_chiral", 1, "pde")
         reg.register("YY_chiral", 1, "pde")
 
     def rhs(self, pen, df, ts):
+        tini = 1e-30
         XX = pen.field("XX_chiral")
         YY = pen.field("YY_chiral")
-        outX = -pen.ugrad("XX_chiral") + self.diffXX * pen.del2s("XX_chiral")
-        outY = -pen.ugrad("YY_chiral") + self.diffXX * pen.del2s("YY_chiral")
-        if "aa" in pen.reg.slots:
-            # chiral magnetic effect: E += −μ5 B (total chirality conserved:
-            # transfer between X−Y and magnetic helicity)
-            mu5 = XX - YY
-            accumulate(df, "aa", self.lambda5 * mu5 * pen.bb())
-            # back-reaction on μ5 via <J·B>-like overlap
-            jb = sum(pen.jj()[a] * pen.bb()[a] for a in range(3))
-            outX = outX - self.lambda5 * jb
-            outY = outY + self.lambda5 * jb
-        ts.diffus(self.diffXX)
+        diffXX = self.chiral_diffXX if self.chiral_diffXX >= 0.0 \
+            else self.chiral_diff
+        outX = self.chiral_diff * 0.0
+        outX = -pen.ugrad("XX_chiral") + diffXX * pen.del2s("XX_chiral")
+        outY = -pen.ugrad("YY_chiral") \
+            + self.chiral_diff * pen.del2s("YY_chiral")
+        if self.reaction == "BAHN_model":
+            RRX = XX + YY * self.crossinhibition
+            RRY = YY + XX * self.crossinhibition
+            X2 = 0.5 * XX ** 2 / jnp.maximum(RRX, tini)
+            Y2 = 0.5 * YY ** 2 / jnp.maximum(RRY, tini)
+            R21 = 1.0 / jnp.maximum(X2 + Y2, tini)
+            pp = 0.5 * (1.0 + self.fidelity)
+            qq = 0.5 * (1.0 - self.fidelity)
+            outX = outX + (pp * X2 + qq * Y2) * R21 - XX * RRX
+            outY = outY + (pp * Y2 + qq * X2) * R21 - YY * RRY
+        ts.diffus(max(diffXX, self.chiral_diff))
         accumulate(df, "XX_chiral", outX)
         accumulate(df, "YY_chiral", outY)
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
+        def blob(ampl, radius, xpos):
+            # reference sub.f90:5450 blob: ampl·exp(−(r−r0)²/radius²)
+            fact = 1.0 / radius ** 2
+            return ampl * (jnp.exp(-fact * (grid.xg - xpos) ** 2)
+                           * jnp.exp(-fact * grid.yg ** 2)
+                           * jnp.exp(-fact * grid.zg ** 2)
+                           ) * jnp.ones(spec.shape, grid.x.dtype)
+
         z = jnp.zeros(spec.shape, grid.x.dtype)
-        return {"XX_chiral": z + self.ampl, "YY_chiral": z}
+        out = {"XX_chiral": z, "YY_chiral": z}
+        if self.initX == "blob":
+            out["XX_chiral"] = blob(self.amplX, self.radiusX, self.xposX)
+        elif self.initX == "const":
+            out["XX_chiral"] = z + self.amplX
+        if self.initY == "blob":
+            out["YY_chiral"] = blob(self.amplY, self.radiusY, self.xposY)
+        elif self.initY == "const":
+            out["YY_chiral"] = z + self.amplY
+        return out
 
 
 @dataclass(frozen=True)

@@ -263,3 +263,86 @@ def test_ambipolar_diffusion_golden():
             np.testing.assert_allclose(unzm, g[5], rtol=0.005)
             np.testing.assert_allclose(urms, g[6], rtol=0.005)
             np.testing.assert_allclose(va2m, g[7], rtol=0.005)
+
+
+@needs_ref
+def test_chiral_diffusion_golden():
+    """samples/chiral-diffusion: BAHN-model chirality autocatalysis
+    (reference src/chiral.f90 dXY_chiral_dt) from two gaussian blobs —
+    matches the golden to format precision at every printed row."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/chiral-diffusion")
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    gold = {}
+    for ln in open(f"{REF}/chiral-diffusion/reference.out"):
+        if ln.strip() and not ln.startswith("#"):
+            r = [float(v) for v in ln.split()]
+            gold[int(r[0])] = r[1:]  # t dt XXm YYm XXmax YYmax
+    for it in range(1, max(gold) + 1):
+        state = step(state)
+        if it in gold:
+            g = gold[it]
+            X = np.asarray(state["fields"]["XX_chiral"], np.float64)
+            Y = np.asarray(state["fields"]["YY_chiral"], np.float64)
+            np.testing.assert_allclose(float(state["dt"]), g[1], rtol=1e-3)
+            np.testing.assert_allclose(X.mean(), g[2], atol=1e-4)
+            np.testing.assert_allclose(Y.mean(), g[3], atol=1e-4)
+            np.testing.assert_allclose(X.max(), g[4], atol=2e-4)
+            np.testing.assert_allclose(Y.max(), g[5], atol=2e-4)
+
+
+@needs_ref
+def test_cosmicray_golden():
+    """samples/cosmicray: CR energy density in a nonlinear sound wave
+    (cosmicray_nolog + pressure force).  Early rows at sub-percent; later
+    rows at few-percent (steepening-wave trajectory divergence in f32)."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/cosmicray")
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    gold = {}
+    for ln in open(f"{REF}/cosmicray/reference.out"):
+        if ln.strip() and not ln.startswith("#"):
+            r = [float(v) for v in ln.split()]
+            gold[int(r[0])] = r[1:]  # t dt urms rhom ecrm ecrmax
+    for it in range(1, 101):
+        state = step(state)
+        if it in gold:
+            g = gold[it]
+            f = state["fields"]
+            uu = np.asarray(f["uu"], np.float64)
+            ecr = np.asarray(f["ecr"], np.float64)
+            tol = 0.01 if it <= 50 else 0.05
+            np.testing.assert_allclose(float(state["t"]), g[0], rtol=0.01)
+            np.testing.assert_allclose(np.sqrt((uu ** 2).sum(0).mean()),
+                                       g[2], rtol=tol)
+            np.testing.assert_allclose(ecr.mean(), g[4], rtol=0.005)
+            np.testing.assert_allclose(ecr.max(), g[5], rtol=2 * tol)
+
+
+@needs_ref
+@pytest.mark.parametrize("variant,nt", [("sod_10", 200), ("sod_1000", 300)])
+def test_sod_variants_golden(tmp_path, variant, nt):
+    """samples/1d-tests/sod_10 and sod_1000: the other committed Sod
+    pressure ratios (10:1, 1000:1) — same machinery as sod_100, different
+    jump, chi, nu, and box."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/{variant}")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=nt, it1=50,
+                               print_columns=("it", "t", "dt", "urms",
+                                              "ekin", "ethm", "ruxm",
+                                              "rhom")),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/1d-tests/{variant}/reference.out")
+    np.testing.assert_allclose(ours["rhom"], ref["rhom"][0], rtol=1e-3)
+    for col, tol in (("ekin", 0.06), ("ethm", 0.01), ("ruxm", 0.06)):
+        ref_interp = np.interp(ours["t"], ref["t"], ref[col])
+        np.testing.assert_allclose(ours[col][2:], ref_interp[2:], rtol=tol,
+                                   err_msg=col)
