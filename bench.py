@@ -33,15 +33,29 @@ def main():
     state = model.init_state(0)
     step = model.make_step()
 
+    # production inner loop: scan a chunk of steps inside one jit (the run
+    # driver's between-diagnostics pattern) so per-step dispatch amortizes
+    import jax.numpy as jnp
+
+    chunk = int(os.environ.get("BENCH_CHUNK", 5))
+
+    @jax.jit
+    def steps(state):
+        def body(s, _):
+            return model._local_step(s, model.grid), ()
+        s, _ = jax.lax.scan(body, state, None, length=chunk)
+        return s
+
     for _ in range(nwarm):
-        state = step(state)
+        state = steps(state)
     jax.block_until_ready(state["fields"]["uu"])
 
     t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state = step(state)
+    for _ in range(nsteps // chunk):
+        state = steps(state)
     jax.block_until_ready(state["fields"]["uu"])
     elapsed = time.perf_counter() - t0
+    nsteps = (nsteps // chunk) * chunk
 
     npts = n ** 3
     updates_per_s = nsteps * npts / elapsed

@@ -89,11 +89,11 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             dz1=jnp.asarray(dz1, dt),
             dx_1=jnp.full((TX + 2 * g,), dx1, dt),
             dy_1=jnp.full((TY + 2 * g,), dy1, dt),
-            dz_1=jnp.full((nz + 2 * g,), dz1, dt),
+            dz_1=jnp.full((nz,), dz1, dt),
             zg=z_ref[0, g:-g][None, None, :],
             z=z_ref[0],
         )
-        pen = Pencils(tile, tgrid, reg, cfg, eos)
+        pen = Pencils(tile, tgrid, reg, cfg, eos, wrap_z=True)
         df = {}
         ts = TimestepAccum()
         for m in model.modules:
@@ -145,11 +145,10 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             dma_for(it + 1, nslot).start()
 
         dma_for(it, slot).wait()
-        txy = scratch[slot, :, :, : TY + 2 * g, :]
-        # z is periodic and spans the full extent per tile: build the z halo
-        # in VMEM (lane-dim concat) so HBM stays 128-aligned.
-        return jnp.concatenate([txy[..., nz - g:], txy, txy[..., :g]],
-                               axis=-1)
+        # z is periodic and spans the full extent per tile: stencils along
+        # z use circular rolls (Pencils wrap_z), so the tile needs NO z
+        # halo and no copy — HBM slabs stay 128-lane aligned.
+        return scratch[slot, :, :, : TY + 2 * g, :]
 
     def kernel(fg_ref, z_ref, df_ref, dt1_ref, scratch, sem):
         i = pl.program_id(0)
@@ -170,7 +169,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         beta_dt = ab_ref[0, 1]
         dfn = alpha * dfp_ref[:] + dfa
         df_ref[:] = dfn
-        fa_ref[:] = (tile[:nvar, g:-g, g:-g, g:-g] + beta_dt * dfn)
+        fa_ref[:] = (tile[:nvar, g:-g, g:-g, :] + beta_dt * dfn)
         dt1_ref[i, j] = dt1m
 
     vmem_bytes = (nc * (TX + 2 * g) * (TY + 2 * g) * (nz + 2 * g)) * 4

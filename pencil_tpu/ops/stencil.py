@@ -56,12 +56,25 @@ def _axis_index(fg: jnp.ndarray, axis: int) -> int:
 
 
 def _stencil_axis(fg: jnp.ndarray, axis: int, weights: Sequence[float],
-                  offsets: Sequence[int]) -> jnp.ndarray:
-    """Weighted sum of shifted slices along one spatial axis; m → m-2*NGHOST."""
+                  offsets: Sequence[int], wrap: bool = False) -> jnp.ndarray:
+    """Weighted sum of shifted slices along one spatial axis; m → m-2*NGHOST.
+
+    With ``wrap=True`` the axis is treated as periodic WITHOUT ghost zones:
+    shifts become circular rolls and the extent is unchanged (used by the
+    fused kernel for the full-extent periodic z axis — no halo, no copy).
+    """
     ax = _axis_index(fg, axis)
+    out = None
+    if wrap:
+        for o, w in zip(offsets, weights):
+            if w == 0.0:
+                continue
+            s = jnp.roll(fg, -o, axis=ax) if o != 0 else fg
+            term = w * s if w != 1.0 else s
+            out = term if out is None else out + term
+        return out if out is not None else jnp.zeros_like(fg)
     m = fg.shape[ax]
     n = m - 2 * NGHOST
-    out = None
     for o, w in zip(offsets, weights):
         if w == 0.0:
             continue
@@ -86,14 +99,14 @@ def i(arr: jnp.ndarray, axes=(0, 1, 2), g: int = NGHOST) -> jnp.ndarray:
     return arr[tuple(idx)]
 
 
-def _der_n(fg, axis, inv_d, deriv, accuracy):
+def _der_n(fg, axis, inv_d, deriv, accuracy, wrap=False):
     hw = (deriv + accuracy - 1) // 2
     hw = max(hw, (deriv + 1) // 2)
     if hw > NGHOST:
         raise ValueError(f"stencil halfwidth {hw} exceeds nghost={NGHOST}")
     offs = central_offsets(NGHOST)  # always use the full 7-pt stencil
     w = fd_weights(offs, deriv)
-    out = _stencil_axis(fg, axis, w, offs)
+    out = _stencil_axis(fg, axis, w, offs, wrap=wrap)
     if inv_d is not None:
         out = out * _pow_scale(inv_d, deriv)
     return out
@@ -105,20 +118,20 @@ def _pow_scale(inv_d, p):
     return inv_d ** p
 
 
-def der(fg, axis, inv_d=None):
+def der(fg, axis, inv_d=None, wrap=False):
     """1st derivative, 6th-order central (reference der_main, deriv.f90:89)."""
-    return _der_n(fg, axis, inv_d, 1, 6)
+    return _der_n(fg, axis, inv_d, 1, 6, wrap=wrap)
 
 
-def der2(fg, axis, inv_d=None, tilde=None):
+def der2(fg, axis, inv_d=None, tilde=None, wrap=False):
     """2nd derivative, 6th-order central (reference der2_main, deriv.f90:474).
 
     ``tilde`` is the nonuniform-grid metric −x''/x'² ; when given, adds the
     first-derivative correction term for stretched grids.
     """
-    out = _der_n(fg, axis, inv_d, 2, 6)
+    out = _der_n(fg, axis, inv_d, 2, 6, wrap=wrap)
     if tilde is not None:
-        out = out + tilde * der(fg, axis, inv_d)
+        out = out + tilde * der(fg, axis, inv_d, wrap=wrap)
     return out
 
 
@@ -134,9 +147,9 @@ def der5(fg, axis, inv_d=None):
     return _der_n(fg, axis, inv_d, 5, 2)
 
 
-def der6(fg, axis, inv_d=None):
+def der6(fg, axis, inv_d=None, wrap=False):
     """6th derivative on the 7-pt stencil (used by del6 hyperdiffusion)."""
-    return _der_n(fg, axis, inv_d, 6, 2)
+    return _der_n(fg, axis, inv_d, 6, 2, wrap=wrap)
 
 
 _UPWIND_W = None
@@ -172,7 +185,7 @@ def derij(fg, ax1, ax2, inv1=None, inv2=None):
     return out
 
 
-def derij_bidiag(fg, ax1, ax2, inv1=None, inv2=None):
+def derij_bidiag(fg, ax1, ax2, inv1=None, inv2=None, wrap2=False):
     """Mixed second derivative, 12-point bidiagonal scheme — the
     reference DEFAULT (``derij_main``, deriv.f90:1376-1420,
     ``lbidiagonal_derij=.true.`` cdata.f90:568): 6th-order using only the
@@ -189,8 +202,11 @@ def derij_bidiag(fg, ax1, ax2, inv1=None, inv2=None):
                             (-o, -o, 1.0), (o, -o, -1.0)):
             sl = jax.lax.slice_in_dim(fg, NGHOST + s1, NGHOST + s1 + n1,
                                       axis=a1)
-            sl = jax.lax.slice_in_dim(sl, NGHOST + s2, NGHOST + s2 + n2,
-                                      axis=a2)
+            if wrap2:
+                sl = jnp.roll(sl, -s2, axis=a2)
+            else:
+                sl = jax.lax.slice_in_dim(sl, NGHOST + s2, NGHOST + s2 + n2,
+                                          axis=a2)
             t = (sgn * c) * sl
             out = t if out is None else out + t
     if inv1 is not None:

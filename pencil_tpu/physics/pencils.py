@@ -37,7 +37,7 @@ _OTHER_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
 class Pencils:
     def __init__(self, fg, grid, reg, cfg, eos=None,
-                 mesh_axis_names=None, mesh_shape=(1, 1, 1)):
+                 mesh_axis_names=None, mesh_shape=(1, 1, 1), wrap_z=False):
         self.fg = fg            # ghosted stack (nc, mx, my, mz)
         self.grid = grid
         self.reg = reg
@@ -49,7 +49,20 @@ class Pencils:
         # than operating on the local shard alone.
         self.mesh_axis_names = mesh_axis_names
         self.mesh_shape = mesh_shape
+        # wrap_z: the z axis carries NO ghost zones and is periodic over
+        # its full extent — stencils along z use circular rolls (the fused
+        # kernel's tile layout; avoids a halo'd copy of every tile)
+        self.wrap_z = wrap_z
         self._cache = {}
+
+    def _wr(self, axis):
+        return self.wrap_z and axis == 2
+
+    def _crop(self, axes):
+        """Filter a crop-axis tuple down to the axes that have ghosts."""
+        if not self.wrap_z:
+            return axes
+        return tuple(a for a in axes if a != 2)
 
     # ---- raw derivative helpers (on stacked slices) --------------------
     def _inv(self, axis):
@@ -73,13 +86,13 @@ class Pencils:
     @_memo
     def d(self, name, axis):
         """∂(field)/∂x_axis, interior, shape (ncomp, nx, ny, nz)."""
-        out = st.der(self._gh(name), axis, None)
-        return interior(out, _OTHER_AXES[axis]) * self._inv(axis)
+        out = st.der(self._gh(name), axis, None, wrap=self._wr(axis))
+        return interior(out, self._crop(_OTHER_AXES[axis])) * self._inv(axis)
 
     @_memo
     def d2(self, name, axis):
-        out = st.der2(self._gh(name), axis, None)
-        out = interior(out, _OTHER_AXES[axis]) * self._inv(axis) ** 2
+        out = st.der2(self._gh(name), axis, None, wrap=self._wr(axis))
+        out = interior(out, self._crop(_OTHER_AXES[axis])) * self._inv(axis) ** 2
         if (self.cfg is not None
                 and self.cfg.grid.grid_func[axis] != "uniform"):
             if self.cfg.grid.coords != "cartesian":
@@ -93,14 +106,15 @@ class Pencils:
     def d6_raw(self, name, axis):
         """Plain 6th difference Σc_k f_{i+k} (no Δ scaling) — hyperdiffusion
         'mesh' flavor (reference hyper3-mesh) and upwinding building block."""
-        out = st.der6(self._gh(name), axis, None)
-        return interior(out, _OTHER_AXES[axis])
+        out = st.der6(self._gh(name), axis, None, wrap=self._wr(axis))
+        return interior(out, self._crop(_OTHER_AXES[axis]))
 
     @_memo
     def _d_partial(self, name, axis):
         """First derivative reducing only ``axis`` (other axes ghosted) —
         shared by the mixed second derivatives."""
-        return st._der_n(self._gh(name), axis, None, 1, 6)
+        return st._der_n(self._gh(name), axis, None, 1, 6,
+                         wrap=self._wr(axis))
 
     @_memo
     def dij(self, name, ax1, ax2):
@@ -115,10 +129,11 @@ class Pencils:
             # one-pass 12-point bidiagonal scheme — the reference default
             # (lbidiagonal_derij, deriv.f90:1376); pointwise metric factors
             # make it exact on stretched grids too (no x'' term in d²/didj)
-            out = st.derij_bidiag(self._gh(name), a, b)
+            out = st.derij_bidiag(self._gh(name), a, b, wrap2=self._wr(b))
         else:
-            out = st._der_n(self._d_partial(name, a), b, None, 1, 6)
-        return interior(out, rest) * self._inv(a) * self._inv(b)
+            out = st._der_n(self._d_partial(name, a), b, None, 1, 6,
+                            wrap=self._wr(b))
+        return interior(out, self._crop(rest)) * self._inv(a) * self._inv(b)
 
     @_memo
     def grad(self, name):
@@ -163,7 +178,7 @@ class Pencils:
     @_memo
     def field(self, name):
         """Interior values of a stored field: (ncomp, nx, ny, nz) / squeezed."""
-        arr = interior(self._gh(name))
+        arr = interior(self._gh(name), self._crop((0, 1, 2)))
         return arr[0] if self.reg.slots[name].ncomp == 1 else arr
 
     def ugrad(self, name, upwind=False):
@@ -187,7 +202,7 @@ class Pencils:
                 return kin.flow(self)
             z = jnp.zeros(self.fg.shape[-3:], self.fg.dtype)
             from ..ops.stencil import i as _interior
-            zi = _interior(z[None])[0]
+            zi = _interior(z[None], self._crop((0, 1, 2)))[0]
             return jnp.stack([zi, zi, zi])
         return self.field("uu")
 
@@ -277,13 +292,15 @@ class Pencils:
         rest = tuple(set((0, 1, 2)) - {a, b})
         gh = self._gh(name)[comp:comp + 1]
         if self.cfg is None or self.cfg.grid.coords == "cartesian":
-            out = st.derij_bidiag(gh, a, b)
+            out = st.derij_bidiag(gh, a, b, wrap2=self._wr(b))
         else:
             key = ("_dp1", name, comp, a)
             if key not in self._cache:
                 self._cache[key] = st._der_n(gh, a, None, 1, 6)
-            out = st._der_n(self._cache[key], b, None, 1, 6)
-        return (interior(out, rest) * self._inv(a) * self._inv(b))[0]
+            out = st._der_n(self._cache[key], b, None, 1, 6,
+                            wrap=self._wr(b))
+        return (interior(out, self._crop(rest))
+                * self._inv(a) * self._inv(b))[0]
 
     def _graddiv(self, name):
         """∇(∇·v) with single-component cross terms; the diagonal reuses
