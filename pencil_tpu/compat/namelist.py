@@ -72,9 +72,11 @@ def parse_namelists(text: str) -> Dict[str, Dict[str, Any]]:
         gname = m.group(1).lower()
         body = m.group(2)
         params: Dict[str, Any] = {}
-        # split into key=value chunks: find assignments
+        # split into key=value chunks: find assignments; keys may be
+        # array-indexed like initlnTT(2) (reference ninit-style arrays)
         for am in re.finditer(
-                r"([A-Za-z]\w*)\s*=\s*((?:[^=]|=(?=[^,\s]))*?)(?=(?:,\s*)?[A-Za-z]\w*\s*=|\Z)",
+                r"([A-Za-z]\w*(?:\(\d+\))?)\s*=\s*((?:[^=]|=(?=[^,\s]))*?)"
+                r"(?=(?:,\s*)?[A-Za-z]\w*(?:\(\d+\))?\s*=|\Z)",
                 body, re.DOTALL):
             key = am.group(1).lower()
             raw = am.group(2).strip().rstrip(",")
@@ -86,7 +88,20 @@ def parse_namelists(text: str) -> Dict[str, Dict[str, Any]]:
                     vals.extend([_parse_value(rep.group(2))] * int(rep.group(1)))
                 else:
                     vals.append(_parse_value(t))
-            params[key] = vals[0] if len(vals) == 1 else vals
+            val = vals[0] if len(vals) == 1 else vals
+            im = re.match(r"(\w+)\((\d+)\)$", key)
+            if im:
+                # name(i) = v → grow a list under 'name' (1-based index)
+                key, idx = im.group(1), int(im.group(2))
+                cur = params.get(key)
+                if not isinstance(cur, list):
+                    cur = [cur] if cur is not None else []
+                while len(cur) < idx:
+                    cur.append(None)
+                cur[idx - 1] = val
+                params[key] = cur
+            else:
+                params[key] = val
         groups[gname] = params
     return groups
 

@@ -88,14 +88,19 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
     the module tuple with Forcing swapped to replay mode.  Single-rank
     streams only (every committed golden runs ncpus=1 for nr_f90 samples).
     """
-    from .pencil_rng import (forcing_hel_sequence, gaunoise_vect, read_k_dat,
-                             start_seed)
+    from .pencil_rng import (Ran0, forcing_hel_sequence, gaunoise_vect,
+                             read_k_dat, start_seed)
 
-    gen = run_pars.get("random_gen", init_pars.get("random_gen", ""))
-    if gen != "nr_f90":
+    gen = run_pars.get("random_gen", init_pars.get("random_gen", "min_std"))
+    if gen not in ("nr_f90", "min_std"):
         return None, modules
     seed0 = int(init_pars.get("seed0", 1812))
-    rng = start_seed(seed0, 0)
+    if gen == "nr_f90":
+        rng = start_seed(seed0, 0)
+    else:
+        # min_std: random_seed_wrapper(PUT) installs the seed verbatim
+        # (no draw consumed) — src/general.f90 ran0 path
+        rng = Ran0(-((seed0 - 1812 + 1) * 10 + 0))
     mx, my, mz = grid.nx + 6, grid.ny + 6, grid.nz + 6
     overrides = {}
 
@@ -304,7 +309,36 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ))
 
     ent_p = grp("entropy")
-    if "entropy_init_pars" in start or ent_p:
+    ent_slot = mkf.get("ENTROPY", mkf.get("ENERGY", ""))
+    if "temperature" in ent_slot or ent_p.get("ltemperature_nolog") \
+            or "initlntt" in ent_p:
+        # ENERGY slot variant: temperature_idealgas (evolves lnTT or TT)
+        from ..physics.temperature import TemperatureIdealGas
+        inits = ent_p.get("initlntt", "zero")
+        inits = inits if isinstance(inits, list) else [inits]
+        ampls = ent_p.get("ampl_lntt", 0.0)
+        ampls = ampls if isinstance(ampls, list) else [ampls]
+        ampls = [a if a is not None else 0.0 for a in ampls]
+        modules.append(TemperatureIdealGas(
+            lnolog=bool(ent_p.get("ltemperature_nolog", False)),
+            chi=float(ent_p.get("chi", 0.0)),
+            lADI="implicit" in mkf.get("IMPLICIT_PHYSICS", "")
+                 and float(ent_p.get("kmax", 0.0)) > 0.0,
+            Fbot=float(ent_p.get("fbot", 0.0)),
+            Kmax=float(ent_p.get("kmax", 0.0)),
+            Kmin=float(ent_p.get("kmin", 0.0)),
+            Tbump=float(ent_p.get("tbump", 0.0)),
+            hole_slope=float(ent_p.get("hole_slope", 0.0)),
+            hole_width=float(ent_p.get("hole_width", 0.0)),
+            init=str(inits[0]),
+            init2=str(inits[1]) if len(inits) > 1 else "",
+            ampl=float(ampls[0]) if ampls else 0.0,
+            ampl2=float(ampls[1]) if len(ampls) > 1 else 0.0,
+            radius=float(ent_p.get("radius_lntt", 0.1)),
+            center1_z=float(ent_p.get("center1_z", 0.0)),
+            lupw_lnTT=bool(ent_p.get("lupw_lntt", False)),
+        ))
+    elif "entropy_init_pars" in start or ent_p:
         ihc = ent_p.get("iheatcond", "K-const")
         modules.append(Entropy(
             init=str(ent_p.get("initss", "zero")),

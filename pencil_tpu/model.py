@@ -338,6 +338,37 @@ class Model:
                     lambda s_, d_, b=beta[isub]: s_ + b * dt * d_,
                     pstate, dfp)
 
+        if any(not cfg.grid.periodic[a] for a in range(3)):
+            # the reference's boundconds WRITE f at the boundary planes each
+            # pde call (value-setting BCs like 'a', 'set', 'cT' pin the
+            # state itself, not just the ghosted copy) — mirror that by
+            # copying the BC-applied boundary planes back into the state
+            # once per step (non-edge shards see a no-op)
+            shear = cfg.module("shear")
+            sdy = shear.deltay(t0 + dt, cfg.grid.Lx, cfg.grid.Ly) \
+                if shear else None
+            fg_bc = fill_ghosts(fa[: reg.ncom], cfg.grid, self.bc_axes,
+                                reg, grid, cfg, self.eos,
+                                mesh_axis_names, mesh_shape, shear_dy=sdy)
+            from .ops.stencil import NGHOST as _g
+            for axis in range(3):
+                if cfg.grid.periodic[axis]:
+                    continue
+                ax = 1 + axis
+                n = fa.shape[ax]
+                mg = fg_bc.shape[ax]
+                for pos_f, pos_g in ((0, _g), (n - 1, mg - 1 - _g)):
+                    plane = jax.lax.slice_in_dim(fg_bc, pos_g, pos_g + 1,
+                                                 axis=ax)
+                    # crop the other axes' ghosts to interior shape
+                    plane = plane[tuple(
+                        slice(None) if i == 0 or i == ax
+                        else slice(_g, -_g) for i in range(fa.ndim))]
+                    fa = fa.at[
+                        tuple(slice(0, reg.ncom) if i == 0
+                              else (slice(pos_f, pos_f + 1) if i == ax
+                                    else slice(None))
+                              for i in range(fa.ndim))].set(plane)
         fields = reg.unstack(fa)
         t1 = t0 + dt
         key = state["key"]

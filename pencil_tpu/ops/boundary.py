@@ -111,6 +111,11 @@ def bc_sym(fgc, axis, side, val, ctx, sign=1.0, about_value=False):
         else:
             plane = sign * mirror
         fgc = _put(fgc, axis, gi, plane)
+    if sign < 0 and not about_value:
+        # 'a': the boundary value itself is pinned to zero (reference
+        # bc_sym_z, boundcond.f90:3202 "set bdry value=0 indep of initcond")
+        _, _, bi = _plane_idx(m, side, 1)
+        fgc = _put(fgc, axis, bi, jnp.zeros_like(_take(fgc, axis, bi)))
     return fgc
 
 
@@ -137,6 +142,38 @@ def bc_der(fgc, axis, side, val, ctx):
 
 def _lnrho_comp(ctx):
     return ctx.fg[ctx.reg.comp_index("lnrho")]
+
+
+def bc_TT_temp(fgc, axis, side, val, ctx):
+    """'cT' on an evolved temperature slot (TT or lnTT): boundary pinned to
+    the constant temperature cs2/(γ−1)cp (val = target cs², 0 → cs20),
+    ghosts antisymmetric about it (reference bc_ss_temp_z ilnTT branch)."""
+    eos = ctx.eos
+    cs2 = val if val > 0.0 else eos.cs20
+    TTb = cs2 / ((eos.gamma - 1.0) * eos.cp)
+    tval = TTb if ctx.comp == "TT" else jnp.log(TTb)
+    return bc_set(fgc, axis, side, tval, ctx)
+
+
+def bc_ADI_flux(fgc, axis, side, val, ctx):
+    """'c3': constant conductive flux through the boundary with the
+    hole-profile K(T) (reference bc_ADI_flux_z, boundcond.f90:8237):
+    T_ghost = T_mirror + 2·j·Δ·Fbot/K(T_boundary); bottom only."""
+    from ..physics.temperature import heatcond_hole
+    tmod = ctx.cfg.module("temperature") if ctx.cfg else None
+    if tmod is None:
+        raise KeyError("'c3' BC requires the temperature module")
+    m = fgc.shape[_ax(fgc, axis)]
+    d = _spacing(ctx, axis)
+    _, _, bi = _plane_idx(m, side, 1)
+    K, _ = heatcond_hole(_take(fgc, axis, bi), tmod.Kmax, tmod.Kmin,
+                         tmod.Tbump, tmod.hole_slope, tmod.hole_width)
+    sgn = 1.0 if side == 0 else -1.0
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi,
+                   _take(fgc, axis, mi) + sgn * 2.0 * j * d * tmod.Fbot / K)
+    return fgc
 
 
 def bc_ss_temp(fgc, axis, side, val, ctx):
@@ -610,8 +647,11 @@ BC_REGISTRY: Dict[str, Callable] = {
     "a2": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, about_value=True),
     "set": bc_set,
     "der": bc_der,
-    "cT": bc_ss_temp,
+    "cT": lambda f, a, s, v, c: (bc_TT_temp(f, a, s, v, c)
+                                 if c.comp in ("TT", "lnTT")
+                                 else bc_ss_temp(f, a, s, v, c)),
     "c1": bc_ss_flux,
+    "c3": bc_ADI_flux,
     # census batch (see docstrings for reference routines)
     "0": bc_zero,
     "nil": lambda f, a, s, v, c: f,

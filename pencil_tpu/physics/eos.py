@@ -54,7 +54,7 @@ class EosIdealGas(ModuleBase):
     # -- thermodynamic closure (overridable by EOS variants) -------------
     def cs2(self, pen):
         import jax.numpy as jnp
-        if "lnTT" in pen.reg.slots:
+        if "TT" in pen.reg.slots or "lnTT" in pen.reg.slots:
             return (self.gamma - 1.0) * self.cp * pen.TT()
         if "ss" in pen.reg.slots:
             return self.cs20 * jnp.exp(
@@ -64,6 +64,8 @@ class EosIdealGas(ModuleBase):
 
     def lnTT(self, pen):
         import jax.numpy as jnp
+        if "TT" in pen.reg.slots:      # ltemperature_nolog
+            return jnp.log(jnp.maximum(pen.field("TT"), 1e-30))
         if "lnTT" in pen.reg.slots:
             return pen.field("lnTT")
         if "ss" in pen.reg.slots:

@@ -387,16 +387,22 @@ class Pencils:
 
     @_memo
     def TT(self):
+        if "TT" in self.reg.slots:
+            return self.field("TT")
         return jnp.exp(self.lnTT())
 
     @_memo
     def TT1(self):
+        if "TT" in self.reg.slots:
+            return 1.0 / jnp.maximum(self.field("TT"), 1e-30)
         return jnp.exp(-self.lnTT())
 
     @_memo
     def glnTT(self):
         """∇lnT = γ∇s/cp + (γ−1)∇lnρ (ideal gas)."""
         e = self.eos
+        if "TT" in self.reg.slots:
+            return self.grad("TT") * self.TT1()
         if "lnTT" in self.reg.slots:
             return self.grad("lnTT")
         out = (e.gamma - 1.0) * self.glnrho()
@@ -419,7 +425,7 @@ class Pencils:
         """−∇p/ρ for the ideal-gas EOS: −cs²(∇lnρ + ∇s/cp), or with lnTT
         evolved, −(cs²/γ)(∇lnρ + ∇lnT)."""
         cs2 = self.cs2()
-        if "lnTT" in self.reg.slots:
+        if "TT" in self.reg.slots or "lnTT" in self.reg.slots:
             return -(cs2 / self.eos.gamma) * (self.glnrho() + self.glnTT())
         gl = self.glnrho()
         if "ss" in self.reg.slots:

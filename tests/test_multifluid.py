@@ -60,7 +60,7 @@ def test_neutrals_momentum_conserved():
         grid=GridSpec(nx=8, ny=8, nz=8),
         time=TimeSpec(itorder=3, dt=1e-3),
         modules=(EosIdealGas(gamma=1.0001), Density(), Hydro(init="zero"),
-                 Neutrals(nu_ni=5.0, csn0=1.0)),
+                 Neutrals(colldrag=5.0, csn0=1.0)),
     )
     model = Model(cfg)
     state = model.init_state(0)

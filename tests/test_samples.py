@@ -346,3 +346,48 @@ def test_sod_variants_golden(tmp_path, variant, nt):
         ref_interp = np.interp(ours["t"], ref["t"], ref[col])
         np.testing.assert_allclose(ours[col][2:], ref_interp[2:], rtol=tol,
                                    err_msg=col)
+
+
+@needs_ref
+def test_implicit_diffusion_golden():
+    """samples/1d-tests/implicit_diffusion: kappa-mechanism setup —
+    nolog temperature, radiative-equilibrium IC with the hole conductivity
+    profile, Crank-Nicolson ADI conduction, c3/cT boundaries, min_std RNG
+    parity.  ruzm and the boundary fluxes match at format precision."""
+    from pencil_tpu.compat.rundir import load_rundir
+    from pencil_tpu.physics.temperature import heatcond_hole
+    cfg, info = load_rundir(f"{REF}/1d-tests/implicit_diffusion")
+    tmod = cfg.module("temperature")
+    assert tmod.lADI and tmod.lnolog
+    model = Model(cfg)
+    state = model.init_state(0, overrides=info["init_overrides"])
+    step = model.make_step()
+    gold = {}
+    for ln in open(f"{REF}/1d-tests/implicit_diffusion/reference.out"):
+        if ln.strip() and not ln.startswith("#"):
+            r = [float(v) for v in ln.split()]
+            gold[int(r[0])] = r[1:]  # t dt ruzm rhom fradbot fradtop ...
+    dz = 1.0 / 127
+    w = np.array([-1, 9, -45, 0, 45, -9, 1]) / 60.0
+
+    def fradtop(TT):
+        Tb = TT.copy()
+        Tb[-1] = 1.0
+        K, _ = heatcond_hole(Tb[-1], tmod.Kmax, tmod.Kmin, tmod.Tbump,
+                             tmod.hole_slope, tmod.hole_width)
+        Tg = np.concatenate([Tb, 2 * Tb[-1] - Tb[-2:-5:-1]])
+        return -float(K) * sum(w[k + 3] * Tg[127 + k]
+                               for k in range(-3, 4)) / dz
+
+    for it in range(1, 41):
+        state = step(state)
+        if it in gold and it > 0:
+            g = gold[it]
+            f = state["fields"]
+            rho = np.exp(np.asarray(f["lnrho"], np.float64))
+            ruzm = (rho * np.asarray(f["uu"], np.float64)[2]).mean()
+            TT = np.asarray(f["TT"], np.float64)[0, 0]
+            np.testing.assert_allclose(float(state["dt"]), g[1], rtol=2e-3)
+            np.testing.assert_allclose(ruzm, g[2], rtol=2e-3)
+            np.testing.assert_allclose(rho.mean(), g[3], rtol=1e-3)
+            np.testing.assert_allclose(fradtop(TT), g[5], rtol=2e-3)

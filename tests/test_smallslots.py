@@ -27,15 +27,17 @@ def _run(extra, n=8, nsteps=20, dt=1e-3, seed=0, mutate=None):
 
 
 def test_chiral_total_chirality_conserved():
-    """X−Y transfers to magnetic helicity; X+Y is advected/diffused only —
-    its volume mean is conserved."""
-    model, state = _run((Chiral(diffXX=1e-3, lambda5=2.0),
-                         Magnetic(init="beltrami-z", ampl=1e-3, kz=1.0,
-                                  eta=1e-3)))
+    """Without the BAHN reaction, X and Y are advected/diffused only —
+    their volume means are conserved (reference chiral.f90 diffusion
+    terms)."""
+    model, state = _run((Chiral(chiral_diff=1e-3, reaction="none",
+                                initX="const", amplX=1e-2,
+                                initY="const", amplY=5e-3),))
     X = np.asarray(state["fields"]["XX_chiral"])
     Y = np.asarray(state["fields"]["YY_chiral"])
     assert np.isfinite(X).all() and np.isfinite(Y).all()
-    np.testing.assert_allclose(float((X + Y).mean()), 1e-2, rtol=1e-3)
+    np.testing.assert_allclose(float(X.mean()), 1e-2, rtol=1e-3)
+    np.testing.assert_allclose(float(Y.mean()), 5e-3, rtol=1e-3)
 
 
 def test_polymer_relaxes_to_identity():
