@@ -115,6 +115,26 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
             overrides[field] = arr if ncomp > 1 else arr[0]
 
     by_name = {m.name: m for m in modules}
+
+    # shallow-water storms are drawn during initialize_modules, BEFORE the
+    # field init cascade (reference start.f90:349 → update_storms)
+    sw = by_name.get("shallow_water")
+    if sw is not None and sw.lcalc_storm:
+        import dataclasses
+        from ..physics.special.shallow_water import make_storm_table
+        nstorm = int(cpar.get("nstorm", 0))
+        strength = float(sw.storm_strength)
+        r_ext = float(run_pars.get("r_ext", init_pars.get("r_ext", 0.0)))
+        wborder = float(run_pars.get("wborder_ext", 0.0))
+        if nstorm > 0 and strength > 0.0 and r_ext > 0.0:
+            table = make_storm_table(
+                rng, nstorm, sw.tduration, sw.rsize_storm, strength,
+                float(init_pars.get("r_int", 0.0)), r_ext, wborder)
+            modules = tuple(
+                dataclasses.replace(m, storm_table=table, r_ext=r_ext)
+                if m.name == "shallow_water" else m for m in modules)
+            by_name = {m.name: m for m in modules}
+
     # reference init cascade order (src/start.f90:416-423)
     noise_for(by_name.get("hydro"), "uu", 3)
     noise_for(by_name.get("density"),
@@ -200,7 +220,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         return d
 
     eos_p = grp("eos")
-    if eos_p or "density_init_pars" in start:
+    if "noeos" in mkf.get("EOS", ""):
+        pass   # EOS=noeos: no thermodynamics, no sound-speed CFL
+    elif eos_p or "density_init_pars" in start:
         modules.append(EosIdealGas(
             gamma=float(eos_p.get("gamma", 5.0 / 3.0)),
             cs0=float(eos_p.get("cs0", 1.0)),
@@ -290,6 +312,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     hyd_p = grp("hydro")
     if "hydro_init_pars" in start or hyd_p:
         modules.append(Hydro(
+            lpressuregradient_gas=bool(
+                hyd_p.get("lpressuregradient_gas", True)),
             init=str(hyd_p.get("inituu", "zero")),
             ampl=float(hyd_p.get("ampluu", 0.0)),
             kx=float(hyd_p.get("kx_uu", 1.0)),
@@ -435,7 +459,19 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             init=str(par_p.get("initxxp", "random")),
         ))
 
-    ic_p = grp("initial_condition")
+    sp_p = grp("special")
+    sp_slot = mkf.get("SPECIAL", "")
+    if sp_slot:
+        from ..physics.special import make_special
+        # multiple simultaneous specials: whitespace-separated slot list
+        # (reference initialize_mult_special, src/run.f90:133)
+        for slot in sp_slot.split():
+            modules.append(make_special(slot.split("/")[-1], sp_p))
+
+    # the IC plug-in group is named plain &initial_condition_pars
+    known.add("initial_condition_pars")
+    ic_p = _g(start, "initial_condition_pars")
+    ic_p.update(_g(run, "initial_condition_pars"))
     ic_slot = mkf.get("INITIAL_CONDITION", "")
     if ic_slot:
         from ..physics.initial_condition import InitialCondition

@@ -95,6 +95,8 @@ class Model:
             and not self._aux_modules
             and not self._freeze
             and self.particles is None
+            # specials may need host-side context (time, storm tables)
+            and all(m.name in MODULE_ORDER for m in self.modules)
         )
 
     # ------------------------------------------------------------------
@@ -177,6 +179,7 @@ class Model:
                          mesh_axis_names, mesh_shape, shear_dy=shear_dy)
         pen = Pencils(fg, grid, self.reg, cfg, self.eos,
                       mesh_axis_names, mesh_shape)
+        pen._cache["_t"] = t
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
         if self._aux_modules:

@@ -85,10 +85,10 @@ class Density(ModuleBase):
                 else self.ampl
             return {"lnrho": jnp.full(spec.shape, lnrho0,
                                       dtype=grid.x.dtype)}
-        if self.init == "xjump":
+        if self.init in ("xjump", "yjump", "zjump"):
             from .initcond import init_scalar
             return {"lnrho": init_scalar(
-                "xjump", grid, spec, eos, key, width=self.width,
+                self.init, grid, spec, eos, key, width=self.width,
                 left=math.log(self.rho_left), right=math.log(self.rho_right))}
         if self.init == "piecew-poly":
             from .stratification import piecew_poly_profiles

@@ -127,9 +127,9 @@ class Entropy(ModuleBase):
         accumulate(df, "ss", out)
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
-        if self.init == "xjump":
+        if self.init in ("xjump", "yjump", "zjump"):
             from .initcond import init_scalar
-            return {"ss": init_scalar("xjump", grid, spec, eos, key,
+            return {"ss": init_scalar(self.init, grid, spec, eos, key,
                                       width=self.width, left=self.ss_left,
                                       right=self.ss_right)}
         if self.init == "piecew-poly":

@@ -25,6 +25,7 @@ class Hydro(ModuleBase):
     Omega: float = 0.0        # rotation rate
     theta: float = 0.0        # angle of Ω from z-axis (degrees), as reference
     lupw_uu: bool = False
+    lpressuregradient_gas: bool = True   # reference hydro_run_pars flag
     init: str = "zero"
     ampl: float = 0.0
     kx: float = 1.0
@@ -37,7 +38,9 @@ class Hydro(ModuleBase):
 
     def rhs(self, pen, df, ts):
         uu = pen.uu()
-        out = -pen.ugu() + pen.fpres()
+        out = -pen.ugu()
+        if self.lpressuregradient_gas:
+            out = out + pen.fpres()
         if self.lupw_uu:
             # upwind dissipation per component: +|u_a|·δ⁶u/(60Δ)
             upw = sum(
@@ -61,7 +64,8 @@ class Hydro(ModuleBase):
         # the Alfvén contribution is accumulated by Magnetic, anisotropic)
         d1 = pen.dline_1()
         ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
-        ts.advec2(pen.cs2() * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
+        if pen.eos is not None:
+            ts.advec2(pen.cs2() * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector

@@ -20,9 +20,11 @@ def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
     zero = jnp.zeros(shape, dtype=grid.x.dtype)
     if name in ("zero", "nothing"):
         return zero
-    if name == "xjump":
-        # tanh step in x (reference init 'xjump': Sod-type discontinuity)
-        prof = 0.5 * (1.0 + jnp.tanh((x - xjump) / max(width, 1e-9)))
+    if name in ("xjump", "yjump", "zjump"):
+        # tanh step along one axis (reference 'xjump' etc.: Sod-type
+        # discontinuity)
+        c = (x, y, z)["xyz".index(name[0])]
+        prof = 0.5 * (1.0 + jnp.tanh((c - xjump) / max(width, 1e-9)))
         return left + (right - left) * prof + zero
     if name == "const":
         return zero + ampl

@@ -112,3 +112,64 @@ class InitialCondition(ModuleBase):
             raise KeyError(f"unknown initial_condition plugin "
                            f"{self.plugin!r}; known: {sorted(IC_REGISTRY)}")
         return fn(grid, spec, eos, cfg, dict(self.params))
+
+
+@register_ic("shallow_water_init")
+def ic_shallow_water_init(grid, spec, eos, cfg, params):
+    """Shallow-water initial states (reference
+    src/initial_condition/shallow_water_init.f90): 'solid-body' rotation
+    u = Ω×r (+ the balanced gh profile), 'gaussian-blob' geopotential."""
+    x, y = grid.xg, grid.yg
+    dtype = grid.x.dtype
+    ones = jnp.ones(spec.shape, dtype)
+    sw = cfg.module("shallow_water") if cfg else None
+    Om = float(params.get("omega_sb", sw.Omega_SB if sw else 1.0))
+    gam = float(params.get("gamma_parameter",
+                           sw.gamma_parameter if sw else 1.0))
+    eta0 = float(params.get("eta0", 0.0))
+    out = {}
+    hydro = str(params.get("init_shallow_hydro", "nothing"))
+    if hydro == "solid-body":
+        ux = -Om * y * ones
+        uy = Om * x * ones
+        out["uu"] = jnp.stack([ux, uy, jnp.zeros_like(ux)])
+    dens = str(params.get("init_shallow_density", "nothing"))
+    if dens == "solid-body":
+        r2 = x ** 2 + y ** 2
+        out["rho"] = (eta0 + Om ** 2 * r2
+                      * (1.5 - 0.25 * gam / Om * r2)) * ones
+    elif dens == "gaussian-blob":
+        k_eta = float(params.get("k_eta", 1.0))
+        x0 = float(params.get("x0_drop", 0.0))
+        y0 = float(params.get("y0_drop", 0.0))
+        out["rho"] = eta0 * jnp.exp(
+            -k_eta * ((x - x0) ** 2 + (y - y0) ** 2)) * ones
+    return out
+
+
+@register_ic("Rayleigh-Taylor")
+def ic_rayleigh_taylor(grid, spec, eos, cfg, params):
+    """Rayleigh–Taylor setup (reference
+    src/initial_condition/Rayleigh-Taylor.f90): heavy-over-light tanh
+    density interface in hydrostatic + isobaric-entropy balance, seeded by
+    a single uz mode."""
+    import numpy as np
+    ampluu = float(params.get("ampluu", 0.0))
+    w = float(params.get("widthrho", 1.0))
+    x, z = grid.xg, grid.zg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    grav = cfg.module("gravity") if cfg else None
+    gz = grav.gravz if grav else -0.1
+    dz = spec.Lz / max(spec.nz - 1, 1)
+    dd = 6.0 * dz
+    uz = (ampluu / 4.0) * (1 + jnp.cos(2 * np.pi * x / spec.Lx)) \
+        * (1 + jnp.cos(2 * np.pi * z / spec.Lz)) * ones
+    rhoprof = (w / 2.0) * (jnp.tanh(z / dd) + 1.0) + eos.rho0
+    P0 = eos.rho0 * eos.cs20 / eos.gamma
+    Pprof = (P0 + gz * (w / 2.0 + eos.rho0) * z
+             + gz * (w / 2.0) * dd * jnp.log(jnp.cosh(z / dd)))
+    ss = (-jnp.log(rhoprof / eos.rho0)
+          + jnp.log(Pprof / P0) / eos.gamma) * ones
+    zero = jnp.zeros_like(uz)
+    return {"uu": jnp.stack([zero, zero, uz]),
+            "lnrho": jnp.log(rhoprof) * ones, "ss": ss}

@@ -391,3 +391,98 @@ def test_implicit_diffusion_golden():
             np.testing.assert_allclose(ruzm, g[2], rtol=2e-3)
             np.testing.assert_allclose(rho.mean(), g[3], rtol=1e-3)
             np.testing.assert_allclose(fradtop(TT), g[5], rtol=2e-3)
+
+
+@needs_ref
+def test_shallow_water_golden():
+    """samples/2d-tests/shallow-water: the shallow_water SPECIAL plug-in
+    (gravity-wave pressure, base-height compression, gh-CFL) + the
+    shallow_water_init gaussian-blob IC, EOS=noeos.  Every printed column
+    matches at sub-percent level."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/shallow-water")
+    sw = cfg.module("shallow_water")
+    assert sw is not None and sw.c0 == 0.1 and cfg.module("eos") is None
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    gold = {}
+    for ln in open(f"{REF}/2d-tests/shallow-water/reference.out"):
+        if ln.strip() and not ln.startswith("#"):
+            r = [float(v) for v in ln.split()]
+            gold[int(r[0])] = r[1:]
+    for it in range(1, 41):
+        state = step(state)
+        if it in gold:
+            g = gold[it]   # t dt dtv dtdiff dtgh rhomin rhomax rhom uxmin uxmax ux2m
+            f = state["fields"]
+            rho = np.asarray(f["rho"], np.float64)
+            ux = np.asarray(f["uu"], np.float64)[0]
+            np.testing.assert_allclose(float(state["t"]), g[0], rtol=1e-3)
+            np.testing.assert_allclose(float(state["dt"]), g[1], rtol=5e-3)
+            np.testing.assert_allclose(rho.max(), g[6], rtol=0.01)
+            np.testing.assert_allclose(rho.mean(), g[7], rtol=1e-3)
+            np.testing.assert_allclose(ux.max(), g[9], rtol=5e-3)
+            np.testing.assert_allclose((ux ** 2).mean(), g[10], rtol=5e-3)
+
+
+@needs_ref
+def test_rayleigh_taylor_golden():
+    """samples/2d-tests/Rayleigh-Taylor: heavy-over-light tanh interface in
+    hydrostatic balance + single-mode seed (IC plug-in Rayleigh-Taylor.f90);
+    every printed column matches to 4+ digits through the stable phase."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/Rayleigh-Taylor")
+    assert cfg.module("initial_condition").plugin == "Rayleigh-Taylor"
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    gold = {}
+    for ln in open(f"{REF}/2d-tests/Rayleigh-Taylor/reference.out"):
+        if ln.strip() and not ln.startswith("#"):
+            r = [float(v) for v in ln.split()]
+            gold[int(r[0])] = r[1:]   # t dt umax urms ekin ethm rhom ssm
+    for it in range(1, 301):
+        state = step(state)
+        if it in gold:
+            g = gold[it]
+            f = state["fields"]
+            uu = np.asarray(f["uu"], np.float64)
+            rho = np.exp(np.asarray(f["lnrho"], np.float64))
+            ss = np.asarray(f["ss"], np.float64)
+            np.testing.assert_allclose(float(state["dt"]), g[1], rtol=1e-3)
+            np.testing.assert_allclose(np.sqrt((uu ** 2).sum(0)).max(),
+                                       g[2], rtol=2e-3)
+            np.testing.assert_allclose(np.sqrt((uu ** 2).sum(0).mean()),
+                                       g[3], rtol=1e-3)
+            np.testing.assert_allclose(rho.mean(), g[6], rtol=1e-4)
+            np.testing.assert_allclose(ss.mean(), g[7], atol=2e-5)
+
+
+@needs_ref
+def test_sod_10y_golden():
+    """samples/1d-tests/sod_10y: the Sod tube rotated onto the y axis
+    (yjump inits) — exercises axis-generality of the jump ICs, BCs and
+    stencils.  Columns match at format precision."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/sod_10y")
+    assert cfg.grid.shape == (1, 400, 1)
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    ref = _read_ref(f"{REF}/1d-tests/sod_10y/reference.out")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    for it in range(1, 601):
+        state = step(state)
+        if it in rows:
+            n = rows[it]
+            f = state["fields"]
+            uu = np.asarray(f["uu"], np.float64)
+            rho = np.exp(np.asarray(f["lnrho"], np.float64))
+            np.testing.assert_allclose(float(state["t"]), ref["t"][n],
+                                       atol=2e-3)
+            np.testing.assert_allclose(np.sqrt((uu ** 2).sum(0).mean()),
+                                       ref["urms"][n], rtol=1e-3)
+            np.testing.assert_allclose((rho * uu[1]).mean(), ref["ruym"][n],
+                                       rtol=1e-3)
+            np.testing.assert_allclose(rho.mean(), ref["rhom"][n], rtol=1e-3)
