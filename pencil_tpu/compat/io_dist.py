@@ -255,7 +255,7 @@ def export_state(model, state, datadir):
     write_param_nml(os.path.join(datadir, "param.nml"), model)
 
 
-def write_param_nml(path, model):
+def write_param_nml(path, model, io_strategy="dist"):
     """Minimal param.nml for the reference post-processing readers
     (reference param_io.f90 write_all_init_pars; consumed by
     python/pencil/read/params.py — keys used by varfile.py: coord_system,
@@ -270,7 +270,7 @@ def write_param_nml(path, model):
         f.write(" lwrite_aux=F,\n")
         f.write(" lcollective_io=F,\n")
         f.write(" lwrite_2d=F,\n")
-        f.write(" io_strategy='dist',\n")
+        f.write(f" io_strategy='{io_strategy}',\n")
         f.write(f" xyz0={gs.x0},{gs.y0},{gs.z0}\n")
         f.write(f" lxyz={gs.Lx},{gs.Ly},{gs.Lz}\n")
         lp = ','.join('T' if p else 'F' for p in gs.periodic)

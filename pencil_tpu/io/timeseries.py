@@ -53,8 +53,11 @@ def _fortran_format(val, fmt: str) -> str:
         # Fortran prints E+01 style with capital E; python matches close enough
     else:
         s = f"{float(val):{w}.{d}g}"
-    if len(s) > w:  # overflow: Fortran prints stars; we widen instead
-        s = s[:]
+    if len(s) > w:
+        # overflow: Fortran prints asterisks, keeping column alignment
+        # (round-1 had a no-op here that silently broke the fixed-width
+        # format when a value outgrew its field)
+        s = "*" * w
     return s
 
 

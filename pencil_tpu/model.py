@@ -162,11 +162,21 @@ class Model:
             shear_dy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly)
         z_unsharded = mesh_axis_names is None or mesh_axis_names[2] is None
         if self._fused_ok and z_unsharded:
+            names = mesh_axis_names or (None, None, None)
+            wrap = (cfg.grid.periodic[0] and cfg.grid.periodic[1]
+                    and names[0] is None and names[1] is None
+                    and shear_dy is None)
+            fused = self._fused_rhs(tuple(fa.shape[1:]), False, wrap)
+            if wrap:
+                # fully-periodic unsharded: the kernel fetches x/y halos by
+                # wrapped DMAs and rolls z — no HBM ghost pass at all
+                with jax.named_scope("fused_rhs"):
+                    dfa, dt1 = fused(fa[: self.reg.ncom], grid.z)
+                return dfa, dt1, None
             # fused path: ghost x/y in HBM (ppermute across shards when
             # sharded), z halo is built in VMEM by the kernel (keeps the
             # lane dim 128-aligned for DMA); the kernel's sublane-alignment
             # padding rides the same single jnp.pad via extra_hi
-            fused = self._fused_rhs(tuple(fa.shape[1:]))
             fg_xy = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
                                 self.reg, grid, cfg, self.eos,
                                 mesh_axis_names, mesh_shape, axes=(0, 1),
@@ -237,10 +247,12 @@ class Model:
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=8)
-    def _fused_rhs(self, local_shape=None, fuse_update=False):
+    def _fused_rhs(self, local_shape=None, fuse_update=False,
+                   wrap_ghosts=False):
         from .ops.fused_rhs import make_fused_rhs
         return make_fused_rhs(self, local_shape=local_shape,
-                              fuse_update=fuse_update)
+                              fuse_update=fuse_update,
+                              wrap_ghosts=wrap_ghosts)
 
     # ------------------------------------------------------------------
     def _apply_freeze(self, dfa, mesh_axis_names, mesh_shape):
@@ -301,12 +313,20 @@ class Model:
                 shear = cfg.module("shear")
                 sdy = shear.deltay(t_sub, cfg.grid.Lx, cfg.grid.Ly) \
                     if shear else None
-                fused = self._fused_rhs(tuple(fa.shape[1:]), True)
-                fg_xy = fill_ghosts(fa[: reg.ncom], cfg.grid, self.bc_axes,
-                                    reg, grid, cfg, self.eos,
-                                    mesh_axis_names, mesh_shape, axes=(0, 1),
-                                    shear_dy=sdy,
-                                    extra_hi=(0, fused.ypad, 0))
+                names = mesh_axis_names or (None, None, None)
+                wrap = (cfg.grid.periodic[0] and cfg.grid.periodic[1]
+                        and names[0] is None and names[1] is None
+                        and sdy is None)
+                fused = self._fused_rhs(tuple(fa.shape[1:]), True, wrap)
+                if wrap:
+                    fg_xy = fa[: reg.ncom]
+                else:
+                    fg_xy = fill_ghosts(fa[: reg.ncom], cfg.grid,
+                                        self.bc_axes, reg, grid, cfg,
+                                        self.eos, mesh_axis_names,
+                                        mesh_shape, axes=(0, 1),
+                                        shear_dy=sdy,
+                                        extra_hi=(0, fused.ypad, 0))
                 df, fa_new, _ = fused(fg_xy, grid.z, df,
                                       alpha[isub], beta[isub] * dt)
                 if reg.nf > nvar:

@@ -60,7 +60,11 @@ class EosIdealGas(ModuleBase):
             return self.cs20 * jnp.exp(
                 self.gamma / self.cp * pen.ss()
                 + (self.gamma - 1.0) * (pen.lnrho() - self.lnrho0))
-        return jnp.full_like(pen.lnrho(), self.cs20)
+        if self.gamma == 1.0:
+            # exactly isothermal: cs² is a constant — no exp per point
+            return jnp.full_like(pen.lnrho(), self.cs20)
+        return self.cs20 * jnp.exp(
+            (self.gamma - 1.0) * (pen.lnrho() - self.lnrho0))
 
     def lnTT(self, pen):
         import jax.numpy as jnp

@@ -29,6 +29,7 @@ class RunParams:
 
     nt: int = 100               # number of steps
     it1: int = 10               # diagnostics cadence (steps)
+    it_timing: int = 0          # timing.dat cadence (0 = off)
     it1d: int = 0               # 1-D/2-D averages cadence (steps); 0 = off
     isave: int = 200            # rolling var.dat cadence (steps)
     dsnap: float = 0.0          # VAR<N> cadence (sim time); 0 = off
@@ -185,10 +186,24 @@ class Run:
         completed = False
         npoints = self.model.cfg.grid.nx * self.model.cfg.grid.ny * self.model.cfg.grid.nz
         for i in range(p.nt):
+            t_step0 = time.time()
             state = self.step(state)
             it = it0 + i + 1
             dt = float(np.asarray(state["dt"]))
             t = float(np.asarray(state["t"]))
+            # per-step guard, independent of the diagnostics cadence: a
+            # blow-up poisons dt through the CFL (reference checks dt and
+            # NaN every step, src/run.f90:843; round-1 only checked at it1)
+            if not np.isfinite(dt):
+                self._checkpoint(state, "crash.npz")
+                raise FloatingPointError(f"non-finite dt at it={it}")
+            if p.it_timing and it % p.it_timing == 0:
+                # timing.dat analog (reference messages.f90:482-544):
+                # wall-clock marks per loop phase at it_timing cadence
+                with open(os.path.join(self.datadir, "timing.dat"),
+                          "a") as fh:
+                    fh.write(f"{it} {time.time() - t_wall0:.6f} step "
+                             f"{time.time() - t_step0:.6f}\n")
             if (i + 1) % p.it1 == 0 or i == 0:
                 vals = self._write_diag(state)
                 if not np.isfinite(vals.get("urms", 0.0)):

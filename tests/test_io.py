@@ -88,3 +88,43 @@ def test_stop_control_file(tmp_path):
     open(tmp_path / "data" / "STOP", "w").close()
     state = run.main_loop(model.init_state(0))
     assert int(np.asarray(state["it"])) == 1  # stopped after first step
+
+
+def test_hdf5_snapshot_roundtrip(tmp_path):
+    """IO=io_hdf5 analog: allprocs/var.h5 written in the reference layout
+    round-trips through our reader and the reference python package."""
+    import numpy as np
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Model, TimeSpec)
+    from pencil_tpu.io.hdf5 import export_state_h5, read_var_h5
+
+    cfg = Config(grid=GridSpec(nx=8, ny=8, nz=8), time=TimeSpec(itorder=3),
+                 modules=(EosIdealGas(), Density(init="sinwave-z", ampl=0.1),
+                          Hydro(init="gaussian-noise", ampl=1e-2)))
+    model = Model(cfg)
+    state = model.init_state(5)
+    datadir = str(tmp_path / "data")
+    export_state_h5(model, state, datadir)
+
+    fields, t, grid = read_var_h5(datadir + "/allprocs/var.h5")
+    g = cfg.grid.nghost
+    np.testing.assert_allclose(
+        fields["lnrho"][g:-g, g:-g, g:-g],
+        np.asarray(state["fields"]["lnrho"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        fields["ux"][g:-g, g:-g, g:-g],
+        np.asarray(state["fields"]["uu"])[0], rtol=1e-6)
+
+    # the reference python package must read it unchanged
+    import sys
+    sys.path.insert(0, "/root/reference/python")
+    try:
+        import pencil as pc
+    except Exception:
+        import pytest
+        pytest.skip("reference python package not importable")
+    var = pc.read.var(var_file="var.h5", datadir=datadir, trimall=True,
+                      quiet=True)
+    np.testing.assert_allclose(np.asarray(var.lnrho),
+                               np.asarray(state["fields"]["lnrho"]).T,
+                               rtol=1e-6)
