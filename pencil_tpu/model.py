@@ -137,8 +137,13 @@ class Model:
         if self.particles is not None:
             key, sub = jax.random.split(key)
             state["key"] = key
-            state["particles"] = self.particles.init_particles(
-                self.grid, self.cfg.grid, sub, self.dtype)
+            try:
+                state["particles"] = self.particles.init_particles(
+                    self.grid, self.cfg.grid, sub, self.dtype,
+                    mesh_shape=self.cfg.mesh.shape)
+            except TypeError:
+                state["particles"] = self.particles.init_particles(
+                    self.grid, self.cfg.grid, sub, self.dtype)
         if overrides:
             for name, arr in overrides.items():
                 if name == "particles_xp":
@@ -407,7 +412,12 @@ class Model:
             "key": key,
         }
         if pstate is not None:
-            out["particles"] = self.particles.wrap_positions(pstate, cfg.grid)
+            try:
+                out["particles"] = self.particles.wrap_positions(
+                    pstate, cfg.grid, mesh_axis_names, mesh_shape)
+            except TypeError:
+                out["particles"] = self.particles.wrap_positions(
+                    pstate, cfg.grid)
         return out
 
     # ------------------------------------------------------------------
@@ -448,7 +458,12 @@ class Model:
             "t": P(), "dt": P(), "it": P(), "key": P(),
         }
         if self.particles is not None:
-            out["particles"] = {"xp": P(), "vp": P()}
+            if hasattr(self.particles, "capacity"):
+                # sharded buffers: dim 0 split over the flattened mesh
+                pp = P(("x", "y", "z"))
+                out["particles"] = {"xp": pp, "vp": pp, "active": pp}
+            else:
+                out["particles"] = {"xp": P(), "vp": P()}
         return out
 
     def make_sharded_step(self, mesh: Mesh):

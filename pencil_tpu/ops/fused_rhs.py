@@ -171,10 +171,14 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
                 (ii * TX, g, TX),
                 (jax.lax.rem(ii * TX + TX, nx), g + TX, g),
             )
+            # y offsets written as 8×(provably-integer) so Mosaic can prove
+            # sublane-tiling divisibility of the wrapped DMA slabs
+            ny8 = ny // 8
+            ty8 = TY // 8
             yparts = (
-                (jax.lax.rem(jj * TY - GY + ny, ny), 0, GY),
-                (jj * TY, GY, TY),
-                (jax.lax.rem(jj * TY + TY, ny), GY + TY, GY),
+                (8 * jax.lax.rem(jj * ty8 - 1 + ny8, ny8), 0, GY),
+                (8 * (jj * ty8), GY, TY),
+                (8 * jax.lax.rem(jj * ty8 + ty8, ny8), GY + TY, GY),
             )
             out = []
             k = 0

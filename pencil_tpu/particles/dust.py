@@ -132,3 +132,173 @@ class ParticlesDust(ModuleBase):
         ones = jnp.ones((pstate["xp"].shape[0],), pstate["xp"].dtype)
         return deposit(ones * (mp / dV), pstate["xp"], spec, spec.shape,
                        self.scheme, dtype=pstate["xp"].dtype)
+
+
+@dataclass(frozen=True)
+class ParticlesDustSharded(ParticlesDust):
+    """Scalable variant: particle state SHARDED over the device mesh in
+    fixed-size per-shard buffers with migration — the TPU-native analog of
+    the reference's block/brick decomposition + rank-to-rank migration
+    (``src/particles_mpicomm_blocks.f90``; npar_mig overflow semantics).
+
+    Layout: xp/vp are (ndev·cap, 3) arrays sharded along dim 0 over the
+    flattened ('x','y','z') mesh, plus an ``active`` mask (ndev·cap,).
+    Each device only ever touches its own (cap, 3) block, so memory and
+    gather/deposit work are O(npar/ndev) instead of O(npar).
+
+    Migration (once per step, after the position wrap): leavers are packed
+    into a fixed ``mig`` buffer, all-gathered (cheap at ICI mesh sizes),
+    and each shard claims the rows whose subdomain it owns.  Buffer
+    overflow drops particles (reference: fatal error on npar_mig overflow;
+    here: bounded loss, countable via the active-sum diagnostic).
+    """
+
+    name: ClassVar[str] = "particles"
+    cap_factor: float = 2.0      # per-shard capacity / mean load
+    mig_factor: float = 0.5      # migration buffer / capacity
+
+    def capacity(self, ndev):
+        import math
+        return max(8, int(math.ceil(self.npar / ndev * self.cap_factor)))
+
+    def init_particles(self, grid, spec, key, dtype, mesh_shape=(1, 1, 1)):
+        import numpy as np
+        base = ParticlesDust.init_particles(self, grid, spec, key, dtype)
+        ndev = mesh_shape[0] * mesh_shape[1] * mesh_shape[2]
+        cap = self.capacity(ndev)
+        xp = np.asarray(base["xp"])
+        vp = np.asarray(base["vp"])
+        # owner block per particle (subdomain raster order = mesh order)
+        lo = np.asarray([spec.x0, spec.y0, spec.z0])
+        dd = np.asarray([spec.Lx / mesh_shape[0], spec.Ly / mesh_shape[1],
+                         spec.Lz / mesh_shape[2]])
+        ijk = np.clip(((xp - lo) / dd).astype(int), 0,
+                      np.asarray(mesh_shape) - 1)
+        owner = (ijk[:, 0] * mesh_shape[1] + ijk[:, 1]) * mesh_shape[2] \
+            + ijk[:, 2]
+        xp_b = np.zeros((ndev * cap, 3), xp.dtype)
+        vp_b = np.zeros((ndev * cap, 3), vp.dtype)
+        act = np.zeros((ndev * cap,), xp.dtype)
+        for d in range(ndev):
+            sel = np.where(owner == d)[0][:cap]
+            xp_b[d * cap: d * cap + len(sel)] = xp[sel]
+            vp_b[d * cap: d * cap + len(sel)] = vp[sel]
+            act[d * cap: d * cap + len(sel)] = 1.0
+            # park inactive slots at the subdomain origin (harmless weights)
+            org = lo + dd * np.asarray([ijk_ for ijk_ in np.unravel_index(
+                d, mesh_shape)])
+            xp_b[d * cap + len(sel): (d + 1) * cap] = org + 0.5 * dd
+        return {"xp": jnp.asarray(xp_b), "vp": jnp.asarray(vp_b),
+                "active": jnp.asarray(act)}
+
+    def rhs_particles(self, pstate, pen, spec, df, ts,
+                      mesh_axis_names=None, mesh_shape=(1, 1, 1)):
+        """Local-block dynamics: every particle in this shard's buffer is
+        (by the migration invariant) inside the local subdomain, so
+        interpolation reads the local ghosted tile directly — no psum."""
+        xp, vp = pstate["xp"], pstate["vp"]
+        active = pstate["active"]
+        uu_slots = "uu" in pen.reg.slots
+        g = 3
+        nloc = tuple(d - 2 * g for d in pen.fg.shape[1:])
+        names = [n for n in (mesh_axis_names or ()) if n is not None]
+        origin = self._origin(spec, mesh_axis_names, mesh_shape, xp.dtype)
+        if uu_slots:
+            ug = interpolate(pen.fg[pen.reg.slice("uu")], xp, spec,
+                             self.scheme, origin=origin, mask=active).T
+        else:
+            ug = jnp.zeros_like(vp)
+        tausp1 = 1.0 / self.tausp if self.tausp > 0.0 else 0.0
+        dvp = -(vp - ug) * tausp1 * active[:, None]
+        if self.lgravz and self.gravz != 0.0:
+            dvp = dvp.at[:, 2].add(self.gravz * active)
+        dxp = vp * active[:, None]
+        if self.eps_dtog > 0.0 and uu_slots:
+            mp = self.eps_dtog * jnp.exp(pen.eos.lnrho0 if pen.eos else 0.0) \
+                * spec.Lx * spec.Ly * spec.Lz / self.npar
+            dV = spec.dx * spec.dy * spec.dz
+            mom = ((vp - ug) * tausp1 * (mp / dV) * active[:, None]).T
+            fdrag = deposit(mom, xp, spec, nloc, self.scheme,
+                            dtype=vp.dtype, origin=origin, mask=active,
+                            mesh_axis_names=mesh_axis_names,
+                            mesh_shape=mesh_shape)
+            accumulate(df, "uu", fdrag * pen.rho1())
+        if tausp1 > 0.0:
+            ts.max_rate(tausp1 / 0.2)
+        return {"xp": dxp, "vp": dvp, "active": jnp.zeros_like(active)}
+
+    def _origin(self, spec, mesh_axis_names, mesh_shape, dtype):
+        lo = jnp.asarray([spec.x0, spec.y0, spec.z0], dtype)
+        if not mesh_axis_names:
+            return lo
+        dd = jnp.asarray([spec.Lx / mesh_shape[0], spec.Ly / mesh_shape[1],
+                          spec.Lz / mesh_shape[2]], dtype)
+        idxs = []
+        for a, n in enumerate(mesh_axis_names):
+            if n is not None and mesh_shape[a] > 1:
+                idxs.append(jax.lax.axis_index(n).astype(dtype))
+            else:
+                idxs.append(jnp.asarray(0.0, dtype))
+        return lo + jnp.stack(idxs) * dd
+
+    def wrap_positions(self, pstate, spec, mesh_axis_names=None,
+                       mesh_shape=(1, 1, 1)):
+        """Periodic wrap + migration of leavers to their owning shard."""
+        out = ParticlesDust.wrap_positions(self, pstate, spec)
+        names = [n for n in (mesh_axis_names or ()) if n is not None]
+        if not names:
+            return out
+        xp, vp, active = out["xp"], out["vp"], out["active"]
+        dtype = xp.dtype
+        ndev = mesh_shape[0] * mesh_shape[1] * mesh_shape[2]
+        cap = xp.shape[0]
+        mig = max(8, int(cap * self.mig_factor))
+        lo = jnp.asarray([spec.x0, spec.y0, spec.z0], dtype)
+        dd = jnp.asarray([spec.Lx / mesh_shape[0], spec.Ly / mesh_shape[1],
+                          spec.Lz / mesh_shape[2]], dtype)
+        ijk = jnp.clip(jnp.floor((xp - lo) / dd).astype(jnp.int32), 0,
+                       jnp.asarray(mesh_shape, jnp.int32) - 1)
+        owner = (ijk[:, 0] * mesh_shape[1] + ijk[:, 1]) * mesh_shape[2] \
+            + ijk[:, 2]
+        my_id = jnp.asarray(0, jnp.int32)
+        mults = (mesh_shape[1] * mesh_shape[2], mesh_shape[2], 1)
+        for a, n in enumerate(mesh_axis_names):
+            if n is not None and mesh_shape[a] > 1:
+                my_id = my_id + jax.lax.axis_index(n) * mults[a]
+        act_b = active > 0.5
+        leaving = act_b & (owner != my_id)
+        # pack leavers first (stable argsort on ¬leaving)
+        order = jnp.argsort(jnp.where(leaving, 0, 1), stable=True)
+        pick = order[:mig]
+        buf_valid = leaving[pick]
+        buf = jnp.concatenate([
+            xp[pick], vp[pick],
+            owner[pick].astype(dtype)[:, None],
+            buf_valid.astype(dtype)[:, None]], axis=1)      # (mig, 8)
+        # deactivate ALL leavers (overflow beyond mig is dropped — bounded
+        # loss, like the reference's npar_mig hard limit)
+        active = jnp.where(leaving, 0.0, active)
+        # gather every shard's buffer; claim rows owned here
+        allbuf = buf[None]
+        for n in names:
+            allbuf = jax.lax.all_gather(allbuf, n)
+            allbuf = allbuf.reshape((-1,) + buf.shape)
+        allbuf = allbuf.reshape(-1, 8)                       # (ndev·mig, 8)
+        take = (allbuf[:, 7] > 0.5) & \
+            (allbuf[:, 6].astype(jnp.int32) == my_id)
+        inorder = jnp.argsort(jnp.where(take, 0, 1), stable=True)
+        inc = allbuf[inorder]
+        ninc = inc.shape[0]
+        take_sorted = take[inorder]
+        # free slots (inactive) packed first
+        free_order = jnp.argsort(jnp.where(active > 0.5, 1, 0), stable=True)
+        # place the k-th incoming into the k-th free slot (k < cap)
+        k = jnp.arange(ninc)
+        slot = jnp.where(k < cap, free_order[jnp.minimum(k, cap - 1)], 0)
+        free_ok = active[slot] < 0.5
+        ok = take_sorted & (k < cap) & free_ok
+        xp = xp.at[slot].set(jnp.where(ok[:, None], inc[:, 0:3], xp[slot]))
+        vp = vp.at[slot].set(jnp.where(ok[:, None], inc[:, 3:6], vp[slot]))
+        active = active.at[slot].set(
+            jnp.where(ok, 1.0, active[slot]))
+        return {"xp": xp, "vp": vp, "active": active}

@@ -182,3 +182,49 @@ def test_sharded_particles_match_single_device():
     np.testing.assert_allclose(np.asarray(a["fields"]["uu"]),
                                np.asarray(b["fields"]["uu"]),
                                rtol=5e-4, atol=1e-6)
+
+
+def test_sharded_particle_buffers_match_replicated():
+    """ParticlesDustSharded: per-shard fixed buffers + migration must
+    reproduce the single-device replicated run — gas fields to f32
+    tolerance and the particle SET identically (order-free comparison)."""
+    import jax
+    import numpy as np
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            MeshSpec, Model, TimeSpec, Viscosity)
+    from pencil_tpu.particles.dust import ParticlesDust, ParticlesDustSharded
+
+    def run(cls, mesh, sharded):
+        cfg = Config(
+            grid=GridSpec(nx=16, ny=16, nz=16),
+            mesh=mesh, time=TimeSpec(itorder=3),
+            modules=(EosIdealGas(gamma=1.0001),
+                     Density(init="sinwave-z", ampl=0.05),
+                     Hydro(init="gaussian-noise", ampl=0.2),
+                     Viscosity(ivisc=("nu-const",), nu=2e-3),
+                     cls(npar=512, tausp=0.3, eps_dtog=0.01, scheme="tsc",
+                         init="equidistant")),
+        )
+        model = Model(cfg)
+        state = model.init_state(11)
+        step = (model.make_sharded_step(model.make_mesh()) if sharded
+                else model.make_step())
+        for _ in range(8):
+            state = step(state)
+        return model, state
+
+    _, ref = run(ParticlesDust, MeshSpec(1, 1, 1), False)
+    _, shr = run(ParticlesDustSharded, MeshSpec(2, 2, 2), True)
+
+    for k in ref["fields"]:
+        np.testing.assert_allclose(np.asarray(shr["fields"][k]),
+                                   np.asarray(ref["fields"][k]),
+                                   rtol=5e-4, atol=1e-6, err_msg=k)
+    # same particle SET: all 512 still active, positions agree order-free
+    act = np.asarray(shr["particles"]["active"]) > 0.5
+    assert act.sum() == 512
+    xs = np.asarray(shr["particles"]["xp"])[act]
+    xr = np.asarray(ref["particles"]["xp"])
+    key_s = np.lexsort(xs.T)
+    key_r = np.lexsort(xr.T)
+    np.testing.assert_allclose(xs[key_s], xr[key_r], rtol=1e-4, atol=1e-5)
