@@ -13,7 +13,7 @@ constant vectors.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +37,12 @@ class Grid:
     dx_tilde: jnp.ndarray
     dy_tilde: jnp.ndarray
     dz_tilde: jnp.ndarray
+    # ghost width (static aux data: 3 → 6th order, 4 → 8th, 5 → 10th)
+    ng: int = field(default=3, metadata=dict(static=True))
 
     @property
     def nghost(self) -> int:
-        return 3
+        return self.ng
 
     def interior(self, vec: jnp.ndarray) -> jnp.ndarray:
         g = self.nghost
@@ -161,6 +163,7 @@ def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:
         x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),
         dx_1=jnp.asarray(dx1), dy_1=jnp.asarray(dy1), dz_1=jnp.asarray(dz1),
         dx_tilde=jnp.asarray(dxt), dy_tilde=jnp.asarray(dyt), dz_tilde=jnp.asarray(dzt),
+        ng=spec.nghost,
     )
 
 
@@ -186,6 +189,7 @@ def local_grid(grid: Grid, spec: GridSpec, shard_idx, shard_counts) -> Grid:
         dx_1=sl(grid.dx_1, spec.nx, shard_idx[0], shard_counts[0]),
         dy_1=sl(grid.dy_1, spec.ny, shard_idx[1], shard_counts[1]),
         dz_1=sl(grid.dz_1, spec.nz, shard_idx[2], shard_counts[2]),
+        ng=g,
         dx_tilde=sl(grid.dx_tilde, spec.nx, shard_idx[0], shard_counts[0]),
         dy_tilde=sl(grid.dy_tilde, spec.ny, shard_idx[1], shard_counts[1]),
         dz_tilde=sl(grid.dz_tilde, spec.nz, shard_idx[2], shard_counts[2]),

@@ -694,6 +694,10 @@ def apply_axis_bcs(fg, axis, bcs, reg, grid, cfg, eos=None,
     ``edge_mask`` — (is_low_edge, is_high_edge): python bools or traced
     scalars; under sharding only domain-edge shards keep the BC result.
     """
+    if cfg is not None and cfg.grid.nghost != 3 and bcs:
+        raise NotImplementedError(
+            "physical BCs are implemented for nghost=3 (6th order); "
+            "8th/10th-order runs support periodic boundaries")
     ctx = BCContext(fg, reg, grid, cfg, eos)
     for bc in bcs:
         ci = reg.comp_index(bc.comp)

@@ -40,8 +40,9 @@ class TileGrid(SimpleNamespace):
 
 def _choose_tile(n, target=16):
     """Largest candidate ≤ n dividing n, preferring ``target`` (empirically
-    TX=8, TY=32 is the sweet spot at 256³ on v5e)."""
-    for t in (target, 16, 8, 4, 32, 2, n):
+    TX=8, TY=64 is the sweet spot at 256³ on v5e with wrapped-DMA
+    ghosts + z rolls; 8/32 with the HBM-ghosted path)."""
+    for t in (target, 32, 16, 8, 4, 64, 2, n):
         if n % t == 0 and t <= n:
             return t
     return n
@@ -70,7 +71,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     g = NGHOST
     import os
     TX = tx or int(os.environ.get("PC_TX", 0)) or _choose_tile(nx, target=8)
-    TY = ty or int(os.environ.get("PC_TY", 0)) or _choose_tile(ny, target=32)
+    TY = ty or int(os.environ.get("PC_TY", 0)) or _choose_tile(ny, target=64)
     gx, gy = nx // TX, ny // TY
     nc = reg.ncom
     nvar = reg.nvar

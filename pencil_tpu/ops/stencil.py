@@ -5,8 +5,10 @@ TPU-native analog of reference ``src/deriv.f90`` (``der_main`` at :89,
 hard-coding the classical coefficient tables, we *derive* them at trace time
 from the Taylor/Vandermonde system (Fornberg weights) for any stencil width —
 this covers the reference's swappable 2nd/6th/8th/10th-order derivative
-modules (``src/deriv_2nd.f90``, ``deriv_8th.f90``, ``deriv_10th.f90``) with a
-single ``accuracy`` parameter instead of a build-time module slot.
+modules (``src/deriv_2nd.f90``, ``deriv_8th.f90``, ``deriv_10th.f90``):
+set ``GridSpec.nghost`` (3 → 6th order, 4 → 8th, 5 → 10th) and the full
+(2·nghost+1)-point stencil is used everywhere (halo, pencils, BCs gate on
+nghost=3 for now).
 
 All operators take a *ghosted* array whose trailing three axes are (x, y, z)
 with ``nghost`` ghost cells per side, reduce the target axis from m → n, and
@@ -56,7 +58,8 @@ def _axis_index(fg: jnp.ndarray, axis: int) -> int:
 
 
 def _stencil_axis(fg: jnp.ndarray, axis: int, weights: Sequence[float],
-                  offsets: Sequence[int], wrap: bool = False) -> jnp.ndarray:
+                  offsets: Sequence[int], wrap: bool = False,
+                  g: int = NGHOST) -> jnp.ndarray:
     """Weighted sum of shifted slices along one spatial axis; m → m-2*NGHOST.
 
     With ``wrap=True`` the axis is treated as periodic WITHOUT ghost zones:
@@ -74,11 +77,11 @@ def _stencil_axis(fg: jnp.ndarray, axis: int, weights: Sequence[float],
             out = term if out is None else out + term
         return out if out is not None else jnp.zeros_like(fg)
     m = fg.shape[ax]
-    n = m - 2 * NGHOST
+    n = m - 2 * g
     for o, w in zip(offsets, weights):
         if w == 0.0:
             continue
-        s = jax.lax.slice_in_dim(fg, NGHOST + o, NGHOST + o + n, axis=ax)
+        s = jax.lax.slice_in_dim(fg, g + o, g + o + n, axis=ax)
         term = w * s if w != 1.0 else s
         out = term if out is None else out + term
     if out is None:
@@ -99,14 +102,17 @@ def i(arr: jnp.ndarray, axes=(0, 1, 2), g: int = NGHOST) -> jnp.ndarray:
     return arr[tuple(idx)]
 
 
-def _der_n(fg, axis, inv_d, deriv, accuracy, wrap=False):
-    hw = (deriv + accuracy - 1) // 2
-    hw = max(hw, (deriv + 1) // 2)
-    if hw > NGHOST:
-        raise ValueError(f"stencil halfwidth {hw} exceeds nghost={NGHOST}")
-    offs = central_offsets(NGHOST)  # always use the full 7-pt stencil
+def _der_n(fg, axis, inv_d, deriv, accuracy, wrap=False, g=NGHOST):
+    """Width-generic central derivative: the full (2g+1)-point stencil of
+    the ghost zone is used, so accuracy follows the configured ghost width
+    (g=3 → 6th order like src/deriv.f90; g=4 → 8th order deriv_8th.f90;
+    g=5 → 10th order deriv_10th.f90)."""
+    hw = (deriv + 1) // 2
+    if hw > g:
+        raise ValueError(f"stencil halfwidth {hw} exceeds nghost={g}")
+    offs = central_offsets(g)
     w = fd_weights(offs, deriv)
-    out = _stencil_axis(fg, axis, w, offs, wrap=wrap)
+    out = _stencil_axis(fg, axis, w, offs, wrap=wrap, g=g)
     if inv_d is not None:
         out = out * _pow_scale(inv_d, deriv)
     return out
@@ -118,20 +124,20 @@ def _pow_scale(inv_d, p):
     return inv_d ** p
 
 
-def der(fg, axis, inv_d=None, wrap=False):
+def der(fg, axis, inv_d=None, wrap=False, g=NGHOST):
     """1st derivative, 6th-order central (reference der_main, deriv.f90:89)."""
-    return _der_n(fg, axis, inv_d, 1, 6, wrap=wrap)
+    return _der_n(fg, axis, inv_d, 1, 6, wrap=wrap, g=g)
 
 
-def der2(fg, axis, inv_d=None, tilde=None, wrap=False):
+def der2(fg, axis, inv_d=None, tilde=None, wrap=False, g=NGHOST):
     """2nd derivative, 6th-order central (reference der2_main, deriv.f90:474).
 
     ``tilde`` is the nonuniform-grid metric −x''/x'² ; when given, adds the
     first-derivative correction term for stretched grids.
     """
-    out = _der_n(fg, axis, inv_d, 2, 6, wrap=wrap)
+    out = _der_n(fg, axis, inv_d, 2, 6, wrap=wrap, g=g)
     if tilde is not None:
-        out = out + tilde * der(fg, axis, inv_d, wrap=wrap)
+        out = out + tilde * der(fg, axis, inv_d, wrap=wrap, g=g)
     return out
 
 
@@ -147,9 +153,9 @@ def der5(fg, axis, inv_d=None):
     return _der_n(fg, axis, inv_d, 5, 2)
 
 
-def der6(fg, axis, inv_d=None, wrap=False):
+def der6(fg, axis, inv_d=None, wrap=False, g=NGHOST):
     """6th derivative on the 7-pt stencil (used by del6 hyperdiffusion)."""
-    return _der_n(fg, axis, inv_d, 6, 2, wrap=wrap)
+    return _der_n(fg, axis, inv_d, 6, 2, wrap=wrap, g=g)
 
 
 _UPWIND_W = None

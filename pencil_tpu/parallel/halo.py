@@ -23,13 +23,13 @@ from ..ops.boundary import apply_axis_bcs
 from ..ops.stencil import NGHOST
 
 
-def _wrap_axis(fg: jnp.ndarray, axis: int, extra: int = 0) -> jnp.ndarray:
+def _wrap_axis(fg: jnp.ndarray, axis: int, extra: int = 0,
+               g: int = NGHOST) -> jnp.ndarray:
     """Periodic fill of one spatial axis from the local interior.
 
     ``extra`` = alignment padding beyond the high ghost zone (ignored by
     the wrap; the fused kernel's sublane-aligned DMA slabs read into it).
     """
-    g = NGHOST
     ax = fg.ndim - 3 + axis
     m = fg.shape[ax] - extra
     hi_int = jax.lax.slice_in_dim(fg, m - 2 * g, m - g, axis=ax)
@@ -80,7 +80,7 @@ def fill_ghosts(
     get ghosted (the fused-RHS path keeps z unghosted in HBM and builds the
     z halo in VMEM for lane alignment).
     """
-    g = NGHOST
+    g = spec.nghost
     pad = [(0, 0)] * (fa.ndim - 3) + [
         (g, g + extra_hi[a]) if a in axes else (0, 0) for a in range(3)
     ]
@@ -98,7 +98,7 @@ def fill_ghosts(
                 fg = apply_axis_bcs(fg, axis, bc_axes[axis], reg, grid, cfg,
                                     eos, edge_mask=edge)
         else:
-            fg = _wrap_axis(fg, axis, extra_hi[axis])
+            fg = _wrap_axis(fg, axis, extra_hi[axis], g)
             if not spec.periodic[axis]:
                 fg = apply_axis_bcs(fg, axis, bc_axes[axis], reg, grid, cfg,
                                     eos, edge_mask=(True, True))
