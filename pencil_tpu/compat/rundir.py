@@ -229,9 +229,15 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             rho0=float(eos_p.get("rho0", 1.0)),
         ))
 
+    # lweno_transport lives in the GENERAL run_pars (reference
+    # src/param_io.f90: lweno_transport in &run_pars) and switches the
+    # continuity + thermal-energy advection to WENO5 flux form.
+    lweno = bool(run_pars.get("lweno_transport", False))
+
     den_p = grp("density")
     if "density_init_pars" in start or den_p:
         modules.append(Density(
+            lweno_transport=lweno,
             init=str(den_p.get("initlnrho", "zero")),
             ampl=float(den_p.get("ampllnrho", 0.0)),
             rho_const=float(den_p.get("rho_const", 1.0)),
@@ -312,6 +318,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     hyd_p = grp("hydro")
     if "hydro_init_pars" in start or hyd_p:
         modules.append(Hydro(
+            lweno_transport=lweno,
             lpressuregradient_gas=bool(
                 hyd_p.get("lpressuregradient_gas", True)),
             init=str(hyd_p.get("inituu", "zero")),
@@ -334,7 +341,22 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
 
     ent_p = grp("entropy")
     ent_slot = mkf.get("ENTROPY", mkf.get("ENERGY", ""))
-    if "temperature" in ent_slot or ent_p.get("ltemperature_nolog") \
+    if "thermal_energy" in ent_slot or "initeth" in ent_p:
+        # ENERGY slot variant: thermal_energy (evolves eth = rho*cv*T;
+        # reference src/thermal_energy.f90)
+        from ..physics.thermal_energy import ThermalEnergy
+        modules.append(ThermalEnergy(
+            chi=float(ent_p.get("chi", 0.0)),
+            chi_shock=float(ent_p.get("chi_shock", 0.0)),
+            lweno_transport=lweno,
+            lupw_eth=bool(ent_p.get("lupw_eth", False)),
+            init=str(ent_p.get("initeth", "const")),
+            eth_const=float(ent_p.get("eth_const", 1.0)),
+            eth_left=float(ent_p.get("eth_left", 0.0)),
+            eth_right=float(ent_p.get("eth_right", 0.0)),
+            width=float(ent_p.get("widtheth", 0.05)),
+        ))
+    elif "temperature" in ent_slot or ent_p.get("ltemperature_nolog") \
             or "initlntt" in ent_p:
         # ENERGY slot variant: temperature_idealgas (evolves lnTT or TT)
         from ..physics.temperature import TemperatureIdealGas
@@ -365,6 +387,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     elif "entropy_init_pars" in start or ent_p:
         ihc = ent_p.get("iheatcond", "K-const")
         modules.append(Entropy(
+            lweno_transport=lweno,
             init=str(ent_p.get("initss", "zero")),
             width=float(ent_p.get("widthss", 0.05)),
             iheatcond=_as_tuple(ihc),
@@ -431,9 +454,18 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ))
 
     shk_p = grp("shock")
-    if shk_p or any("nu-shock" in str(v) for v in
-                    _as_tuple(vis_p.get("ivisc", ""))):
-        modules.append(Shock())
+    shock_slot = mkf.get("SHOCK", "")
+    if (shk_p or any("shock" in str(v) for v in
+                     _as_tuple(vis_p.get("ivisc", "")))
+            or float(ent_p.get("chi_shock", 0.0)) != 0.0
+            or ("shock" in shock_slot and "noshock" not in shock_slot)):
+        modules.append(Shock(
+            variant="highorder" if "highorder" in shock_slot else "original",
+            ishock_max=int(shk_p.get("ishock_max", 1)),
+            lgaussian_smooth=bool(shk_p.get("lgaussian_smooth", False)),
+            lconvergence_only=bool(shk_p.get("lconvergence_only", True)),
+            shock_div_pow=float(shk_p.get("shock_div_pow", 1.0)),
+        ))
 
     psc_p = grp("pscalar")
     if psc_p:

@@ -114,6 +114,10 @@ def _lnrhom(pen, st):
 # ---- entropy / thermo -----------------------------------------------------
 @diag("ssm")
 def _ssm(pen, st):
+    # reference parse_name leaves unmatched diagnostics at 0 (e.g. 'ssm'
+    # requested under thermal_energy prints 0.0000E+00)
+    if "ss" not in pen.reg.slots:
+        return jnp.zeros(())
     return jnp.mean(pen.ss())
 
 
@@ -141,8 +145,42 @@ def _eth(pen, st):
 
 @diag("ethm")
 def _ethm(pen, st):
+    if "eth" in pen.reg.slots:
+        return jnp.mean(pen.field("eth"))
     e = pen.eos
     return jnp.mean(pen.rho() * e.cv * pen.TT())
+
+
+def _visc_heat(pen):
+    """Per-point viscous heating (reference p%visc_heat) recomputed from the
+    viscosity config — diagnostics run on a fresh pencil set outside rhs."""
+    visc = pen.cfg.module("viscosity") if pen.cfg is not None else None
+    heat = jnp.zeros_like(pen.divu())
+    if visc is None:
+        return heat
+    if "nu-const" in visc.ivisc and visc.nu > 0.0:
+        heat = heat + 2.0 * visc.nu * pen.sij2()
+    if ({"nu-shock", "shock"} & set(visc.ivisc)) and visc.nu_shock > 0.0 \
+            and "shock" in pen.reg.slots:
+        heat = heat + visc.nu_shock * pen.field("shock") * pen.divu() ** 2
+    return heat
+
+
+@diag("epsK")
+def _epsK(pen, st):
+    """<2νρS²> + shock part = <ρ·visc_heat> (viscosity.f90:2690)."""
+    return jnp.mean(_visc_heat(pen) * pen.rho())
+
+
+@diag("visc_heatm")
+def _visc_heatm(pen, st):
+    return jnp.mean(_visc_heat(pen))
+
+
+@diag("pdivum")
+def _pdivum(pen, st):
+    """<p∇·u> (thermal_energy.f90:607); p = (γ−1)eth = ρcs²/γ."""
+    return jnp.mean(pen.rho() * pen.cs2() / pen.eos.gamma * pen.divu())
 
 
 @diag("ruxm")
@@ -341,6 +379,11 @@ def make_diagnostics(model, names: Iterable[str]):
         fg = fill_ghosts(fa[: reg.ncom], cfg.grid,
                          (cfg.bcx, cfg.bcy, cfg.bcz), reg, grid, cfg, eos)
         pen = Pencils(fg, grid, reg, cfg, eos)
+        if model._aux_modules:
+            # reference samples diagnostics in the NEXT iteration's first
+            # substep — its shock profile is rebuilt from the current f
+            fg = model.apply_aux(fg, pen, grid)
+            pen = Pencils(fg, grid, reg, cfg, eos)
         out = {}
         dt = state["dt"]
         for n in names:

@@ -92,6 +92,7 @@ class Model:
             and cfg.grid.coords == "cartesian"
             and cfg.grid.grid_func == ("uniform", "uniform", "uniform")
             and (not on_tpu or cfg.grid.nz % 128 == 0)
+            and cfg.grid.nghost == 3
             and not self._aux_modules
             and not self._freeze
             and self.particles is None
@@ -165,12 +166,54 @@ class Model:
         shear_dy = None
         if shear is not None:
             shear_dy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly)
+        return self._rhs_inner(fa, t, grid, mesh_axis_names, mesh_shape,
+                               pstate, shear_dy)
+
+    def apply_aux(self, fg, pen, grid, mesh_axis_names=None,
+                  mesh_shape=(1, 1, 1), shear_dy=None):
+        """Compute farray-level auxiliary fields with their own communication
+        (reference calc_shock_profile, src/equ.f90:211) from the ghosted
+        evolved fields and write them back into the ghosted stack.  Also used
+        by the diagnostics evaluator — the reference samples diagnostics
+        during the next iteration's first substep, whose shock profile is
+        computed from exactly the current f-array."""
+        cfg = self.cfg
+        from .ops.boundary import bc_sym
+
+        def halo1(x):
+            xg = fill_ghosts(x[None], cfg.grid, ((), (), ()), self.reg,
+                             grid, cfg, None, mesh_axis_names, mesh_shape,
+                             shear_dy=shear_dy)
+            for axis in range(3):
+                if cfg.grid.periodic[axis]:
+                    continue
+                name = (mesh_axis_names or (None,) * 3)[axis]
+                psize = mesh_shape[axis]
+                for side in (0, 1):
+                    new = bc_sym(xg[0], axis, side, 0.0, None)
+                    if name is not None and psize > 1:
+                        idx = jax.lax.axis_index(name)
+                        edge = idx == (0 if side == 0 else psize - 1)
+                        xg = xg.at[0].set(jnp.where(edge, new, xg[0]))
+                    else:
+                        xg = xg.at[0].set(new)
+            return xg[0]
+
+        for m in self._aux_modules:
+            for aname, interior in m.compute_aux(pen, halo1).items():
+                fg = fg.at[self.reg.slice(aname)].set(halo1(interior)[None])
+        return fg
+
+    def _rhs_inner(self, fa, t, grid, mesh_axis_names, mesh_shape,
+                   pstate, shear_dy):
+        cfg = self.cfg
         z_unsharded = mesh_axis_names is None or mesh_axis_names[2] is None
         if self._fused_ok and z_unsharded:
             names = mesh_axis_names or (None, None, None)
             wrap = (cfg.grid.periodic[0] and cfg.grid.periodic[1]
                     and names[0] is None and names[1] is None
-                    and shear_dy is None)
+                    and shear_dy is None and cfg.grid.ny % 8 == 0
+                    and cfg.grid.nx >= 4)
             fused = self._fused_rhs(tuple(fa.shape[1:]), False, wrap)
             if wrap:
                 # fully-periodic unsharded: the kernel fetches x/y halos by
@@ -198,33 +241,8 @@ class Model:
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
         if self._aux_modules:
-            # farray-level auxiliary fields with their own communication
-            # (reference calc_shock_profile, src/equ.f90:211): compute from
-            # the ghosted evolved fields, then re-ghost the aux slots.
-            from .ops.boundary import bc_sym
-
-            def halo1(x):
-                xg = fill_ghosts(x[None], cfg.grid, ((), (), ()), self.reg,
-                                 grid, cfg, None, mesh_axis_names, mesh_shape,
-                                 shear_dy=shear_dy)
-                for axis in range(3):
-                    if cfg.grid.periodic[axis]:
-                        continue
-                    name = (mesh_axis_names or (None,) * 3)[axis]
-                    psize = mesh_shape[axis]
-                    for side in (0, 1):
-                        new = bc_sym(xg[0], axis, side, 0.0, None)
-                        if name is not None and psize > 1:
-                            idx = jax.lax.axis_index(name)
-                            edge = idx == (0 if side == 0 else psize - 1)
-                            xg = xg.at[0].set(jnp.where(edge, new, xg[0]))
-                        else:
-                            xg = xg.at[0].set(new)
-                return xg[0]
-
-            for m in self._aux_modules:
-                for aname, interior in m.compute_aux(pen, halo1).items():
-                    fg = fg.at[self.reg.slice(aname)].set(halo1(interior)[None])
+            fg = self.apply_aux(fg, pen, grid, mesh_axis_names, mesh_shape,
+                                shear_dy)
             pen.fg = fg
         df: Dict[str, jnp.ndarray] = {}
         ts = TimestepAccum()
@@ -321,7 +339,8 @@ class Model:
                 names = mesh_axis_names or (None, None, None)
                 wrap = (cfg.grid.periodic[0] and cfg.grid.periodic[1]
                         and names[0] is None and names[1] is None
-                        and sdy is None)
+                        and sdy is None and cfg.grid.ny % 8 == 0
+                        and cfg.grid.nx >= 4)
                 fused = self._fused_rhs(tuple(fa.shape[1:]), True, wrap)
                 if wrap:
                     fg_xy = fa[: reg.ncom]

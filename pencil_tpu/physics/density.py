@@ -18,6 +18,7 @@ class Density(ModuleBase):
 
     lupw_lnrho: bool = False       # 5th-order upwinding of the advection term
     lnolog: bool = False           # evolve rho itself (ldensity_nolog)
+    lweno_transport: bool = False  # WENO5 flux transport (weno_transport.f90)
     diffrho: float = 0.0           # Fickian mass diffusion
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
     diffrho_hyper3_mesh: float = 0.0  # resolution-independent mesh flavor
@@ -37,8 +38,12 @@ class Density(ModuleBase):
     def rhs(self, pen, df, ts):
         if self.lnolog:
             rho = pen.field("rho")
-            out = (-pen.ugrad("rho", upwind=self.lupw_lnrho)
-                   - rho * pen.divu())
+            if self.lweno_transport:
+                from .thermal_energy import weno_div_flux_3d
+                out = weno_div_flux_3d(pen, "rho")
+            else:
+                out = (-pen.ugrad("rho", upwind=self.lupw_lnrho)
+                       - rho * pen.divu())
             if self.diffrho > 0.0:
                 out = out + self.diffrho * pen.del2s("rho")
                 ts.diffus(self.diffrho)

@@ -32,6 +32,7 @@ class Entropy(ModuleBase):
     chi_hyper3: float = 0.0
     chi_hyper3_mesh: float = 0.0
     lupw_ss: bool = False
+    lweno_transport: bool = False  # WENO flux advection (entropy.f90:3342)
     # heating/cooling layers (conv-slab style)
     luminosity: float = 0.0
     wheat: float = 0.1
@@ -60,7 +61,15 @@ class Entropy(ModuleBase):
 
     def rhs(self, pen, df, ts):
         eos = pen.eos
-        out = -pen.ugrad("ss", upwind=self.lupw_ss)
+        if self.lweno_transport and "rho" in pen.reg.slots:
+            # dss −= (∇·(uρs) − s∇·(uρ))·ρ⁻¹ (reference entropy.f90:3342-3344;
+            # weno_transp iq=iss, iq1=irho)
+            from .thermal_energy import weno_div_flux_3d
+            rho1 = pen.rho1()
+            out = (weno_div_flux_3d(pen, ("ss", 0, "rho"))
+                   - pen.ss() * weno_div_flux_3d(pen, "rho")) * rho1
+        else:
+            out = -pen.ugrad("ss", upwind=self.lupw_ss)
 
         glnTT = pen.glnTT()
         glnTT2 = glnTT[0] ** 2 + glnTT[1] ** 2 + glnTT[2] ** 2

