@@ -40,9 +40,30 @@ def cmd_run(args):
     cfg, info, cols = _load(args.rundir)
     model = Model(cfg)
     datadir = os.path.join(args.rundir, "data")
+    def _aver_in(*names):
+        out = []
+        for nm in names:
+            fp = os.path.join(args.rundir, nm)
+            if os.path.exists(fp):
+                out += [ln.strip() for ln in open(fp)
+                        if ln.strip() and not ln.startswith("#")]
+        return tuple(out)
+
+    rp = info.get("run_pars", {})
+    downs = rp.get("downsampl", ())
+    downs = tuple(int(d) for d in (downs if isinstance(downs, list)
+                                   else [downs])) if downs else ()
     params = RunParams(
         nt=args.nt or info["nt"], it1=info["it1"], isave=info["isave"],
-        dsnap=info["dsnap"], dvid=info["dvid"], print_columns=cols)
+        dsnap=info["dsnap"], dvid=info["dvid"], print_columns=cols,
+        it1d=int(rp.get("it1d", info["it1"])),
+        aver_names=_aver_in("xyaver.in", "xzaver.in", "yzaver.in",
+                            "zaver.in", "yaver.in"),
+        phiaver_names=_aver_in("phiaver.in"),
+        d2davg=float(rp.get("d2davg", info["dsnap"] or 0.0)),
+        tavg=float(rp.get("tavg", 0.0)),
+        downsampl=downs if any(d > 1 for d in downs) else (),
+        dsnap_down=float(rp.get("dsnap_down", 0.0)))
     run = Run(model, datadir=datadir, params=params, sharded=args.sharded)
     if os.path.exists(os.path.join(datadir, "var.npz")) and not args.fresh:
         state = run.resume()

@@ -238,17 +238,27 @@ def export_state(model, state, datadir):
     fa = np.asarray(model.reg.stack(state["fields"]))
     g = gs.nghost
     fg = np.pad(fa, ((0, 0), (g, g), (g, g), (g, g)), mode="wrap")
+    # canonical reference layout: a GLOBAL data/dim.dat (4-int proc line)
+    # plus per-proc data/proc0/{dim,var,grid}.dat — what the reference
+    # python readers (dims.py / varfile.py) walk; the root-level var.dat
+    # and grid.dat copies remain for direct single-file consumers
     write_dim(os.path.join(datadir, "dim.dat"), gs.mx, gs.my, gs.mz,
+              reg.nvar, reg.nf - reg.nvar)
+    proc0 = os.path.join(datadir, "proc0")
+    os.makedirs(proc0, exist_ok=True)
+    write_dim(os.path.join(proc0, "dim.dat"), gs.mx, gs.my, gs.mz,
               reg.nvar, reg.nf - reg.nvar, iproc=(0, 0, 0))
     grid = model.grid
-    write_grid(os.path.join(datadir, "grid.dat"),
-               np.asarray(grid.x), np.asarray(grid.y), np.asarray(grid.z),
-               (gs.dx, gs.dy, gs.dz), (gs.Lx, gs.Ly, gs.Lz),
-               t=float(np.asarray(state["t"])))
-    write_var(os.path.join(datadir, "var.dat"), fg,
-              float(np.asarray(state["t"])),
-              np.asarray(grid.x, np.float64), np.asarray(grid.y, np.float64),
-              np.asarray(grid.z, np.float64), gs.dx, gs.dy, gs.dz)
+    t_now = float(np.asarray(state["t"]))
+    for ddir in (datadir, proc0):
+        write_grid(os.path.join(ddir, "grid.dat"),
+                   np.asarray(grid.x), np.asarray(grid.y),
+                   np.asarray(grid.z),
+                   (gs.dx, gs.dy, gs.dz), (gs.Lx, gs.Ly, gs.Lz), t=t_now)
+        write_var(os.path.join(ddir, "var.dat"), fg, t_now,
+                  np.asarray(grid.x, np.float64),
+                  np.asarray(grid.y, np.float64),
+                  np.asarray(grid.z, np.float64), gs.dx, gs.dy, gs.dz)
     with open(os.path.join(datadir, "index.pro"), "w") as f:
         for i, name in enumerate(reg.comp_names):
             f.write(f"i{name}={i + 1}\n")

@@ -195,11 +195,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     lshift = init_pars.get("lshift_origin", [False, False, False])
     if not isinstance(lshift, list):
         lshift = [lshift] * 3
+    coords = {"cylindric": "cylindrical", "cylindrical": "cylindrical",
+              "spherical": "spherical", "spherical_coords": "spherical",
+              }.get(str(init_pars.get("coord_system", "cartesian")),
+                    "cartesian")
     grid = GridSpec(nx=nx, ny=ny, nz=nz,
                     x0=xyz0[0], y0=xyz0[1], z0=xyz0[2],
                     Lx=Lxyz[0], Ly=Lxyz[1], Lz=Lxyz[2],
                     periodic=tuple(bool(p) for p in lperi),
-                    lshift_origin=tuple(bool(v) for v in lshift))
+                    lshift_origin=tuple(bool(v) for v in lshift),
+                    coords=coords)
 
     time = TimeSpec(
         itorder=int(run_pars.get("itorder", 3)),
@@ -208,6 +213,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         cdtv3=float(run_pars.get("cdtv3", 0.25)),
         dt=float(run_pars.get("dt", 0.0)),
         dtmin=float(run_pars.get("dtmin", 1e-10)),
+        eps_rkf=float(run_pars.get("eps_rkf", 1e-8)),
     )
 
     modules = []
@@ -316,7 +322,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(SelfGravity(gravitational_const=G))
 
     hyd_p = grp("hydro")
-    if "hydro_init_pars" in start or hyd_p:
+    if ("hydro_init_pars" in start or hyd_p) \
+            and "nohydro" not in mkf.get("HYDRO", "hydro"):
         modules.append(Hydro(
             lweno_transport=lweno,
             lpressuregradient_gas=bool(
@@ -356,6 +363,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eth_right=float(ent_p.get("eth_right", 0.0)),
             width=float(ent_p.get("widtheth", 0.05)),
         ))
+    elif "temperature_ionization" in ent_slot:
+        # ENERGY slot variant for chemistry/ionization runs: lnTT holder,
+        # reactive heating contributed by the chemistry module
+        from ..physics.chemistry_chemkin import TemperatureIonization
+        modules.append(TemperatureIonization())
     elif "temperature" in ent_slot or ent_p.get("ltemperature_nolog") \
             or "initlntt" in ent_p:
         # ENERGY slot variant: temperature_idealgas (evolves lnTT or TT)
@@ -420,6 +432,58 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             nu_shock=float(vis_p.get("nu_shock", 0.0)),
         ))
 
+    chm_p = grp("chemistry")
+    if "chemistry" in mkf.get("CHEMISTRY", "") \
+            and "nochemistry" not in mkf.get("CHEMISTRY", ""):
+        cheminp = os.path.join(path, "chem.inp")
+        mdat = os.path.join(path, "chemistry_m.dat")
+        pdat = os.path.join(path, "chemistry_p.dat")
+        if os.path.exists(cheminp):
+            # detailed CHEMKIN mechanism (lcheminp path)
+            from .chemkin import parse_air_dat, parse_chem_inp
+            from ..physics.chemistry_chemkin import ChemistryChemkin
+            mech = parse_chem_inp(cheminp)
+            T0, P0, fracs = 300.0, 1.013e6, {}
+            if str(chm_p.get("initchem", "")) == "air":
+                for fn in ("air.dat", "air.in"):
+                    fp = os.path.join(path, fn)
+                    if os.path.exists(fp):
+                        T0, P0, fracs = parse_air_dat(fp)
+                        break
+            modules.append(ChemistryChemkin(
+                mech=mech,
+                init=str(chm_p.get("initchem", "air")),
+                T_init=T0, P_init=P0,
+                Y_init=tuple(sorted(fracs.items())),
+                lreactions=bool(chm_p.get("lreactions", True)),
+                ldiffusion=bool(chm_p.get("ldiffusion", True)),
+                lheatc_chemistry=bool(chm_p.get("lheatc_chemistry",
+                                                False)),
+            ))
+        elif os.path.exists(mdat) and os.path.exists(pdat):
+            # kreactions tables ('Axel case', e.g. chemistry_GrayScott)
+            from .chemkin import parse_kreactions
+            from ..physics.chemistry import Chemistry
+            spnames, reactions = parse_kreactions(mdat, pdat)
+            pref = chm_p.get("chem_diff_prefactor", 1.0)
+            pref = pref if isinstance(pref, list) else [pref]
+            pref = (pref * len(spnames))[: len(spnames)]
+            cdiff = float(chm_p.get("chem_diff", 0.0))
+            ak = chm_p.get("amplchemk", 0.0)
+            ak = ak if isinstance(ak, list) else [ak]
+            ak2 = chm_p.get("amplchemk2", 0.0)
+            ak2 = ak2 if isinstance(ak2, list) else [ak2]
+            modules.append(Chemistry(
+                species=tuple(spnames),
+                reactions=reactions,
+                diff=tuple(cdiff * float(p) for p in pref),
+                ladvect="nohydro" not in mkf.get("HYDRO", "hydro"),
+                init=str(chm_p.get("initchem", "zero")),
+                width=float(chm_p.get("widthchem", 0.1)),
+                ampl_k=tuple(float(a) for a in ak),
+                ampl2_k=tuple(float(a) for a in ak2),
+            ))
+
     mag_p = grp("magnetic")
     if "magnetic_init_pars" in start or mag_p:
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
@@ -451,6 +515,26 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(Shear(
             qshear=float(shear_p.get("qshear", 1.5)),
             Omega=float(shear_p.get("omega", hyd_p.get("omega", 1.0))),
+        ))
+
+    pq_p = grp("pointmasses")
+    if pq_p and "pointmasses" in mkf.get("POINTMASSES", ""):
+        from ..physics.pointmasses import PointMasses
+        pmv = pq_p.get("pmass", [1.0])
+        pmv = pmv if isinstance(pmv, list) else [pmv]
+        xq0 = pq_p.get("xq0", [0.0] * len(pmv))
+        xq0 = xq0 if isinstance(xq0, list) else [xq0]
+        rsm = pq_p.get("r_smooth", [0.0] * len(pmv))
+        rsm = rsm if isinstance(rsm, list) else [rsm]
+        modules.append(PointMasses(
+            pmass=tuple(float(v) for v in pmv),
+            xq0=tuple(float(v) for v in xq0),
+            r_smooth=tuple(float(v) for v in rsm),
+            iprimary=int(pq_p.get("iprimary", 1)),
+            GNewton=float(pq_p.get("gnewton", 1.0)),
+            initxxq=str(pq_p.get("initxxq", "fixed-cm")),
+            initvvq=str(pq_p.get("initvvq", "fixed-cm")),
+            lreset_cm=bool(pq_p.get("lreset_cm", False)),
         ))
 
     shk_p = grp("shock")
@@ -552,13 +636,13 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 arr = fbc_lo if side == 0 else fbc_hi
                 if arr is not None and ci < len(arr):
                     v = float(arr[ci])
-                if c == "cT" and ent is not None and ent.cs2cool > 0:
+                if c == "cT" and ent is not None and getattr(ent, "cs2cool", 0) > 0:
                     v = ent.cs2cool
                 elif c == "c1" and ent is not None and grav is not None \
                         and eos is not None:
                     # equilibrium flux F/K = −dT/dz of the bottom polytrope:
                     # dT/dz = γ·gravz/((m+1)(γ−1)cp)
-                    mlay = ent.mpoly1 if side == 0 else ent.mpoly2
+                    mlay = getattr(ent, "mpoly1", 1.0) if side == 0 else getattr(ent, "mpoly2", 0.0)
                     v = -eos.gamma * grav.gravz / (
                         (mlay + 1.0) * (eos.gamma - 1.0) * eos.cp)
                 if side == 0:
@@ -572,10 +656,17 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         path, tuple(modules), grid, int(run_pars.get("nt", 100)),
         init_pars, run_pars, cpar)
 
+    # REAL_PRECISION=double: honored when the JAX x64 mode is enabled
+    # (required by e.g. the RKF45 chemistry goldens at eps_rkf=1e-8)
+    dtype = "float32"
+    if "double" in mkf.get("REAL_PRECISION", ""):
+        import jax
+        if jax.config.jax_enable_x64:
+            dtype = "float64"
     cfg = Config(
         grid=grid, time=time, modules=modules_final,
         bcx=bcs_for("bcx", None), bcy=bcs_for("bcy", None),
-        bcz=bcs_for("bcz", None),
+        bcz=bcs_for("bcz", None), dtype=dtype,
     )
     unmapped = [g for g in list(start) + list(run) if g not in known]
     info = {

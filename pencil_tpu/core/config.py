@@ -103,7 +103,8 @@ class TimeSpec:
     """Time-integration parameters (reference ``src/timestep.f90:19-66``,
     CFL coefficients ``src/cdata.f90:145-149``)."""
 
-    itorder: int = 3           # RK order: 1, 2, 3 (2N low-storage)
+    itorder: int = 3           # RK order: 1, 2, 3 (2N low-storage);
+                               # 5 = adaptive Cash-Karp RKF45
     cdt: float = 0.9           # advective CFL safety factor
     cdtv: float = 0.25         # diffusive (del2) CFL
     cdtv3: float = 0.25        # hyperdiffusive (del6) CFL
@@ -111,6 +112,7 @@ class TimeSpec:
     dtmin: float = 1.0e-10
     dtmax: float = 1.0e37
     ddt: float = 0.0           # max dt growth ratio per step (0 = off)
+    eps_rkf: float = 1.0e-8    # RKF45 error tolerance (cdata eps_rkf)
 
 
 @dataclass(frozen=True)

@@ -367,9 +367,26 @@ def make_diagnostics(model, names: Iterable[str]):
     # timestep-fraction columns (reference dtc/dtu/dtnu/dtchi) need the CFL
     # accumulators; recompute cheap proxies from pencils
     names = list(names)
+    import re as _re
+    has_chem = "chem" in reg.slots
+
+    def _chem_diag(n):
+        # Y<k>m: mean mass fraction of chemistry species k (chemistry.f90
+        # idiag_Ym); e_intm prints 0 in the reference H2-ignition golden
+        # (the diagnostic is requested but unclaimed → stays 0)
+        return has_chem and (_re.fullmatch(r"Y\d+m", n) or n == "e_intm"
+                             or n == "ppm")
+
+    has_pm = model.pointmasses is not None
+
+    def _pm_diag(n):
+        # xq<k>/yq<k>/zq<k>, vxq<k>/... — per-point-mass positions and
+        # velocities (pointmasses.f90 idiag_xxq/idiag_vvq)
+        return has_pm and _re.fullmatch(r"v?[xyz]q\d+", n)
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
-               and n not in ("dtc", "dtu", "dtnu", "dtchi")]
+               and n not in ("dtc", "dtu", "dtnu", "dtchi")
+               and not _chem_diag(n) and not _pm_diag(n)]
     if unknown:
         raise KeyError(f"unknown diagnostics: {unknown}")
 
@@ -425,6 +442,25 @@ def make_diagnostics(model, names: Iterable[str]):
                     chi = ent.chi
                 dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
                 out[n] = dt * e.gamma * jnp.max(chi * dxyz2) / cfg.time.cdtv
+            elif _pm_diag(n):
+                comp = "xyz".index(n.lstrip("v")[0])
+                k = int(_re.search(r"\d+$", n).group()) - 1
+                arr = state["pointmasses"]["vq" if n[0] == "v" else "xq"]
+                out[n] = arr[k, comp]
+            elif _chem_diag(n):
+                if n == "e_intm":
+                    out[n] = jnp.zeros(())
+                elif n == "ppm":
+                    # p = R·μ⁻¹·ρ·T (eos_chemistry mixture pressure)
+                    from ..physics.chemistry_chemkin import RGAS
+                    chem = cfg.module("chemistry")
+                    Y = pen.field("chem")
+                    W1 = (1.0 / chem.mech.mass)[:, None, None, None]
+                    mu1 = jnp.sum(Y * W1, axis=0)
+                    out[n] = jnp.mean(RGAS * mu1 * pen.rho() * pen.TT())
+                else:
+                    k = int(n[1:-1]) - 1
+                    out[n] = jnp.mean(pen.field("chem")[k])
             else:
                 out[n] = DIAG_REGISTRY[n](pen, state)
         return out

@@ -72,8 +72,9 @@ class Model:
         self.eos = cfg.module("eos")
         self.grid = make_grid(cfg.grid, self.dtype)
         self.bc_axes = (cfg.bcx, cfg.bcy, cfg.bcz)
-        self.rk = RK_TABLES[cfg.time.itorder]
+        self.rk = RK_TABLES.get(cfg.time.itorder)   # None for itorder=5
         self.particles = cfg.module("particles")
+        self.pointmasses = cfg.module("pointmasses")
         on_tpu = jax.default_backend() == "tpu"
         self._aux_modules = tuple(
             m for m in self.modules if hasattr(m, "compute_aux"))
@@ -135,6 +136,10 @@ class Model:
             "it": jnp.asarray(0, jnp.int32),
             "key": key,
         }
+        if self.pointmasses is not None:
+            gs = self.cfg.grid
+            state["pointmasses"] = self.pointmasses.init_q(
+                gs.coords, self.dtype, y_range=(gs.y0, gs.Ly))
         if self.particles is not None:
             key, sub = jax.random.split(key)
             state["key"] = key
@@ -304,6 +309,8 @@ class Model:
         """One full RK step on the local shard (traced)."""
         cfg = self.cfg
         tcfg = cfg.time
+        if tcfg.itorder == 5:
+            return self._rkf_step(state, grid, mesh_axis_names, mesh_shape)
         alpha, beta, cstage = self.rk
         reg = self.reg
         pre = state["fields"]
@@ -440,6 +447,132 @@ class Model:
         return out
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    def _rkf_step(self, state: Dict, grid: Grid,
+                  mesh_axis_names=None, mesh_shape=(1, 1, 1)) -> Dict:
+        """Adaptive Cash-Karp RKF45 step (reference ``src/timestep_rkf.f90``,
+        itorder=5): embedded 4th/5th-order pair, per-variable 'cons_err'
+        error control scaled by eps_rkf, retry with decreased dt (≤10
+        attempts, ≥0.1×), then dt ← 5× growth cap / errmax^-0.20 shrink."""
+        cfg = self.cfg
+        reg = self.reg
+        safety, dt_dec, dt_inc = 0.9, -0.25, -0.20
+        errcon = (5.0 / safety) ** (1.0 / dt_inc)
+        eps = cfg.time.eps_rkf
+        B = ((0.2,),
+             (0.075, 0.225),
+             (0.3, -0.9, 1.2),
+             (-11.0 / 54.0, 2.5, -70.0 / 27.0, 35.0 / 27.0),
+             (1631.0 / 55296.0, 175.0 / 512.0, 575.0 / 13824.0,
+              44275.0 / 110592.0, 253.0 / 4096.0))
+        C = (37.0 / 378.0, 0.0, 250.0 / 621.0, 125.0 / 594.0, 0.0,
+             512.0 / 1771.0)
+        DC = (C[0] - 2825.0 / 27648.0, 0.0, C[2] - 18575.0 / 48384.0,
+              C[3] - 13525.0 / 55296.0, -277.0 / 14336.0, C[5] - 0.25)
+
+        nvar = reg.nvar
+        t0 = state["t"]
+        sharded = [n for n in (mesh_axis_names or ()) if n is not None]
+        pm = self.pointmasses
+        fa = reg.stack(state["fields"]) if nvar > 0 else None
+        # pointmasses integrate in CARTESIAN (reference
+        # advance_particles_in_cartesian, pointmasses.f90:2748)
+        if pm is not None:
+            from .physics.pointmasses import cart_to_polar, polar_to_cart
+            q = state["pointmasses"]
+            xc0, vc0 = polar_to_cart(q["xq"], q["vq"], cfg.grid.coords)
+        else:
+            xc0 = vc0 = None
+
+        def deriv(fv, xc, vc):
+            out = []
+            if fv is not None:
+                full = jnp.concatenate([fv, fa[nvar:]], 0) \
+                    if reg.nf > nvar else fv
+                dfa, _, _ = self.rhs(full, grid, t0, mesh_axis_names,
+                                     mesh_shape)
+                out.append(dfa)
+            else:
+                out.append(None)
+            if pm is not None:
+                out.append(vc)                  # dx/dt
+                out.append(pm.accel_cart(xc))   # dv/dt
+            else:
+                out.append(None)
+                out.append(None)
+            return out
+
+        def lc(coef, ks, j):
+            """Σ coef_i · ks[i][j] (skipping None components)."""
+            if ks[0][j] is None:
+                return None
+            return sum(c * k[j] for c, k in zip(coef, ks))
+
+        f0 = fa[:nvar] if fa is not None else None
+        # 'cons_err' scaling — the reference's error loop runs over the
+        # f-array only (timestep_rkf.f90 `do j=1,mvar`); point masses are
+        # integrated but NOT error-controlled
+        scals = [jnp.maximum(jnp.abs(f0), 1e-8) if f0 is not None else None,
+                 None, None]
+
+        def attempt(dt):
+            def scaled(vals):
+                return [dt * v if v is not None else None for v in vals]
+            ks = [scaled(deriv(f0, xc0, vc0))]
+            for row in B:
+                stage = [v0 + sum(b * k[j] for b, k in zip(row, ks))
+                         if v0 is not None else None
+                         for j, v0 in enumerate((f0, xc0, vc0))]
+                ks.append(scaled(deriv(*stage)))
+            df = [lc(C, ks, j) for j in range(3)]
+            err = [lc(DC, ks, j) for j in range(3)]
+            errmax = jnp.zeros((), self.dtype)
+            for e, sc in zip(err, scals):
+                if e is not None and sc is not None:
+                    errmax = jnp.maximum(errmax, jnp.max(jnp.abs(e / sc)))
+            for nme in sharded:
+                errmax = jax.lax.pmax(errmax, nme)
+            return df, errmax / eps
+
+        def cond(c):
+            i, dt, errmax, df = c
+            return (errmax > safety) & (i < 10)
+
+        def body(c):
+            i, dt, errmax, df = c
+            dt_temp = safety * dt * errmax ** dt_dec
+            dt = jnp.maximum(dt_temp, 0.1 * dt)
+            df, errmax = attempt(dt)
+            return (i + 1, dt, errmax, df)
+
+        df0, errmax0 = attempt(state["dt"])
+        _, dt, errmax, df = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), state["dt"], errmax0, df0))
+        dt_next = jnp.where(errmax > errcon,
+                            safety * dt * errmax ** dt_inc, 5.0 * dt)
+        # no error-controlled f-variables (e.g. a pure point-mass run,
+        # mvar=0): the reference's error loop never executes and dt stays
+        # at its run.in value (samples/0d-tests/solar_system)
+        if nvar == 0:
+            dt_next = dt
+        out = {**state, "t": t0 + dt, "it": state["it"] + 1,
+               "dt": dt_next.astype(self.dtype)}
+        if fa is not None:
+            fa = fa.at[:nvar].add(df[0])
+            out["fields"] = reg.unstack(fa)
+        if pm is not None:
+            xq, vq = cart_to_polar(xc0 + df[1], vc0 + df[2],
+                                   cfg.grid.coords)
+            if cfg.grid.coords == "cylindrical":
+                # wrap azimuth into the grid's y-range (the reference wraps
+                # fq positions through the periodic grid bounds, which are
+                # the *namelist* values — e.g. ±3.14159, not ±π)
+                gs = cfg.grid
+                xq = xq.at[:, 1].set(
+                    gs.y0 + jnp.mod(xq[:, 1] - gs.y0, gs.Ly))
+            out["pointmasses"] = {"xq": xq, "vq": vq}
+        return out
+
     def make_step(self):
         """Single-device jitted step."""
         grid = self.grid

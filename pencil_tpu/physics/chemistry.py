@@ -39,6 +39,10 @@ class Chemistry(ModuleBase):
     init: str = "zero"
     ampl: float = 0.0
     width: float = 0.1
+    # 'innerbox' init (reference initcond.f90 innerbox): background
+    # amplchemk(k), box value amplchemk2(k) inside |x|,|y|,|z| <= width
+    ampl_k: Tuple[float, ...] = ()
+    ampl2_k: Tuple[float, ...] = ()
 
     def register(self, reg):
         reg.register("chem", len(self.species), "pde", comps=self.species)
@@ -73,7 +77,11 @@ class Chemistry(ModuleBase):
             net = {}
             for nm, st in reac:
                 k = self.species.index(nm)
-                rate = rate * jnp.maximum(YY[k], 0.0) ** st
+                # raw powers as in the reference (f**Sijm, no clamping —
+                # integer exponents are safe for transiently negative Y)
+                ist = int(st)
+                rate = rate * (YY[k] ** ist if ist == st
+                               else jnp.maximum(YY[k], 0.0) ** st)
                 net[k] = net.get(k, 0.0) - st
             for nm, st in prod:
                 k = self.species.index(nm)
@@ -86,6 +94,20 @@ class Chemistry(ModuleBase):
         import jax
         nsp = len(self.species)
         shape = (nsp,) + spec.shape
+        if self.init == "innerbox":
+            # reference sub innerbox: value ampl outside, ampl2 inside the
+            # |x|,|y|,|z| <= width box (degenerate axes always inside)
+            x, y, z = grid.xg, grid.yg, grid.zg
+            inside = jnp.ones(spec.shape, bool)
+            for c, n in ((x, spec.nx), (y, spec.ny), (z, spec.nz)):
+                if n > 1:
+                    inside = inside & (jnp.abs(c) <= self.width)
+            out = []
+            for k in range(nsp):
+                a = self.ampl_k[k] if k < len(self.ampl_k) else 0.0
+                a2 = self.ampl2_k[k] if k < len(self.ampl2_k) else 0.0
+                out.append(jnp.where(inside, a2, a))
+            return {"chem": jnp.stack(out).astype(grid.x.dtype)}
         if self.preset == "gray-scott" or self.init == "gray-scott-spot":
             # uniform U=1, V=0 with a perturbed central spot (the classic
             # Gray-Scott seeding, as in the reference 2-D test)

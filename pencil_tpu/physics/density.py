@@ -36,6 +36,16 @@ class Density(ModuleBase):
         reg.register("rho" if self.lnolog else "lnrho", 1, "pde")
 
     def rhs(self, pen, df, ts):
+        if "uu" not in pen.reg.slots:
+            # HYDRO=nohydro: no advection/compression — continuity is
+            # dρ/dt = 0 (the reference omits all u-terms), diffusion only
+            name = "rho" if self.lnolog else "lnrho"
+            if self.diffrho > 0.0:
+                accumulate(df, name, self.diffrho * pen.del2s(name))
+                ts.diffus(self.diffrho)
+            else:
+                accumulate(df, name, jnp.zeros_like(pen.field(name)))
+            return
         if self.lnolog:
             rho = pen.field("rho")
             if self.lweno_transport:

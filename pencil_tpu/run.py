@@ -40,6 +40,11 @@ class RunParams:
     max_walltime: float = 0.0   # seconds; 0 = unlimited
     print_columns: tuple = ("it", "t", "dt", "urms", "umax", "rhom")
     aver_names: tuple = ()      # e.g. ("uxmz", "rhomz") — see io/averages.py
+    phiaver_names: tuple = ()   # e.g. ("uzmphi",) — phi-averages (PHIAVG<n>)
+    d2davg: float = 0.0         # 2-D/phi-averages cadence (sim time); 0=off
+    tavg: float = 0.0           # time-average window (timeavg.f90); 0 = off
+    downsampl: tuple = ()       # e.g. (2, 2, 2) — VARd<N> downsampled snaps
+    dsnap_down: float = 0.0     # VARd cadence (defaults to dsnap)
     slice_fields: tuple = ("ux", "uz")
     slice_planes: tuple = ("xy", "xz")
     power_fields: tuple = ()    # e.g. ("kin", "mag")
@@ -81,9 +86,21 @@ class Run:
         if self.params.aver_names:
             from .io.averages import AveragesWriter, make_averages
             self.averages = make_averages(model, self.params.aver_names)
-            self.aver_writer = AveragesWriter(
-                os.path.join(self.datadir, "averages.dat"),
-                self.params.aver_names)
+            self.aver_writer = AveragesWriter(self.datadir,
+                                              self.params.aver_names)
+        self.phiavg = None
+        if self.params.phiaver_names:
+            from .io.averages import PhiAvgWriter, make_phi_averages
+            ev, rcyl, drcyl = make_phi_averages(model,
+                                                self.params.phiaver_names)
+            self.phiavg = ev
+            self.phiavg_writer = PhiAvgWriter(
+                self.datadir, self.params.phiaver_names, model.grid,
+                model.cfg.grid, rcyl, drcyl)
+        self._t2davg_last = 0.0
+        self._tavg_fields = None     # running time average (timeavg.f90)
+        self._tsnap_down_last = 0.0
+        self._nsnap_down = 0
         self.slices = None
         if self.params.dvid > 0:
             from .io.slices import SliceWriter
@@ -223,6 +240,38 @@ class Run:
                 vals = {k: np.asarray(v)
                         for k, v in self.averages(state).items()}
                 self.aver_writer.append(t, vals)
+            if self.phiavg and p.d2davg > 0 \
+                    and t - self._t2davg_last >= p.d2davg:
+                self.phiavg_writer.append(t, np.asarray(self.phiavg(state)))
+                self._t2davg_last = t
+            if p.tavg > 0:
+                # exponential time average with weight min(dt/tavg, 1)
+                # (reference timeavg.f90:77-88)
+                w = min(dt / p.tavg, 1.0)
+                cur = {k: np.asarray(v)
+                       for k, v in state["fields"].items()}
+                if self._tavg_fields is None:
+                    self._tavg_fields = cur
+                else:
+                    self._tavg_fields = {
+                        k: a + w * (cur[k] - a)
+                        for k, a in self._tavg_fields.items()}
+                if p.isave and (i + 1) % p.isave == 0:
+                    np.savez(os.path.join(self.datadir, "timeavg.npz"),
+                             t=t, **self._tavg_fields)
+            if p.downsampl:
+                dd = p.dsnap_down or p.dsnap
+                if dd > 0 and t - self._tsnap_down_last >= dd:
+                    # downsampled snapshot VARd<N> (reference
+                    # run.f90:163-183 ldownsampl + wsnap_down)
+                    self._nsnap_down += 1
+                    sx, sy, sz = (list(p.downsampl) + [1, 1, 1])[:3]
+                    ds = {k: np.asarray(v)[..., ::sx, ::sy, ::sz]
+                          for k, v in state["fields"].items()}
+                    np.savez(os.path.join(
+                        self.datadir, f"VARd{self._nsnap_down}.npz"),
+                        t=t, **ds)
+                    self._tsnap_down_last = t
             if self.slices and p.dvid > 0 and t - self._tvid_last >= p.dvid:
                 self.slices.capture(self.model, state)
                 self._tvid_last = t

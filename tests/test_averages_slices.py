@@ -47,7 +47,8 @@ def test_driver_writes_averages_slices_spectra(tmp_path):
                               slice_fields=("ux",), slice_planes=("xy",),
                               power_fields=("kin",)),
              quiet=True)
-    t, data = read_averages(tmp_path / "data" / "averages.dat",
+    # reference file naming: the 'mz' plane goes to xyaverages.dat
+    t, data = read_averages(tmp_path / "data" / "xyaverages.dat",
                             ["uxmz", "rhomz"], {"uxmz": 16, "rhomz": 16})
     assert len(t) == 2 and data["rhomz"].shape == (2, 16)
     ts, frames = read_slices(tmp_path / "data" / "slice_ux_xy.npz")

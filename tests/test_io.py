@@ -128,3 +128,51 @@ def test_hdf5_snapshot_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(var.lnrho),
                                np.asarray(state["fields"]["lnrho"]).T,
                                rtol=1e-6)
+
+
+def test_reference_python_reads_averages(tmp_path):
+    """The reference python package (`pc.read.aver` / `pc.read.phiaver`)
+    must parse our 1-D average files (xyaverages.dat: 1pe12.5 time line +
+    contiguous 8-per-line values) and the PHIAVG Fortran-record files
+    unchanged (VERDICT item 9 acceptance)."""
+    import os
+    import sys
+    if not os.path.isdir("/root/reference/python"):
+        import pytest
+        pytest.skip("reference tree not mounted")
+    import numpy as np
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Model, Viscosity)
+    from pencil_tpu.run import Run, RunParams
+    from pencil_tpu.compat.io_dist import export_state
+    cfg = Config(grid=GridSpec(nx=16, ny=16, nz=16),
+                 modules=(EosIdealGas(gamma=1.0001), Density(),
+                          Hydro(init="gaussian-noise", ampl=1e-2),
+                          Viscosity(ivisc=("nu-const",), nu=5e-3)))
+    model = Model(cfg)
+    state = model.init_state(1)
+    ddir = str(tmp_path / "data")
+    params = RunParams(nt=10, it1=5, it1d=5, isave=0,
+                       aver_names=("uxmz", "rhomz"),
+                       phiaver_names=("uzmphi", "rhomphi"), d2davg=1e-9,
+                       print_columns=("it", "t", "dt", "urms"),
+                       dsnap=1e30)
+    run = Run(model, datadir=ddir, params=params, quiet=True)
+    run.main_loop(state)
+    export_state(model, state, ddir)
+    (tmp_path / "xyaver.in").write_text("uxmz\nrhomz\n")
+    sys.path.insert(0, "/root/reference/python")
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        import pencil as pc
+        av = pc.read.aver(datadir="data", plane_list=["xy"])
+        assert av.xy.uxmz.shape[1] == 16
+        np.testing.assert_allclose(np.asarray(av.xy.rhomz).mean(), 1.0,
+                                   atol=1e-3)
+        ph = pc.read.phiaver(datadir="data")
+        assert np.asarray(ph.phiavg.uzmphi).shape[1:] == (16, 8)
+        np.testing.assert_allclose(
+            float(np.mean(np.asarray(ph.phiavg.rhomphi))), 1.0, atol=1e-3)
+    finally:
+        os.chdir(cwd)

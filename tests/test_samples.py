@@ -518,3 +518,142 @@ def test_sod_10_weno_golden():
                 np.testing.assert_allclose(d[k], ref[k][n],
                                            rtol=2e-4, atol=1e-7,
                                            err_msg=f"{k} at it={it}")
+
+@needs_ref
+def test_chemistry_h2_ignition_rkf_golden():
+    """samples/0d-tests/chemistry_H2_ignition_rkf: CHEMKIN-driven H2/O2
+    ignition (Li et al. 2003 mechanism from chem.inp: NASA-7 thermo,
+    third bodies, Lindemann+Troe falloff, reverse rates from equilibrium)
+    integrated with the adaptive Cash-Karp RKF45 (timestep_rkf.f90,
+    itorder=5) in double precision.  T and the first 8 species mass
+    fractions match reference.out at format precision through ignition.
+    Runs in a subprocess because REAL_PRECISION=double needs jax x64."""
+    import subprocess, sys, json
+    code = r'''
+import sys, json
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from pencil_tpu.compat.rundir import load_rundir
+from pencil_tpu.model import Model
+cfg, info = load_rundir(%r)
+model = Model(cfg)
+state = model.init_state(0)
+step = model.make_step()
+rows = {}
+for it in range(1, 401):
+    state = step(state)
+    if it %% 100 == 0:
+        f = state["fields"]
+        rows[it] = dict(
+            t=float(state["t"]),
+            TTm=float(np.exp(f["lnTT"][0, 0, 0])),
+            rhom=float(np.exp(f["lnrho"][0, 0, 0])),
+            Y=[float(v) for v in np.asarray(f["chem"])[:8, 0, 0, 0]])
+print("RESULT " + json.dumps(rows))
+'''
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rundir = f"{REF}/0d-tests/chemistry_H2_ignition_rkf"
+    out = subprocess.run([sys.executable, "-c", code % (repo, rundir)],
+                         capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    rows = {int(k): v for k, v in json.loads(line[0][7:]).items()}
+    ref_rows = {}
+    for l in open(f"{rundir}/reference.out"):
+        p = l.split()
+        if p and p[0].replace(".", "").isdigit():
+            ref_rows[int(float(p[0]))] = [float(x) for x in p[1:]]
+    for it in (100, 200, 300, 400):
+        t, dt, rhom, TTm, ppm = ref_rows[it][:5]
+        Yref = ref_rows[it][5:13]
+        got = rows[it]
+        np.testing.assert_allclose(got["t"], t, rtol=5e-3)
+        np.testing.assert_allclose(got["TTm"], TTm, rtol=1e-4)
+        np.testing.assert_allclose(got["rhom"], rhom, atol=5e-7)
+        np.testing.assert_allclose(got["Y"], Yref, rtol=2e-3, atol=1e-9)
+
+@needs_ref
+def test_chemistry_grayscott_golden():
+    """samples/2d-tests/chemistry_GrayScott: the table-driven reaction
+    network (chemistry_m.dat/chemistry_p.dat 'Axel case',
+    chemistry.f90:2770-2825) with per-species diffusion and the innerbox
+    initial condition.  Y1m/Y2m match at format precision over 500 steps."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/chemistry_GrayScott")
+    assert cfg.grid.shape == (64, 64, 1)
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    ref = _read_ref(f"{REF}/2d-tests/chemistry_GrayScott/reference.out")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    f = state["fields"]
+    Y = np.asarray(f["chem"], np.float64)
+    np.testing.assert_allclose(Y[0].mean(), ref["Y1m"][rows[0]], atol=1e-6)
+    np.testing.assert_allclose(Y[1].mean(), ref["Y2m"][rows[0]], atol=1e-6)
+    for it in range(1, 501):
+        state = step(state)
+        if it in rows:
+            n = rows[it]
+            Y = np.asarray(state["fields"]["chem"], np.float64)
+            np.testing.assert_allclose(float(state["t"]), ref["t"][n],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(Y[0].mean(), ref["Y1m"][n], atol=1e-5)
+            np.testing.assert_allclose(Y[1].mean(), ref["Y2m"][n], atol=1e-5)
+
+@needs_ref
+def test_solar_system_pointmasses_golden():
+    """samples/0d-tests/solar_system: 9-body Sun+planets N-body integration
+    (reference pointmasses.f90: 'fixed-cm' barycentric init, Cartesian
+    advance in cylindrical coordinates, azimuth wrapped through the grid's
+    namelist y-bounds) under Cash-Karp RKF45 with fixed dt.  All 36 printed
+    columns (xq/yq/vxq/vyq x 9) match reference.out to <1e-7."""
+    import subprocess, sys, json, os
+    code = r'''
+import sys, json
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from pencil_tpu.compat.rundir import load_rundir
+from pencil_tpu.model import Model
+cfg, info = load_rundir(%r)
+model = Model(cfg)
+state = model.init_state(0)
+step = model.make_step()
+rows = {}
+for it in range(1, 101):
+    state = step(state)
+    if it %% 10 == 0:
+        q = state["pointmasses"]
+        xq = np.asarray(q["xq"]); vq = np.asarray(q["vq"])
+        rows[it] = dict(t=float(state["t"]),
+                        cols=[float(v) for v in
+                              np.concatenate([xq[:, 0], xq[:, 1],
+                                              vq[:, 0], vq[:, 1]])])
+print("RESULT " + json.dumps(rows))
+'''
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rundir = f"{REF}/0d-tests/solar_system"
+    out = subprocess.run([sys.executable, "-c", code % (repo, rundir)],
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    rows = {int(k): v for k, v in json.loads(line[0][7:]).items()}
+    ref_rows = {}
+    for l in open(f"{rundir}/reference.out"):
+        p = l.split()
+        if p and p[0].replace(".", "").isdigit():
+            ref_rows[int(float(p[0]))] = [float(x) for x in p[1:]]
+    for it in (10, 50, 100):
+        if it not in ref_rows:
+            continue
+        ref = np.asarray(ref_rows[it][2:38])
+        got = np.asarray(rows[it]["cols"])
+        np.testing.assert_allclose(rows[it]["t"], ref_rows[it][0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(got, ref, atol=2e-7)
