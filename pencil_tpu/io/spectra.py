@@ -63,3 +63,63 @@ def read_spectrum(path):
     if cur:
         spectra.append(np.asarray(cur, np.float64))
     return np.asarray(times), np.asarray(spectra)
+
+
+def spectrum_1d(field, axis=0):
+    """1-D power spectrum along one axis, averaged over the other two
+    (reference ``power_1d`` :2964 — powerx/powery/powerz files):
+    E(k_a) with nk = n_a//2, Parseval-normalised like shell_spectrum."""
+    if field.ndim == 3:
+        field = field[None]
+    n = field.shape[1 + axis]
+    ax = 1 + axis
+    fk = jnp.fft.fft(field, axis=ax) / n
+    pk = 0.5 * jnp.sum(jnp.abs(fk) ** 2, axis=0)
+    other = tuple(a for a in range(3) if a != axis)
+    pk = jnp.mean(pk, axis=other)
+    k = np.abs(np.fft.fftfreq(n) * n).astype(np.int32)
+    nk = n // 2
+    ek = jax.ops.segment_sum(pk, jnp.asarray(k), num_segments=nk + 1)
+    return ek[:nk]
+
+
+def spectrum_xy(field):
+    """Horizontal shell spectrum per z plane (reference ``power_xy``
+    :656): E(k_h, z) with k_h = |(k_x, k_y)| integer shells."""
+    if field.ndim == 3:
+        field = field[None]
+    nx, ny, nz = field.shape[1:]
+    fk = jnp.fft.fft2(field, axes=(1, 2)) / (nx * ny)
+    pk = 0.5 * jnp.sum(jnp.abs(fk) ** 2, axis=0)      # (nx, ny, nz)
+    kx = np.fft.fftfreq(nx) * nx
+    ky = np.fft.fftfreq(ny) * ny
+    kh = np.rint(np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)).astype(int)
+    nk = max(nx, ny) // 2
+    shell = jnp.asarray(kh.ravel())
+    ek = jax.vmap(
+        lambda p: jax.ops.segment_sum(p.reshape(nx * ny), shell,
+                                      num_segments=nk + 1),
+        in_axes=2, out_axes=1)(pk)
+    return ek[:nk]                                    # (nk, nz)
+
+
+def helicity_spectrum(vec, curl_vec, spec):
+    """Shell spectra of energy and helicity (reference ``powerhel``
+    :1024): for magnetic sp='mag', pass (aa, bb) → (E_M(k), H_M(k)) with
+    H = shell Re(a·b*); for kinetic pass (oo, uu) likewise."""
+    n = vec.shape[1:]
+    norm = n[0] * n[1] * n[2]
+    fa = jnp.fft.fftn(vec, axes=(-3, -2, -1)) / norm
+    fb = jnp.fft.fftn(curl_vec, axes=(-3, -2, -1)) / norm
+    e_dens = 0.5 * jnp.sum(jnp.abs(fb) ** 2, axis=0)
+    h_dens = jnp.sum(jnp.real(fa * jnp.conj(fb)), axis=0)
+    kx = np.fft.fftfreq(n[0]) * n[0]
+    ky = np.fft.fftfreq(n[1]) * n[1]
+    kz = np.fft.fftfreq(n[2]) * n[2]
+    kmag = np.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+                   + kz[None, None, :] ** 2)
+    shell = jnp.asarray(np.rint(kmag).astype(np.int32).ravel())
+    nk = max(n) // 2
+    ek = jax.ops.segment_sum(e_dens.ravel(), shell, num_segments=nk + 1)
+    hk = jax.ops.segment_sum(h_dens.ravel(), shell, num_segments=nk + 1)
+    return ek[:nk], hk[:nk]
