@@ -185,10 +185,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     ny = nxyz[1] if nxyz else cpar.get("nygrid", nx)
     nz = nxyz[2] if nxyz else cpar.get("nzgrid", nx)
 
+    import math as _math
     xyz0 = init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416])
     if "xyz1" in init_pars:
         xyz1 = init_pars["xyz1"]
         Lxyz = [b - a for a, b in zip(xyz0, xyz1)]
+    elif "wav1" in init_pars:
+        # cubic box of size 2π/wav1 centred on the origin (start.f90:204)
+        L1 = 2.0 * _math.pi / float(init_pars["wav1"])
+        Lxyz = [L1, L1, L1]
+        xyz0 = [-L1 / 2.0] * 3
     else:
         Lxyz = init_pars.get("lxyz", [6.2832, 6.2832, 6.2832])
     lperi = init_pars.get("lperi", [True, True, True])
@@ -214,6 +220,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         dt=float(run_pars.get("dt", 0.0)),
         dtmin=float(run_pars.get("dtmin", 1e-10)),
         eps_rkf=float(run_pars.get("eps_rkf", 1e-8)),
+        tstart=float(init_pars.get("tstart", 0.0)),
     )
 
     modules = []
@@ -250,6 +257,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             width=float(den_p.get("widthlnrho", 0.05)),
             lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
             lnolog=bool(den_p.get("ldensity_nolog", False)),
+            lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             diffrho=float(den_p.get("diffrho", den_p.get("cdiffrho", 0.0))),
             # idiff selects the operators (reference src/density.f90
             # multi-select); samples only set a diffrho_* coefficient when
@@ -489,7 +497,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
         modules.append(Magnetic(
             init=str(mag_p.get("initaa", "zero")),
-            ampl=float(mag_p.get("amplaa", 0.0)),
+            ampl=float(_first(mag_p.get("amplaa", 0.0))),
+            relhel_aa=float(mag_p.get("relhel_aa", 1.0)),
+            kx=float(_first(mag_p.get("kx_aa", 1.0))),
+            lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
             B_ext=tuple(float(b) for b in bext),

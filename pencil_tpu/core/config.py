@@ -113,6 +113,7 @@ class TimeSpec:
     dtmax: float = 1.0e37
     ddt: float = 0.0           # max dt growth ratio per step (0 = off)
     eps_rkf: float = 1.0e-8    # RKF45 error tolerance (cdata eps_rkf)
+    tstart: float = 0.0        # initial time (init_pars tstart)
 
 
 @dataclass(frozen=True)

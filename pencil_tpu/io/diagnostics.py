@@ -90,6 +90,33 @@ def _ekin(pen, st):
     return 0.5 * jnp.mean(pen.rho() * pen.u2())
 
 
+@diag("EEK")
+def _EEK(pen, st):
+    """<½ρu²> (hydro.f90:4067 idiag_EEK)."""
+    return 0.5 * jnp.mean(pen.rho() * pen.u2())
+
+
+@diag("EEM")
+def _EEM(pen, st):
+    """<B²/2> (magnetic.f90:5757)."""
+    return 0.5 * jnp.mean(pen.b2())
+
+
+@diag("drho2m")
+def _drho2m(pen, st):
+    """<(ρ−ρ₀)²> (density.f90:3020)."""
+    rho0 = pen.eos.rho0 if pen.eos is not None else 1.0
+    return jnp.mean((pen.rho() - rho0) ** 2)
+
+
+@diag("rhof2m")
+def _rhof2m(pen, st):
+    """<ρ'²> with ρ' = ρ − exp(<lnρ>_xy(z)) (density.f90:1709 rho_flucz)."""
+    rho = pen.rho()
+    ref = jnp.exp(jnp.mean(pen.lnrho(), axis=(0, 1), keepdims=True))
+    return jnp.mean((rho - ref) ** 2)
+
+
 # ---- density --------------------------------------------------------------
 @diag("rhom")
 def _rhom(pen, st):
@@ -378,6 +405,13 @@ def make_diagnostics(model, names: Iterable[str]):
                              or n == "ppm")
 
     has_pm = model.pointmasses is not None
+    gwmod = cfg.module("gravitational_waves")
+
+    def _gw_diag(n):
+        # EEGW/gg2m/hrms: sums over Fourier modes stored in the 'gw' aux
+        # slot (gravitational_waves_hTXk.f90:1004-1027; sum_mn of
+        # per-mode squares × nwgrid == plain mode sum)
+        return gwmod is not None and n in ("EEGW", "gg2m", "hrms")
 
     def _pm_diag(n):
         # xq<k>/yq<k>/zq<k>, vxq<k>/... — per-point-mass positions and
@@ -386,7 +420,8 @@ def make_diagnostics(model, names: Iterable[str]):
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
                and n not in ("dtc", "dtu", "dtnu", "dtchi")
-               and not _chem_diag(n) and not _pm_diag(n)]
+               and not _chem_diag(n) and not _pm_diag(n)
+               and not _gw_diag(n)]
     if unknown:
         raise KeyError(f"unknown diagnostics: {unknown}")
 
@@ -442,6 +477,16 @@ def make_diagnostics(model, names: Iterable[str]):
                     chi = ent.chi
                 dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
                 out[n] = dt * e.gamma * jnp.max(chi * dxyz2) / cfg.time.cdtv
+            elif _gw_diag(n):
+                # aux slot: read straight from the state (not the ghosted
+                # communicated stack, which holds evolved fields only)
+                gw = state["fields"]["gw"]
+                if n == "EEGW":
+                    out[n] = jnp.sum(gw[4:8] ** 2) * gwmod.EGWpref
+                elif n == "gg2m":
+                    out[n] = jnp.sum(gw[4:8] ** 2)
+                else:
+                    out[n] = jnp.sqrt(jnp.sum(gw[0:4] ** 2))
             elif _pm_diag(n):
                 comp = "xyz".index(n.lstrip("v")[0])
                 k = int(_re.search(r"\d+$", n).group()) - 1

@@ -131,7 +131,7 @@ class Model:
         dt0 = self.cfg.time.dt if self.cfg.time.dt > 0 else 1e-4
         state = {
             "fields": fields,
-            "t": jnp.asarray(0.0, self.dtype),
+            "t": jnp.asarray(self.cfg.time.tstart, self.dtype),
             "dt": jnp.asarray(dt0, self.dtype),
             "it": jnp.asarray(0, jnp.int32),
             "key": key,

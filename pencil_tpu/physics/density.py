@@ -18,6 +18,7 @@ class Density(ModuleBase):
 
     lupw_lnrho: bool = False       # 5th-order upwinding of the advection term
     lnolog: bool = False           # evolve rho itself (ldensity_nolog)
+    lrelativistic_eos: bool = False  # p=ρ/3 fluid (density.f90:2546-2554)
     lweno_transport: bool = False  # WENO5 flux transport (weno_transport.f90)
     diffrho: float = 0.0           # Fickian mass diffusion
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
@@ -70,6 +71,12 @@ class Density(ModuleBase):
             accumulate(df, "rho", out)
             return
         out = -pen.ugrad("lnrho", upwind=self.lupw_lnrho) - pen.divu()
+        if self.lrelativistic_eos:
+            # ultrarelativistic p=ρ/3: dlnρ/dt = (4/3)(−divu − u·∇lnρ) and
+            # the momentum gains +(1/3)u(divu + u·∇lnρ)
+            # (reference density.f90:2548-2553)
+            accumulate(df, "uu", (-1.0 / 3.0) * pen.uu() * out[None])
+            out = (4.0 / 3.0) * out
         if self.diffrho > 0.0:
             # diffusion of rho in lnrho form: D(∇²lnρ + |∇lnρ|²)
             gl = pen.glnrho()

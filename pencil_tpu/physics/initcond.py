@@ -45,7 +45,8 @@ def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
 
 
 def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
-                kz=1.0, width=0.1):
+                kz=1.0, width=0.1, sigma=1.0):
+    name = name.lower()
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
     zero = jnp.zeros(shape, dtype=grid.x.dtype)
@@ -76,12 +77,13 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         ay = -0.5 * ampl * z ** 2 / spec.Lz + zero
         return jnp.stack([zero, ay, zero])
     if name == "beltrami-x":
-        # A = (0, sin(kx x), cos(kx x)): force-free, ∇×A = k A
+        # A = (0, σ·sin(kx x), cos(kx x)): force-free ∇×A = kA for σ=1;
+        # σ = fractional helicity (reference initcond.f90 beltrami sigma)
         return jnp.stack([zero,
-                          ampl * jnp.sin(kx * x) + zero,
+                          ampl * jnp.sin(kx * x) * sigma + zero,
                           ampl * jnp.cos(kx * x) + zero])
     if name == "beltrami-z":
-        return jnp.stack([ampl * jnp.sin(kz * z) + zero,
+        return jnp.stack([ampl * jnp.sin(kz * z) * sigma + zero,
                           ampl * jnp.cos(kz * z) + zero, zero])
     if name == "up-down":
         # flow up in one spot, down (×0.7) in another, gaussian z-profile

@@ -38,6 +38,8 @@ class Magnetic(ModuleBase):
     kx: float = 1.0
     ky: float = 1.0
     kz: float = 1.0
+    relhel_aa: float = 1.0     # fractional helicity of Beltrami inits
+    lrelativistic_eos: bool = False
 
     def register(self, reg):
         reg.register("aa", 3, "pde", comps=("ax", "ay", "az"))
@@ -77,7 +79,17 @@ class Magnetic(ModuleBase):
                       * pen.rho1())
 
         if self.llorentzforce and "uu" in pen.reg.slots:
-            accumulate(df, "uu", pen.jxbr())
+            if self.lrelativistic_eos:
+                # p=ρ/3 ultrarelativistic fluid (magnetic.f90:4348-4352):
+                # du += (3/4)J×B/ρ and dlnρ += u·(J×B/ρ)
+                jxbr = pen.jxbr()
+                accumulate(df, "uu", 0.75 * jxbr)
+                if "lnrho" in pen.reg.slots:
+                    uu = pen.uu()
+                    accumulate(df, "lnrho",
+                               sum(uu[a] * jxbr[a] for a in range(3)))
+            else:
+                accumulate(df, "uu", pen.jxbr())
         if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:
             pen._cache["ohmic_heat"] = self.eta * pen.j2()
 
@@ -85,4 +97,4 @@ class Magnetic(ModuleBase):
         from .initcond import init_vector
         return {"aa": init_vector(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,
-                                  kz=self.kz)}
+                                  kz=self.kz, sigma=self.relhel_aa)}

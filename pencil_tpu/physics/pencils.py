@@ -449,6 +449,10 @@ class Pencils:
         gl = self.glnrho()
         if "ss" in self.reg.slots:
             gl = gl + self.gss() / self.eos.cp
+        den = self.cfg.module("density") if self.cfg is not None else None
+        if den is not None and getattr(den, "lrelativistic_eos", False):
+            # p = ρ/3 fluid: −∇p/(ρ+p) = −(3/4)cs²∇lnρ (noentropy.f90:287)
+            return -0.75 * cs2 * gl
         return -cs2 * gl
 
     # ---- magnetic ------------------------------------------------------

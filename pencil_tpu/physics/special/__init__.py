@@ -61,3 +61,5 @@ def make_special(name: str, params: dict):
 
 
 from . import shallow_water  # noqa: E402,F401  (registers plug-ins)
+from . import gravitational_waves as _gw  # noqa: E402,F401
+register_special("gravitational_waves_hTXk")(_gw.GravitationalWavesHTXk)

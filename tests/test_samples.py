@@ -657,3 +657,36 @@ print("RESULT " + json.dumps(rows))
         np.testing.assert_allclose(rows[it]["t"], ref_rows[it][0],
                                    atol=1e-6)
         np.testing.assert_allclose(got, ref, atol=2e-7)
+
+@needs_ref
+def test_gravitational_waves_golden():
+    """samples/GravitationalWaves: the hTXk gravitational-wave solver
+    (special/gravitational_waves_hTXk.f90 — per-mode exact harmonic
+    integration of the TT-projected turbulent stress) coupled to the
+    ultrarelativistic p=rho/3 MHD (lrelativistic_eos continuity/momentum/
+    Lorentz/pressure factors, Beltrami-x fractional-helicity init, wav1
+    box scaling).  All seven printed columns match reference.out at
+    format precision over 10 steps."""
+    from pencil_tpu.compat.rundir import load_rundir
+    from pencil_tpu.io.diagnostics import make_diagnostics
+    cfg, info = load_rundir(f"{REF}/GravitationalWaves")
+    assert cfg.grid.shape == (16, 16, 16)
+    np.testing.assert_allclose(cfg.grid.Lx, 2 * np.pi / 100.0, rtol=1e-12)
+    model = Model(cfg)
+    state = model.init_state(0)
+    cols = ("drho2m", "rhof2m", "EEK", "EEM", "EEGW", "gg2m", "hrms")
+    ev = make_diagnostics(model, cols)
+    step = model.make_step()
+    ref = _read_ref(f"{REF}/GravitationalWaves/reference.out")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    for it in range(1, 11):
+        state = step(state)
+        if it not in rows:
+            continue
+        n = rows[it]
+        d = {k: float(v) for k, v in ev(state).items()}
+        np.testing.assert_allclose(float(state["t"]), ref["t"][n],
+                                   atol=2e-4)
+        for k in cols:
+            np.testing.assert_allclose(d[k], ref[k][n], rtol=2e-3,
+                                       atol=1e-8, err_msg=f"{k} at {it}")
