@@ -320,3 +320,27 @@ def parse_kreactions(m_path: str, p_path: str):
         if km != 0.0:
             reactions.append((rhs, lhs, km, 0.0, 0.0))
     return species, tuple(reactions)
+
+
+def parse_tran_dat(path: str, species: List[str]) -> np.ndarray:
+    """CHEMKIN transport data (reference chemistry.f90 read_transport_data):
+    per species (geometry, eps/kB [K], sigma [Å], dipole [Debye],
+    polarizability [Å³], Z_rot).  Returns (ns, 6) in file column order —
+    tran_data(k, 2)=eps, (k,3)=sigma, (k,4)=dipole as the reference
+    indexes them (1-based with the geometry flag first)."""
+    table = {}
+    for raw in open(path):
+        line = raw.split("!")[0].strip()
+        if not line:
+            continue
+        toks = line.split()
+        if len(toks) >= 7:
+            try:
+                table[toks[0].upper()] = [float(v) for v in toks[1:7]]
+            except ValueError:
+                continue
+    out = np.zeros((len(species), 6))
+    for k, sp in enumerate(species):
+        if sp.upper() in table:
+            out[k] = table[sp.upper()]
+    return out

@@ -375,7 +375,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         # ENERGY slot variant for chemistry/ionization runs: lnTT holder,
         # reactive heating contributed by the chemistry module
         from ..physics.chemistry_chemkin import TemperatureIonization
-        modules.append(TemperatureIonization())
+        modules.append(TemperatureIonization(
+            lupw_lnTT=bool(ent_p.get("lupw_lntt", False)),
+            lviscosity_heat=bool(ent_p.get("lviscosity_heat", True)),
+        ))
     elif "temperature" in ent_slot or ent_p.get("ltemperature_nolog") \
             or "initlntt" in ent_p:
         # ENERGY slot variant: temperature_idealgas (evolves lnTT or TT)
@@ -452,22 +455,53 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             from ..physics.chemistry_chemkin import ChemistryChemkin
             mech = parse_chem_inp(cheminp)
             T0, P0, fracs = 300.0, 1.013e6, {}
-            if str(chm_p.get("initchem", "")) == "air":
+            if str(chm_p.get("initchem", "")) in ("air",
+                                                    "flame_front"):
                 for fn in ("air.dat", "air.in"):
                     fp = os.path.join(path, fn)
                     if os.path.exists(fp):
                         T0, P0, fracs = parse_air_dat(fp)
                         break
+            from .chemkin import parse_tran_dat
+            trandat = os.path.join(path, "tran.dat")
+            tran = parse_tran_dat(trandat, mech.species) \
+                if os.path.exists(trandat) else None
             modules.append(ChemistryChemkin(
                 mech=mech,
+                tran=tran,
                 init=str(chm_p.get("initchem", "air")),
                 T_init=T0, P_init=P0,
                 Y_init=tuple(sorted(fracs.items())),
                 lreactions=bool(chm_p.get("lreactions", True)),
+                ladvection=bool(chm_p.get("ladvection", True)),
                 ldiffusion=bool(chm_p.get("ldiffusion", True)),
-                lheatc_chemistry=bool(chm_p.get("lheatc_chemistry",
-                                                False)),
+                lheatc_chemistry=bool(chm_p.get("lheatc_chemistry", True)),
+                lDiff_simple=bool(chm_p.get("ldiff_simple", False)),
+                lThCond_simple=bool(chm_p.get("lthcond_simple", False)),
+                lfilter=bool(chm_p.get("lfilter", False)),
+                init_TT1=float(chm_p.get("init_tt1", 298.0)),
+                init_TT2=float(chm_p.get("init_tt2", 2400.0)),
+                init_x1=float(chm_p.get("init_x1", -0.2)),
+                init_x2=float(chm_p.get("init_x2", 0.2)),
+                init_ux=float(chm_p.get("init_ux", 0.0)),
+                init_pressure=float(chm_p.get("init_pressure", 1.013e6)),
             ))
+            nsc_p = grp("nscbc")
+            known.update({"NSCBC_init_pars", "NSCBC_run_pars"})
+            nsc_p.update(_g(start, "NSCBC_init_pars"))
+            nsc_p.update(_g(run, "NSCBC_run_pars"))
+            if nsc_p.get("nscbc_bc"):
+                from ..physics.nscbc import NSCBC
+                bcspec = nsc_p["nscbc_bc"]
+                bcspec = bcspec if isinstance(bcspec, list) else [bcspec]
+                xbc = str(bcspec[0] or "")
+                lo, _, hi = xbc.partition(":")
+                modules.append(NSCBC(
+                    nscbc_bc_x=(lo, hi),
+                    nscbc_sigma_out=float(nsc_p.get("nscbc_sigma_out",
+                                                    1.0)),
+                    p_infty=float(nsc_p.get("p_infty", 1.013e6)),
+                ))
         elif os.path.exists(mdat) and os.path.exists(pdat):
             # kreactions tables ('Axel case', e.g. chemistry_GrayScott)
             from .chemkin import parse_kreactions
@@ -624,7 +658,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         codes = codes if isinstance(codes, list) else [codes]
         # per-component BC values: fbcz = bottom, fbcz2 = top (reference
         # fbcx/fbcy/fbcz(:,k) arrays read from the init_pars namelist)
-        fbc_lo = init_pars.get("f" + axis_key, run_pars.get("f" + axis_key))
+        fbc_lo = init_pars.get("f" + axis_key,
+                               init_pars.get("f" + axis_key + "1",
+                                             run_pars.get("f" + axis_key)))
         fbc_hi = init_pars.get("f" + axis_key + "2",
                                run_pars.get("f" + axis_key + "2"))
         fbc_lo = fbc_lo if isinstance(fbc_lo, list) else None

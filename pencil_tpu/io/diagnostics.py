@@ -72,6 +72,11 @@ def _divum(pen, st):
     return jnp.mean(pen.divu())
 
 
+@diag("divu2m")
+def _divu2m(pen, st):
+    return jnp.mean(pen.divu() ** 2)
+
+
 @diag("orms")
 def _orms(pen, st):
     oo = pen.oo()

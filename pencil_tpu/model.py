@@ -253,6 +253,11 @@ class Model:
         ts = TimestepAccum()
         for m in self.modules:
             m.rhs(pen, df, ts)
+        for m in self.modules:
+            # boundary df surgery (reference NSCBC: equ.f90:605 — after
+            # the mn-loop, before the RK update)
+            if hasattr(m, "adjust_df"):
+                m.adjust_df(pen, df, ts)
         dpstate = None
         if self.particles is not None and pstate is not None:
             dpstate = self.particles.rhs_particles(

@@ -32,6 +32,14 @@ def _wrap_axis(fg: jnp.ndarray, axis: int, extra: int = 0,
     """
     ax = fg.ndim - 3 + axis
     m = fg.shape[ax] - extra
+    n = m - 2 * g
+    if n < g:
+        # short/degenerate axis (e.g. ny=1): a slab copy would read other
+        # ghost cells — tile the interior periodically instead
+        assert extra == 0, "alignment padding on a degenerate axis"
+        import numpy as np
+        idx = g + np.mod(np.arange(m) - g, n)
+        return jnp.take(fg, jnp.asarray(idx), axis=ax)
     hi_int = jax.lax.slice_in_dim(fg, m - 2 * g, m - g, axis=ax)
     lo_int = jax.lax.slice_in_dim(fg, g, 2 * g, axis=ax)
     fg = jax.lax.dynamic_update_slice_in_dim(fg, hi_int, 0, axis=ax)

@@ -61,8 +61,22 @@ class ChemistryChemkin(ModuleBase):
     P_init: float = 1.013e6        # dyn/cm²
     Y_init: Tuple[Tuple[str, float], ...] = ()
     lreactions: bool = True
+    ladvection: bool = True
     ldiffusion: bool = False
     lheatc_chemistry: bool = False
+    lDiff_simple: bool = False
+    lThCond_simple: bool = False
+    Diff_coef_const: float = 2.58e-4    # rho0*D0 (chemistry.f90:1015)
+    lambda_const: float = 2.58e-4       # lambda0/cp0 (chemistry.f90:969)
+    lfilter: bool = False
+    tran: object = None                 # (ns,6) tran.dat table or None
+    # flame_front initial condition (chemistry.f90 flame_front)
+    init_TT1: float = 298.0
+    init_TT2: float = 2400.0
+    init_x1: float = -0.2
+    init_x2: float = 0.2
+    init_ux: float = 0.0
+    init_pressure: float = 1.013e6
 
     def register(self, reg):
         reg.register("chem", self.mech.ns, "pde",
@@ -78,19 +92,10 @@ class ChemistryChemkin(ModuleBase):
         cp = jnp.sum(Y * cpR * RGAS * W1, axis=0)
         return mu1, cp, cv
 
-    def rhs(self, pen, df, ts):
-        if not self.lreactions:
-            return
+    def _reaction_term(self, pen, Y, TT, lnTT, rho, TT1, mu1, H0RT):
         m = self.mech
-        Y = pen.field("chem")                   # (ns, nx, ny, nz)
-        TT = pen.TT()
-        lnTT = pen.lnTT()
-        rho = pen.rho()
-        TT1 = 1.0 / TT
-
         W = m.mass[:, None, None, None]
         conc = Y * rho[None] / W                # mol/cm³
-        mu1, cp, cv = self.mixture(Y, TT, lnTT)
 
         # ln kf = ln A + b lnT − E/(Rcal T)   (chemistry.f90:4253)
         lnkf = (m.lnA[:, None, None, None]
@@ -161,19 +166,214 @@ class ChemistryChemkin(ModuleBase):
 
         # ω̇_k → DYDt (chemistry.f90:4563; stoichio = Sijp − Sijm)
         stoichio = m.Sijp - m.Sijm
-        DYDt = -jnp.einsum("kj,j...->k...", stoichio, v) * (W / rho[None])
-        accumulate(df, "chem", DYDt)
+        return -jnp.einsum("kj,j...->k...", stoichio, v) * (W / rho[None])
 
-        # heat release into the temperature equation (chemistry.f90:3048-
-        # 3115, divu and diffusion terms contributed elsewhere):
-        #   dlnTT/dt += cv1·[Σ_k (R/W_k)·DYDt_k − Σ_k h_k·DYDt_k / T]
+    # ---- ghosted-field calculus (non-registered scalars) ---------------
+    @staticmethod
+    def _dg(pen, gh, axis):
+        from ..ops import stencil as st
+        from ..ops.stencil import i as interior
+        rest = tuple(a for a in range(3) if a != axis)
+        out = st.der(gh[None], axis, None, wrap=pen._wr(axis), g=pen._g)
+        return interior(out, pen._crop(rest), g=pen._g)[0] * pen._inv(axis)
+
+    @classmethod
+    def _gradg(cls, pen, gh):
+        return jnp.stack([cls._dg(pen, gh, a) for a in range(3)])
+
+    @staticmethod
+    def _del2g(pen, gh):
+        from ..ops import stencil as st
+        from ..ops.stencil import i as interior
+        tot = 0.0
+        for axis in range(3):
+            rest = tuple(a for a in range(3) if a != axis)
+            out = st.der2(gh[None], axis, None, wrap=pen._wr(axis),
+                          g=pen._g)
+            tot = tot + interior(out, pen._crop(rest),
+                                 g=pen._g)[0] * pen._inv(axis) ** 2
+        return tot
+
+    def species_viscosity_gh(self, Tgh, lnTgh):
+        """Per-species dynamic viscosity from the tran.dat LJ parameters
+        (chemistry.f90 calc_diff_visc_coef :4754-4805, Omega22 collision
+        integral :4648)."""
+        m = self.mech
+        t = np.asarray(self.tran)
+        KB = 1.3806505e-16
+        NA = 6.022e23
+        aa = (6.33225679e-1, 3.14473541e-1, 1.78229325e-2, -3.99489493e-2,
+              8.98483088e-3, 7.00167217e-4, -3.82733808e-4, 2.97208112e-5)
+        tmp_local = 5.0 / 16.0 * np.sqrt(KB / (NA * np.pi))
+        etas = []
+        for k in range(m.ns):
+            eps, sig, dip = t[k, 1], t[k, 2] * 1e-8, t[k, 3] * 1e-18
+            c_k = np.sqrt(m.mass[k]) / sig ** 2 * tmp_local
+            delta_st = dip * dip / 2.0 / (eps * KB * sig ** 3)
+            lnTst = lnTgh - np.log(eps)
+            om = 0.0
+            for i, a in enumerate(aa):
+                om = om + a * lnTst ** i
+            om22 = 1.0 / om
+            etas.append(jnp.sqrt(Tgh) / (om22 + 0.2 * delta_st ** 2
+                                         / (Tgh / eps)) * c_k)
+        return jnp.stack(etas)
+
+    def mixture_nu_gh(self, pen):
+        """Wilke mixture kinematic viscosity on the ghosted grid
+        (chemistry.f90:2496-2524) — cached per pencil set."""
+        if "nu_mixture_gh" in pen._cache:
+            return pen._cache["nu_mixture_gh"]
+        m = self.mech
+        Ygh = pen._gh("chem")
+        lnTgh = pen._gh("lnTT")[0]
+        Tgh = jnp.exp(lnTgh)
+        rgh = jnp.exp(pen._gh("lnrho")[0])
+        W1 = (1.0 / m.mass)[:, None, None, None]
+        mu1gh = jnp.sum(Ygh * W1, axis=0)
+        XXgh = Ygh * W1 / mu1gh[None]
+        eta = self.species_viscosity_gh(Tgh, lnTgh)
+        mu_dyn = 0.0
+        for k in range(m.ns):
+            denom = 0.0
+            for j in range(m.ns):
+                mk_mj = m.mass[k] / m.mass[j]
+                phi = (1.0 / np.sqrt(8.0) / np.sqrt(1.0 + mk_mj)
+                       * (1.0 + jnp.sqrt(eta[k] / eta[j])
+                          * mk_mj ** -0.25) ** 2)
+                denom = denom + XXgh[j] * phi
+            mu_dyn = mu_dyn + XXgh[k] * eta[k] / denom
+        nugh = mu_dyn / rgh
+        pen._cache["nu_mixture_gh"] = nugh
+        return nugh
+
+    def rhs(self, pen, df, ts):
+        m = self.mech
+        Y = pen.field("chem")                   # (ns, nx, ny, nz)
+        TT = pen.TT()
+        lnTT = pen.lnTT()
+        rho = pen.rho()
+        rho1 = pen.rho1()
+        TT1 = 1.0 / TT
+        W = m.mass[:, None, None, None]
+        mu1, cp, cv = self.mixture(Y, TT, lnTT)
+        pen._cache["cv_mix"] = cv
+        pen._cache["cp_mix"] = cp
+        pen._cache["mu1_mix"] = mu1
+        H0RT = _nasa_eval(m.nasa, m.T_ranges[:, 1], TT, lnTT, "h")
+        cpR = _nasa_eval(m.nasa, m.T_ranges[:, 1], TT, lnTT, "cp")
+        zero = jnp.zeros_like(Y)
+
+        DYDt_reac = self._reaction_term(pen, Y, TT, lnTT, rho, TT1, mu1,
+                                        H0RT) if self.lreactions else zero
+
+        # ---- species diffusion (lDiff_simple coefficients, detailed flux
+        # form: chemistry.f90:5014-5066) --------------------------------
+        DYDt_diff = zero
+        sum_dk_ghk = 0.0
+        if self.ldiffusion and self.lDiff_simple:
+            Ygh = pen._gh("chem")
+            lnTgh = pen._gh("lnTT")[0]
+            Tgh = jnp.exp(lnTgh)
+            lnrgh = pen._gh("lnrho")[0]
+            rgh = jnp.exp(lnrgh)
+            W1g = (1.0 / m.mass)[:, None, None, None]
+            mu1gh = jnp.sum(Ygh * W1g, axis=0)
+            XXgh = Ygh * W1g / mu1gh[None]
+            ppgh = rgh * RGAS * mu1gh * Tgh
+            glnTT = pen.glnTT()
+            glnrho = pen.glnrho()
+            gTT = TT[None] * glnTT
+            D = self.Diff_coef_const * rho1 * jnp.exp(
+                0.7 * jnp.log(TT / 298.0))
+            gD = D[None] * (0.7 * glnTT - glnrho)       # (3, ...)
+            gmu1 = self._gradg(pen, mu1gh)
+            glnmu = -gmu1 / mu1[None]                   # ∇ln(mu)
+            glnpp = glnrho + glnTT - glnmu
+            pp = rho * RGAS * mu1 * TT
+            del2lnpp = self._del2g(pen, ppgh) / pp                 - jnp.sum(glnpp * glnpp, axis=0)
+            glnrho_glnpp = jnp.sum(glnrho * glnpp, axis=0)
+            gD_glnpp = jnp.sum(gD * glnpp, axis=0)
+            glnmu_glnpp = jnp.sum(glnmu * glnpp, axis=0)
+            diffs = []
+            for k in range(m.ns):
+                mukmu1 = m.mass[k] * mu1
+                del2XX = self._del2g(pen, XXgh[k])
+                gXX = self._gradg(pen, XXgh[k])
+                gYY = jnp.stack([pen.d("chem", a)[k] for a in range(3)])
+                Xk_Yk = Y[k] / (m.mass[k] * mu1) - Y[k]  # X_k - Y_k
+                gXk_Yk = gXX - gYY
+                diff_op1 = jnp.sum(glnrho * gXX, axis=0)
+                diff_op2 = jnp.sum(gD * gXX, axis=0)
+                diff_op3 = jnp.sum(glnmu * gXX, axis=0)
+                glnpp_gXkYk = jnp.sum(glnpp * gXk_Yk, axis=0)
+                dk = (D * mukmu1 * (del2XX + diff_op1 - diff_op3)
+                      + mukmu1 * diff_op2
+                      + D * mukmu1 * Xk_Yk
+                      * (del2lnpp + glnrho_glnpp - glnmu_glnpp)
+                      + Xk_Yk * mukmu1 * gD_glnpp
+                      + D * mukmu1 * glnpp_gXkYk)
+                diffs.append(dk)
+                # enthalpy flux dk_D·∇h_k (chemistry.f90:3060-3082);
+                # ∇h_k = (R/W_k)·cp_k/R·∇T
+                dk_D = D[None] * mukmu1[None] * (gXX
+                                                 + Xk_Yk[None] * glnpp)
+                ghhk = (RGAS / m.mass[k]) * cpR[k][None] * gTT
+                sum_dk_ghk = sum_dk_ghk + jnp.sum(dk_D * ghhk, axis=0)
+            DYDt_diff = jnp.stack(diffs)
+            ts.diffus(jnp.max(D))
+
+        out = DYDt_reac + DYDt_diff
+        pen._cache["RHS_Y"] = out
+        if self.ladvection and "uu" in pen.reg.slots:
+            uu = pen.uu()
+            out = out - sum(uu[a][None] * pen.d("chem", a)
+                            for a in range(3))
+
+        # negative/overshoot filter (chemistry.f90:3013-3021; acts on df
+        # with the CURRENT dt — only exact for fixed-dt runs, which is the
+        # only place the reference samples enable it)
+        if self.lfilter and pen.cfg is not None and pen.cfg.time.dt > 0:
+            dtf = pen.cfg.time.dt
+            out = jnp.where(Y + out * dtf < -1e-25, -1e-25 * dtf, out)
+            out = jnp.where(Y + out * dtf > 1.0, 1.0 * dtf, out)
+        accumulate(df, "chem", out)
+
+        # ---- temperature equation (chemistry.f90:3048-3115) ------------
         hk = H0RT * RGAS * TT[None] / W          # erg/g
-        sum_DYDt = jnp.sum(RGAS / W * DYDt, axis=0)
-        sum_hhk = -jnp.sum(hk * DYDt, axis=0)
+        DY_tot = DYDt_reac + DYDt_diff
+        sum_DYDt = jnp.sum(RGAS / W * DY_tot, axis=0)
+        if self.lreactions:
+            sum_hhk = -jnp.sum(hk * DYDt_reac, axis=0)
+        else:
+            sum_hhk = 0.0
+        if "uu" in pen.reg.slots:
+            sum_DYDt = sum_DYDt - RGAS * mu1 * pen.divu()
+        RHS_T = (sum_DYDt + (sum_hhk + sum_dk_ghk) * TT1) / cv
         if "lnTT" in pen.reg.slots:
-            accumulate(df, "lnTT", (sum_DYDt + sum_hhk * TT1) / cv)
+            accumulate(df, "lnTT", RHS_T)
         elif "TT" in pen.reg.slots:
-            accumulate(df, "TT", (sum_DYDt * TT + sum_hhk) / cv)
+            accumulate(df, "TT", RHS_T * TT)
+
+        # ---- heat conduction (calc_heatcond_chemistry :5089-5126) ------
+        if self.lheatc_chemistry and self.lThCond_simple                 and "lnTT" in pen.reg.slots:
+            Ygh = pen._gh("chem")
+            lnTgh = pen._gh("lnTT")[0]
+            Tgh = jnp.exp(lnTgh)
+            W1g = (1.0 / m.mass)[:, None, None, None]
+            cpRgh = _nasa_eval(m.nasa, m.T_ranges[:, 1], Tgh, lnTgh, "cp")
+            cpgh = jnp.sum(Ygh * cpRgh * RGAS * W1g, axis=0)
+            lamgh = self.lambda_const * cpgh * jnp.exp(
+                0.7 * (lnTgh - np.log(298.0)))
+            lam = self.lambda_const * cp * jnp.exp(
+                0.7 * (lnTT - np.log(298.0)))
+            glam = self._gradg(pen, lamgh)
+            glnTT = pen.glnTT()
+            g2TT = jnp.sum(glnTT * glnTT, axis=0)
+            g2TTlam = jnp.sum(glnTT * glam, axis=0)
+            tmp = (lam * (pen.del2s("lnTT") + g2TT) + g2TTlam) / cv * rho1
+            accumulate(df, "lnTT", tmp)
+            ts.diffus(jnp.max(lam / (rho * cp)) * (cp / cv))
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         """Reference air_field (chemistry.f90): mass fractions from the
@@ -181,13 +381,15 @@ class ChemistryChemkin(ModuleBase):
         density/temperature module inits (module order puts chemistry
         after them, exactly like the reference's init_chemistry)."""
         m = self.mech
-        shape = (grid.x.shape[0], grid.y.shape[0], grid.z.shape[0])
+        shape = spec.shape
         Y = np.zeros((m.ns,) + shape)
         for name, frac in self.Y_init:
             if name in m.species:
                 Y[m.species.index(name)] = frac
         mu1 = sum(f / m.mass[m.species.index(n)]
                   for n, f in self.Y_init if n in m.species)
+        if self.init == "flame_front":
+            return self._flame_front(grid, spec, shape, Y)
         rho0 = self.P_init / (RGAS * mu1 * self.T_init)
         out: Dict[str, np.ndarray] = {
             "chem": jnp.asarray(Y),
@@ -196,18 +398,77 @@ class ChemistryChemkin(ModuleBase):
         }
         return out
 
+    def _flame_front(self, grid, spec, shape, Y):
+        """1-D premixed H2 flame profile (reference chemistry.f90
+        flame_front): piecewise-linear T between init_TT1/TT2 over
+        [init_x1, init_x2], fuel consumed ∝ (T−T2)/(T1−T2), O2 down to
+        the lean-burn limit, H2O produced, ρ from p/(R μ⁻¹T), ux +=
+        init_ux, species renormalised to Σ=1."""
+        m = self.mech
+        x = np.asarray(grid.x)
+        g = spec.nghost
+        if x.shape[0] > spec.nx:
+            x = x[g:-g]
+        T1, T2 = self.init_TT1, self.init_TT2
+        x1, x2 = self.init_x1, self.init_x2
+        TT = np.where(x <= x1, T1,
+                      np.where(x >= x2, T2,
+                               (x - x1) / (x2 - x1) * (T2 - T1) + T1))
+        iH2 = m.species.index("H2")
+        iO2 = m.species.index("O2")
+        iH2O = m.species.index("H2O")
+        iN2 = m.species.index("N2") if "N2" in m.species else None
+        init_H2 = float(Y[iH2, 0, 0, 0])
+        init_O2 = float(Y[iO2, 0, 0, 0])
+        init_N2 = float(Y[iN2, 0, 0, 0]) if iN2 is not None else 0.0
+        final_H2O = m.mass[iH2O] / m.mass[iH2] * init_H2
+        final_O2 = max(1.0 - final_H2O - init_N2, 0.0)
+        YH2 = np.where(x > x1, init_H2 * (TT - T2) / (T1 - T2),
+                       init_H2)
+        YO2 = np.where(x > x2, final_O2,
+                       np.where(x > x1,
+                                (x - x1) / (x2 - x1) * (final_O2 - init_O2)
+                                + init_O2, init_O2))
+        YH2O = np.where(x >= x2, final_H2O,
+                        np.where(x >= x1,
+                                 (x - x1) / (x2 - x1) * final_H2O, 0.0))
+        Y = Y.copy()
+        Y[iH2] = YH2[:, None, None]
+        Y[iO2] = YO2[:, None, None]
+        Y[iH2O] = YH2O[:, None, None]
+        Y = Y / Y.sum(axis=0, keepdims=True)
+        mu1 = (Y / m.mass[:, None, None, None]).sum(axis=0)
+        lnrho = (np.log(self.init_pressure) - np.log(RGAS)
+                 - np.log(TT)[:, None, None] - np.log(mu1))
+        ux = np.full(shape, self.init_ux)
+        uu = np.stack([ux, np.zeros(shape), np.zeros(shape)])
+        return {"chem": jnp.asarray(Y),
+                "lnTT": jnp.asarray(np.log(TT)[:, None, None]
+                                    * np.ones(shape)),
+                "lnrho": jnp.asarray(lnrho),
+                "uu": jnp.asarray(uu)}
+
 
 @dataclass(frozen=True)
 class TemperatureIonization(ModuleBase):
     """ENERGY slot holder for chemistry runs (reference
-    ``src/temperature_ionization.f90``): registers lnTT; its advection
-    term −u·∇lnTT applies only when hydro is present — the chemistry
-    module contributes the reactive heating directly."""
+    ``src/temperature_ionization.f90``): registers lnTT and owns its
+    advection (optionally upwinded) and the viscous-heating intake
+    (calc_viscous_heat ltemperature branch: +cv1·TT1·visc_heat); the
+    PdV and reactive terms come from the chemistry module."""
     name: ClassVar[str] = "entropy"
+
+    lupw_lnTT: bool = False
+    lviscosity_heat: bool = True
 
     def register(self, reg):
         reg.register("lnTT", 1, "pde")
 
     def rhs(self, pen, df, ts):
         if "uu" in pen.reg.slots:
-            accumulate(df, "lnTT", -pen.ugrad("lnTT"))
+            accumulate(df, "lnTT",
+                       -pen.ugrad("lnTT", upwind=self.lupw_lnTT))
+        heat = pen._cache.get("visc_heat")
+        cv = pen._cache.get("cv_mix")
+        if self.lviscosity_heat and heat is not None and cv is not None:
+            accumulate(df, "lnTT", heat / (cv * pen.TT()))

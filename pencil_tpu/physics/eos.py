@@ -54,6 +54,16 @@ class EosIdealGas(ModuleBase):
     # -- thermodynamic closure (overridable by EOS variants) -------------
     def cs2(self, pen):
         import jax.numpy as jnp
+        if "chem" in pen.reg.slots and "lnTT" in pen.reg.slots:
+            # eos_chemistry mixture: cs² = (cp/cv)·R·μ⁻¹·T
+            # (chemistry.f90:1089)
+            chem = pen.cfg.module("chemistry") if pen.cfg else None
+            if chem is not None and getattr(chem, "mech", None) is not None:
+                from .chemistry_chemkin import RGAS
+                Y = pen.field("chem")
+                TT = pen.TT()
+                mu1, cp, cv = chem.mixture(Y, TT, pen.lnTT())
+                return cp / cv * RGAS * mu1 * TT
         if "eth" in pen.reg.slots:
             # thermal energy: cs² = γ(γ−1)·eth/ρ (thermal_energy.f90)
             return (self.gamma * (self.gamma - 1.0)

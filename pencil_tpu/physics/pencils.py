@@ -440,6 +440,26 @@ class Pencils:
         """−∇p/ρ for the ideal-gas EOS: −cs²(∇lnρ + ∇s/cp), or with lnTT
         evolved, −(cs²/γ)(∇lnρ + ∇lnT)."""
         cs2 = self.cs2()
+        if "chem" in self.reg.slots and "lnTT" in self.reg.slots \
+                and self.cfg is not None \
+                and self.cfg.module("chemistry") is not None \
+                and getattr(self.cfg.module("chemistry"), "mech",
+                            None) is not None:
+            # eos_chemistry (eos_chemistry.f90:581-585):
+            # −∇p/ρ = −(p/ρ)(∇lnρ + ∇lnT + ∇μ⁻¹/μ⁻¹), p/ρ = R·μ⁻¹·T
+            from .chemistry_chemkin import RGAS
+            chem = self.cfg.module("chemistry")
+            mech = chem.mech
+            Ygh = self._gh("chem")
+            W1 = jnp.asarray(1.0 / mech.mass)[:, None, None, None]
+            mu1gh = jnp.sum(Ygh * W1, axis=0)
+            gmu1 = chem._gradg(self, mu1gh)
+            mu1 = jnp.sum(self.field("chem")
+                          * jnp.asarray(1.0 / mech.mass)[:, None, None,
+                                                         None], axis=0)
+            p_rho = RGAS * mu1 * self.TT()
+            return -p_rho[None] * (self.glnrho() + self.glnTT()
+                                   + gmu1 / mu1[None])
         if "eth" in self.reg.slots:
             # thermal-energy slot: p = (γ−1)eth → −∇p/ρ
             gm1 = self.eos.gamma - 1.0

@@ -29,6 +29,8 @@ class Viscosity(ModuleBase):
     nu_shock: float = 0.0
 
     def rhs(self, pen, df, ts):
+        if "uu" not in pen.reg.slots:
+            return      # HYDRO=nohydro: no velocity to act on
         fvisc = 0.0
         heat = 0.0
         if "nu-const" in self.ivisc and self.nu > 0.0:
@@ -65,6 +67,28 @@ class Viscosity(ModuleBase):
             )
             heat = heat + self.nu_shock * shock * divu * divu
             ts.diffus(self.nu_shock * shock)
+        if "nu-mixture" in self.ivisc:
+            # mixture-dependent ν(x) from the chemistry transport data
+            # (reference viscosity.f90:1470-1485 lvisc_mixture):
+            # f = ν(∇²u + ⅓∇∇·u + 2S·∇lnρ) + 2S·∇ν, heat = 2νS²
+            chem = pen.cfg.module("chemistry")
+            nugh = chem.mixture_nu_gh(pen)
+            from ..ops.stencil import i as interior
+            nu = interior(nugh[None], pen._crop((0, 1, 2)), g=pen._g)[0]
+            gradnu = jnp.stack([chem._dg(pen, nugh, a) for a in range(3)])
+            sij = pen.sij()
+            glnrho = pen.glnrho()
+            sglnrho = jnp.stack([
+                sum(sij[a, b] * glnrho[b] for b in range(3))
+                for a in range(3)])
+            sgradnu = jnp.stack([
+                sum(sij[a, b] * gradnu[b] for b in range(3))
+                for a in range(3)])
+            fvisc = fvisc + nu[None] * (
+                pen.del2u() + (1.0 / 3.0) * pen.graddivu()
+                + 2.0 * sglnrho) + 2.0 * sgradnu
+            heat = heat + 2.0 * nu * pen.sij2()
+            ts.diffus(jnp.max(nu))
         if ({"shock-simple", "shock_simple"} & set(self.ivisc)) \
                 and self.nu_shock > 0.0:
             # f = ν_sh·div(shock·∇u_i) = ν_sh(∇shock·∇u_i + shock∇²u_i),

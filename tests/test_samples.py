@@ -690,3 +690,63 @@ def test_gravitational_waves_golden():
         for k in cols:
             np.testing.assert_allclose(d[k], ref[k][n], rtol=2e-3,
                                        atol=1e-8, err_msg=f"{k} at {it}")
+
+@needs_ref
+def test_h2_flamespeed_golden():
+    """samples/1d-tests/H2_flamespeed: CHEMKIN-driven premixed H2/air
+    flame — flame_front init, Smooke-Giovangigli simplified species
+    diffusion in the detailed-flux form (chemistry.f90:5014-5066),
+    mixture heat conduction, Wilke mixture viscosity from tran.dat, and
+    NSCBC subsonic-inflow / non-reflecting-outflow x boundaries.
+    Mean temperature tracks reference.out to ~2e-5 and the radical pools
+    (H, O, OH, HO2, H2O2) to a few percent over 30 fixed-dt steps;
+    divu2m (the square of the boundary acoustic transient) is excluded —
+    it is dominated by startup noise that differs at roundoff level.
+    Runs in a subprocess (REAL_PRECISION=double needs jax x64)."""
+    import subprocess, sys, json, os
+    code = r'''
+import sys, json
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from pencil_tpu.compat.rundir import load_rundir
+from pencil_tpu.model import Model
+from pencil_tpu.io.diagnostics import make_diagnostics
+cfg, info = load_rundir(%r)
+model = Model(cfg)
+state = model.init_state(0)
+step = model.make_step()
+cols = ["rhom", "TTm", "urms"] + ["Y%%dm" %% i for i in range(1, 9)]
+ev = make_diagnostics(model, cols)
+rows = {}
+d0 = {k: float(v) for k, v in ev(state).items()}
+rows[0] = d0
+for it in range(1, 31):
+    state = step(state)
+    if it %% 5 == 0:
+        rows[it] = {k: float(v) for k, v in ev(state).items()}
+print("RESULT " + json.dumps(rows))
+'''
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rundir = f"{REF}/1d-tests/H2_flamespeed"
+    out = subprocess.run([sys.executable, "-c", code % (repo, rundir)],
+                         capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    rows = {int(k): v for k, v in json.loads(line[0][7:]).items()}
+    ref_rows = {}
+    for l in open(f"{rundir}/reference.out"):
+        p = l.split()
+        if p and p[0].isdigit():
+            ref_rows[int(p[0])] = [float(x) for x in p[1:]]
+    for it in (0, 5, 15, 30):
+        r = ref_rows[it]
+        got = rows[it]
+        np.testing.assert_allclose(got["rhom"], r[2], atol=1e-6)
+        np.testing.assert_allclose(got["TTm"], r[3], rtol=1e-4)
+        np.testing.assert_allclose(got["urms"], r[12], rtol=1e-4)
+        for i in range(1, 9):
+            np.testing.assert_allclose(got[f"Y{i}m"], r[3 + i], rtol=5e-2,
+                                       atol=1e-12, err_msg=f"Y{i}m@{it}")
