@@ -209,6 +209,23 @@ def _visc_heatm(pen, st):
     return jnp.mean(_visc_heat(pen))
 
 
+@diag("visc_heat")
+def _visc_heat_alias(pen, st):
+    """'visc_heat' in print.in does NOT match viscosity.f90's parse_name
+    label 'visc_heatm', so the reference prints 0.0000E+00 for it
+    (sod_1000s golden) — reproduce the unmatched-label behavior."""
+    return jnp.zeros(())
+
+
+@diag("eem")
+def _eem(pen, st):
+    """<e> mean specific internal energy (entropy.f90:266 idiag_eem,
+    pencil ee = cv·T)."""
+    if "eth" in pen.reg.slots:
+        return jnp.mean(pen.field("eth") / pen.rho())
+    return jnp.mean(pen.eos.cv * pen.TT())
+
+
 @diag("pdivum")
 def _pdivum(pen, st):
     """<p∇·u> (thermal_energy.f90:607); p = (γ−1)eth = ρcs²/γ."""
@@ -223,6 +240,11 @@ def _ruxm(pen, st):
 @diag("ruym")
 def _ruym(pen, st):
     return jnp.mean(pen.rho() * pen.uu()[1])
+
+
+@diag("ruzm")
+def _ruzm(pen, st):
+    return jnp.mean(pen.rho() * pen.uu()[2])
 
 
 @diag("ruy2m")
