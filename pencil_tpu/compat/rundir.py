@@ -186,9 +186,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     nz = nxyz[2] if nxyz else cpar.get("nzgrid", nx)
 
     import math as _math
-    xyz0 = init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416])
+
+    def _vec3(v):
+        # namelist scalar broadcast: xyz0=0. means (0,0,0) (start.in shorthand)
+        return [v, v, v] if not isinstance(v, (list, tuple)) else list(v)
+
+    xyz0 = _vec3(init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416]))
     if "xyz1" in init_pars:
-        xyz1 = init_pars["xyz1"]
+        xyz1 = _vec3(init_pars["xyz1"])
         Lxyz = [b - a for a, b in zip(xyz0, xyz1)]
     elif "wav1" in init_pars:
         # cubic box of size 2π/wav1 centred on the origin (start.f90:204)
@@ -196,7 +201,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         Lxyz = [L1, L1, L1]
         xyz0 = [-L1 / 2.0] * 3
     else:
-        Lxyz = init_pars.get("lxyz", [6.2832, 6.2832, 6.2832])
+        Lxyz = _vec3(init_pars.get("lxyz", [6.2832, 6.2832, 6.2832]))
     lperi = init_pars.get("lperi", [True, True, True])
     lshift = init_pars.get("lshift_origin", [False, False, False])
     if not isinstance(lshift, list):
@@ -330,7 +335,17 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(SelfGravity(gravitational_const=G))
 
     hyd_p = grp("hydro")
-    if ("hydro_init_pars" in start or hyd_p) \
+    if "hydro_kinematic" in mkf.get("HYDRO", ""):
+        from ..physics.hydro_kinematic import HydroKinematic
+        kflow = str(hyd_p.get("kinematic_flow", "ABC"))
+        modules.append(HydroKinematic(
+            profile={"roberts": "roberts"}.get(kflow.lower(), kflow),
+            ampl=float(hyd_p.get("ampl_kinflow", 1.0)),
+            kx=float(hyd_p.get("kx_uukin", 1.0)),
+            ky=float(hyd_p.get("ky_uukin", 1.0)),
+            kz=float(hyd_p.get("kz_uukin", 1.0)),
+        ))
+    elif ("hydro_init_pars" in start or hyd_p) \
             and "nohydro" not in mkf.get("HYDRO", "hydro"):
         modules.append(Hydro(
             lweno_transport=lweno,
@@ -441,6 +456,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             nu=float(vis_p.get("nu", 0.0)),
             nu_hyper3=float(vis_p.get("nu_hyper3", 0.0)),
             nu_shock=float(vis_p.get("nu_shock", 0.0)),
+            zeta=float(vis_p.get("zeta", 0.0)),
         ))
 
     chm_p = grp("chemistry")
@@ -537,6 +553,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
+            battery_term=float(mag_p.get("battery_term", 0.0)),
             B_ext=tuple(float(b) for b in bext),
         ))
 
@@ -550,9 +567,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             with open(kdat) as f:
                 kf = float(f.readline().split()[1])
         modules.append(Forcing(
-            force=float(for_p.get("force", 0.02)),
+            # reference default iforce='zero' → no stochastic kick unless
+            # the run sets iforce (forcing.f90:40); force=0 encodes that
+            force=(float(for_p.get("force", 0.02))
+                   if str(for_p.get("iforce", "zero")) != "zero" else 0.0),
             kf=kf or 3.0,
             relhel=float(for_p.get("relhel", 1.0)),
+            lforcing_cont=bool(for_p.get("lforcing_cont", False)),
+            iforcing_cont=str(_first(for_p.get("iforcing_cont", ""))),
+            ampl_ff=float(_first(for_p.get("ampl_ff", 0.0))),
+            k1_ff=float(for_p.get("k1_ff", 1.0)),
         ))
 
     shear_p = grp("shear")

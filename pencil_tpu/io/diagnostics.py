@@ -192,6 +192,8 @@ def _visc_heat(pen):
         return heat
     if "nu-const" in visc.ivisc and visc.nu > 0.0:
         heat = heat + 2.0 * visc.nu * pen.sij2()
+    if "rho-nu-const-bulk" in visc.ivisc and visc.zeta > 0.0:
+        heat = heat + (visc.zeta / pen.rho()) * pen.divu() ** 2
     if ({"nu-shock", "shock"} & set(visc.ivisc)) and visc.nu_shock > 0.0 \
             and "shock" in pen.reg.slots:
         heat = heat + visc.nu_shock * pen.field("shock") * pen.divu() ** 2
@@ -245,6 +247,83 @@ def _ruym(pen, st):
 @diag("ruzm")
 def _ruzm(pen, st):
     return jnp.mean(pen.rho() * pen.uu()[2])
+
+
+def _curlo(pen):
+    """q = ∇×ω = ∇(∇·u) − ∇²u (hydro.f90 p%curlo via del2v_etc)."""
+    return pen.graddivu() - pen.del2u()
+
+
+def _fvisc_vec(pen):
+    """Recompute the viscous-force pencil for diagnostics (p%fvisc)."""
+    visc = pen.cfg.module("viscosity") if pen.cfg is not None else None
+    f = jnp.zeros_like(pen.uu())
+    if visc is None:
+        return f
+    if "nu-const" in visc.ivisc and visc.nu > 0.0:
+        sij = pen.sij()
+        glnrho = pen.glnrho()
+        sglnrho = jnp.stack([sum(sij[a, b] * glnrho[b] for b in range(3))
+                             for a in range(3)])
+        f = f + visc.nu * (pen.del2u() + pen.graddivu() / 3.0 + 2.0 * sglnrho)
+    if "rho-nu-const-bulk" in visc.ivisc and visc.zeta > 0.0:
+        f = f + (visc.zeta / pen.rho())[None] * pen.graddivu()
+    return f
+
+
+def _fcont(pen):
+    forc = pen.cfg.module("forcing") if pen.cfg is not None else None
+    if forc is None or not forc.lforcing_cont:
+        return jnp.zeros_like(pen.uu())
+    return forc.fcont(pen.grid)
+
+
+@diag("qrms")
+def _qrms(pen, st):
+    """√<|∇×ω|²> (hydro.f90:4219 idiag_qrms)."""
+    return _rms(jnp.sum(_curlo(pen) ** 2, axis=0))
+
+
+@diag("quxom")
+def _quxom(pen, st):
+    """<q·(u×ω)> (hydro.f90:4235)."""
+    uxo = jnp.cross(pen.uu(), pen.oo(), axis=0)
+    return jnp.mean(jnp.sum(_curlo(pen) * uxo, axis=0))
+
+
+@diag("qfviscm")
+def _qfviscm(pen, st):
+    """<q·f_visc> (viscosity.f90:2307-2309)."""
+    return jnp.mean(jnp.sum(_curlo(pen) * _fvisc_vec(pen), axis=0))
+
+
+@diag("gdivu2m")
+def _gdivu2m(pen, st):
+    """<|∇(∇·u)|²> (hydro.f90:377)."""
+    return jnp.mean(jnp.sum(pen.graddivu() ** 2, axis=0))
+
+
+@diag("rdivum")
+def _rdivum(pen, st):
+    return jnp.mean(pen.rho() * pen.divu())
+
+
+@diag("ourms")
+def _ourms(pen, st):
+    """√<(ω·u)²> (hydro.f90:457)."""
+    return _rms(jnp.sum(pen.oo() * pen.uu(), axis=0) ** 2)
+
+
+@diag("ufm")
+def _ufm(pen, st):
+    """<u·f_cont> (forcing.f90:6075 — the continuous-forcing pencil)."""
+    return jnp.mean(jnp.sum(pen.uu() * _fcont(pen), axis=0))
+
+
+@diag("rufm")
+def _rufm(pen, st):
+    """<ρ u·f_cont> (forcing.f90:6065)."""
+    return jnp.mean(pen.rho() * jnp.sum(pen.uu() * _fcont(pen), axis=0))
 
 
 @diag("ruy2m")
@@ -369,19 +448,30 @@ def _abms(pen, st):
 
 @diag("bmx")
 def _bmx(pen, st):
-    """RMS of the yz-mean field component (reference bmx: mean-field
-    strength diagnostics, src/magnetic.f90)."""
-    return jnp.sqrt(jnp.mean(jnp.mean(pen.bb()[0], axis=(1, 2)) ** 2))
+    """Energy of the yz-averaged mean field:
+    √<B̄_y(x)²+B̄_z(x)²>_x (magnetic.f90 calc_bmx — the components
+    TRANSVERSE to the average direction carry the dynamo mean field)."""
+    bb = pen.bb()
+    by = jnp.mean(bb[1], axis=(1, 2))
+    bz = jnp.mean(bb[2], axis=(1, 2))
+    return jnp.sqrt(jnp.mean(by ** 2 + bz ** 2))
 
 
 @diag("bmy")
 def _bmy(pen, st):
-    return jnp.sqrt(jnp.mean(jnp.mean(pen.bb()[1], axis=(0, 2)) ** 2))
+    bb = pen.bb()
+    bx = jnp.mean(bb[0], axis=(0, 2))
+    bz = jnp.mean(bb[2], axis=(0, 2))
+    return jnp.sqrt(jnp.mean(bx ** 2 + bz ** 2))
 
 
 @diag("bmz")
 def _bmz(pen, st):
-    return jnp.sqrt(jnp.mean(jnp.mean(pen.bb()[2], axis=(0, 1)) ** 2))
+    """√<B̄_x(z)²+B̄_y(z)²>_z (magnetic.f90 calc_bmz via fnamez)."""
+    bb = pen.bb()
+    bx = jnp.mean(bb[0], axis=(0, 1))
+    by = jnp.mean(bb[1], axis=(0, 1))
+    return jnp.sqrt(jnp.mean(bx ** 2 + by ** 2))
 
 
 @diag("xp2m")

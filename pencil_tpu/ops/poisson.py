@@ -59,3 +59,59 @@ def inverse_laplacian_sharded(f_local, spec, mesh_axis_names=None,
             phi = jax.lax.dynamic_slice_in_dim(phi, idx * n_loc, n_loc,
                                                axis=axis)
     return phi
+
+
+def inverse_laplacian_z(f, spec, dz):
+    """∇²φ = f with periodic x,y and a non-periodic z direction — the
+    Boussinesq projection solver (reference
+    src/experimental/boussinesq.f90:438-541 ``inverse_laplacian_z``):
+    FFT in x,y; per-mode 4th-order pentadiagonal solve in z with the
+    reference's mirrored end-row coefficients; the (kx,ky)=0 mode by the
+    1-D Green's function φ(z) = ∫ ½|z−z'| f(z') dz' (trapezoid weights).
+
+    f: (nx, ny, nz) interior field.  Returns φ of the same shape.
+    """
+    nx, ny, nz = f.shape
+    kx = 2 * np.pi * np.fft.fftfreq(spec.nx, d=spec.Lx / spec.nx)
+    ky = 2 * np.pi * np.fft.fftfreq(spec.ny, d=spec.Ly / spec.ny) \
+        if spec.ny > 1 else np.zeros(1)
+    k2 = (kx[:, None] ** 2 + ky[None, :] ** 2).reshape(-1)   # (nx*ny,)
+    dz_2 = 1.0 / (dz * dz)
+
+    # pentadiagonal operator rows (boussinesq.f90:495-510): interior
+    # [-1/12, 4/3, -5/2, 4/3, -1/12]·dz⁻² − k²δ, with the reference's
+    # doubled off-diagonals at the ends (Neumann mirror closure)
+    P = np.zeros((nz, nz))
+    for i in range(nz):
+        for off, c in ((-2, -dz_2 / 12.0), (-1, 4.0 * dz_2 / 3.0),
+                       (0, -2.5 * dz_2), (1, 4.0 * dz_2 / 3.0),
+                       (2, -dz_2 / 12.0)):
+            j = i + off
+            if 0 <= j < nz:
+                P[i, j] = c
+    # end-row doublings exactly as the reference tables them:
+    # d(1)·2, e(1)·2, e(2)·2, a(n)·2, b(n)·2, a(n−1)·2
+    P[0, 1] *= 2.0
+    if nz > 2:
+        P[0, 2] *= 2.0
+    if nz > 3:
+        P[1, 3] *= 2.0
+        P[nz - 1, nz - 3] *= 2.0
+        P[nz - 2, nz - 4] *= 2.0
+    P[nz - 1, nz - 2] *= 2.0
+
+    # batched dense solve: A_k = P − k² I (nz ≤ O(100): cheap, compiled once)
+    A = jnp.asarray(P)[None] - k2[:, None, None] * jnp.eye(nz)[None]
+    fk = jnp.fft.fft2(f.astype(jnp.float32), axes=(0, 1)).reshape(-1, nz)
+    sol = jnp.linalg.solve(A.astype(jnp.complex64), fk[:, :, None])[..., 0]
+
+    # (0,0) mode: Green's function quadrature (boussinesq.f90:515-526)
+    w = np.ones(nz)
+    w[0] = w[-1] = 0.5
+    iz = np.arange(nz)
+    K = 0.5 * dz * dz * np.abs(iz[:, None] - iz[None, :]) * w[None, :]
+    sol0 = jnp.asarray(K, jnp.float32) @ fk[0]
+    sol = sol.at[0].set(sol0)
+
+    phik = sol.reshape(nx, ny, nz)
+    return jnp.real(jnp.fft.ifft2(phik, axes=(0, 1))).astype(f.dtype)

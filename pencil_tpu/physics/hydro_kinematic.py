@@ -29,6 +29,14 @@ class HydroKinematic(ModuleBase):
     B: float = 1.0
     C: float = 1.0
 
+    def rhs(self, pen, df, ts):
+        # kinematic flow still sets the advective CFL class
+        # (hydro_kinematic.f90:2620-2621: advec_uu = Σ|u_a|·dline_1_a)
+        import jax.numpy as jnp
+        d1 = pen.dline_1()
+        uu = pen.uu()
+        ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
+
     def flow(self, pen):
         g = pen.grid
         x, y, z = g.xg, g.yg, g.zg
@@ -40,11 +48,13 @@ class HydroKinematic(ModuleBase):
             one = jnp.ones(pen_shape(pen), x.dtype)
             return jnp.stack([ux * one, uy * one, uz * one])
         if self.profile == "roberts":
-            # Roberts flow I: u = (cos kx sin ky, −sin kx cos ky, √2 cos kx cos ky)
+            # Glen Roberts flow, reference phase convention
+            # (hydro_kinematic.f90:758-767, eps_kinflow=0):
+            # u = (sin kx·cos ky, −cos kx·sin ky, √2 sin kx·sin ky)
             kx, ky = self.kx, self.ky
-            ux = a * jnp.cos(kx * x) * jnp.sin(ky * y)
-            uy = -a * jnp.sin(kx * x) * jnp.cos(ky * y)
-            uz = a * jnp.sqrt(2.0) * jnp.cos(kx * x) * jnp.cos(ky * y)
+            ux = a * jnp.sin(kx * x) * jnp.cos(ky * y)
+            uy = -a * jnp.cos(kx * x) * jnp.sin(ky * y)
+            uz = a * jnp.sqrt(2.0) * jnp.sin(kx * x) * jnp.sin(ky * y)
             one = jnp.ones(pen_shape(pen), x.dtype)
             return jnp.stack([ux * one, uy * one, uz * one])
         raise NotImplementedError(self.profile)
@@ -72,10 +82,11 @@ class HydroKinematic(ModuleBase):
             sx, cx = jnp.sin(kx * x), jnp.cos(kx * x)
             sy, cy = jnp.sin(ky * y), jnp.cos(ky * y)
             s2 = jnp.sqrt(2.0)
+            # reference hydro_kinematic.f90:772-783 (eps_kinflow=0)
             rows = [
-                [-a * kx * sx * sy * one, a * ky * cx * cy * one, zero],
-                [-a * kx * cx * cy * one, a * ky * sx * sy * one, zero],
-                [-a * s2 * kx * sx * cy * one, -a * s2 * ky * cx * sy * one,
+                [a * kx * cx * cy * one, -a * ky * sx * sy * one, zero],
+                [a * kx * sx * sy * one, -a * ky * cx * cy * one, zero],
+                [a * s2 * kx * cx * sy * one, a * s2 * ky * sx * cy * one,
                  zero],
             ]
             return jnp.stack([jnp.stack(r) for r in rows])

@@ -25,6 +25,8 @@ class Magnetic(ModuleBase):
     eta: float = 0.0
     eta_hyper3: float = 0.0
     eta_shock: float = 0.0
+    # Biermann battery: dA/dt −= battery_term·f_pres (magnetic.f90:5329-5337)
+    battery_term: float = 0.0
     # mean-field closure (reference src/magnetic/meanfield.f90): adds the
     # parameterized EMF  E = α·B − η_t µ0 J  to the induction equation
     meanfield_alpha: float = 0.0
@@ -67,6 +69,8 @@ class Magnetic(ModuleBase):
         if self.meanfield_etat > 0.0:
             out = out - self.meanfield_etat * pen.jj()
             ts.diffus(self.meanfield_etat)
+        if self.battery_term != 0.0:
+            out = out - self.battery_term * pen.fpres()
         accumulate(df, "aa", out)
 
         if "uu" in pen.reg.slots:

@@ -339,6 +339,11 @@ class Pencils:
     def lnrho(self):
         if "rho" in self.reg.slots:
             return jnp.log(jnp.maximum(self.field("rho"), 1e-30))
+        if "lnrho" not in self.reg.slots:
+            # DENSITY=nodensity: ρ ≡ rho0 = 1 (reference nodensity.f90)
+            any_name = next(iter(self.reg.slots))
+            f = self.field(any_name)
+            return jnp.zeros_like(f[0] if f.ndim == 4 else f)
         return self.field("lnrho")
 
     @_memo
@@ -388,7 +393,12 @@ class Pencils:
     @_memo
     def cs2(self):
         # delegated to the EOS slot (swappable closure: ideal gas, Saha
-        # ionization, ... — reference select_eos_variable)
+        # ionization, ... — reference select_eos_variable); EOS=noeos
+        # leaves cs2=0 (reference noeos.f90 pencil defaults)
+        if self.eos is None:
+            if "uu" in self.reg.slots:
+                return jnp.zeros_like(self.field("uu")[0])
+            return jnp.zeros_like(self.field(next(iter(self.reg.slots)))[0])
         return self.eos.cs2(self)
 
     @_memo

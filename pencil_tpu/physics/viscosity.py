@@ -27,6 +27,7 @@ class Viscosity(ModuleBase):
     nu_hyper3: float = 0.0
     nu_hyper3_mesh: float = 5.0
     nu_shock: float = 0.0
+    zeta: float = 0.0      # dynamic bulk viscosity ('rho-nu-const-bulk')
 
     def rhs(self, pen, df, ts):
         if "uu" not in pen.reg.slots:
@@ -54,6 +55,13 @@ class Viscosity(ModuleBase):
                 )
                 heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
+        if "rho-nu-const-bulk" in self.ivisc and self.zeta > 0.0:
+            # constant dynamic bulk viscosity (viscosity.f90:1319-1327):
+            # f = (ζ/ρ)∇∇·u, heat = (ζ/ρ)(∇·u)², diffus += ζ/ρ
+            zetarho1 = self.zeta / pen.rho()
+            fvisc = fvisc + zetarho1[None] * pen.graddivu()
+            heat = heat + zetarho1 * pen.divu() ** 2
+            ts.diffus(zetarho1)
         if ({"nu-shock", "shock"} & set(self.ivisc)) and self.nu_shock > 0.0:
             # bulk shock viscosity (reference viscosity.f90 'nu-shock'):
             # f = ν_sh [shock(∇∇·u + ∇·u ∇lnρ) + ∇·u ∇shock]
