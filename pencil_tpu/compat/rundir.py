@@ -73,6 +73,16 @@ def _first(v):
     return v[0] if isinstance(v, list) else v
 
 
+
+def _aniso3(v):
+    """Per-axis coefficient triple from a namelist value (scalar or list)."""
+    if isinstance(v, (list, tuple)):
+        out = [float(x) for x in v][:3]
+        while len(out) < 3:
+            out.append(0.0)
+        return tuple(out)
+    return (float(v), float(v), float(v))
+
 def _g(groups, name) -> Dict:
     return dict(groups.get(name, {}))
 
@@ -152,6 +162,22 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
         L = np.asarray([grid.Lx, grid.Ly, grid.Lz], np.float32)
         overrides["particles_xp"] = lo + draws * L
 
+    ic = by_name.get("initial_condition")
+    if ic is not None and ic.plugin == "baroclinic_init":
+        # one phase per mode, drawn on root during initial_condition_lnrho
+        # (baroclinic_init.f90:66); this is the stream's first consumer
+        import dataclasses
+        pd = dict(ic.params)
+        xm = int(pd.get("xmodes", 10))
+        ym = int(pd.get("ymodes", 10))
+        zm = int(pd.get("zmodes", 0))
+        nmodes = (2 * xm + 1) * (ym + 1) * (2 * zm + 1)
+        pd["phases"] = tuple(float(v) for v in rng.draw(nmodes))
+        modules = tuple(
+            dataclasses.replace(m, params=tuple(sorted(pd.items())))
+            if m.name == "initial_condition" else m for m in modules)
+        by_name = {m.name: m for m in modules}
+
     forc = by_name.get("forcing")
     kdat = os.path.join(path, "k.dat")
     if forc is not None and os.path.exists(kdat):
@@ -187,13 +213,22 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
 
     import math as _math
 
-    def _vec3(v):
-        # namelist scalar broadcast: xyz0=0. means (0,0,0) (start.in shorthand)
-        return [v, v, v] if not isinstance(v, (list, tuple)) else list(v)
+    def _vec3(v, fill=None):
+        # namelist scalar broadcast: xyz0=0. means (0,0,0); a short list
+        # (xyz0=0.7, 0.0) leaves trailing components at their defaults
+        # (cdata.f90:130 xyz0=-pi), passed via ``fill``
+        if not isinstance(v, (list, tuple)):
+            return [v, v, v]
+        v = list(v)
+        while len(v) < 3:
+            v.append(fill[len(v)] if fill is not None else v[-1])
+        return v
 
-    xyz0 = _vec3(init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416]))
+    xyz0 = _vec3(init_pars.get("xyz0", [-3.1416, -3.1416, -3.1416]),
+                 fill=[-_math.pi] * 3)
     if "xyz1" in init_pars:
-        xyz1 = _vec3(init_pars["xyz1"])
+        xyz1 = _vec3(init_pars["xyz1"],
+                     fill=[a + 2.0 * _math.pi for a in xyz0])
         Lxyz = [b - a for a, b in zip(xyz0, xyz1)]
     elif "wav1" in init_pars:
         # cubic box of size 2π/wav1 centred on the origin (start.f90:204)
@@ -240,7 +275,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     eos_p = grp("eos")
     if "noeos" in mkf.get("EOS", ""):
         pass   # EOS=noeos: no thermodynamics, no sound-speed CFL
-    elif eos_p or "density_init_pars" in start:
+    elif eos_p or "eos_init_pars" in start or "density_init_pars" in start:
         modules.append(EosIdealGas(
             gamma=float(eos_p.get("gamma", 5.0 / 3.0)),
             cs0=float(eos_p.get("cs0", 1.0)),
@@ -253,10 +288,17 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     lweno = bool(run_pars.get("lweno_transport", False))
 
     den_p = grp("density")
-    if "density_init_pars" in start or den_p:
+    # DENSITY=experimental/boussinesq: no density evolution — the slot is
+    # the incompressible projection module instead (appended after the
+    # hydro/entropy groups are read; it needs Ra/Pr/beta_bouss from them)
+    lbouss = "boussinesq" in mkf.get("DENSITY", "")
+    if ("density_init_pars" in start or den_p) and not lbouss:
         modules.append(Density(
             lweno_transport=lweno,
-            init=str(den_p.get("initlnrho", "zero")),
+            # 'globaldisc' is provided by the centrifugal_balance IC path
+            init={"globaldisc": "zero"}.get(
+                str(den_p.get("initlnrho", "zero")),
+                str(den_p.get("initlnrho", "zero"))),
             ampl=float(den_p.get("ampllnrho", 0.0)),
             rho_const=float(den_p.get("rho_const", 1.0)),
             width=float(den_p.get("widthlnrho", 0.05)),
@@ -269,6 +311,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             # the matching idiff label is chosen, so presence == selection
             diffrho_hyper3=float(den_p.get("diffrho_hyper3", 0.0)),
             diffrho_hyper3_mesh=float(den_p.get("diffrho_hyper3_mesh", 0.0)),
+            diffrho_hyper3_aniso=_aniso3(den_p.get("diffrho_hyper3_aniso", 0.0)),
             rho_left=float(den_p.get("rho_left", 1.0)),
             rho_right=float(den_p.get("rho_right", 1.0)),
             kx=float(_first(den_p.get("kx_lnrho", 1.0))),
@@ -349,8 +392,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             and "nohydro" not in mkf.get("HYDRO", "hydro"):
         modules.append(Hydro(
             lweno_transport=lweno,
+            # pressure gradient only when density is computed
+            # (hydro.f90:915: .not.ldensity → lpressuregradient_gas=F)
             lpressuregradient_gas=bool(
-                hyd_p.get("lpressuregradient_gas", True)),
+                hyd_p.get("lpressuregradient_gas", not lbouss)),
             init=str(hyd_p.get("inituu", "zero")),
             ampl=float(hyd_p.get("ampluu", 0.0)),
             kx=float(hyd_p.get("kx_uu", 1.0)),
@@ -367,6 +412,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(Gravity(
             gravz_profile=str(grav_p.get("gravz_profile", "const")),
             gravz=float(grav_p.get("gravz", 0.0)),
+            # GRAVITY=gravity_r central potentials (gravity_r.f90)
+            ipotential=str(_first(grav_p.get("ipotential", ""))),
+            g0=float(grav_p.get("g0", 0.0)),
+            r0_pot=float(grav_p.get("r0_pot", 0.1)),
+            n_pot=int(grav_p.get("n_pot", 2)),
+            lcylindrical_gravity=bool(
+                grav_p.get("lcylindrical_gravity",
+                           init_pars.get("lcylindrical_gravity", False))),
         ))
 
     ent_p = grp("entropy")
@@ -398,14 +451,20 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             or "initlntt" in ent_p:
         # ENERGY slot variant: temperature_idealgas (evolves lnTT or TT)
         from ..physics.temperature import TemperatureIdealGas
-        inits = ent_p.get("initlntt", "zero")
+        inits = ent_p.get("initlntt", "nothing")
         inits = inits if isinstance(inits, list) else [inits]
         ampls = ent_p.get("ampl_lntt", 0.0)
         ampls = ampls if isinstance(ampls, list) else [ampls]
         ampls = [a if a is not None else 0.0 for a in ampls]
+        ihc_t = str(ent_p.get("iheatcond", ""))
         modules.append(TemperatureIdealGas(
             lnolog=bool(ent_p.get("ltemperature_nolog", False)),
-            chi=float(ent_p.get("chi", 0.0)),
+            chi=float(ent_p.get("chi", 0.0)) if "chi" in ihc_t or not ihc_t
+                else 0.0,
+            hcond0=float(ent_p.get("hcond0", 0.0)) if "K-const" in ihc_t
+                else 0.0,
+            lviscosity_heat=bool(ent_p.get("lviscosity_heat", True)),
+            TT_const=float(ent_p.get("tt_const", 0.0)),
             lADI="implicit" in mkf.get("IMPLICIT_PHYSICS", "")
                  and float(ent_p.get("kmax", 0.0)) > 0.0,
             Fbot=float(ent_p.get("fbot", 0.0)),
@@ -433,6 +492,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             chi=float(ent_p.get("chi", 0.0)),
             chi_hyper3=float(ent_p.get("chi_hyper3", 0.0)),
             chi_hyper3_mesh=float(ent_p.get("chi_hyper3_mesh", 0.0)),
+            chi_hyper3_aniso=_aniso3(ent_p.get("chi_hyper3_aniso", 0.0)),
+            tau_cool=float(ent_p.get("tau_cool", 0.0)),
+            TTref_cool=float(ent_p.get("ttref_cool", 0.0)),
             lupw_ss=bool(ent_p.get("lupw_ss", False)),
             luminosity=float(ent_p.get("luminosity", 0.0)),
             wheat=float(ent_p.get("wheat", 0.1)),
@@ -449,6 +511,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ss_right=float(ent_p.get("ss_right", 0.0)),
         ))
 
+    if lbouss:
+        from ..physics.boussinesq import Boussinesq
+        modules.append(Boussinesq(
+            Ra=float(hyd_p.get("ra", 0.0)),
+            Pr=float(hyd_p.get("pr", 0.0)),
+            beta_bouss=float(ent_p.get("beta_bouss", -1.0)),
+        ))
+
     vis_p = grp("viscosity")
     if vis_p:
         modules.append(Viscosity(
@@ -457,6 +527,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             nu_hyper3=float(vis_p.get("nu_hyper3", 0.0)),
             nu_shock=float(vis_p.get("nu_shock", 0.0)),
             zeta=float(vis_p.get("zeta", 0.0)),
+            nu_aniso_hyper3=_aniso3(vis_p.get("nu_aniso_hyper3", 0.0)),
         ))
 
     chm_p = grp("chemistry")
@@ -545,6 +616,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     mag_p = grp("magnetic")
     if "magnetic_init_pars" in start or mag_p:
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
+        mf_p = grp("magn_mf")   # MAGNETIC_MEANFIELD namelists
         modules.append(Magnetic(
             init=str(mag_p.get("initaa", "zero")),
             ampl=float(_first(mag_p.get("amplaa", 0.0))),
@@ -554,6 +626,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
             battery_term=float(mag_p.get("battery_term", 0.0)),
+            llorentzforce=bool(mag_p.get("llorentzforce", True)),
+            meanfield_alpha=float(mf_p.get("alpha_effect", 0.0)),
+            meanfield_etat=float(mf_p.get("meanfield_etat", 0.0)),
+            omega_profile=str(mf_p.get("omega_profile", "nothing"))
+            if bool(mf_p.get("lomega_effect", False)) else "nothing",
+            omega_ampl=float(mf_p.get("omega_ampl", 0.0)),
             B_ext=tuple(float(b) for b in bext),
         ))
 
@@ -650,8 +728,19 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         from ..physics.special import make_special
         # multiple simultaneous specials: whitespace-separated slot list
         # (reference initialize_mult_special, src/run.f90:133)
+        # cylinder/sphere-in-a-box bounds live in the general namelists;
+        # specials with r_int/r_ext fields pick them up (unknown keys are
+        # ignored by make_special)
+        sp_all = dict(sp_p)
+        for k in ("r_int", "r_ext"):
+            if k not in sp_all:
+                v = run_pars.get(k, init_pars.get(k))
+                if v is not None:
+                    sp_all[k] = float(v)
         for slot in sp_slot.split():
-            modules.append(make_special(slot.split("/")[-1], sp_p))
+            if slot.split("/")[-1] == "nospecial":
+                continue
+            modules.append(make_special(slot.split("/")[-1], sp_all))
 
     # the IC plug-in group is named plain &initial_condition_pars
     known.add("initial_condition_pars")
@@ -664,6 +753,35 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(InitialCondition(
             plugin=plugin,
             params=tuple(sorted((k, v) for k, v in ic_p.items()))))
+    elif str(den_p.get("initlnrho", "")) == "globaldisc":
+        # pre-2013 samples: initlnrho='globaldisc' in density_init_pars is
+        # today's initial_condition/centrifugal_balance (params split
+        # between density_init_pars and initial_condition_pars)
+        from ..physics.initial_condition import InitialCondition
+        merged = dict(ic_p)
+        for k in ("temperature_power_law", "density_power_law", "r_ref"):
+            if k in den_p and k not in merged:
+                merged[k] = den_p[k]
+        modules.append(InitialCondition(
+            plugin="centrifugal_balance",
+            params=tuple(sorted((k, v) for k, v in merged.items()))))
+
+    # llocal_iso: swap the eos for the locally-isothermal radial profile
+    # (cs² static power law; cdata.f90 llocal_iso flag)
+    if bool(init_pars.get("llocal_iso", False)):
+        from ..physics.eos import EosLocalIso
+        qT = float(ic_p.get("temperature_power_law",
+                            den_p.get("temperature_power_law", 1.0)))
+        lcyl = (bool(init_pars.get("lcylindrical_gravity", False))
+                or bool(grav_p.get("lcylindrical_gravity", False))
+                or bool(init_pars.get("lcylinder_in_a_box", False))
+                or grid.coords == "cylindrical")
+        modules = [
+            EosLocalIso(gamma=m.gamma, cs0=m.cs0, rho0=m.rho0, cp=m.cp,
+                        temperature_power_law=qT,
+                        r_ref=float(ic_p.get("r_ref", 1.0)),
+                        lcylindrical=lcyl)
+            if m.name == "eos" else m for m in modules]
 
     # BCs: run.in overrides start.in; component order = registry order
     from ..core.farray import Registry
@@ -673,7 +791,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     for m in sorted(tmp_modules, key=_reg_key):
         m.register(reg)
     reg.finalize()
-    comp_names = reg.comp_names[: reg.nvar]
+    # communicated auxiliaries take BC entries too (e.g. 'pp' in the
+    # Boussinesq samples' bcz list); zip() stops at the provided codes
+    comp_names = reg.comp_names[: reg.ncom]
 
     def bcs_for(axis_key, side_vals):
         codes = run_pars.get(axis_key, init_pars.get(axis_key))

@@ -21,6 +21,16 @@ def _rms(x):
     return jnp.sqrt(jnp.mean(x))
 
 
+def _vmean(pen, x):
+    """Volume mean — dV-weighted off-cartesian (sum_mn_name semantics)."""
+    w = pen.vol_weight()
+    return jnp.mean(x) if w is None else jnp.mean(x * w)
+
+
+def _vrms(pen, x):
+    return jnp.sqrt(_vmean(pen, x))
+
+
 DIAG_REGISTRY: Dict[str, Callable] = {}
 
 
@@ -34,7 +44,7 @@ def diag(name):
 # ---- hydro ----------------------------------------------------------------
 @diag("urms")
 def _urms(pen, st):
-    return _rms(pen.u2())
+    return _vrms(pen, pen.u2())
 
 
 @diag("umax")
@@ -44,7 +54,7 @@ def _umax(pen, st):
 
 @diag("u2m")
 def _u2m(pen, st):
-    return jnp.mean(pen.u2())
+    return _vmean(pen, pen.u2())
 
 
 @diag("ux2m")
@@ -64,7 +74,17 @@ def _uz2m(pen, st):
 
 @diag("uxm")
 def _uxm(pen, st):
-    return jnp.mean(pen.uu()[0])
+    return _vmean(pen, pen.uu()[0])
+
+
+@diag("uym")
+def _uym(pen, st):
+    return _vmean(pen, pen.uu()[1])
+
+
+@diag("uzm")
+def _uzm(pen, st):
+    return _vmean(pen, pen.uu()[2])
 
 
 @diag("divum")
@@ -92,7 +112,7 @@ def _oum(pen, st):
 
 @diag("ekin")
 def _ekin(pen, st):
-    return 0.5 * jnp.mean(pen.rho() * pen.u2())
+    return 0.5 * _vmean(pen, pen.rho() * pen.u2())
 
 
 @diag("EEK")
@@ -122,10 +142,45 @@ def _rhof2m(pen, st):
     return jnp.mean((rho - ref) ** 2)
 
 
+def _has_density(pen):
+    return "rho" in pen.reg.slots or "lnrho" in pen.reg.slots
+
+
 # ---- density --------------------------------------------------------------
 @diag("rhom")
 def _rhom(pen, st):
-    return jnp.mean(pen.rho())
+    # DENSITY=nodensity/boussinesq: the reference never computes density
+    # diagnostics (calc_diagnostics_density is a no-op) and prints 0
+    if not _has_density(pen):
+        return jnp.zeros(())
+    return _vmean(pen, pen.rho())
+
+
+@diag("rho2m")
+def _rho2m(pen, st):
+    return _vmean(pen, pen.rho() ** 2)
+
+
+@diag("ppm")
+def _ppm(pen, st):
+    """<p> = <ρcs²/γ> (reference idiag_ppm)."""
+    return _vmean(pen, pen.rho() * pen.cs2() / pen.eos.gamma)
+
+
+@diag("uxuym")
+def _uxuym(pen, st):
+    return _vmean(pen, pen.uu()[0] * pen.uu()[1])
+
+
+@diag("o2m")
+def _o2m(pen, st):
+    oo = pen.oo()
+    return _vmean(pen, oo[0] ** 2 + oo[1] ** 2 + oo[2] ** 2)
+
+
+@diag("oz2m")
+def _oz2m(pen, st):
+    return _vmean(pen, pen.oo()[2] ** 2)
 
 
 @diag("rhomax")
@@ -155,12 +210,45 @@ def _ssm(pen, st):
 
 @diag("TTm")
 def _ttm(pen, st):
-    return jnp.mean(pen.TT())
+    return _vmean(pen, pen.TT())
 
 
 @diag("TTmax")
 def _ttmax(pen, st):
     return jnp.max(pen.TT())
+
+
+@diag("TTmin")
+def _ttmin(pen, st):
+    return jnp.min(pen.TT())
+
+
+@diag("TT2m")
+def _tt2m(pen, st):
+    """<T²> (temperature_idealgas.f90:127 idiag_TT2m)."""
+    return jnp.mean(pen.TT() ** 2)
+
+
+@diag("drurms")
+def _drurms(pen, st):
+    """rms ∇·(ρu) = ρ∇·u + u·∇ρ (hydro.f90:440 idiag_divrhourms) —
+    with uniform ρ this is the residual compressibility of the
+    incompressible projection."""
+    if _has_density(pen):
+        gr = pen.glnrho() * pen.rho()[None]
+        ugrho = sum(pen.uu()[a] * gr[a] for a in range(3))
+        return _rms((pen.rho() * pen.divu() + ugrho) ** 2)
+    return _rms(pen.divu() ** 2)
+
+
+@diag("drumax")
+def _drumax(pen, st):
+    """max ∇·(ρu) (hydro.f90:441, max_mn_name of the signed value)."""
+    if _has_density(pen):
+        gr = pen.glnrho() * pen.rho()[None]
+        ugrho = sum(pen.uu()[a] * gr[a] for a in range(3))
+        return jnp.max(pen.rho() * pen.divu() + ugrho)
+    return jnp.max(pen.divu())
 
 
 @diag("csm")
@@ -190,7 +278,8 @@ def _visc_heat(pen):
     heat = jnp.zeros_like(pen.divu())
     if visc is None:
         return heat
-    if "nu-const" in visc.ivisc and visc.nu > 0.0:
+    if ({"nu-const", "simplified", "nu-simplified"} & set(visc.ivisc)) \
+            and visc.nu > 0.0:
         heat = heat + 2.0 * visc.nu * pen.sij2()
     if "rho-nu-const-bulk" in visc.ivisc and visc.zeta > 0.0:
         heat = heat + (visc.zeta / pen.rho()) * pen.divu() ** 2
@@ -342,6 +431,66 @@ def _brms(pen, st):
     return _rms(pen.b2())
 
 
+def _pt(arr, gs):
+    """Probe-point sample (reference cdata.f90:518: lpoint=(mx+1)/2 —
+    0-based interior index (n+7)//2 − 4 per axis)."""
+    ix = (gs.nx + 7) // 2 - 4
+    iy = (gs.ny + 7) // 2 - 4
+    iz = (gs.nz + 7) // 2 - 4
+    return arr[..., ix, iy, iz]
+
+
+@diag("b2m")
+def _b2m(pen, st):
+    return jnp.mean(pen.b2())
+
+
+@diag("bxpt")
+def _bxpt(pen, st):
+    return _pt(pen.bb()[0], pen.cfg.grid)
+
+
+@diag("bypt")
+def _bypt(pen, st):
+    return _pt(pen.bb()[1], pen.cfg.grid)
+
+
+@diag("bzpt")
+def _bzpt(pen, st):
+    return _pt(pen.bb()[2], pen.cfg.grid)
+
+
+@diag("uxpt")
+def _uxpt(pen, st):
+    return _pt(pen.uu()[0], pen.cfg.grid)
+
+
+@diag("uypt")
+def _uypt(pen, st):
+    return _pt(pen.uu()[1], pen.cfg.grid)
+
+
+@diag("uzpt")
+def _uzpt(pen, st):
+    return _pt(pen.uu()[2], pen.cfg.grid)
+
+
+@diag("alpmm")
+def _alpmm(pen, st):
+    """<α_m> (special/meanfield_alpm.f90 idiag_alpmm)."""
+    return jnp.mean(pen.field("alpm"))
+
+
+@diag("ammax")
+def _ammax(pen, st):
+    return jnp.max(jnp.abs(pen.field("alpm")))
+
+
+@diag("alpmrms")
+def _alpmrms(pen, st):
+    return _rms(pen.field("alpm") ** 2)
+
+
 @diag("bmax")
 def _bmax(pen, st):
     return jnp.sqrt(jnp.max(pen.b2()))
@@ -415,6 +564,8 @@ def _vamax(pen, st):
 @diag("mass")
 def _mass(pen, st):
     """Total mass: <ρ>·V_box (reference 'mass' diagnostic)."""
+    if not _has_density(pen):
+        return jnp.zeros(())
     gs = pen.cfg.grid
     return jnp.mean(pen.rho()) * gs.Lx * gs.Ly * gs.Lz
 
@@ -563,20 +714,23 @@ def make_diagnostics(model, names: Iterable[str]):
             elif n == "dt":
                 out[n] = dt
             elif n == "dtc":
-                # sound-speed fraction: dt·max(sqrt(cs²·Σ Δ⁻²))/cdt
-                d1 = grid.dline_1()
+                # sound-speed fraction: dt·max(sqrt(cs²·Σ Δ⁻²))/cdt —
+                # line elements are metric-aware (1/(r dφ) off-cartesian)
+                d1 = pen.dline_1()
                 dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
                 out[n] = dt * jnp.sqrt(jnp.max(pen.cs2() * dxyz2)) / cfg.time.cdt
             elif n == "dtu":
-                d1 = grid.dline_1()
+                d1 = pen.dline_1()
                 uu = pen.uu()
                 adv = sum(jnp.abs(uu[a]) * d1[a] for a in range(3))
                 out[n] = dt * jnp.max(adv) / cfg.time.cdt
             elif n == "dtnu":
                 visc = cfg.module("viscosity")
                 nu = visc.nu if visc else 0.0
-                dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
-                out[n] = dt * nu * jnp.max(dxyz2) / cfg.time.cdtv
+                d1 = pen.dline_1()
+                dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+                out[n] = dt * nu * jnp.max(dxyz2 + 0.0 * pen.lnrho()) \
+                    / cfg.time.cdtv
             elif n == "dtchi":
                 ent = cfg.module("entropy")
                 e = eos

@@ -118,8 +118,6 @@ class Model:
                     additive.append((k[1:], v))
                 else:
                     fields[k] = v
-        for k, v in additive:
-            fields[k] = fields.get(k, 0.0) + v
         # ensure every registered slot exists
         for name, slot in self.reg.slots.items():
             if name not in fields:
@@ -156,6 +154,20 @@ class Model:
                     state["particles"]["xp"] = jnp.asarray(arr, self.dtype)
                 else:
                     state["fields"][name] = jnp.asarray(arr, self.dtype)
+        # "+name" contributions ADD on top of the (possibly replay-
+        # overridden) base init — the reference cascade order: init_uu
+        # noise first, then e.g. initial_condition_uu adds its profile
+        # (start.f90:416-423 then :451)
+        for k, v in additive:
+            state["fields"][k] = (state["fields"].get(k, 0.0)
+                                  + v.astype(self.dtype))
+        if any(not self.cfg.grid.periodic[a] for a in range(3)):
+            # value-setting BCs pin the boundary planes from the start
+            # (reference: boundconds run before the it=0 diagnostics), so
+            # e.g. 'a' zeroes boundary-plane noise in the initial state
+            fa0 = self.reg.stack(state["fields"])
+            fa0 = self.bc_writeback(fa0, self.grid, state["t"])
+            state["fields"] = self.reg.unstack(fa0)
         return state
 
     # ------------------------------------------------------------------
@@ -397,37 +409,13 @@ class Model:
                     lambda s_, d_, b=beta[isub]: s_ + b * dt * d_,
                     pstate, dfp)
 
-        if any(not cfg.grid.periodic[a] for a in range(3)):
-            # the reference's boundconds WRITE f at the boundary planes each
-            # pde call (value-setting BCs like 'a', 'set', 'cT' pin the
-            # state itself, not just the ghosted copy) — mirror that by
-            # copying the BC-applied boundary planes back into the state
-            # once per step (non-edge shards see a no-op)
-            shear = cfg.module("shear")
-            sdy = shear.deltay(t0 + dt, cfg.grid.Lx, cfg.grid.Ly) \
-                if shear else None
-            fg_bc = fill_ghosts(fa[: reg.ncom], cfg.grid, self.bc_axes,
-                                reg, grid, cfg, self.eos,
-                                mesh_axis_names, mesh_shape, shear_dy=sdy)
-            from .ops.stencil import NGHOST as _g
-            for axis in range(3):
-                if cfg.grid.periodic[axis]:
-                    continue
-                ax = 1 + axis
-                n = fa.shape[ax]
-                mg = fg_bc.shape[ax]
-                for pos_f, pos_g in ((0, _g), (n - 1, mg - 1 - _g)):
-                    plane = jax.lax.slice_in_dim(fg_bc, pos_g, pos_g + 1,
-                                                 axis=ax)
-                    # crop the other axes' ghosts to interior shape
-                    plane = plane[tuple(
-                        slice(None) if i == 0 or i == ax
-                        else slice(_g, -_g) for i in range(fa.ndim))]
-                    fa = fa.at[
-                        tuple(slice(0, reg.ncom) if i == 0
-                              else (slice(pos_f, pos_f + 1) if i == ax
-                                    else slice(None))
-                              for i in range(fa.ndim))].set(plane)
+        fa = self.bc_writeback(fa, grid, t0 + dt, mesh_axis_names,
+                               mesh_shape)
+        bsq = cfg.module("boussinesq")
+        if bsq is not None:
+            # incompressible projection u ← u − ∇(∇⁻²∇·u), once per full
+            # step after the substeps (reference run.f90:719)
+            fa = bsq.project(fa, self, grid, mesh_axis_names, mesh_shape)
         fields = reg.unstack(fa)
         t1 = t0 + dt
         key = state["key"]
@@ -452,6 +440,42 @@ class Model:
         return out
 
     # ------------------------------------------------------------------
+    def bc_writeback(self, fa, grid, t, mesh_axis_names=None,
+                     mesh_shape=(1, 1, 1)):
+        """The reference's boundconds WRITE f at the boundary planes each
+        pde call (value-setting BCs like 'a', 'set', 'cT' pin the state
+        itself, not just the ghosted copy) — mirror that by copying the
+        BC-applied boundary planes back into the state once per step and
+        once at init (non-edge shards see a no-op)."""
+        cfg, reg = self.cfg, self.reg
+        if all(cfg.grid.periodic[a] for a in range(3)):
+            return fa
+        shear = cfg.module("shear")
+        sdy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly) if shear else None
+        fg_bc = fill_ghosts(fa[: reg.ncom], cfg.grid, self.bc_axes,
+                            reg, grid, cfg, self.eos,
+                            mesh_axis_names, mesh_shape, shear_dy=sdy)
+        from .ops.stencil import NGHOST as _g
+        for axis in range(3):
+            if cfg.grid.periodic[axis]:
+                continue
+            ax = 1 + axis
+            n = fa.shape[ax]
+            mg = fg_bc.shape[ax]
+            for pos_f, pos_g in ((0, _g), (n - 1, mg - 1 - _g)):
+                plane = jax.lax.slice_in_dim(fg_bc, pos_g, pos_g + 1,
+                                             axis=ax)
+                # crop the other axes' ghosts to interior shape
+                plane = plane[tuple(
+                    slice(None) if i == 0 or i == ax
+                    else slice(_g, -_g) for i in range(fa.ndim))]
+                fa = fa.at[
+                    tuple(slice(0, reg.ncom) if i == 0
+                          else (slice(pos_f, pos_f + 1) if i == ax
+                                else slice(None))
+                          for i in range(fa.ndim))].set(plane)
+        return fa
+
     # ------------------------------------------------------------------
     def _rkf_step(self, state: Dict, grid: Grid,
                   mesh_axis_names=None, mesh_shape=(1, 1, 1)) -> Dict:

@@ -23,6 +23,7 @@ class Density(ModuleBase):
     diffrho: float = 0.0           # Fickian mass diffusion
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
     diffrho_hyper3_mesh: float = 0.0  # resolution-independent mesh flavor
+    diffrho_hyper3_aniso: tuple = (0.0, 0.0, 0.0)  # per-axis flavor
     init: str = "zero"             # initial condition name
     ampl: float = 0.0
     width: float = 0.05
@@ -61,6 +62,16 @@ class Density(ModuleBase):
             if self.diffrho_hyper3 > 0.0:
                 out = out + self.diffrho_hyper3 * pen.del6s_scaled("rho")
                 ts.diffus3(self.diffrho_hyper3)
+            if any(c != 0.0 for c in self.diffrho_hyper3_aniso):
+                # idiff='hyper3-aniso': Σ_j D₃ⱼ ∂⁶ρ/∂x_j⁶ (density.f90
+                # ldiff_hyper3_aniso del6fj)
+                out = out + sum(self.diffrho_hyper3_aniso[a]
+                                * pen.d6_raw("rho", a)[0]
+                                * pen._inv(a) ** 6 for a in range(3))
+                d1 = pen.dline_1()
+                dxyz6 = d1[0] ** 6 + d1[1] ** 6 + d1[2] ** 6
+                ts.diffus3(sum(self.diffrho_hyper3_aniso[a] * d1[a] ** 6
+                               for a in range(3)) / dxyz6)
             if self.diffrho_hyper3_mesh > 0.0:
                 d1 = pen.dline_1()
                 pi5_1 = 1.0 / 306.0196847852814

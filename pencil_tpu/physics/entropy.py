@@ -31,6 +31,12 @@ class Entropy(ModuleBase):
     chi: float = 0.0           # χ for 'chi-const'
     chi_hyper3: float = 0.0
     chi_hyper3_mesh: float = 0.0
+    chi_hyper3_aniso: tuple = (0.0, 0.0, 0.0)  # per-axis (iheatcond
+    #                                           'hyper3-aniso')
+    # Newtonian relaxation toward TTref_cool on timescale tau_cool
+    # (entropy.f90:5938-5949: heat −= ρ·cp·(T−TTref)/(γ·τ))
+    tau_cool: float = 0.0
+    TTref_cool: float = 0.0
     lupw_ss: bool = False
     lweno_transport: bool = False  # WENO flux advection (entropy.f90:3342)
     # heating/cooling layers (conv-slab style)
@@ -101,6 +107,22 @@ class Entropy(ModuleBase):
         if self.chi_hyper3 > 0.0:
             out = out + self.chi_hyper3 * pen.del6s_scaled("ss")
             ts.diffus3(self.chi_hyper3)
+        if any(c != 0.0 for c in self.chi_hyper3_aniso):
+            # anisotropic hyperdiffusion Σ_j χ₃ⱼ ∂⁶s/∂x_j⁶
+            # (entropy.f90 iheatcond 'hyper3-aniso')
+            out = out + sum(self.chi_hyper3_aniso[a]
+                            * pen.d6_raw("ss", a)[0] * pen._inv(a) ** 6
+                            for a in range(3))
+            d1 = pen.dline_1()
+            dxyz6 = d1[0] ** 6 + d1[1] ** 6 + d1[2] ** 6
+            ts.diffus3(sum(self.chi_hyper3_aniso[a] * d1[a] ** 6
+                           for a in range(3)) / dxyz6)
+        if self.tau_cool != 0.0:
+            # ds/dt −= cp(T − TTref)/(γ·τ·T)  (heat/(ρT) with
+            # heat = −ρcpγ⁻¹(T−TTref)/τ, entropy.f90:5947)
+            TT = pen.TT()
+            out = out - eos.cp / eos.gamma * (TT - self.TTref_cool) \
+                / (self.tau_cool * TT)
         if self.chi_hyper3_mesh > 0.0:
             d1 = pen.dline_1()
             pi5_1 = 1.0 / 306.0196847852814

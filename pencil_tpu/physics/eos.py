@@ -124,3 +124,62 @@ class EosIonization(EosIdealGas):
     def cs2(self, pen):
         y = pen.get_cached("yH", lambda: self.yH(pen))
         return (1.0 + y) * super().cs2(pen)
+
+
+@dataclass(frozen=True)
+class EosLocalIso(EosIdealGas):
+    """Locally isothermal disk thermodynamics (reference ``llocal_iso``:
+    cdata.f90 flag + initial_condition/centrifugal_balance.f90
+    ``set_thermodynamical_quantities`` — cs² is a STATIC radial power-law
+    profile stored as a global array, never evolved):
+
+        cs²(r) = cs₀²·(r/r_ref)^(−q),   q = temperature_power_law
+
+    and the pressure force picks up the temperature gradient
+    (noentropy.f90:280: fpres = −cs²(∇lnρ + ∇lnT), ∇lnT = ∇ln cs²
+    = −q·r̂/r).  Here the profile is a pure function of the grid — no
+    farray global needed.  ``lcylindrical``: use the cylindrical radius
+    (lcylindrical_gravity / lcylinder_in_a_box runs)."""
+
+    name: ClassVar[str] = "eos"
+
+    temperature_power_law: float = 1.0
+    r_ref: float = 1.0
+    lcylindrical: bool = True
+    rsmooth: float = 0.0
+
+    def _r(self, pen):
+        import jax.numpy as jnp
+        g = pen.grid
+        if pen.cfg is not None and pen.cfg.grid.coords != "cartesian":
+            # curvilinear: x IS the radius
+            return g.xg + jnp.zeros_like(g.xg + g.yg + g.zg)
+        r2 = g.xg ** 2 + g.yg ** 2
+        if not self.lcylindrical:
+            r2 = r2 + g.zg ** 2
+        return jnp.sqrt(r2 + self.rsmooth ** 2)
+
+    def cs2(self, pen):
+        import jax.numpy as jnp
+        r = self._r(pen)
+        one = jnp.ones(pen.lnrho().shape, r.dtype)
+        return self.cs20 * (r / self.r_ref) ** (
+            -self.temperature_power_law) * one
+
+    def glnTT_profile(self, pen):
+        """∇ln cs² = −q·∇r/r (a static vector field)."""
+        import jax.numpy as jnp
+        g = pen.grid
+        q = self.temperature_power_law
+        zero = jnp.zeros(pen.lnrho().shape, g.z.dtype)
+        if pen.cfg is not None and pen.cfg.grid.coords != "cartesian":
+            r = g.xg + zero
+            return jnp.stack([-q / r, zero, zero])
+        r2 = g.xg ** 2 + g.yg ** 2
+        if not self.lcylindrical:
+            r2 = r2 + g.zg ** 2
+        r2 = r2 + self.rsmooth ** 2
+        gx = -q * g.xg / r2 + zero
+        gy = -q * g.yg / r2 + zero
+        gz = (-q * g.zg / r2 + zero) if not self.lcylindrical else zero
+        return jnp.stack([gx, gy, gz])

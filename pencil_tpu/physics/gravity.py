@@ -23,10 +23,53 @@ class Gravity(ModuleBase):
     # central potential (reference src/gravity_r.f90): g = −GM r̂/(r²+r₀²)
     mass: float = 0.0
     r0: float = 0.1
+    # gravity_r 'smoothed-newton' (gravity_r.f90:251,730):
+    #   Φ(r) = −g0/(rⁿ + r0ⁿ)^{1/n},  g_r = −g0 r^{n−1}(rⁿ+r0ⁿ)^{−(n+1)/n}
+    ipotential: str = ""
+    g0: float = 0.0
+    r0_pot: float = 0.1
+    n_pot: int = 2
+    lcylindrical_gravity: bool = False
+
+    @property
+    def _r0(self):
+        # 'no-smooth'/'newton' have no softening (gravity_r.f90:736)
+        return 0.0 if self.ipotential in ("no-smooth", "newton",
+                                          "newtonian") else self.r0_pot
+
+    def potential(self, r):
+        """Φ(r) for 'smoothed-newton'/'newton' (used by disk ICs for the
+        vertical stratification, centrifugal_balance.f90:596)."""
+        n = float(self.n_pot)
+        return -self.g0 * (r ** n + self._r0 ** n) ** (-1.0 / n)
+
+    def g_r(self, r):
+        """Radial acceleration −dΦ/dr with the chosen softening."""
+        n = float(self.n_pot)
+        return (-self.g0 * r ** (n - 1.0)
+                * (r ** n + self._r0 ** n) ** (-(n + 1.0) / n))
 
     def rhs(self, pen, df, ts):
         g = pen.grid
         zero = jnp.zeros_like(pen.uu()[0])
+        if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
+                               "no-smooth"):
+            x, y, z = g.xg, g.yg, g.zg
+            if pen.cfg is not None and pen.cfg.grid.coords != "cartesian":
+                # cylindrical/spherical: x is the radius, g along x̂
+                r = x + zero
+                accumulate(df, "uu", jnp.stack(
+                    [self.g_r(r), zero, zero]))
+                return
+            r2 = x * x + y * y
+            if not self.lcylindrical_gravity:
+                r2 = r2 + z * z
+            r = jnp.sqrt(r2)
+            fac = self.g_r(r) / jnp.maximum(r, 1e-30)
+            gz = fac * z + zero if not self.lcylindrical_gravity else zero
+            accumulate(df, "uu", jnp.stack(
+                [fac * x + zero, fac * y + zero, gz]))
+            return
         if self.gravz_profile == "central":
             x, y, z = g.xg, g.yg, g.zg
             r2 = x * x + y * y + z * z + self.r0 ** 2

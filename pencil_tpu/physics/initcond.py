@@ -104,4 +104,10 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
             A * (jnp.sin(kx * x) + jnp.cos(kz * z)) + zero,
             A * (jnp.sin(ky * y) + jnp.cos(kx * x)) + zero,
         ])
+    if name == "anelastic-lin":
+        # u_x = A·sin(x)·cos(z), u_y = 0, and u_z is zeroed after being
+        # set (the `!!!` line, reference hydro.f90:2346-2354) — the ampl
+        # here is the reference's ampl_ux (ampl_uy is read but unused)
+        return jnp.stack([ampl * jnp.sin(x) * jnp.cos(z) + zero,
+                          zero, zero])
     raise NotImplementedError(f"init_vector {name!r}")

@@ -173,3 +173,132 @@ def ic_rayleigh_taylor(grid, spec, eos, cfg, params):
     zero = jnp.zeros_like(uz)
     return {"uu": jnp.stack([zero, zero, uz]),
             "lnrho": jnp.log(rhoprof) * ones, "ss": ss}
+
+
+@register_ic("centrifugal_balance")
+def ic_centrifugal_balance(grid, spec, eos, cfg, params):
+    """Accretion-disk start in rotational equilibrium (reference
+    src/initial_condition/centrifugal_balance.f90):
+
+      * lnρ_mid = lnρ₀ − p·ln(r/r_ref)       (imidplane='power-law')
+      * u_φ from Ω² = −g_r/r, then corrected for the thermal pressure
+        gradient: Ω² += (∂_s lnρ + ∂_s ln cs²)·cs²/(γ·r)  (:422-661,
+        correct_pressure_gradient → correct_azimuthal_velocity)
+      * vertical stratification (3-D, .not.lcylindrical_gravity):
+        lnρ += −(Φ(r_sph) − Φ(r_cyl))/cs²
+
+    Returns "+uu" so the rotation ADDS to any noise init, like the
+    reference cascade (initial_condition_uu after init_uu)."""
+    import jax.numpy as jnp
+    p = dict(params)
+    q_T = float(p.get("temperature_power_law", 0.0))
+    p_rho = float(p.get("density_power_law", 0.0))
+    r_ref = float(p.get("r_ref", 1.0))
+    grav = cfg.module("gravity")
+    curvi = cfg.grid.coords != "cartesian"
+    ones = jnp.ones(spec.shape, grid.z.dtype)
+    if curvi:
+        rr_cyl = grid.xg + 0.0 * ones
+        rr_sph = rr_cyl          # cylindrical coords: no spherical path
+    else:
+        rr_cyl = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2) + 0.0 * ones
+        rr_sph = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2
+                          + grid.zg ** 2) + 0.0 * ones
+    lcyl_grav = bool(getattr(grav, "lcylindrical_gravity", False)) \
+        or curvi
+    # cs² profile (llocal_iso) or constant
+    cs20 = eos.cs20 if eos is not None else 1.0
+    gamma = eos.gamma if eos is not None else 1.0
+    if hasattr(eos, "glnTT_profile"):
+        cs2 = cs20 * (rr_cyl / r_ref) ** (-q_T)
+        gslnTT = -q_T / rr_cyl            # d(ln cs²)/dr at z=0
+    else:
+        cs2 = cs20 * ones
+        gslnTT = 0.0 * ones
+    # midplane density power law
+    lnrho = (jnp.log(eos.rho0 if eos is not None else 1.0)
+             - p_rho * jnp.log(rr_cyl / r_ref))
+    # vertical stratification via the potential difference
+    if (not lcyl_grav) and spec.nz > 1 and grav is not None \
+            and grav.ipotential:
+        strat = -(grav.potential(rr_sph) - grav.potential(rr_cyl)) / cs2
+        lnrho = lnrho + strat
+    # rotational balance: Ω² = −g_r/r + pressure-gradient correction
+    gr = grav.g_r(rr_cyl) if grav is not None and grav.ipotential else \
+        -ones  # fallback: unit central gravity
+    OO2 = jnp.maximum(-gr / rr_cyl, 0.0)
+    gslnrho = -p_rho / rr_cyl             # radial d lnρ/dr of the midplane
+    fpres_thermal = (gslnrho + gslnTT) * cs2 / gamma
+    OO2 = jnp.maximum(OO2 + fpres_thermal / rr_cyl, 0.0)
+    OO = jnp.sqrt(OO2)
+    if curvi:
+        uu = jnp.stack([0.0 * ones, OO * rr_cyl, 0.0 * ones])
+    else:
+        uu = jnp.stack([-grid.yg * OO + 0.0 * ones,
+                        grid.xg * OO + 0.0 * ones, 0.0 * ones])
+    out = {"+uu": uu}
+    den = cfg.module("density")
+    if den is not None and getattr(den, "lnolog", False):
+        out["rho"] = jnp.exp(lnrho) * ones
+    else:
+        out["lnrho"] = lnrho * ones
+    return out
+
+
+@register_ic("baroclinic_init")
+def ic_baroclinic_init(grid, spec, eos, cfg, params):
+    """Finite-amplitude density perturbation for baroclinic-vortex runs
+    (reference src/initial_condition/baroclinic_init.f90):
+
+        ρ = 1 + A·Σ_modes sin(2π(l·x/Lx + m·y/Ly + n·z/Lz + φ_mode))·fac(x)
+
+    with one random phase per (l, m, n) mode (l = −xmodes..xmodes,
+    m = 0..ymodes, n = −zmodes..zmodes), a gaussian x-envelope of width
+    d0 = 0.2·Lx, and A normalized so std(ρ) = rho_rms (:27-113).  The
+    entropy starts isobaric: s = −cv·γ·lnρ (initial_condition_ss with
+    T = ρ₀/ρ).  Phases are replayed from the min_std/nr_f90 stream via
+    the 'phases' param (compat/rundir._parity_replay)."""
+    import jax.numpy as jnp
+    p = dict(params)
+    xmodes = int(p.get("xmodes", 10))
+    ymodes = int(p.get("ymodes", 10))
+    zmodes = int(p.get("zmodes", 0))
+    rho_rms = float(p.get("rho_rms", 0.05))
+    xmid = float(p.get("xmid", 0.0))
+    lgauss = bool(p.get("lgaussian_distributed_noise", True))
+    phases = p.get("phases")
+    if phases is None:
+        # no replay stream available: deterministic fallback phases
+        phases = tuple(
+            (0.618034 * k) % 1.0
+            for k in range((2 * xmodes + 1) * (ymodes + 1)
+                           * (2 * zmodes + 1)))
+    Lx, Ly, Lz = spec.Lx, spec.Ly, spec.Lz
+    d0 = 0.2 * Lx
+    x, y, z = grid.xg, grid.yg, grid.zg
+    ones = jnp.ones(spec.shape, x.dtype)
+    lump = jnp.zeros(spec.shape, x.dtype)
+    k = 0
+    two_pi = 2.0 * np.pi
+    for ll in range(-xmodes, xmodes + 1):
+        for mm in range(0, ymodes + 1):
+            for nn in range(-zmodes, zmodes + 1):
+                ph = float(phases[k])
+                k += 1
+                lump = lump + jnp.sin(two_pi * (
+                    ll * x / Lx + mm * y / Ly
+                    + (nn * z / Lz if Lz > 0 else 0.0) + ph)) * ones
+    fac = jnp.exp(-(0.5 * (x - xmid) / d0) ** 2) * ones if lgauss else ones
+    f = 1.0 + lump * fac
+    std = jnp.sqrt(jnp.mean(f ** 2) - jnp.mean(f) ** 2)
+    rho = 1.0 + rho_rms / std * (f - 1.0)
+    out = {}
+    den = cfg.module("density")
+    if den is not None and getattr(den, "lnolog", False):
+        out["rho"] = rho
+    else:
+        out["lnrho"] = jnp.log(rho)
+    if cfg.module("entropy") is not None and eos is not None:
+        # isobaric start: s = −cv·γ·lnρ  (cv = cp/γ)
+        out["ss"] = -eos.cp * jnp.log(rho)
+    return out

@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import ClassVar, Tuple
 
+import jax.numpy as jnp
+
 from .base import ModuleBase, accumulate
 
 
@@ -31,6 +33,10 @@ class Magnetic(ModuleBase):
     # parameterized EMF  E = α·B − η_t µ0 J  to the induction equation
     meanfield_alpha: float = 0.0
     meanfield_etat: float = 0.0
+    # mean-field Omega effect (meanfield.f90 Omega_profile/Omega_ampl)
+    omega_profile: str = "nothing"
+    omega_ampl: float = 0.0
+    lweyl_gauge: bool = False   # η_t term as −η_t µ0 J instead of η_t∇²A
     B_ext: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     llorentzforce: bool = True
     lohmic_heat: bool = True
@@ -64,11 +70,49 @@ class Magnetic(ModuleBase):
             shock = pen.field("shock")
             out = out - self.eta_shock * shock[None] * pen.jj()
             ts.diffus(self.eta_shock * shock)
-        if self.meanfield_alpha != 0.0:
-            out = out + self.meanfield_alpha * pen.bb()
+        if self.meanfield_alpha != 0.0 or "alpm" in pen.reg.slots:
+            # dynamical quenching: the magnetic alpha evolved by the
+            # meanfield_alpm special adds to the kinetic alpha
+            # (special/meanfield_alpm.f90; meanfield.f90 alpha_total)
+            alp = self.meanfield_alpha
+            if "alpm" in pen.reg.slots:
+                alp = alp + pen.field("alpm")
+            out = out + alp * pen.bb()
         if self.meanfield_etat > 0.0:
-            out = out - self.meanfield_etat * pen.jj()
+            # resistive-gauge turbulent diffusion η_t∇²A — the reference
+            # default; lweyl_gauge uses −η_t µ0 J (meanfield.f90:1276)
+            if self.lweyl_gauge:
+                out = out - self.meanfield_etat * pen.jj()
+            else:
+                out = out + self.meanfield_etat * pen.del2a()
             ts.diffus(self.meanfield_etat)
+        if self.omega_ampl != 0.0 and self.omega_profile != "nothing":
+            # mean-field Omega effect — shear written directly on A
+            # (meanfield.f90:1601-1648 Omega_effect)
+            aa = pen.field("aa")
+            g = pen.grid
+            zero = jnp.zeros_like(aa[0])
+            if self.omega_profile == "(0,Sx,0)":
+                out = out + jnp.stack(
+                    [-self.omega_ampl * aa[1], zero, zero])
+            elif self.omega_profile == "(0,0,Sx)":
+                out = out + jnp.stack(
+                    [-self.omega_ampl * aa[2], zero, zero])
+            elif self.omega_profile == "(Sz,0,0)":
+                out = out + jnp.stack(
+                    [zero, zero, -self.omega_ampl * aa[0]])
+                if "uu" in pen.reg.slots:
+                    uu = pen.uu()
+                    accumulate(df, "uu", jnp.stack(
+                        [-self.omega_ampl * uu[2], zero, zero]))
+            elif self.omega_profile == "(0,cosx*cosz,0)":
+                sx, cx = jnp.sin(g.xg), jnp.cos(g.xg)
+                sz, cz = jnp.sin(g.zg), jnp.cos(g.zg)
+                out = out + self.omega_ampl * jnp.stack(
+                    [aa[1] * sx * cz, zero, aa[1] * cx * sz])
+            else:
+                raise NotImplementedError(
+                    f"Omega_profile={self.omega_profile!r}")
         if self.battery_term != 0.0:
             out = out - self.battery_term * pen.fpres()
         accumulate(df, "aa", out)

@@ -81,6 +81,33 @@ class Pencils:
     def dline_1(self):
         return tuple(self._inv(a) for a in range(3))
 
+    @_memo
+    def vol_weight(self):
+        """Normalized volume weights for curvilinear volume averages
+        (reference diagnostics: sum_mn sums carry dV = r dr dφ dz /
+        r²sinθ dr dθ dφ — a plain jnp.mean is wrong off-cartesian).
+        Returns None on cartesian grids; else w with mean(w) = 1 so
+        ⟨x⟩_V = mean(x·w)."""
+        if self.cfg is None or self.cfg.grid.coords == "cartesian":
+            return None
+        g = self.grid
+        gs = self.cfg.grid
+        if gs.coords == "cylindrical":
+            w = g.xg + 0.0 * (g.yg + g.zg)
+        else:   # spherical: r² sinθ
+            w = g.xg ** 2 * jnp.sin(g.yg) + 0.0 * g.zg
+        # non-periodic axes: the boundary nodes own half a cell
+        # (reference grid.f90 dVol edge factors)
+        w = w * jnp.ones(gs.shape, w.dtype)
+        for axis, (n, per) in enumerate(zip(gs.shape, gs.periodic)):
+            if per or n == 1:
+                continue
+            e = jnp.ones((n,), w.dtype).at[0].set(0.5).at[-1].set(0.5)
+            shape = [1, 1, 1]
+            shape[axis] = n
+            w = w * e.reshape(shape)
+        return w / jnp.mean(w)
+
     def _gh(self, name):
         """Ghosted slab of a named field: (ncomp, mx, my, mz)."""
         return self.fg[self.reg.slice(name)]
@@ -350,6 +377,11 @@ class Pencils:
     def glnrho(self):
         if "rho" in self.reg.slots:
             return self.grad("rho") * self.rho1()
+        if "lnrho" not in self.reg.slots:
+            # DENSITY=nodensity/boussinesq: ρ uniform → ∇lnρ = 0
+            # (reference boussinesq.f90:214 p%glnrho=0)
+            return jnp.zeros_like(self.uu()) if "uu" in self.reg.slots \
+                else jnp.zeros((3,) + self.lnrho().shape, self.lnrho().dtype)
         return self.grad("lnrho")
 
     @_memo
@@ -476,6 +508,10 @@ class Pencils:
             return -gm1 * self.grad("eth") * self.rho1()
         if "TT" in self.reg.slots or "lnTT" in self.reg.slots:
             return -(cs2 / self.eos.gamma) * (self.glnrho() + self.glnTT())
+        if hasattr(self.eos, "glnTT_profile"):
+            # locally isothermal: fpres = −cs²(∇lnρ + ∇ln cs²)
+            # (noentropy.f90:280, llocal_iso)
+            return -cs2 * (self.glnrho() + self.eos.glnTT_profile(self))
         gl = self.glnrho()
         if "ss" in self.reg.slots:
             gl = gl + self.gss() / self.eos.cp
@@ -511,6 +547,19 @@ class Pencils:
             bext = jnp.asarray(mag.B_ext, dtype=bb.dtype)[:, None, None, None]
             bb = bb + bext
         return bb
+
+    @_memo
+    def bij(self):
+        """∂B_i/∂x_j from second derivatives of A (reference sub.f90
+        ``bij_etc``): bij[i, j] = ε_{ikl} ∂_j ∂_k a_l."""
+        def dja(k, a, b):
+            return self.dij("aa", a, b)[k]
+        out = [[None] * 3 for _ in range(3)]
+        for j in range(3):
+            out[0][j] = dja(2, 1, j) - dja(1, 2, j)
+            out[1][j] = dja(0, 2, j) - dja(2, 0, j)
+            out[2][j] = dja(1, 0, j) - dja(0, 1, j)
+        return jnp.stack([jnp.stack(r) for r in out])
 
     @_memo
     def b2(self):

@@ -63,3 +63,6 @@ def make_special(name: str, params: dict):
 from . import shallow_water  # noqa: E402,F401  (registers plug-ins)
 from . import gravitational_waves as _gw  # noqa: E402,F401
 register_special("gravitational_waves_hTXk")(_gw.GravitationalWavesHTXk)
+from . import meanfield_alpm  # noqa: E402,F401
+from . import rtime_phiavg  # noqa: E402,F401
+from . import baroclinic  # noqa: E402,F401

@@ -35,8 +35,11 @@ class TemperatureIdealGas(ModuleBase):
     name: ClassVar[str] = "temperature"
 
     chi: float = 0.0            # χ = K/(ρcp) constant heat diffusivity
+    hcond0: float = 0.0         # constant conductivity K (iheatcond='K-const')
     chi_hyper3: float = 0.0
+    lviscosity_heat: bool = True
     lupw_lnTT: bool = False
+    TT_const: float = 0.0       # 'const_TT' init value
     heat_const: float = 0.0     # uniform volumetric heating per unit mass
     lnolog: bool = False        # evolve TT itself (ltemperature_nolog)
     # radiative-conduction hole profile + ADI implicit solve (the
@@ -140,10 +143,27 @@ class TemperatureIdealGas(ModuleBase):
             # DT/Dt = −u·∇T − (γ−1)T∇·u + heats/cv (conduction via ADI)
             TT = pen.field("TT")
             out = -pen.ugrad("TT", upwind=self.lupw_lnTT)
-            out = out - (eos.gamma - 1.0) * TT * pen.divu()
+            if "lnrho" in pen.reg.slots or "rho" in pen.reg.slots:
+                # PdV work gated on ldensity like the reference
+                # (temperature_idealgas.f90:1299 — Boussinesq carries none)
+                out = out - (eos.gamma - 1.0) * TT * pen.divu()
             heat = pen._cache.get("visc_heat")
-            if heat is not None:
+            if heat is not None and self.lviscosity_heat:
                 out = out + heat / eos.cv
+            if self.chi > 0.0:
+                # TT version of chi-const: γχ(∇lnρ·∇T + ∇²T)
+                # (temperature_idealgas.f90:2078-2122)
+                gT = pen.grad("TT")
+                glnrho = pen.glnrho()
+                gdot = sum(gT[a] * glnrho[a] for a in range(3))
+                out = out + eos.gamma * self.chi * (pen.del2s("TT") + gdot)
+                ts.diffus(self.chi * eos.gamma)
+            if self.hcond0 > 0.0:
+                # K-const TT version: γK/(ρcp)·∇²T
+                # (temperature_idealgas.f90:2179-2226)
+                chix = eos.gamma * self.hcond0 * pen.rho1() / eos.cp
+                out = out + chix * pen.del2s("TT")
+                ts.diffus(chix)
             if not self.lADI and self.Kmax > 0.0:
                 # explicit hole-profile conduction ∇·(K∇T)/(ρ cv)
                 K, dK = self.hcond(TT)
@@ -162,11 +182,19 @@ class TemperatureIdealGas(ModuleBase):
             gdot = sum(glnTT[a] * (glnTT[a] + glnrho[a]) for a in range(3))
             out = out + eos.gamma * self.chi * (pen.del2s("lnTT") + gdot)
             ts.diffus(self.chi * eos.gamma)
+        if self.hcond0 > 0.0:
+            # K-const lnTT version: γK/(ρcp)·(∇lnT·∇lnT + ∇²lnT)
+            # (temperature_idealgas.f90:2211-2214)
+            glnTT = pen.grad("lnTT")
+            g2 = sum(glnTT[a] ** 2 for a in range(3))
+            chix = eos.gamma * self.hcond0 * pen.rho1() / eos.cp
+            out = out + chix * (g2 + pen.del2s("lnTT"))
+            ts.diffus(chix)
         if self.chi_hyper3 > 0.0:
             out = out + self.chi_hyper3 * pen.del6s_scaled("lnTT")
             ts.diffus3(self.chi_hyper3)
         heat = pen._cache.get("visc_heat")
-        if heat is not None:
+        if heat is not None and self.lviscosity_heat:
             out = out + heat / eos.cv * pen.TT1()
         ohm = pen._cache.get("ohmic_heat")
         if ohm is not None:
@@ -223,6 +251,16 @@ class TemperatureIdealGas(ModuleBase):
             out["TT" if self.lnolog else "lnTT"] = \
                 TT if self.lnolog else jnp.log(TT)
             return out
+        if self.init == "nothing":
+            # reference initlnTT default: f stays 0 (for Boussinesq the TT
+            # slot is the deviation from the background, which starts 0)
+            return {self._slot: jnp.zeros(spec.shape, grid.z.dtype)}
+        if self.init == "const_TT":
+            # uniform T = TT_const (temperature_idealgas.f90 init 'const_TT')
+            TT = jnp.full(spec.shape, self.TT_const, grid.z.dtype)
+            if self.lnolog:
+                return {"TT": TT}
+            return {"lnTT": jnp.log(jnp.maximum(TT, 1e-30))}
         from .initcond import init_scalar
         base = init_scalar(self.init, grid, spec, eos, key, ampl=self.ampl,
                            kx=self.kx, ky=self.ky, kz=self.kz,

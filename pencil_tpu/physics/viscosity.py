@@ -28,6 +28,7 @@ class Viscosity(ModuleBase):
     nu_hyper3_mesh: float = 5.0
     nu_shock: float = 0.0
     zeta: float = 0.0      # dynamic bulk viscosity ('rho-nu-const-bulk')
+    nu_aniso_hyper3: tuple = (0.0, 0.0, 0.0)  # 'hyper3_nu-const_aniso'
 
     def rhs(self, pen, df, ts):
         if "uu" not in pen.reg.slots:
@@ -55,6 +56,14 @@ class Viscosity(ModuleBase):
                 )
                 heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
+        if ({"simplified", "nu-simplified", "0"} & set(self.ivisc)) \
+                and self.nu > 0.0:
+            # f = ν∇²u, no density factors (viscosity.f90:348-350
+            # lvisc_simplified — the only ivisc Boussinesq permits,
+            # viscosity.f90:668); heat pencil 2νS² (:958)
+            fvisc = fvisc + self.nu * pen.del2u()
+            heat = heat + 2.0 * self.nu * pen.sij2()
+            ts.diffus(self.nu)
         if "rho-nu-const-bulk" in self.ivisc and self.zeta > 0.0:
             # constant dynamic bulk viscosity (viscosity.f90:1319-1327):
             # f = (ζ/ρ)∇∇·u, heat = (ζ/ρ)(∇·u)², diffus += ζ/ρ
@@ -62,6 +71,22 @@ class Viscosity(ModuleBase):
             fvisc = fvisc + zetarho1[None] * pen.graddivu()
             heat = heat + zetarho1 * pen.divu() ** 2
             ts.diffus(zetarho1)
+        if "hyper3_nu-const_aniso" in self.ivisc \
+                and any(c != 0.0 for c in self.nu_aniso_hyper3):
+            # f_i = Σ_j ν₃ⱼ ∂⁶u_i/∂x_j⁶ + Σ_j u_{i,j}·∂_j lnρ·ν₃ⱼ
+            # (viscosity.f90:1476-1490 lvisc_hyper3_nu_const_aniso)
+            uij = pen.uij()
+            glnrho = pen.glnrho()
+            fvisc = fvisc + jnp.stack([
+                sum(self.nu_aniso_hyper3[a]
+                    * pen.d6_raw("uu", a)[i] * pen._inv(a) ** 6
+                    + uij[i, a] * glnrho[a] * self.nu_aniso_hyper3[a]
+                    for a in range(3))
+                for i in range(3)])
+            d1 = pen.dline_1()
+            dxyz6 = d1[0] ** 6 + d1[1] ** 6 + d1[2] ** 6
+            ts.diffus3(sum(self.nu_aniso_hyper3[a] * d1[a] ** 6
+                           for a in range(3)) / dxyz6)
         if ({"nu-shock", "shock"} & set(self.ivisc)) and self.nu_shock > 0.0:
             # bulk shock viscosity (reference viscosity.f90 'nu-shock'):
             # f = ν_sh [shock(∇∇·u + ∇·u ∇lnρ) + ∇·u ∇shock]

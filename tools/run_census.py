@@ -1,0 +1,130 @@
+"""Run-census: drive every loadable reference sample for its first few
+time-series rows and diff against the committed reference.out.
+
+For each sample directory with a reference.out this loads the run dir
+(compat.rundir), runs min(nt_ref, --nt) steps through the normal Run
+driver, and classifies:
+
+    MATCH     every shared column within --rtol at every shared row
+    CLOSE     worst column within 10*--rtol
+    MISMATCH  runs fine but columns differ (prints the worst offender)
+    CRASH     load/run raised (prints the exception head)
+    SKIP      too big for the census budget
+
+Usage:  python tools/run_census.py [--rtol 0.05] [--nt 60] [--only glob]
+Writes a JSON summary to census.json in the CWD.
+"""
+import argparse
+import fnmatch
+import glob
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=1").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+REF = "/root/reference/samples"
+MAX_POINTS = 96 ** 3
+MAX_NT = 500
+
+
+def run_one(rundir, nt_cap, rtol, tmpdir):
+    from pencil_tpu.compat.rundir import load_rundir
+    from pencil_tpu.io.timeseries import read_time_series
+    from pencil_tpu.model import Model
+    from pencil_tpu.run import Run, RunParams
+
+    ref = read_time_series(os.path.join(rundir, "reference.out"))
+    cfg, info = load_rundir(rundir)
+    gs = cfg.grid
+    if gs.nx * gs.ny * gs.nz > MAX_POINTS:
+        return ("SKIP", f"grid {gs.nx}x{gs.ny}x{gs.nz}")
+    nt_ref = int(max(ref["it"]))
+    nt = min(nt_ref, nt_cap, MAX_NT)
+    it1 = int(info["run_pars"].get("it1", 10))
+    model = Model(cfg)
+    run = Run(model, datadir=tmpdir,
+              params=RunParams(nt=nt, it1=it1,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0,
+                                   overrides=info.get("init_overrides")))
+    ours = read_time_series(os.path.join(tmpdir, "time_series.dat"))
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    worst = (0.0, "")
+    ncomp = 0
+    for n, it in enumerate(ours["it"]):
+        it = int(it)
+        if it not in rows or it == 0:
+            continue
+        m = rows[it]
+        for col in ref:
+            if col in ("it",) or col not in ours:
+                continue
+            r, o = float(ref[col][m]), float(ours[col][n])
+            if not np.isfinite(o):
+                return ("CRASH", f"non-finite {col} at it {it}")
+            denom = abs(r) if abs(r) > 1e-30 else 1.0
+            err = abs(o - r) / denom
+            ncomp += 1
+            if err > worst[0]:
+                worst = (err, f"{col}@it{it} ours={o:.4g} ref={r:.4g}")
+    if ncomp == 0:
+        return ("MISMATCH", "no comparable rows")
+    if worst[0] <= rtol:
+        return ("MATCH", f"worst {worst[0]:.3g} ({worst[1]})")
+    if worst[0] <= 10 * rtol:
+        return ("CLOSE", f"worst {worst[0]:.3g} ({worst[1]})")
+    return ("MISMATCH", f"worst {worst[0]:.3g} ({worst[1]})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rtol", type=float, default=0.05)
+    ap.add_argument("--nt", type=int, default=60)
+    ap.add_argument("--only", default="*")
+    ap.add_argument("--out", default="census.json")
+    args = ap.parse_args()
+    results = {}
+    dirs = sorted(os.path.dirname(p) for p in glob.glob(
+        f"{REF}/**/reference.out", recursive=True))
+    import tempfile
+    for d in dirs:
+        name = os.path.relpath(d, REF)
+        if not fnmatch.fnmatch(name, args.only):
+            continue
+        t0 = time.time()
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                status, detail = run_one(d, args.nt, args.rtol, td)
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # noqa: BLE001
+            status = "CRASH"
+            detail = f"{type(e).__name__}: {str(e)[:140]}"
+            if "--tb" in sys.argv:
+                traceback.print_exc()
+        dtw = time.time() - t0
+        results[name] = {"status": status, "detail": detail,
+                         "seconds": round(dtw, 1)}
+        print(f"{status:9s} {name}  [{dtw:.0f}s]  {detail}", flush=True)
+    counts = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    print("SUMMARY:", counts)
+    with open(args.out, "w") as fh:
+        json.dump({"counts": counts, "results": results}, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
