@@ -317,6 +317,25 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             kx=float(_first(den_p.get("kx_lnrho", 1.0))),
         ))
 
+    dd_p = grp("dustdensity")
+    dv_p = grp("dustvelocity")
+    if "dustdensity" in mkf.get("DUSTDENSITY", "") or dd_p or dv_p:
+        from ..physics.dustfluid import DustFluid
+        modules.append(DustFluid(
+            tausd=float(_first(dv_p.get("tausd", 1.0))),
+            nud=float(_first(dv_p.get("nud", 0.0))),
+            nud_hyper3=float(_first(dv_p.get("nud_hyper3", 0.0))),
+            diffnd=float(_first(dd_p.get("diffnd", 0.0))),
+            diffnd_hyper3=float(_first(dd_p.get("diffnd_hyper3", 0.0))),
+            diffnd_anisotropic=_aniso3(
+                dd_p.get("diffnd_anisotropic", 0.0)),
+            eps_dtog=float(dd_p.get("eps_dtog", 0.0)),
+            ldragforce_gas=bool(dv_p.get("ldragforce_gas", False)),
+            init=str(_first(dd_p.get("initnd", "zero"))),
+            inituud=str(_first(dv_p.get("inituud", "zero"))),
+            ampluud=float(_first(dv_p.get("ampluud", 0.0))),
+        ))
+
     cr_p = grp("cosmicray")
     if cr_p:
         from ..physics.cosmicray import CosmicRay
@@ -409,9 +428,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
 
     grav_p = grp("grav")
     if grav_p:
+        gprof = str(grav_p.get("gravz_profile", "const"))
+        gz = float(grav_p.get("gravz", 0.0))
+        if gprof == "linear":
+            # g_z = −ν_epi²·z (gravity_simple.f90 'linear')
+            gz = -float(grav_p.get("nu_epicycle", 1.0)) ** 2
         modules.append(Gravity(
-            gravz_profile=str(grav_p.get("gravz_profile", "const")),
-            gravz=float(grav_p.get("gravz", 0.0)),
+            gravz_profile=gprof,
+            gravz=gz,
             # GRAVITY=gravity_r central potentials (gravity_r.f90)
             ipotential=str(_first(grav_p.get("ipotential", ""))),
             g0=float(grav_p.get("g0", 0.0)),
@@ -481,7 +505,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             center1_z=float(ent_p.get("center1_z", 0.0)),
             lupw_lnTT=bool(ent_p.get("lupw_lntt", False)),
         ))
-    elif "entropy_init_pars" in start or ent_p:
+    elif ("entropy" in ent_slot and "noentropy" not in ent_slot) or ent_p:
+        # NOTE: an empty &entropy_init_pars group alone does NOT select
+        # the module — the Makefile default is ENERGY=noentropy
+        # (reference src/Makefile.src:57)
         ihc = ent_p.get("iheatcond", "K-const")
         modules.append(Entropy(
             lweno_transport=lweno,
@@ -719,7 +746,13 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             tausp=float(par_p.get("tausp", 0.0)),
             eps_dtog=float(par_p.get("eps_dtog", 0.0)),
             scheme=scheme,
-            init=str(par_p.get("initxxp", "random")),
+            init=str(_first(par_p.get("initxxp", "random"))),
+            rp_int=float(run_pars.get("rp_int",
+                                      init_pars.get("rp_int", 0.0))),
+            rp_ext=float(run_pars.get("rp_ext",
+                                      init_pars.get("rp_ext", 0.0))),
+            dustdensity_powerlaw=float(
+                par_p.get("dustdensity_powerlaw", 0.0)),
         ))
 
     sp_p = grp("special")

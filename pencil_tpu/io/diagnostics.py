@@ -115,6 +115,24 @@ def _ekin(pen, st):
     return 0.5 * _vmean(pen, pen.rho() * pen.u2())
 
 
+def _boxvol(pen):
+    gs = pen.cfg.grid
+    return gs.Lx * gs.Ly * gs.Lz
+
+
+@diag("ekintot")
+def _ekintot(pen, st):
+    """∫½ρu² dV (hydro.f90:516 idiag_ekintot, integral not mean)."""
+    return 0.5 * _vmean(pen, pen.rho() * pen.u2()) * _boxvol(pen)
+
+
+@diag("ethtot")
+def _ethtot(pen, st):
+    """∫ρe dV (entropy.f90 idiag_ethtot)."""
+    e = pen.eos
+    return _vmean(pen, pen.rho() * e.cv * pen.TT()) * _boxvol(pen)
+
+
 @diag("EEK")
 def _EEK(pen, st):
     """<½ρu²> (hydro.f90:4067 idiag_EEK)."""
@@ -249,6 +267,186 @@ def _drumax(pen, st):
         ugrho = sum(pen.uu()[a] * gr[a] for a in range(3))
         return jnp.max(pen.rho() * pen.divu() + ugrho)
     return jnp.max(pen.divu())
+
+
+@diag("ecrm")
+def _ecrm(pen, st):
+    """<e_cr> (cosmicray.f90 idiag_ecrm)."""
+    return _vmean(pen, pen.field("ecr"))
+
+
+@diag("ecrmax")
+def _ecrmax(pen, st):
+    return jnp.max(pen.field("ecr"))
+
+
+@diag("XXm")
+def _xxm(pen, st):
+    """<X> chirality (special/chiral.f90 idiag_XX_chiralm)."""
+    return _vmean(pen, pen.field("XX_chiral"))
+
+
+@diag("YYm")
+def _yym(pen, st):
+    return _vmean(pen, pen.field("YY_chiral"))
+
+
+@diag("rhonm")
+def _rhonm(pen, st):
+    """<ρ_n> neutral density (neutraldensity.f90)."""
+    if "rhon" in pen.reg.slots:
+        return _vmean(pen, pen.field("rhon"))
+    return _vmean(pen, jnp.exp(pen.field("lnrhon")))
+
+
+@diag("ss2m")
+def _ss2m(pen, st):
+    if "ss" not in pen.reg.slots:
+        return jnp.zeros(())
+    return _vmean(pen, pen.ss() ** 2)
+
+
+@diag("polytrm")
+def _polytrm(pen, st):
+    """<tr C> polymer conformation trace (polymer.f90 idiag_polytrm):
+    C stored as (cxx, cxy, cxz, cyy, cyz, czz)."""
+    c = pen.field("poly")
+    return _vmean(pen, c[0] + c[3] + c[5])
+
+
+@diag("yHm")
+def _yhm(pen, st):
+    """<y_H> Saha ionization fraction (eos_ionization idiag_yHm)."""
+    e = pen.eos
+    if hasattr(e, "yH"):
+        return _vmean(pen, e.yH(pen))
+    return jnp.zeros(())
+
+
+@diag("yHmax")
+def _yhmax(pen, st):
+    e = pen.eos
+    if hasattr(e, "yH"):
+        return jnp.max(e.yH(pen))
+    return jnp.zeros(())
+
+
+# ---- alphadisk (special/alphadisk.f90 diagnostics) -------------------------
+@diag("sigmam")
+def _sigmam(pen, st):
+    return _vmean(pen, pen.field("sigma"))
+
+
+@diag("sigmamax")
+def _sigmamax(pen, st):
+    return jnp.max(pen.field("sigma"))
+
+
+@diag("sigmamin")
+def _sigmamin(pen, st):
+    return jnp.min(pen.field("sigma"))
+
+
+@diag("tmyr")
+def _tmyr(pen, st):
+    from ..physics.special.alphadisk import MYR
+    return st["t"] / MYR
+
+
+@diag("dtyear")
+def _dtyear(pen, st):
+    """<0.4·dx²/(3ν)> in years (alphadisk.f90:582-584)."""
+    import numpy as _np
+    sp = pen.cfg.module("alphadisk")
+    r = pen.grid.xg + 0.0 * pen.field("sigma")
+    nu = pen.field("mdot") / (3.0 * _np.pi) \
+        / jnp.maximum(pen.field("sigma"), 1e-30)
+    dx = pen.cfg.grid.dx
+    del sp
+    return _vmean(pen, 0.4 * dx * dx / (3.0 * nu))
+
+
+@diag("dtdiffus")
+def _dtdiffus(pen, st):
+    """dt·max(maxdiffus·ΣΔ⁻²)/cdtv (equ.f90:1180 idiag_dtdiffus) — for
+    the alphadisk runs maxdiffus = ν(r) = Ṁ/(3πΣ)."""
+    import numpy as _np
+    if "sigma" in pen.reg.slots:
+        nu = pen.field("mdot") / (3.0 * _np.pi) \
+            / jnp.maximum(pen.field("sigma"), 1e-30)
+    else:
+        return jnp.zeros(())
+    d1 = pen.dline_1()
+    dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+    return st["dt"] * jnp.max(nu * dxyz2) / pen.cfg.time.cdtv
+
+
+@diag("mu5m")
+def _mu5m(pen, st):
+    """<µ₅> (special/chiral_mhd.f90 idiag_mu5m)."""
+    return _vmean(pen, pen.field("mu5"))
+
+
+@diag("mu5rms")
+def _mu5rms(pen, st):
+    return _vrms(pen, pen.field("mu5") ** 2)
+
+
+# ---- dust fluid ------------------------------------------------------------
+def _nd(pen):
+    return jnp.exp(pen.field("lnnd"))
+
+
+@diag("ndm")
+def _ndm(pen, st):
+    return _vmean(pen, _nd(pen))
+
+
+@diag("ndmin")
+def _ndmin(pen, st):
+    return jnp.min(_nd(pen))
+
+
+@diag("ndmax")
+def _ndmax(pen, st):
+    return jnp.max(_nd(pen))
+
+
+@diag("nd2m")
+def _nd2m(pen, st):
+    return _vmean(pen, _nd(pen) ** 2)
+
+
+@diag("rhodm")
+def _rhodm(pen, st):
+    """<ρ_d> = <m_d·n_d>, m_d = 1 (dustdensity.f90 idiag_rhodm)."""
+    return _vmean(pen, _nd(pen))
+
+
+@diag("rhodmin")
+def _rhodmin(pen, st):
+    return jnp.min(_nd(pen))
+
+
+@diag("rhodmax")
+def _rhodmax(pen, st):
+    return jnp.max(_nd(pen))
+
+
+@diag("epsdm")
+def _epsdm(pen, st):
+    """<ρ_d/ρ> dust-to-gas ratio (idiag_epsdm)."""
+    return _vmean(pen, _nd(pen) * pen.rho1())
+
+
+@diag("epsdmin")
+def _epsdmin(pen, st):
+    return jnp.min(_nd(pen) * pen.rho1())
+
+
+@diag("epsdmax")
+def _epsdmax(pen, st):
+    return jnp.max(_nd(pen) * pen.rho1())
 
 
 @diag("csm")
@@ -651,7 +849,7 @@ def _vprms(pen, st):
     return jnp.sqrt(jnp.mean(jnp.sum(vp * vp, axis=1)))
 
 
-def make_diagnostics(model, names: Iterable[str]):
+def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
     """Build a jitted evaluator: state → {name: scalar} for the requested
     diagnostic columns (plus it/t/dt pulled straight from state)."""
     cfg = model.cfg
@@ -691,7 +889,14 @@ def make_diagnostics(model, names: Iterable[str]):
                and not _chem_diag(n) and not _pm_diag(n)
                and not _gw_diag(n)]
     if unknown:
-        raise KeyError(f"unknown diagnostics: {unknown}")
+        if not allow_unknown:
+            raise KeyError(f"unknown diagnostics: {unknown}")
+        # reference parse_name semantics: labels no module claims stay 0
+        # in fname and print as zeros (diagnostics.f90 prints)
+        unknown_set = frozenset(unknown)
+        names = [n for n in names]
+    else:
+        unknown_set = frozenset()
 
     @jax.jit
     def evaluate(state):
@@ -707,7 +912,9 @@ def make_diagnostics(model, names: Iterable[str]):
         out = {}
         dt = state["dt"]
         for n in names:
-            if n == "it":
+            if n in unknown_set:
+                out[n] = jnp.zeros(())
+            elif n == "it":
                 out[n] = state["it"]
             elif n == "t":
                 out[n] = state["t"]

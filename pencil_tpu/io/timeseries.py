@@ -119,5 +119,12 @@ def read_time_series(path) -> Dict[str, list]:
             if len(vals) != len(names):
                 continue
         for n, v in zip(names, vals):
-            data[n].append(float(v.replace("D", "E").replace("d", "e")))
+            v = v.replace("D", "E").replace("d", "e")
+            try:
+                data[n].append(float(v))
+            except ValueError:
+                # Fortran 3-digit exponents drop the E ("8.988+306")
+                m = re.fullmatch(r"([-+]?\d*\.?\d+)([+-]\d{3})", v)
+                data[n].append(float(m.group(1) + "E" + m.group(2))
+                               if m else float("nan"))
     return data

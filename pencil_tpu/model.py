@@ -32,7 +32,7 @@ MODULE_ORDER = (
     "viscosity", "magnetic", "pscalar", "cosmicray", "dust", "neutrals",
     "chemistry", "chiral", "polymer", "heatflux", "lorenz_gauge", "ascalar",
     "interstellar", "radiation", "entropy", "temperature", "testfield",
-    "border", "forcing", "initial_condition",
+    "border", "forcing", "initial_condition", "shock",
 )
 
 # f-array slot order — must match the reference's registration sequence
@@ -94,7 +94,10 @@ class Model:
             and cfg.grid.grid_func == ("uniform", "uniform", "uniform")
             and (not on_tpu or cfg.grid.nz % 128 == 0)
             and cfg.grid.nghost == 3
-            and not self._aux_modules
+            # shock is fused-compatible: its comm-aux slot is built by a
+            # jnp pre-pass (_refresh_aux_fa) and rides the ghosted stack
+            # into the kernel tiles; other aux modules stay unfused
+            and all(m.name == "shock" for m in self._aux_modules)
             and not self._freeze
             and self.particles is None
             # specials may need host-side context (time, storm tables)
@@ -110,10 +113,20 @@ class Model:
         key = jax.random.PRNGKey(seed)
         fields: Dict[str, jnp.ndarray] = {}
         additive = []   # "+name" keys: cross-field contributions ADDED after
+        import inspect
         for m in self.modules:
             key, sub = jax.random.split(key)
+            kw = {}
+            try:
+                if "fields" in inspect.signature(m.init_fields).parameters:
+                    # cross-field inits (e.g. entropy 'isothermal' needs
+                    # lnrho — reference init cascade order start.f90:416)
+                    kw["fields"] = dict(fields)
+            except (ValueError, TypeError):
+                pass
             for k, v in m.init_fields(self.grid, self.cfg.grid,
-                                      self.eos, sub, self.cfg).items():
+                                      self.eos, sub, self.cfg,
+                                      **kw).items():
                 if k.startswith("+"):
                     additive.append((k[1:], v))
                 else:
@@ -186,14 +199,11 @@ class Model:
         return self._rhs_inner(fa, t, grid, mesh_axis_names, mesh_shape,
                                pstate, shear_dy)
 
-    def apply_aux(self, fg, pen, grid, mesh_axis_names=None,
-                  mesh_shape=(1, 1, 1), shear_dy=None):
-        """Compute farray-level auxiliary fields with their own communication
-        (reference calc_shock_profile, src/equ.f90:211) from the ghosted
-        evolved fields and write them back into the ghosted stack.  Also used
-        by the diagnostics evaluator — the reference samples diagnostics
-        during the next iteration's first substep, whose shock profile is
-        computed from exactly the current f-array."""
+    def _make_halo1(self, grid, mesh_axis_names=None, mesh_shape=(1, 1, 1),
+                    shear_dy=None):
+        """Ghost-fill closure for a single interior scalar (aux fields get
+        symmetric closure at non-periodic physical boundaries — reference
+        shock ghosts via bc 's')."""
         cfg = self.cfg
         from .ops.boundary import bc_sym
 
@@ -216,10 +226,40 @@ class Model:
                         xg = xg.at[0].set(new)
             return xg[0]
 
+        return halo1
+
+    def apply_aux(self, fg, pen, grid, mesh_axis_names=None,
+                  mesh_shape=(1, 1, 1), shear_dy=None):
+        """Compute farray-level auxiliary fields with their own communication
+        (reference calc_shock_profile, src/equ.f90:211) from the ghosted
+        evolved fields and write them back into the ghosted stack.  Also used
+        by the diagnostics evaluator — the reference samples diagnostics
+        during the next iteration's first substep, whose shock profile is
+        computed from exactly the current f-array."""
+        halo1 = self._make_halo1(grid, mesh_axis_names, mesh_shape, shear_dy)
         for m in self._aux_modules:
             for aname, interior in m.compute_aux(pen, halo1).items():
                 fg = fg.at[self.reg.slice(aname)].set(halo1(interior)[None])
         return fg
+
+    def _refresh_aux_fa(self, fa, grid, mesh_axis_names=None,
+                        mesh_shape=(1, 1, 1), shear_dy=None):
+        """Aux pre-pass for the FUSED path: build the shock profile from
+        the current state with its own ghost exchange and write the
+        interior back into the stacked state, so the megakernel's tiles
+        carry a ready shock slot (the reference also runs the shock build
+        as a separate comm step before the mn-loop, equ.f90:211)."""
+        cfg = self.cfg
+        fg = fill_ghosts(fa[: self.reg.ncom], cfg.grid, self.bc_axes,
+                         self.reg, grid, cfg, self.eos,
+                         mesh_axis_names, mesh_shape, shear_dy=shear_dy)
+        pen = Pencils(fg, grid, self.reg, cfg, self.eos,
+                      mesh_axis_names, mesh_shape)
+        halo1 = self._make_halo1(grid, mesh_axis_names, mesh_shape, shear_dy)
+        for m in self._aux_modules:
+            for aname, interior in m.compute_aux(pen, halo1).items():
+                fa = fa.at[self.reg.slice(aname)].set(interior[None])
+        return fa
 
     def _rhs_inner(self, fa, t, grid, mesh_axis_names, mesh_shape,
                    pstate, shear_dy):
@@ -231,6 +271,9 @@ class Model:
                     and names[0] is None and names[1] is None
                     and shear_dy is None and cfg.grid.ny % 8 == 0
                     and cfg.grid.nx >= 4)
+            if self._aux_modules:
+                fa = self._refresh_aux_fa(fa, grid, mesh_axis_names,
+                                          mesh_shape, shear_dy)
             fused = self._fused_rhs(tuple(fa.shape[1:]), False, wrap)
             if wrap:
                 # fully-periodic unsharded: the kernel fetches x/y halos by
@@ -360,6 +403,9 @@ class Model:
                 shear = cfg.module("shear")
                 sdy = shear.deltay(t_sub, cfg.grid.Lx, cfg.grid.Ly) \
                     if shear else None
+                if self._aux_modules:
+                    fa = self._refresh_aux_fa(fa, grid, mesh_axis_names,
+                                              mesh_shape, sdy)
                 names = mesh_axis_names or (None, None, None)
                 wrap = (cfg.grid.periodic[0] and cfg.grid.periodic[1]
                         and names[0] is None and names[1] is None

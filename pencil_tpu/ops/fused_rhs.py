@@ -81,16 +81,30 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     dy1 = 1.0 / gs.dy
     dz1 = 1.0 / gs.dz
 
+    # analytic tile coordinates (uniform cartesian is a fused-path
+    # invariant): periodic axes are half-cell shifted (grid.f90:141)
+    x0_eff = gs.x0 + (0.5 * gs.dx if gs.periodic[0] else 0.0)
+    y0_eff = gs.y0 + (0.5 * gs.dy if gs.periodic[1] else 0.0)
+
     def body(i, j, tile_fn, z_ref, want_dt1=True):
         """Shared RHS evaluation on the DMA'd tile; returns (dfa, dt1max)."""
         tile = tile_fn()
         dt = tile.dtype
+        # broadcasted_iota: Mosaic rejects 1-D→3-D vector reshapes
+        xi = (i * TX
+              + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
+              ).astype(dt)
+        yj = (j * TY
+              + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+              ).astype(dt)
         tgrid = TileGrid(
             dx1=jnp.asarray(dx1, dt), dy1=jnp.asarray(dy1, dt),
             dz1=jnp.asarray(dz1, dt),
             dx_1=jnp.full((TX + 2 * g,), dx1, dt),
             dy_1=jnp.full((TY + 2 * g,), dy1, dt),
             dz_1=jnp.full((nz,), dz1, dt),
+            xg=x0_eff + gs.dx * xi,
+            yg=y0_eff + gs.dy * yj,
             zg=z_ref[0, g:-g][None, None, :],
             z=z_ref[0],
         )

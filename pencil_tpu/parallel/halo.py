@@ -123,8 +123,8 @@ def fill_ghosts(
             m = fg.shape[ax]
             lo = jax.lax.slice_in_dim(fg, 0, g, axis=ax)
             hi = jax.lax.slice_in_dim(fg, m - g, m, axis=ax)
-            lo = fourier_shift_y(lo, shear_dy, spec.Ly)
-            hi = fourier_shift_y(hi, -shear_dy, spec.Ly)
+            lo = fourier_shift_y(lo, shear_dy, spec.Ly, ny_int=spec.ny)
+            hi = fourier_shift_y(hi, -shear_dy, spec.Ly, ny_int=spec.ny)
             fg = jax.lax.dynamic_update_slice_in_dim(fg, lo, 0, axis=ax)
             fg = jax.lax.dynamic_update_slice_in_dim(fg, hi, m - g, axis=ax)
     return fg

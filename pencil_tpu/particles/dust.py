@@ -32,8 +32,13 @@ class ParticlesDust(ModuleBase):
     scheme: str = "tsc"           # 'ngp' | 'cic' | 'tsc'
     lgravz: bool = False
     gravz: float = 0.0
-    init: str = "random"          # 'random' | 'equidistant'
+    init: str = "random"   # 'random' | 'equidistant' | 'random-cylindrical'
     vinit: str = "zero"           # 'zero' | 'gas' (match local gas velocity)
+    # 'random-cylindrical' annulus (reference rp_int/rp_ext +
+    # dustdensity_powerlaw, particles_dust.f90:1358)
+    rp_int: float = 0.0
+    rp_ext: float = 0.0
+    dustdensity_powerlaw: float = 0.0
 
     # -- state ----------------------------------------------------------
     def init_particles(self, grid, spec, key, dtype):
@@ -47,6 +52,24 @@ class ParticlesDust(ModuleBase):
             g1 = (jnp.arange(n, dtype=dtype) + 0.5) / n
             xyz = jnp.stack(jnp.meshgrid(g1, g1, g1, indexing="ij"), -1)
             xp = (lo + L * xyz.reshape(-1, 3))[: self.npar]
+        elif self.init in ("random-cylindrical", "random-cyl"):
+            # r drawn so the surface density follows a power law
+            # (particles_dust.f90:1358: r^(2−p) uniform between the annulus
+            # bounds), φ uniform, z uniform over the box
+            k1, k2, k3 = jax.random.split(kx, 3)
+            p = 2.0 - self.dustdensity_powerlaw
+            ri = self.rp_int if self.rp_int > 0 else 0.1
+            re = self.rp_ext if self.rp_ext > 0 else float(
+                min(spec.x0 + spec.Lx, spec.y0 + spec.Ly))
+            u = jax.random.uniform(k1, (self.npar,), dtype)
+            rad = (ri ** p + u * (re ** p - ri ** p)) ** (1.0 / p)
+            phi = 2.0 * jnp.pi * jax.random.uniform(k2, (self.npar,), dtype)
+            zz = spec.z0 + spec.Lz * jax.random.uniform(
+                k3, (self.npar,), dtype)
+            if spec.nz == 1:
+                zz = jnp.full((self.npar,), spec.z0 + 0.5 * spec.Lz, dtype)
+            xp = jnp.stack([rad * jnp.cos(phi), rad * jnp.sin(phi), zz],
+                           axis=-1)
         else:
             raise NotImplementedError(self.init)
         vp = jnp.zeros((self.npar, 3), dtype)

@@ -23,12 +23,18 @@ class DustFluid(ModuleBase):
 
     tausd: float = 1.0         # stopping time
     nud: float = 0.0           # dust viscosity (numerical)
+    nud_hyper3: float = 0.0    # iviscd='hyper3-simplified'
     diffnd: float = 0.0        # number-density diffusion
+    diffnd_hyper3: float = 0.0          # idiffd='hyper3lnnd'
+    diffnd_anisotropic: tuple = (0.0, 0.0, 0.0)  # 'simplified-anisotropic'
     eps_dtog: float = 0.0      # mean dust-to-gas ratio (back-reaction)
+    ldragforce_gas: bool = False  # momentum-conserving drag on the gas
     lgravz: bool = False
     gravz: float = 0.0
     init: str = "zero"
     ampl: float = 0.0
+    ampluud: float = 0.0       # inituud amplitude (e.g. 'linear-z')
+    inituud: str = "zero"
     kx: float = 1.0
 
     def register(self, reg):
@@ -47,18 +53,31 @@ class DustFluid(ModuleBase):
         if "uu" in pen.reg.slots:
             uu = pen.uu()
             out_u = out_u - (uud - uu) * tausd1
-            if self.eps_dtog > 0.0:
+            if self.ldragforce_gas:
+                # mass-weighted drag on the gas: (m_d·n_d/ρ)(ud−u)/τ_s
+                # (dustvelocity.f90 ldragforce_gas, md=1)
+                epsl = jnp.exp(pen.field("lnnd")) * pen.rho1()
+                accumulate(df, "uu", epsl * (uud - uu) * tausd1)
+            elif self.eps_dtog > 0.0:
                 # momentum-conserving back-reaction on the gas:
                 # ρ_d = ε·ρ̄·exp(lnnd); force/mass on gas = ε_local·(ud−u)/τ
                 epsl = self.eps_dtog * jnp.exp(pen.field("lnnd")) \
                     * pen.rho1() * jnp.exp(pen.eos.lnrho0 if pen.eos else 0.0)
                 accumulate(df, "uu", epsl * (uud - uu) * tausd1)
-        if self.lgravz and self.gravz != 0.0:
+        grav = pen.cfg.module("gravity") if pen.cfg is not None else None
+        if grav is not None and hasattr(grav, "gvec"):
+            # external gravity acts on the dust too (dustvelocity.f90
+            # duud_dt gravity block)
+            out_u = out_u + grav.gvec(pen)
+        elif self.lgravz and self.gravz != 0.0:
             zero = jnp.zeros_like(uud[0])
             out_u = out_u + jnp.stack([zero, zero, self.gravz + zero])
         if self.nud > 0.0:
             out_u = out_u + self.nud * pen.del2v("uud")
             ts.diffus(self.nud)
+        if self.nud_hyper3 > 0.0:
+            out_u = out_u + self.nud_hyper3 * pen.del6v_scaled("uud")
+            ts.diffus3(self.nud_hyper3)
         accumulate(df, "uud", out_u)
 
         divud = uijd[0, 0] + uijd[1, 1] + uijd[2, 2]
@@ -68,6 +87,20 @@ class DustFluid(ModuleBase):
             g2 = sum(glnnd[a] ** 2 for a in range(3))
             out_n = out_n + self.diffnd * (pen.del2s("lnnd") + g2)
             ts.diffus(self.diffnd)
+        if self.diffnd_hyper3 > 0.0:
+            # idiffd='hyper3lnnd': D₃∇⁶lnnd (dustdensity.f90)
+            out_n = out_n + self.diffnd_hyper3 * pen.del6s_scaled("lnnd")
+            ts.diffus3(self.diffnd_hyper3)
+        if any(c != 0.0 for c in self.diffnd_anisotropic):
+            # 'simplified-anisotropic' Fickian per-axis on lnnd:
+            # Σ_j D_j(∂²_j lnnd + (∂_j lnnd)²)
+            out_n = out_n + sum(
+                self.diffnd_anisotropic[a]
+                * (pen.d2("lnnd", a)[0] + glnnd[a] ** 2) for a in range(3))
+            d1 = pen.dline_1()
+            dxyz2 = sum(d1[a] ** 2 for a in range(3))
+            ts.diffus(sum(self.diffnd_anisotropic[a] * d1[a] ** 2
+                          for a in range(3)) / dxyz2)
         accumulate(df, "lnnd", out_n)
 
         d1 = pen.dline_1()
@@ -75,9 +108,19 @@ class DustFluid(ModuleBase):
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_scalar, init_vector
-        return {
-            "uud": init_vector(self.init if self.init != "zero" else "zero",
-                               grid, spec, eos, key, ampl=self.ampl,
-                               kx=self.kx),
-            "lnnd": init_scalar("zero", grid, spec, eos, key),
-        }
+        zero = jnp.zeros(spec.shape, grid.z.dtype)
+        if self.inituud == "linear-z":
+            uud = jnp.stack([zero, zero, self.ampluud * grid.zg + zero])
+        elif self.inituud in ("zero", "nothing"):
+            uud = jnp.stack([zero, zero, zero])
+        else:
+            uud = init_vector(self.inituud, grid, spec, eos, key,
+                              ampl=self.ampluud, kx=self.kx)
+        if self.init in ("zero", "nothing", "gaussian_nd", "const_nd"):
+            # gaussian_nd is installed by the IC plug-in (dust-equilibrium)
+            # or left at lnnd = 0
+            lnnd = zero
+        else:
+            lnnd = init_scalar(self.init, grid, spec, eos, key,
+                               ampl=self.ampl, kx=self.kx)
+        return {"uud": uud, "lnnd": lnnd}

@@ -157,7 +157,24 @@ class Entropy(ModuleBase):
 
         accumulate(df, "ss", out)
 
-    def init_fields(self, grid, spec, eos, key, cfg=None):
+    def init_fields(self, grid, spec, eos, key, cfg=None, fields=None):
+        if self.init in ("isothermal", "const_ss"):
+            if self.init == "const_ss":
+                # uniform entropy ss_const (entropy.f90 'const_ss')
+                return {"ss": jnp.full(spec.shape, self.ampl,
+                                       grid.z.dtype)}
+            # isothermal_entropy (eos_idealgas.f90:2050): s such that
+            # T = T0 everywhere given the already-initialized lnrho:
+            # γs/cp = −(γ−1)(lnρ−lnρ0)  →  s = −(cp−cv)(lnρ−lnρ0)
+            lnrho = None
+            if fields is not None:
+                if "lnrho" in fields:
+                    lnrho = fields["lnrho"]
+                elif "rho" in fields:
+                    lnrho = jnp.log(jnp.maximum(fields["rho"], 1e-30))
+            if lnrho is None:
+                lnrho = jnp.full(spec.shape, eos.lnrho0, grid.z.dtype)
+            return {"ss": -(eos.cp - eos.cv) * (lnrho - eos.lnrho0)}
         if self.init in ("xjump", "yjump", "zjump"):
             from .initcond import init_scalar
             return {"ss": init_scalar(self.init, grid, spec, eos, key,

@@ -49,41 +49,43 @@ class Gravity(ModuleBase):
         return (-self.g0 * r ** (n - 1.0)
                 * (r ** n + self._r0 ** n) ** (-(n + 1.0) / n))
 
-    def rhs(self, pen, df, ts):
+    def gvec(self, pen):
+        """Acceleration field (3, nx, ny, nz) — shared by the gas and any
+        Lagrangian/dust fluids (reference duu_dt + duud_dt gravity)."""
         g = pen.grid
-        zero = jnp.zeros_like(pen.uu()[0])
+        zero = jnp.zeros(pen.cfg.grid.shape if pen.cfg is not None
+                         else pen.lnrho().shape, g.z.dtype)
         if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
                                "no-smooth"):
             x, y, z = g.xg, g.yg, g.zg
             if pen.cfg is not None and pen.cfg.grid.coords != "cartesian":
                 # cylindrical/spherical: x is the radius, g along x̂
                 r = x + zero
-                accumulate(df, "uu", jnp.stack(
-                    [self.g_r(r), zero, zero]))
-                return
+                return jnp.stack([self.g_r(r), zero, zero])
             r2 = x * x + y * y
             if not self.lcylindrical_gravity:
                 r2 = r2 + z * z
             r = jnp.sqrt(r2)
             fac = self.g_r(r) / jnp.maximum(r, 1e-30)
             gz = fac * z + zero if not self.lcylindrical_gravity else zero
-            accumulate(df, "uu", jnp.stack(
-                [fac * x + zero, fac * y + zero, gz]))
-            return
+            return jnp.stack([fac * x + zero, fac * y + zero, gz])
         if self.gravz_profile == "central":
             x, y, z = g.xg, g.yg, g.zg
             r2 = x * x + y * y + z * z + self.r0 ** 2
             fac = -self.mass * r2 ** -1.5
-            accumulate(df, "uu", jnp.stack([
-                fac * x + zero, fac * y + zero, fac * z + zero]))
-            return
+            return jnp.stack([
+                fac * x + zero, fac * y + zero, fac * z + zero])
         if self.gravz_profile == "const":
             gz = self.gravz + zero
-        elif self.gravz_profile == "linear-z":
+        elif self.gravz_profile in ("linear-z", "linear"):
             gz = self.gravz * g.zg + zero
         elif self.gravz_profile == "sin-z":
             gz = self.gravz * jnp.sin(self.kappa_z * g.zg) + zero
         else:
             raise NotImplementedError(self.gravz_profile)
         gx = self.gravx + zero if self.gravx != 0.0 else zero
-        accumulate(df, "uu", jnp.stack([gx, zero, gz]))
+        return jnp.stack([gx, zero, gz])
+
+    def rhs(self, pen, df, ts):
+        if "uu" in pen.reg.slots:
+            accumulate(df, "uu", self.gvec(pen))

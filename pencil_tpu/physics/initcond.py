@@ -104,6 +104,16 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
             A * (jnp.sin(kx * x) + jnp.cos(kz * z)) + zero,
             A * (jnp.sin(ky * y) + jnp.cos(kx * x)) + zero,
         ])
+    if name == "horizontal_dipole":
+        # spherical-shell test dipole (magnetic.f90:2256):
+        # A = (0, −A·r·sin φ, −A·r·cosθ·cos φ)
+        return jnp.stack([
+            zero,
+            -ampl * x * jnp.sin(z) + zero,
+            -ampl * x * jnp.cos(y) * jnp.cos(z) + zero])
+    if name == "vertical_dipole":
+        # magnetic.f90:2265: A = (0, 0, A·r·sinθ)
+        return jnp.stack([zero, zero, ampl * x * jnp.sin(y) + zero])
     if name == "anelastic-lin":
         # u_x = A·sin(x)·cos(z), u_y = 0, and u_z is zeroed after being
         # set (the `!!!` line, reference hydro.f90:2346-2354) — the ampl

@@ -302,3 +302,77 @@ def ic_baroclinic_init(grid, spec, eos, cfg, params):
         # isobaric start: s = −cv·γ·lnρ  (cv = cp/γ)
         out["ss"] = -eos.cp * jnp.log(rho)
     return out
+
+
+def _hyp2f1_ref(a, b, c, z, tol=1e-2):
+    """Reference ``hypergeometric2F1`` series (sub.f90): accumulate terms
+    while fac > tol — per-point termination, truncation included (the
+    IC's tol=1e-2 makes this a 1-2 term series)."""
+    fac = np.ones_like(z)
+    out = np.ones_like(z)
+    aa, bb, cc = a, b, c
+    for n in range(1, 30):
+        live = fac > tol
+        if not live.any():
+            break
+        fac = np.where(live, fac * aa * bb * z / (cc * n), fac)
+        out = np.where(live, out + fac, out)
+        aa, bb, cc = aa + 1, bb + 1, cc + 1
+    return out
+
+
+@register_ic("dust-equilibrium")
+def ic_dust_equilibrium(grid, spec, eos, cfg, params):
+    """Vertical equilibrium of a photoelectric-heated gas+dust column
+    (reference src/initial_condition/dust-equilibrium.f90): gas density
+    from the analytic balance of linear gravity against the polytropic +
+    photoelectric pressure (hypergeometric correction for the drag
+    backreaction), a gaussian dust layer of scale height Hd, and the
+    dust settling flow ud_z = −v_damp·z."""
+    import jax.numpy as jnp
+    p = dict(params)
+    Hd = float(p.get("hd", p.get("Hd", 1.0)))
+    eps = float(p.get("eps_dtog", 1.0))
+    vdampl = float(p.get("vdampl_dust", 1.0))
+    OOg = float(p.get("oog", p.get("OOg", 1.0)))
+    input_fac = float(p.get("input_fac", 1.0))
+    tau = float(p.get("tau", 1.0))
+    ldrag_gas = bool(p.get("ldragforce_gas", True))
+    cb20 = float(p.get("cb20", 0.0))
+    cs20 = eos.cs20 if eos is not None else 1.0
+    rho0 = eos.rho0 if eos is not None else 1.0
+    a1, b1, c1 = cb20, cs20 * eps, Hd * Hd
+    d1 = eps * vdampl / tau
+    f1 = OOg * OOg
+    chi = f1 * c1 / a1 if a1 != 0 else 0.0
+    z = np.asarray(grid.z[3:-3] if grid.z.shape[0] > spec.nz
+                   else grid.z, np.float64)
+    if a1 != 0:
+        expp = np.exp(z ** 2 / (2 * c1))
+        expm = np.exp(-z ** 2 / (2 * c1))
+        lntmp = z ** 2 / (2 * c1) - (1 + chi) * np.log(a1 * expp + b1)
+        tmp1 = rho0 * np.exp(lntmp)
+        if b1 != 0 and ldrag_gas:
+            fac = (d1 * c1 / (b1 * (1 - chi))
+                   * (b1 / a1 * expm + 1) ** (-chi)
+                   / (a1 / b1 * expp + 1))
+            tmp2 = input_fac * fac * _hyp2f1_ref(
+                -chi, 1 - chi, 2 - chi, -b1 / a1 * expm)
+        else:
+            tmp2 = 0.0 * z
+        lnrho_z = np.log(tmp1 + tmp2)
+    else:
+        lnrho_z = 0.0 * z
+    ones = jnp.ones(spec.shape, grid.z.dtype)
+    out = {}
+    lnr = jnp.asarray(lnrho_z, grid.z.dtype)[None, None, :] * ones
+    den = cfg.module("density")
+    if den is not None and getattr(den, "lnolog", False):
+        out["rho"] = jnp.exp(lnr)
+    else:
+        out["lnrho"] = lnr
+    zg = grid.zg
+    out["lnnd"] = (jnp.log(eps * rho0) - zg ** 2 / (2 * Hd * Hd)) * ones
+    zero = jnp.zeros(spec.shape, grid.z.dtype)
+    out["uud"] = jnp.stack([zero, zero, -vdampl * zg + zero])
+    return out

@@ -58,19 +58,20 @@ class Shear(ModuleBase):
         ts.advec(jnp.abs(uy0) * d1[1])
 
 
-def fourier_shift_y(slab, dy, Ly):
+def fourier_shift_y(slab, dy, Ly, ny_int=None):
     """Shift a ghosted-y slab by dy along the (periodic) interior y axis.
 
-    slab: (..., my, mz) with my = ny + 2·nghost; the shift is applied to the
-    full y extent treating it as periodic of length Ly·(my/ny) — callers
-    pass slabs whose y ghosts are already wrap-filled, so shifting the
-    interior alone is done by operating on the interior slice."""
+    slab: (..., my, mz) with my = ny + 2·nghost (+ optional high-side
+    alignment padding — pass ``ny_int`` so the FFT runs over exactly the
+    periodic interior and the pad rows are left untouched)."""
     from ..ops.stencil import NGHOST
     g = NGHOST
-    y_int = slab[..., g:-g, :]
-    ny = y_int.shape[-2]
+    if ny_int is None:
+        ny_int = slab.shape[-2] - 2 * g
+    y_int = slab[..., g:g + ny_int, :]
+    ny = ny_int
     fk = jnp.fft.rfft(y_int, axis=-2)
     k = jnp.fft.rfftfreq(ny, d=Ly / ny).reshape((-1, 1))
     phase = jnp.exp(-2j * jnp.pi * k * dy)
     shifted = jnp.fft.irfft(fk * phase, n=ny, axis=-2).astype(slab.dtype)
-    return slab.at[..., g:-g, :].set(shifted)
+    return slab.at[..., g:g + ny, :].set(shifted)

@@ -66,3 +66,6 @@ register_special("gravitational_waves_hTXk")(_gw.GravitationalWavesHTXk)
 from . import meanfield_alpm  # noqa: E402,F401
 from . import rtime_phiavg  # noqa: E402,F401
 from . import baroclinic  # noqa: E402,F401
+from . import photoelectric_dust  # noqa: E402,F401
+from . import chiral_mhd  # noqa: E402,F401
+from . import alphadisk  # noqa: E402,F401

@@ -71,7 +71,8 @@ class Run:
                 cols.append((c, _DEFAULT_FMT.get(c, "E11.3")))
         self.ts_writer = TimeSeriesWriter(
             os.path.join(self.datadir, "time_series.dat"), cols)
-        self.diag = make_diagnostics(model, [c[0] for c in cols])
+        self.diag = make_diagnostics(model, [c[0] for c in cols],
+                                     allow_unknown=True)
         if sharded:
             mesh = model.make_mesh()
             self.step = model.make_sharded_step(mesh)

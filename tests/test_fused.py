@@ -41,3 +41,38 @@ def test_fused_matches_jnp_path():
         a, b = out[True][k], out[False][k]
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
         assert rel < 2e-5, (k, rel)
+
+
+def test_fused_shear_shock_matches_jnp_small():
+    """Fused path with SHEAR (shear-periodic x ghosts + in-kernel tile
+    coordinates for u_y0 = S·x) and SHOCK (jnp aux pre-pass feeding the
+    kernel's comm-aux slot) against the jnp path — 16³ runs fine in the
+    CPU interpreter.  Also regression-guards the y-pad Fourier-shift bug
+    (the shearing ghost shift must FFT over exactly ny interior rows,
+    not the sublane-padded slab)."""
+    import dataclasses
+    from pencil_tpu.physics.shear import Shear
+    from pencil_tpu.physics.shock import Shock
+    mods = (EosIdealGas(gamma=1.0001),
+            Density(init="gaussian-noise", ampl=1e-2),
+            Hydro(init="gaussian-noise", ampl=1e-2, Omega=1.0),
+            Shear(Omega=1.0, qshear=1.5),
+            Viscosity(ivisc=("nu-const", "nu-shock"), nu=2e-3,
+                      nu_shock=1.0),
+            Magnetic(init="gaussian-noise", ampl=1e-4, eta=2e-3),
+            Shock())
+    cfg_f = Config(grid=GridSpec(nx=16, ny=16, nz=16), modules=mods,
+                   fused=True)
+    cfg_j = dataclasses.replace(cfg_f, fused=False)
+    mf, mj = Model(cfg_f), Model(cfg_j)
+    assert mf._fused_ok
+    sf, sj = mf.init_state(5), mj.init_state(5)
+    stf, stj = jax.jit(mf.make_step()), jax.jit(mj.make_step())
+    for _ in range(3):
+        sf, sj = stf(sf), stj(sj)
+    np.testing.assert_allclose(float(sf["dt"]), float(sj["dt"]), rtol=1e-6)
+    for k in ("uu", "lnrho", "aa"):
+        a = np.asarray(sf["fields"][k], np.float64)
+        b = np.asarray(sj["fields"][k], np.float64)
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() < 5e-6 * max(scale, 1e-3), k

@@ -1149,3 +1149,116 @@ def test_baroclinic_golden(tmp_path):
     assert np.isfinite(u).all() and np.abs(u).max() > 0
     rho = np.asarray(st["fields"]["rho"])
     np.testing.assert_allclose(rho.mean(), ref["rhom"][0], rtol=0.01)
+
+
+@needs_ref
+def test_debris_photoelectric_fluid_golden(tmp_path):
+    """samples/debris-photoelectric-fluid: photoelectric-heated dust EOS
+    (SPECIAL=photoelectric_dust fluid branch), dust-equilibrium IC
+    (hypergeometric vertical balance), gaussian dust layer, dust settling
+    flow, shearing box.  The min_std init noise replays exactly, so it=0
+    matches at format precision incl. the CFL dt; evolution columns are
+    compared at sub-percent."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/debris-photoelectric-fluid")
+    assert cfg.module("photoelectric_dust").kappa == 0.5
+    assert cfg.module("dust").ldragforce_gas
+    assert cfg.module("initial_condition").plugin == "dust-equilibrium"
+    ref = _read_ref(f"{REF}/debris-photoelectric-fluid/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=100, it1=25,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    for n, it in enumerate(ours["it"]):
+        it = int(it)
+        if it not in rows:
+            continue
+        m = rows[it]
+        for col in ref:
+            if col == "it":
+                continue
+            tol = 0.01 if it <= 50 else 0.03
+            if col in ("umax",):
+                # max-norm: pointwise f32 divergence moves the argmax
+                tol = 3 * tol
+            np.testing.assert_allclose(
+                ours[col][n], ref[col][m], rtol=tol, atol=1e-8,
+                err_msg=f"{col} at it {it}")
+
+
+@needs_ref
+def test_chiral_dynamo_golden(tmp_path):
+    """samples/2d-tests/chiral_dynamo: chiral MHD (SPECIAL=chiral_mhd) —
+    µ₅=10 drives a chiral dynamo: seed field decays resistively then grows
+    at the CME rate.  dt exact, µ₅ conserved at 10, brms trajectory within
+    a few % (nr_f90 replay; f32 transients at the early decaying-mode
+    rows), growth rate over it 50→190 within 2%."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/chiral_dynamo")
+    sp = cfg.module("chiral_mhd")
+    assert sp.lambda5 == 10.0 and sp.diffmu5 == 0.01
+    ref = _read_ref(f"{REF}/2d-tests/chiral_dynamo/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=200, it1=10,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    o_rows = {int(i): n for n, i in enumerate(ours["it"])}
+    for it, m in rows.items():
+        if it == 0 or it not in o_rows:
+            continue
+        n = o_rows[it]
+        np.testing.assert_allclose(ours["dt"][n], ref["dt"][m], rtol=2e-3)
+        np.testing.assert_allclose(ours["mu5m"][n], 10.0, rtol=1e-4)
+        np.testing.assert_allclose(ours["mu5rms"][n], 10.0, rtol=1e-4)
+        assert ours["urms"][n] < 1e-12
+        if it >= 50:
+            np.testing.assert_allclose(
+                ours["brms"][n], ref["brms"][m], rtol=0.05,
+                err_msg=f"brms at it {it}")
+    lam_ref = (np.log(ref["brms"][rows[190]] / ref["brms"][rows[50]])
+               / (ref["t"][rows[190]] - ref["t"][rows[50]]))
+    lam = (np.log(ours["brms"][o_rows[190]] / ours["brms"][o_rows[50]])
+           / (ours["t"][o_rows[190]] - ours["t"][o_rows[50]]))
+    np.testing.assert_allclose(lam, lam_ref, rtol=0.02)
+
+
+@needs_ref
+def test_alphadisk_golden(tmp_path):
+    """samples/1d-tests/alphadisk: pure-special α accretion disk in CGS
+    (every other module a no-op) — Σ(r) viscous evolution with the
+    radiative-branch piecewise Ṁ(Σ), photoevaporative wind, Ṁ refreshed
+    per substep.  Matched at format-ish precision over 500 steps."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/1d-tests/alphadisk")
+    sp = cfg.module("alphadisk")
+    assert sp.initsigma == "mdot-constant" and sp.lwind
+    assert len(cfg.modules) == 1
+    ref = _read_ref(f"{REF}/1d-tests/alphadisk/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=500, it1=50,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    for n, it in enumerate(ours["it"]):
+        it = int(it)
+        if it not in rows or it == 0:
+            continue
+        m = rows[it]
+        for col, tol in (("t", 1e-3), ("tmyr", 1e-3), ("dt", 1e-3),
+                         ("dtyear", 1e-3), ("sigmamin", 1e-3),
+                         ("sigmam", 1e-3), ("sigmamax", 1e-3),
+                         ("dtdiffus", 5e-3)):
+            np.testing.assert_allclose(
+                ours[col][n], ref[col][m], rtol=tol,
+                err_msg=f"{col} at it {it}")
