@@ -83,6 +83,28 @@ def _aniso3(v):
         return tuple(out)
     return (float(v), float(v), float(v))
 
+def _read_stratification(path):
+    """Rows of stratification.dat (z, lnrho, [ss|lnTT[, acc]]) as a
+    hashable tuple-of-tuples (reference initcond.f90:2660 reads the file
+    verbatim; the ghost-row question is resolved by interpolation)."""
+    import os as _os
+    fn = _os.path.join(str(path), "stratification.dat")
+    if not _os.path.exists(fn):
+        return ()
+    rows = []
+    with open(fn) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            try:
+                rows.append(tuple(float(p.replace("D", "E").replace(
+                    "d", "e")) for p in parts))
+            except ValueError:
+                continue
+    return tuple(rows)
+
+
 def _g(groups, name) -> Dict:
     return dict(groups.get(name, {}))
 
@@ -147,6 +169,19 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
 
     # reference init cascade order (src/start.f90:416-423)
     noise_for(by_name.get("hydro"), "uu", 3)
+    hyd = by_name.get("hydro")
+    if hyd is not None and float(getattr(hyd, "urand", 0.0)) > 0.0:
+        # additive uniform fluctuations u += urand*(r-0.5), drawn per
+        # full-mx row with n outer, m inner, component outermost
+        # (hydro.f90:2518-2526)
+        import numpy as np
+        arr = np.empty((3, mx, my, mz), np.float32)
+        for i3 in range(3):
+            for n3 in range(mz):
+                for m3 in range(my):
+                    arr[i3, :, m3, n3] = rng.draw(mx)
+        pert = float(hyd.urand) * (arr[:, 3:-3, 3:-3, 3:-3] - 0.5)
+        overrides["uu"] = overrides.get("uu", 0.0) + pert
     noise_for(by_name.get("density"),
               "rho" if getattr(by_name.get("density"), "lnolog", False)
               else "lnrho", 1)
@@ -238,6 +273,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     else:
         Lxyz = _vec3(init_pars.get("lxyz", [6.2832, 6.2832, 6.2832]))
     lperi = init_pars.get("lperi", [True, True, True])
+    lpole = init_pars.get("lpole", [False, False, False])
+    if not isinstance(lpole, list):
+        lpole = [lpole] * 3
     lshift = init_pars.get("lshift_origin", [False, False, False])
     if not isinstance(lshift, list):
         lshift = [lshift] * 3
@@ -250,6 +288,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                     Lx=Lxyz[0], Ly=Lxyz[1], Lz=Lxyz[2],
                     periodic=tuple(bool(p) for p in lperi),
                     lshift_origin=tuple(bool(v) for v in lshift),
+                    lpole=tuple(bool(v) for v in lpole),
                     coords=coords)
 
     time = TimeSpec(
@@ -269,7 +308,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     def grp(stem):
         known.update({f"{stem}_init_pars", f"{stem}_run_pars"})
         d = _g(start, f"{stem}_init_pars")
-        d.update(_g(run, f"{stem}_run_pars"))
+        r = dict(_g(run, f"{stem}_run_pars"))
+        # init*='...' in a run-pars group only takes effect when the
+        # module's lreinitialize_* flag is set (reference e.g.
+        # hydro.f90:1004 `if (lreinitialize_uu)`); samples commonly carry
+        # `lreinitialize_uu=F, inituu='rescale'` which must be ignored.
+        if not any(bool(v) for k, v in r.items()
+                   if k.startswith("lreinitialize")):
+            for k in [k for k in r if k.startswith("init")]:
+                del r[k]
+        d.update(r)
         return d
 
     eos_p = grp("eos")
@@ -315,6 +363,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             rho_left=float(den_p.get("rho_left", 1.0)),
             rho_right=float(den_p.get("rho_right", 1.0)),
             kx=float(_first(den_p.get("kx_lnrho", 1.0))),
+            mpoly=float(den_p.get("mpoly", 1.5)),
+            strati_type=str(den_p.get("strati_type", "lnrho_ss")),
+            strati_data=(_read_stratification(path)
+                         if "stratification"
+                         in str(den_p.get("initlnrho", "")) else ()),
         ))
 
     dd_p = grp("dustdensity")
@@ -411,6 +464,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             and "nohydro" not in mkf.get("HYDRO", "hydro"):
         modules.append(Hydro(
             lweno_transport=lweno,
+            lisotropic_advection=bool(
+                run_pars.get("lisotropic_advection", False)),
             # pressure gradient only when density is computed
             # (hydro.f90:915: .not.ldensity → lpressuregradient_gas=F)
             lpressuregradient_gas=bool(
@@ -421,9 +476,29 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ky=float(hyd_p.get("ky_uu", 1.0)),
             kz=float(hyd_p.get("kz_uu", 1.0)),
             width=float(hyd_p.get("widthuu", 0.1)),
+            uu_const=tuple(float(v) for v in _vec3(
+                hyd_p.get("uu_const", [0.0, 0.0, 0.0]), [0.0, 0.0, 0.0])),
+            # rnoise_int/ext default to the r_int/r_ext shell radii
+            # (initcond.f90:4507-4508)
+            rnoise_int=float(hyd_p.get(
+                "rnoise_int", init_pars.get("r_int", 0.0))),
+            rnoise_ext=float(hyd_p.get(
+                "rnoise_ext", init_pars.get("r_ext", 0.0))),
             Omega=float(hyd_p.get("omega", 0.0)),
             theta=float(hyd_p.get("theta", 0.0)),
             lupw_uu=bool(hyd_p.get("lupw_uu", False)),
+            urand=float(hyd_p.get("urand", 0.0)),
+            # cylinder/sphere-in-a-box damping (Taylor-Couette driving)
+            dampuext=float(hyd_p.get("dampuext", 0.0)),
+            dampuint=float(hyd_p.get("dampuint", 0.0)),
+            wdamp=float(hyd_p.get("wdamp", 0.0)),
+            lOmega_int=bool(hyd_p.get("lomega_int", False)),
+            Omega_int=float(hyd_p.get("omega_int", 0.0)),
+            rdampint=float(init_pars.get("r_int", 0.0)),
+            rdampext=float(run_pars.get(
+                "r_ext", init_pars.get("r_ext", 0.0))),
+            lcylinder_in_a_box=bool(
+                init_pars.get("lcylinder_in_a_box", False)),
         ))
 
     grav_p = grp("grav")
@@ -436,6 +511,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(Gravity(
             gravz_profile=gprof,
             gravz=gz,
+            zinfty=float(grav_p.get("zinfty", 0.0)),
             # GRAVITY=gravity_r central potentials (gravity_r.f90)
             ipotential=str(_first(grav_p.get("ipotential", ""))),
             g0=float(grav_p.get("g0", 0.0)),
@@ -555,6 +631,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             nu_shock=float(vis_p.get("nu_shock", 0.0)),
             zeta=float(vis_p.get("zeta", 0.0)),
             nu_aniso_hyper3=_aniso3(vis_p.get("nu_aniso_hyper3", 0.0)),
+            limplicit_viscosity=bool(
+                vis_p.get("limplicit_viscosity", False)),
         ))
 
     chm_p = grp("chemistry")
@@ -641,14 +719,40 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ))
 
     mag_p = grp("magnetic")
-    if "magnetic_init_pars" in start or mag_p:
+    id_p = grp("implicit_diff")   # &implicit_diffusion_run_pars
+    known.add("implicit_diffusion_run_pars")
+    id_p.update(_g(run, "implicit_diffusion_run_pars"))
+    if "bfield" in mkf.get("MAGNETIC", ""):
+        # MAGNETIC=bfield: evolve B directly (src/bfield.f90); implicit
+        # resistivity is integrated spectrally after each step
+        from ..physics.bfield import Bfield
+        bext = _vec3(mag_p.get("b_ext", [0.0, 0.0, 0.0]), [0.0, 0.0, 0.0])
+        modules.append(Bfield(
+            eta=float(mag_p.get("eta", 0.0)),
+            B_ext=tuple(float(b) for b in bext),
+            limplicit_resistivity=bool(
+                mag_p.get("limplicit_resistivity", False)),
+        ))
+    elif ("magnetic_init_pars" in start or mag_p) \
+            and "nomagnetic" not in mkf.get("MAGNETIC", "magnetic"):
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
         mf_p = grp("magn_mf")   # MAGNETIC_MEANFIELD namelists
         modules.append(Magnetic(
             init=str(mag_p.get("initaa", "zero")),
             ampl=float(_first(mag_p.get("amplaa", 0.0))),
             relhel_aa=float(mag_p.get("relhel_aa", 1.0)),
+            rnoise_int=float(mag_p.get(
+                "rnoise_int", init_pars.get("r_int", 0.0))),
+            rnoise_ext=float(mag_p.get(
+                "rnoise_ext", init_pars.get("r_ext", 0.0))),
             kx=float(_first(mag_p.get("kx_aa", 1.0))),
+            ky=float(_first(mag_p.get("ky_aa", 1.0))),
+            kz=float(_first(mag_p.get("kz_aa", 1.0))),
+            radius=float(mag_p.get("radius", 1.0)),
+            epsilonaa=float(mag_p.get("epsilonaa", 0.0)),
+            center1=(float(mag_p.get("center1_x", 0.0)),
+                     float(mag_p.get("center1_y", 0.0)),
+                     float(mag_p.get("center1_z", 0.0))),
             lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
@@ -768,6 +872,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         for k in ("r_int", "r_ext"):
             if k not in sp_all:
                 v = run_pars.get(k, init_pars.get(k))
+                if v is not None:
+                    sp_all[k] = float(v)
+        # unit system + disk reference radius for radiative specials
+        # (newton_cooling needs σ_SB and the cgs κ(T,ρ) in code units)
+        for k in ("unit_temperature", "unit_density", "unit_length",
+                  "unit_velocity", "r_ref"):
+            if k not in sp_all:
+                v = init_pars.get(k)
                 if v is not None:
                     sp_all[k] = float(v)
         for slot in sp_slot.split():

@@ -45,6 +45,10 @@ class GridSpec:
     # shift coordinates by +Δ/2 per axis (reference lshift_origin): cell
     # centres instead of cell edges
     lshift_origin: Tuple[bool, bool, bool] = (False, False, False)
+    # pole axes (reference lpole, grid.f90:126,151): periodic-style
+    # spacing + half-cell shift so no node sits ON the θ pole, while the
+    # physical BCs stay non-periodic ('pp'/'ap' across-pole)
+    lpole: Tuple[bool, bool, bool] = (False, False, False)
 
     @property
     def shape(self) -> Tuple[int, int, int]:
@@ -69,7 +73,9 @@ class GridSpec:
 
     @property
     def dy(self) -> float:
-        return self.Ly / self.ny if self.periodic[1] else self.Ly / max(self.ny - 1, 1)
+        if self.periodic[1] or self.lpole[1]:
+            return self.Ly / self.ny
+        return self.Ly / max(self.ny - 1, 1)
 
     @property
     def dz(self) -> float:

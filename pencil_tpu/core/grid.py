@@ -155,7 +155,8 @@ def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:
           zip(spec.lshift_origin, (spec.dx, spec.dy, spec.dz))]
     x, dx1, dxt = _axis_coords(spec.nx, spec.x0 + sh[0], spec.Lx, spec.periodic[0],
                                spec.nghost, spec.grid_func[0], spec.grid_coeff[0], npdtype)
-    y, dy1, dyt = _axis_coords(spec.ny, spec.y0 + sh[1], spec.Ly, spec.periodic[1],
+    y, dy1, dyt = _axis_coords(spec.ny, spec.y0 + sh[1], spec.Ly,
+                               spec.periodic[1] or spec.lpole[1],
                                spec.nghost, spec.grid_func[1], spec.grid_coeff[1], npdtype)
     z, dz1, dzt = _axis_coords(spec.nz, spec.z0 + sh[2], spec.Lz, spec.periodic[2],
                                spec.nghost, spec.grid_func[2], spec.grid_coeff[2], npdtype)

@@ -59,7 +59,11 @@ def cfl_dt1(ts, grid, time_cfg):
     advection (not root-sum-square of the two), and the RSS combination of
     the advective and diffusive classes at the end.
     """
-    dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
+    # metric-aware Σ dline⁻² when provided (curvilinear: 1/(r dθ),
+    # 1/(r sinθ dφ) — reference dxyz_2 uses dline_1)
+    dxyz2 = getattr(ts, "dxyz2", None)
+    if dxyz2 is None:
+        dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
     adv = ts.maxadvec
     if not isinstance(ts.advec_cs2, float):
         adv = adv + jnp.sqrt(ts.advec_cs2)

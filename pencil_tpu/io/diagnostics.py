@@ -21,10 +21,20 @@ def _rms(x):
     return jnp.sqrt(jnp.mean(x))
 
 
+def _staged_mean(x):
+    """Per-axis staged mean: a single flat f32 reduction over ~32k
+    elements carries O(1e-4) systematic rounding bias; reducing one axis
+    at a time keeps partial sums small (the reference's per-pencil-row
+    fname accumulation is similarly hierarchical)."""
+    while x.ndim > 0:
+        x = jnp.mean(x, axis=-1)
+    return x
+
+
 def _vmean(pen, x):
     """Volume mean — dV-weighted off-cartesian (sum_mn_name semantics)."""
     w = pen.vol_weight()
-    return jnp.mean(x) if w is None else jnp.mean(x * w)
+    return _staged_mean(x) if w is None else _staged_mean(x * w)
 
 
 def _vrms(pen, x):
@@ -188,6 +198,72 @@ def _ppm(pen, st):
 @diag("uxuym")
 def _uxuym(pen, st):
     return _vmean(pen, pen.uu()[0] * pen.uu()[1])
+
+
+@diag("uxuzm")
+def _uxuzm(pen, st):
+    return _vmean(pen, pen.uu()[0] * pen.uu()[2])
+
+
+@diag("uyuzm")
+def _uyuzm(pen, st):
+    return _vmean(pen, pen.uu()[1] * pen.uu()[2])
+
+
+@diag("uxmax")
+def _uxmax(pen, st):
+    """Signed max of u_x (hydro.f90:3991 max_mn_name on the raw
+    component — the DIAG_DOC says |u_x| but no abs is taken)."""
+    return jnp.max(pen.uu()[0])
+
+
+@diag("uymax")
+def _uymax(pen, st):
+    return jnp.max(pen.uu()[1])
+
+
+@diag("uzmax")
+def _uzmax(pen, st):
+    return jnp.max(pen.uu()[2])
+
+
+@diag("dbxmax")
+def _dbxmax(pen, st):
+    """max|B_x − B_ext,x| — the stored bfield slot is the deviation
+    (bfield.f90:1096 max_mn_name(abs(p%bbb)))."""
+    return jnp.max(jnp.abs(pen.field("bb")[0]))
+
+
+@diag("dbymax")
+def _dbymax(pen, st):
+    return jnp.max(jnp.abs(pen.field("bb")[1]))
+
+
+@diag("dbzmax")
+def _dbzmax(pen, st):
+    return jnp.max(jnp.abs(pen.field("bb")[2]))
+
+
+@diag("divbmax")
+def _divbmax(pen, st):
+    """max|∇·B| of the evolved deviation field (bfield.f90 idiag_divbmax)."""
+    divb = sum(pen.d("bb", a)[a] for a in range(3))
+    return jnp.max(jnp.abs(divb))
+
+
+@diag("uxmin")
+def _uxmin(pen, st):
+    return jnp.min(pen.uu()[0])
+
+
+@diag("uymin")
+def _uymin(pen, st):
+    return jnp.min(pen.uu()[1])
+
+
+@diag("uzmin")
+def _uzmin(pen, st):
+    return jnp.min(pen.uu()[2])
 
 
 @diag("o2m")
@@ -490,7 +566,7 @@ def _visc_heat(pen):
 @diag("epsK")
 def _epsK(pen, st):
     """<2νρS²> + shock part = <ρ·visc_heat> (viscosity.f90:2690)."""
-    return jnp.mean(_visc_heat(pen) * pen.rho())
+    return _vmean(pen, _visc_heat(pen) * pen.rho())
 
 
 @diag("visc_heatm")
@@ -885,7 +961,7 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
         return has_pm and _re.fullmatch(r"v?[xyz]q\d+", n)
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
-               and n not in ("dtc", "dtu", "dtnu", "dtchi")
+               and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv")
                and not _chem_diag(n) and not _pm_diag(n)
                and not _gw_diag(n)]
     if unknown:
@@ -930,6 +1006,29 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 d1 = pen.dline_1()
                 uu = pen.uu()
                 adv = sum(jnp.abs(uu[a]) * d1[a] for a in range(3))
+                out[n] = dt * jnp.max(adv) / cfg.time.cdt
+            elif n == "dtv":
+                # dt·max(maxadvec)/cdt (equ.f90:1177): velocity advection
+                # plus the wave-speed root (sound + Alfvén when present)
+                d1 = pen.dline_1()
+                if "uu" in reg.slots:
+                    uu = pen.uu()
+                    adv = sum(jnp.abs(uu[a]) * d1[a] for a in range(3))
+                else:
+                    adv = jnp.zeros(())
+                adv2 = 0.0
+                if eos is not None and ("lnrho" in reg.slots
+                                        or "rho" in reg.slots):
+                    adv2 = adv2 + pen.cs2() * (d1[0] ** 2 + d1[1] ** 2
+                                               + d1[2] ** 2)
+                bfm = cfg.module("bfield")
+                if bfm is not None:
+                    bt = pen.field("bb") + jnp.asarray(
+                        bfm.B_ext, fa.dtype)[:, None, None, None]
+                    adv2 = adv2 + sum((bt[a] * d1[a]) ** 2
+                                      for a in range(3)) * pen.rho1()
+                if not isinstance(adv2, float):
+                    adv = adv + jnp.sqrt(adv2)
                 out[n] = dt * jnp.max(adv) / cfg.time.cdt
             elif n == "dtnu":
                 visc = cfg.module("viscosity")

@@ -330,6 +330,9 @@ class Model:
                 d = d[None]
             parts.append(d)
         dfa = jnp.concatenate(parts, axis=0)
+        if cfg.grid.coords != "cartesian":
+            d1m = pen.dline_1()
+            ts.dxyz2 = d1m[0] ** 2 + d1m[1] ** 2 + d1m[2] ** 2
         dt1 = cfl_dt1(ts, grid, cfg.time)
         return dfa, dt1, dpstate
 

@@ -60,6 +60,10 @@ class BC:
             lo, hi = code.split(":")
         else:
             lo = hi = code
+        for mn in (lo, hi):
+            if mn and mn not in BC_REGISTRY:
+                raise KeyError(f"unknown BC mnemonic {mn!r} "
+                               f"(known: {sorted(BC_REGISTRY)})")
         return BC(comp, lo, hi, lval, hval)
 
 
@@ -603,9 +607,11 @@ def bc_pole_periodic(fgc, axis, side, val, ctx, sign=1.0):
     m = fgc.shape[_ax(fgc, axis)]
     nz = fgc.shape[-1] - 2 * NGHOST
     g = NGHOST
-    # φ rotation by π = roll of half the *interior* z extent; ghosted z
-    # is refilled afterwards by the z-axis pass (axis order x→y→z).
-    rolled = jnp.roll(fgc, nz // 2, axis=-1)
+    # φ rotation by π = roll of half the INTERIOR z range only (rolling
+    # the ghosted axis would rotate stale ghost columns into the
+    # interior); ghosted z is refilled afterwards by the z-axis pass.
+    rolled = fgc.at[..., g:-g].set(
+        jnp.roll(fgc[..., g:-g], nz // 2, axis=-1))
     for j in (1, 2, 3):
         gi, _, bi = _plane_idx(m, side, j)
         src_idx = bi + (j - 1) if side == 0 else bi - (j - 1)
@@ -627,10 +633,14 @@ def bc_stratified(fgc, axis, side, val, ctx):
     _, _, bi = _plane_idx(m, side, 1)
     za2 = (r * cth[bi]) ** 2
     bnd = _take(fgc, axis, bi)
+    nolog = ctx.comp == "rho"    # ldensity_nolog: work in log, write exp
+    if nolog:
+        bnd = jnp.log(bnd)
     for j in (1, 2, 3):
         gi, _, _ = _plane_idx(m, side, j)
         zg2 = (r * cth[gi]) ** 2
-        fgc = _put(fgc, axis, gi, bnd - (zg2 - za2) / (2.0 * H2))
+        ghost = bnd - (zg2 - za2) / (2.0 * H2)
+        fgc = _put(fgc, axis, gi, jnp.exp(ghost) if nolog else ghost)
     return fgc
 
 

@@ -22,6 +22,19 @@ def wavenumbers(spec, dtype=jnp.float32):
             jnp.asarray(kz, dtype))
 
 
+def diffuse_fft(f, spec, coeff, dt):
+    """Exact spectral integration of ∂F/∂t = D∇²F over one step:
+    F̂ ← F̂·exp(−D k² dt) (reference implicit_diffusion.f90:163
+    integrate_diffusion_fft, implicit_method='fft').  ``f`` is the
+    interior field, trailing axes (nx, ny, nz), periodic box."""
+    kx, ky, kz = wavenumbers(spec, jnp.float32)
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kz[None, None, :] ** 2)
+    decay = jnp.exp(-coeff * dt * k2)
+    fk = jnp.fft.fftn(f, axes=(-3, -2, -1)) * decay
+    return jnp.real(jnp.fft.ifftn(fk, axes=(-3, -2, -1))).astype(f.dtype)
+
+
 def inverse_laplacian(f, spec):
     """φ with ∇²φ = f (periodic box, spectral inverse)."""
     kx, ky, kz = wavenumbers(spec, jnp.float32)

@@ -33,6 +33,12 @@ class Density(ModuleBase):
     rho_left: float = 1.0      # for init='xjump'
     rho_right: float = 1.0
     rho_const: float = 1.0     # for init='const_rho'
+    mpoly: float = 1.5         # polytropic index for 'polytropic_simple'
+    # init='stratification': rows of (z, lnrho, ss|lnTT) read from the run
+    # directory's stratification.dat (initcond.f90:2660); strati_type
+    # selects the second-column meaning
+    strati_type: str = "lnrho_ss"
+    strati_data: tuple = ()
 
     def register(self, reg):
         reg.register("rho" if self.lnolog else "lnrho", 1, "pde")
@@ -137,6 +143,66 @@ class Density(ModuleBase):
                 isothtop=ent.isothtop if ent else 1, width=self.width)
             return {"lnrho": lnrho[None, None, :]
                     * jnp.ones(spec.shape, grid.z.dtype)}
+        if self.init == "polytropic_simple":
+            # lnρ = lnρ0 + m·ln(−γΦ/((m+1)cs₀²)) with Φ = −g_z(z−z∞), and
+            # the matching polytropic entropy  ss += ((m+1)/γ − m)·dlncs2
+            # (reference density.f90:3243 polytropic_simple, lgravz const
+            # branch; ggamma=1+1/m so m(ggamma/γ−1)=(m+1)/γ−m)
+            grav = cfg.module("gravity") if cfg else None
+            gravz = grav.gravz if grav else -1.0
+            zinfty = getattr(grav, "zinfty", 0.0) if grav else 0.0
+            gamma = eos.gamma if eos else 5.0 / 3.0
+            cs20 = eos.cs20 if eos else 1.0
+            lnrho0 = eos.lnrho0 if eos else 0.0
+            m = self.mpoly
+            ones = jnp.ones(spec.shape, grid.z.dtype)
+            pot = -gravz * (grid.zg - zinfty)
+            dlncs2 = jnp.log(-gamma * pot / ((m + 1.0) * cs20)) * ones
+            out = {"lnrho": lnrho0 + m * dlncs2}
+            ent = cfg.module("entropy") if cfg is not None else None
+            # the ss contribution survives only when the entropy init does
+            # not itself ASSIGN a profile afterwards (e.g. layer_ss for
+            # initss='polytropic_simple' overwrites f(iss))
+            if ent is not None and getattr(ent, "init", "zero") in (
+                    "zero", "nothing", ""):
+                out["+ss"] = ((m + 1.0) / gamma - m) * dlncs2
+            return out
+        if self.init == "stratification":
+            # interpolate the tabulated profile onto our interior z; the
+            # reference requires the table to line up with the grid
+            # (nzgrid or mzgrid rows) — interp makes that exact for
+            # matching grids and robust otherwise
+            import numpy as np
+            rows = np.asarray(self.strati_data, dtype=np.float64)
+            if rows.size == 0:
+                raise ValueError("init='stratification' needs strati_data "
+                                 "(stratification.dat not found)")
+            zt = grid.interior(grid.z)
+            lnrho = jnp.asarray(
+                np.interp(np.asarray(zt), rows[:, 0], rows[:, 1]),
+                grid.z.dtype)
+            col2 = np.interp(np.asarray(zt), rows[:, 0], rows[:, 2]) \
+                if rows.shape[1] > 2 else None
+            ones = jnp.ones(spec.shape, grid.z.dtype)
+            out = {"lnrho": lnrho[None, None, :] * ones}
+            if col2 is not None and cfg is not None:
+                if self.strati_type in ("lnrho_lnTT", "lnrho_lnTT_acc") \
+                        and cfg.module("entropy") is not None:
+                    # eoscalc(ilnrho_lnTT → ss): invert
+                    # lnTT = lnTT0 + (γ/cp)·ss + (γ−1)(lnρ−lnρ0)
+                    g = eos.gamma
+                    ss = (eos.cp / g) * (jnp.asarray(col2, grid.z.dtype)
+                                         - eos.lnTT0
+                                         - (g - 1.0) * (lnrho - eos.lnrho0))
+                    out["+ss"] = ss[None, None, :] * ones
+                elif self.strati_type in ("lnrho_lnTT", "lnrho_lnTT_acc") \
+                        and cfg.module("temperature") is not None:
+                    out["+lnTT"] = jnp.asarray(
+                        col2, grid.z.dtype)[None, None, :] * ones
+                elif cfg.module("entropy") is not None:
+                    out["+ss"] = jnp.asarray(
+                        col2, grid.z.dtype)[None, None, :] * ones
+            return out
         if self.init == "jeans-wave-x":
             # Jeans wave: lnρ = A sin(kx·x), ux += |ω_J A| sin(kx·x + arg)
             # with ω_J = sqrt(cs₀²kx² − rhs_poisson·ρ₀)/(ρ₀ kx)

@@ -180,6 +180,51 @@ class Entropy(ModuleBase):
             return {"ss": init_scalar(self.init, grid, spec, eos, key,
                                       width=self.width, left=self.ss_left,
                                       right=self.ss_right)}
+        if self.init == "polytropic_simple":
+            # layer_ss (entropy.f90:2323): T = β₁(z−z∞),
+            # β₁ = (γ/((γ−1)cp))·g_z/(m+1), then ss from
+            # eoscalc(ilnrho_lnTT) with the already-initialized lnrho —
+            # an ASSIGNMENT that replaces any density-init contribution
+            grav = cfg.module("gravity") if cfg else None
+            den = cfg.module("density") if cfg else None
+            gravz = grav.gravz if grav else -1.0
+            zinfty = getattr(grav, "zinfty", 0.0) if grav else 0.0
+            gamma = eos.gamma
+            m = getattr(den, "mpoly", self.mpoly0) if den else self.mpoly0
+            beta1 = (1.0 / eos.cp) * gamma / (gamma - 1.0) * gravz / (m + 1.0)
+            TT = beta1 * (grid.zg - zinfty)
+            lnTT = jnp.log(jnp.maximum(TT, 1e-30))
+            lnrho = None
+            if fields is not None:
+                if "lnrho" in fields:
+                    lnrho = fields["lnrho"]
+                elif "rho" in fields:
+                    lnrho = jnp.log(jnp.maximum(fields["rho"], 1e-30))
+            if lnrho is None:
+                lnrho = jnp.full(spec.shape, eos.lnrho0, grid.z.dtype)
+            ss = (eos.cp / gamma) * (lnTT - eos.lnTT0
+                                     - (gamma - 1.0) * (lnrho - eos.lnrho0))
+            return {"ss": ss * jnp.ones(spec.shape, grid.z.dtype)}
+        if self.init in ("polytropic", "5"):
+            # single polytropic layer (entropy.f90:1672 → polytropic_ss_z
+            # :1849):  ss = (1−m(γ−1))/γ · ln(1 + β₁(z−zref)/cs₀²),
+            # β₁ = γ g_z/(m+1); zref is set by the density
+            # polytropic_simple init from zinfty
+            # (density.f90:3274: zref = z∞ − (m+1)cs₀²/(−γ g_z))
+            grav = cfg.module("gravity") if cfg else None
+            den = cfg.module("density") if cfg else None
+            gravz = grav.gravz if grav else -1.0
+            zinfty = getattr(grav, "zinfty", 0.0) if grav else 0.0
+            gamma = eos.gamma
+            cs20 = eos.cs20
+            m_den = getattr(den, "mpoly", self.mpoly0) if den else self.mpoly0
+            zref = zinfty - (m_den + 1.0) * cs20 / (-gamma * gravz)
+            m = self.mpoly0
+            beta1 = gamma * gravz / (m + 1.0)
+            arg = jnp.maximum(1.0 + beta1 * (grid.zg - zref) / cs20, 1e-30)
+            ss = ((1.0 - m * (gamma - 1.0)) / gamma * jnp.log(arg)
+                  / eos.cp)
+            return {"ss": ss * jnp.ones(spec.shape, grid.z.dtype)}
         if self.init == "piecew-poly":
             from .stratification import piecew_poly_profiles
             grav = cfg.module("gravity") if cfg else None

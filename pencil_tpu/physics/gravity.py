@@ -19,6 +19,9 @@ class Gravity(ModuleBase):
     gravz_profile: str = "const"
     gravz: float = 0.0
     gravx: float = 0.0
+    # top of the polytropic atmosphere: Φ = −g_z(z − z∞)
+    # (gravity_simple.f90:427; defaults to 0 when not given, :230)
+    zinfty: float = 0.0
     kappa_z: float = 1.0     # for 'sin-z': g = gravz·sin(kappa_z·z)
     # central potential (reference src/gravity_r.f90): g = −GM r̂/(r²+r₀²)
     mass: float = 0.0

@@ -26,6 +26,10 @@ class Hydro(ModuleBase):
     theta: float = 0.0        # angle of Ω from z-axis (degrees), as reference
     lupw_uu: bool = False
     lweno_transport: bool = False  # WENO momentum transport (hydro.f90:3736)
+    # &run_pars lisotropic_advection: in <3D runs the advective CFL uses
+    # the isotropic |u|·√(Σ dline⁻²) so a velocity along a degenerate
+    # direction still limits dt (hydro.f90:3821-3823)
+    lisotropic_advection: bool = False
     lpressuregradient_gas: bool = True   # reference hydro_run_pars flag
     init: str = "zero"
     ampl: float = 0.0
@@ -33,6 +37,21 @@ class Hydro(ModuleBase):
     ky: float = 1.0
     kz: float = 1.0
     width: float = 0.1
+    uu_const: tuple = (0.0, 0.0, 0.0)   # init='const_uu' (hydro.f90:1691)
+    rnoise_int: float = 0.0   # radial band for 'gaussian-noise-rprof'
+    rnoise_ext: float = 0.0   # (defaults to r_int/r_ext in the run dir)
+    urand: float = 0.0   # additive uniform noise (hydro.f90:2518)
+    # cylinder/sphere-in-a-box velocity damping (hydro.f90:5622 udamping):
+    # outer zone relaxes u→0, inner zone (lOmega_int) toward solid-body
+    # rotation Ω_int ẑ×r — the Taylor-Couette driving
+    dampuext: float = 0.0
+    dampuint: float = 0.0
+    wdamp: float = 0.0
+    lOmega_int: bool = False
+    Omega_int: float = 0.0
+    rdampint: float = 0.0     # defaults to r_int/r_ext from the run dir
+    rdampext: float = 0.0
+    lcylinder_in_a_box: bool = False
 
     def register(self, reg):
         reg.register("uu", 3, "pde", comps=("ux", "uy", "uz"))
@@ -71,13 +90,56 @@ class Hydro(ModuleBase):
                 om[2] * uu[0] - om[0] * uu[2],
                 om[0] * uu[1] - om[1] * uu[0],
             ])
+        if (self.dampuext > 0.0 or self.dampuint > 0.0) \
+                and (self.rdampext > 0.0 or self.rdampint > 0.0):
+            # udamping (hydro.f90:5697-5765) — reproduced with the
+            # reference's exact arithmetic: the PLAIN ext/int blocks
+            # (spherical r) run in addition to the lOmega_int blocks
+            # (cylindrical r for lcylinder_in_a_box), so with lOmega_int
+            # the ext damping acts twice and the interior relaxes with
+            # −dampuint·pd·(2u − Ω ẑ×r)
+            g = pen.grid
+            w = max(self.wdamp, 1e-30)
+            r_sph = jnp.sqrt(g.xg ** 2 + g.yg ** 2 + g.zg ** 2) \
+                + 0.0 * uu[0]
+
+            def stepf(r, r0):
+                return 0.5 * (1.0 + jnp.tanh((r - r0) / w))
+
+            if self.dampuext > 0.0 and self.rdampext > 0.0:
+                out = out - self.dampuext * stepf(r_sph,
+                                                  self.rdampext) * uu
+            if self.dampuint > 0.0 and self.rdampint > 0.0 \
+                    and not self.lOmega_int:
+                out = out - self.dampuint * (
+                    1.0 - stepf(r_sph, self.rdampint)) * uu
+            if self.lOmega_int and self.rdampext > 0.0:
+                if self.lcylinder_in_a_box:
+                    r2 = jnp.sqrt(g.xg ** 2 + g.yg ** 2) + 0.0 * uu[0]
+                else:
+                    r2 = r_sph
+                out = out - self.dampuext * stepf(r2, self.rdampext) * uu
+                if self.dampuint > 0.0 and self.rdampint > 0.0:
+                    pd_int = 1.0 - stepf(r2, self.rdampint)
+                    Om = self.Omega_int
+                    out = out - self.dampuint * pd_int * jnp.stack([
+                        uu[0] + g.yg * Om + 0.0 * uu[0],
+                        uu[1] - g.xg * Om + 0.0 * uu[1],
+                        uu[2]])
         accumulate(df, "uu", out)
 
         # advective CFL (reference split: advec_uu linear, advec_cs2/va2
         # squared — maxadvec = advec_uu + sqrt(advec_cs2), equ.f90:1100;
         # the Alfvén contribution is accumulated by Magnetic, anisotropic)
         d1 = pen.dline_1()
-        ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
+        gs = pen.cfg.grid if pen.cfg is not None else None
+        dimensionality = (sum(n > 1 for n in (gs.nx, gs.ny, gs.nz))
+                          if gs is not None else 3)
+        if self.lisotropic_advection and dimensionality < 3:
+            ts.advec(jnp.sqrt(pen.u2()
+                              * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2)))
+        else:
+            ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
         if pen.eos is not None and ("lnrho" in pen.reg.slots
                                     or "rho" in pen.reg.slots):
             # gated on ldensity like the reference (energy module
@@ -89,4 +151,7 @@ class Hydro(ModuleBase):
         from .initcond import init_vector
         return {"uu": init_vector(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,
-                                  kz=self.kz, width=self.width)}
+                                  kz=self.kz, width=self.width,
+                                  const3=self.uu_const,
+                                  rnoise_int=self.rnoise_int,
+                                  rnoise_ext=self.rnoise_ext)}

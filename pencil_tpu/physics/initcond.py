@@ -12,6 +12,13 @@ def _coords(grid):
     return grid.xg, grid.yg, grid.zg
 
 
+def cubic_step(x, x0, width, shift=0.0):
+    """Reference ``sub.f90`` cubic_step: smooth 0→1 step of half-width
+    ``width`` centred at ``x0 + shift·width``."""
+    xi = jnp.clip((x - x0) / max(width, 1e-30) - shift, -1.0, 1.0)
+    return 0.5 + xi * (0.75 - xi * xi * 0.25)
+
+
 def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
                 kx=1.0, ky=1.0, kz=1.0, field="", left=0.0, right=0.0,
                 xjump=0.0):
@@ -45,7 +52,9 @@ def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
 
 
 def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
-                kz=1.0, width=0.1, sigma=1.0):
+                kz=1.0, width=0.1, sigma=1.0, const3=(0.0, 0.0, 0.0),
+                rnoise_int=0.0, rnoise_ext=0.0, radius=1.0, eps_tube=0.0,
+                center1=(0.0, 0.0, 0.0)):
     name = name.lower()
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
@@ -114,6 +123,47 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
     if name == "vertical_dipole":
         # magnetic.f90:2265: A = (0, 0, A·r·sinθ)
         return jnp.stack([zero, zero, ampl * x * jnp.sin(y) + zero])
+    if name in ("const_uu", "const-uu"):
+        # u = uu_const componentwise (reference hydro.f90:1691)
+        return jnp.stack([zero + float(const3[a]) for a in range(3)])
+    if name == "sinxsinz":
+        # reference initcond.f90:120 sinxsinz — despite the name it ADDS
+        # ampl·cos(kx·x)·cos(ky·y)·cos(kz·z) to component i+1 (the
+        # y-component of a vector slot) only
+        prof = ampl * (jnp.cos(kx * x) * jnp.cos(ky * y)
+                       * jnp.cos(kz * z)) + zero
+        return jnp.stack([zero, prof, zero])
+    if name == "gaussian-noise-rprof":
+        # Gaussian noise confined to rnoise_int < r < rnoise_ext by
+        # cubic-step shoulders of width dr/4 (initcond.f90:4482
+        # gaunoise_rprof_vect); r is the cylindrical/spherical radius in
+        # curvilinear coordinates (= the x coordinate), spherical r in a
+        # cartesian box
+        if getattr(spec, "coords", "cartesian") != "cartesian":
+            rr = x + zero
+        else:
+            rr = jnp.sqrt(x * x + y * y + z * z) + zero
+        dr = rnoise_ext - max(0.0, rnoise_int)
+        prof = 1.0 - cubic_step(rr, rnoise_ext, 0.25 * dr, shift=-1.0)
+        if rnoise_int > 0.0:
+            prof = prof * cubic_step(rr, rnoise_int, 0.25 * dr, shift=1.0)
+        noise = jax.random.normal(key, (3,) + shape, dtype=grid.x.dtype)
+        return ampl * prof[None] * noise
+    if name == "hor-tube-x":
+        # x-aligned flux tube (initcond.f90:3599 htube_x): the quenched
+        # gaussian tmp = (1+ε cos(2πx/Lx))/(1+r²/R²) is NOT scaled by
+        # ampl (reference quirk — ampl only gates zero); A =
+        # (0, −(z−c_z)·tmp, +(y−c_y)·tmp)
+        if ampl == 0.0:
+            return zeros3
+        import math as _m
+        kxm = 2.0 * _m.pi / spec.Lx
+        modulate = (1.0 + eps_tube * jnp.cos(kxm * x)) if eps_tube != 0.0 \
+            else 1.0
+        dy_ = y - center1[1]
+        dz_ = z - center1[2]
+        tmp = modulate / (1.0 + (dy_ ** 2 + dz_ ** 2) / radius ** 2) + zero
+        return jnp.stack([zero, -dz_ * tmp + zero, dy_ * tmp + zero])
     if name == "anelastic-lin":
         # u_x = A·sin(x)·cos(z), u_y = 0, and u_z is zeroed after being
         # set (the `!!!` line, reference hydro.f90:2346-2354) — the ampl

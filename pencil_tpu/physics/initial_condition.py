@@ -376,3 +376,86 @@ def ic_dust_equilibrium(grid, spec, eos, cfg, params):
     zero = jnp.zeros(spec.shape, grid.z.dtype)
     out["uud"] = jnp.stack([zero, zero, -vdampl * zg + zero])
     return out
+
+
+@register_ic("viscous_ring")
+def ic_viscous_ring(grid, spec, eos, cfg, params):
+    """Spreading viscous ring (reference
+    src/initial_condition/viscous_ring.f90): the Lynden-Bell & Pringle
+    self-similar ring at t = time0,
+
+      ρ = (2π√(π t₀) r_cyl^{3/4})⁻¹ · e^{−(r_cyl−1)²/t₀ − (z−1)²/σ_z}
+      u_φ = r_cyl·√(1/r_cyl³ − 2cs₀²(r_cyl−1)/(r_cyl t₀))
+      u_R = −3ν/(2 r_cyl) + 6ν(r_cyl−1)/t₀
+
+    with the reference's spherical decomposition u_θ = u_R·cosθ/r
+    (viscous_ring.f90:48, verbatim) and fixed time0=0.018, sigmaz=0.3."""
+    import jax.numpy as jnp
+    p = dict(params)
+    nu = float(p.get("nu", 0.0))
+    cs20 = float(p.get("cs20", 1.0))
+    time0 = 0.018
+    sigmaz = 0.3
+    ones = jnp.ones(spec.shape, grid.z.dtype)
+    if cfg.grid.coords == "spherical":
+        rr_sph = grid.xg + 0.0 * ones
+        sinth, costh = jnp.sin(grid.yg), jnp.cos(grid.yg)
+        rr_cyl = rr_sph * sinth
+        z_mn = rr_sph * costh
+    else:
+        rr_cyl = grid.xg + 0.0 * ones
+        rr_sph = rr_cyl
+        z_mn = grid.zg + 0.0 * ones
+    pc = 2.0 * cs20 * (rr_cyl - 1.0) / (rr_cyl * time0)
+    omega = jnp.sqrt(jnp.maximum(1.0 / rr_cyl ** 3 - pc, 0.0))
+    uphi = rr_cyl * omega
+    urad = -1.5 * nu / rr_cyl + 6.0 * nu * (rr_cyl - 1.0) / time0
+    zero = 0.0 * ones
+    if cfg.grid.coords == "spherical":
+        uu = jnp.stack([urad * sinth + zero,
+                        urad / rr_sph * costh + zero, uphi])
+    else:
+        uu = jnp.stack([urad + zero, uphi, zero])
+    import math
+    tmp = 1.0 / (2.0 * math.pi * math.sqrt(math.pi * time0)
+                 * rr_cyl ** 0.75)
+    lnrho = (jnp.log(tmp) - (rr_cyl - 1.0) ** 2 / time0
+             - (z_mn - 1.0) ** 2 / sigmaz)
+    out = {"+uu": uu}
+    den = cfg.module("density")
+    if den is not None and getattr(den, "lnolog", False):
+        out["rho"] = jnp.exp(lnrho) * ones
+    else:
+        out["lnrho"] = lnrho * ones
+    return out
+
+
+@register_ic("alfven_wave")
+def ic_alfven_wave(grid, spec, eos, cfg, params):
+    """Circularly-polarized Alfvén wave (reference
+    src/initial_condition/alfven_wave.f90): u_i = amp0_i·sin(k·x+φ₀); for
+    the bfield slot B_i = √(µ0ρ0)·amp0_i·sin(k·x+φ₀), otherwise
+    A_x = −(c/k_z)amp0_y·cos(k·x+φ₀), A_y = +(c/k_z)amp0_x·cos(k·x+φ₀)."""
+    import jax.numpy as jnp
+    p = dict(params)
+    amp = [float(v) for v in (p.get("init_amp0") or [0.0, 0.0, 0.0])]
+    k0 = [float(v) for v in (p.get("init_k0") or [0.0, 0.0, 1.0])]
+    phase = float(p.get("init_phase0", 0.0))
+    ones = jnp.ones(spec.shape, grid.z.dtype)
+    arg = (k0[0] * grid.xg + k0[1] * grid.yg + k0[2] * grid.zg
+           + phase) + 0.0 * ones
+    sin = jnp.sin(arg)
+    uu = jnp.stack([amp[0] * sin, amp[1] * sin, amp[2] * sin])
+    out = {"+uu": uu}
+    rho0 = eos.rho0 if eos is not None else 1.0
+    c = rho0 ** 0.5     # √(µ0 ρ0), µ0 = 1 code units
+    bf = cfg.module("bfield")
+    if bf is not None:
+        out["+bb"] = c * uu
+    elif cfg.module("magnetic") is not None:
+        cos = jnp.cos(arg)
+        ck = c / k0[2]
+        zero = 0.0 * ones
+        out["+aa"] = jnp.stack([-ck * amp[1] * cos, ck * amp[0] * cos,
+                                zero])
+    return out

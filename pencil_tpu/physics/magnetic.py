@@ -40,13 +40,17 @@ class Magnetic(ModuleBase):
     B_ext: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     llorentzforce: bool = True
     lohmic_heat: bool = True
-    lweyl_gauge: bool = False
     init: str = "zero"
     ampl: float = 0.0
     kx: float = 1.0
     ky: float = 1.0
     kz: float = 1.0
     relhel_aa: float = 1.0     # fractional helicity of Beltrami inits
+    rnoise_int: float = 0.0    # radial band for 'gaussian-noise-rprof'
+    rnoise_ext: float = 0.0
+    radius: float = 1.0        # flux-tube inits ('hor-tube-x' etc.)
+    epsilonaa: float = 0.0
+    center1: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     lrelativistic_eos: bool = False
 
     def register(self, reg):
@@ -145,4 +149,9 @@ class Magnetic(ModuleBase):
         from .initcond import init_vector
         return {"aa": init_vector(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,
-                                  kz=self.kz, sigma=self.relhel_aa)}
+                                  kz=self.kz, sigma=self.relhel_aa,
+                                  rnoise_int=self.rnoise_int,
+                                  rnoise_ext=self.rnoise_ext,
+                                  radius=self.radius,
+                                  eps_tube=self.epsilonaa,
+                                  center1=self.center1)}

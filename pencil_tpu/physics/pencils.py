@@ -88,25 +88,85 @@ class Pencils:
         r²sinθ dr dθ dφ — a plain jnp.mean is wrong off-cartesian).
         Returns None on cartesian grids; else w with mean(w) = 1 so
         ⟨x⟩_V = mean(x·w)."""
-        if self.cfg is None or self.cfg.grid.coords == "cartesian":
+        if self.cfg is None:
             return None
-        g = self.grid
         gs = self.cfg.grid
-        if gs.coords == "cylindrical":
-            w = g.xg + 0.0 * (g.yg + g.zg)
+        if gs.coords == "cartesian":
+            # cartesian sum_mn is a PLAIN mean (diagnostics.f90: the
+            # r²/sinθ/rcyl weights and their ½-edge factors exist only
+            # for curvilinear coords, grid.f90:1138-1161)
+            return None
+        # the weights depend only on STATIC grid geometry — build and
+        # normalize in float64 numpy at trace time (an f32 jnp.mean over
+        # ~32k elements carries O(1e-4) summation error, visible in
+        # format-precision golden columns)
+        import numpy as np
+        g = self.grid
+        try:
+            x = np.asarray(g.x[self._g:-self._g], np.float64)
+            y = np.asarray(g.y[self._g:-self._g], np.float64)
+        except Exception:
+            # inside shard_map the grid rides as a traced operand — fall
+            # back to jnp weights (f32 normalization; the per-shard diag
+            # path is not used for format-precision golden comparisons)
+            if gs.coords == "cylindrical":
+                w = g.xg + 0.0 * (g.yg + g.zg)
+            elif gs.coords == "spherical":
+                w = g.xg ** 2 * jnp.sin(g.yg) + 0.0 * g.zg
+            else:
+                w = jnp.ones((1, 1, 1), g.z.dtype)
+            w = w * jnp.ones(gs.shape, w.dtype)
+            for axis, (n, per) in enumerate(zip(gs.shape, gs.periodic)):
+                if per or n == 1:
+                    continue
+                e = jnp.ones((n,), w.dtype).at[0].set(0.5).at[-1].set(0.5)
+                shape = [1, 1, 1]
+                shape[axis] = n
+                w = w * e.reshape(shape)
+            return w / jnp.mean(w)
+        if gs.coords == "cartesian":
+            w = np.ones((gs.nx, gs.ny, gs.nz))
+        elif gs.coords == "cylindrical":
+            w = np.broadcast_to(x[:, None, None],
+                                (gs.nx, gs.ny, gs.nz)).copy()
         else:   # spherical: r² sinθ
-            w = g.xg ** 2 * jnp.sin(g.yg) + 0.0 * g.zg
+            w = np.broadcast_to(
+                (x ** 2)[:, None, None] * np.sin(y)[None, :, None],
+                (gs.nx, gs.ny, gs.nz)).copy()
         # non-periodic axes: the boundary nodes own half a cell
-        # (reference grid.f90 dVol edge factors)
-        w = w * jnp.ones(gs.shape, w.dtype)
+        # (reference grid.f90:1169-1172 r2_weight/sinth_weight halving)
         for axis, (n, per) in enumerate(zip(gs.shape, gs.periodic)):
             if per or n == 1:
                 continue
-            e = jnp.ones((n,), w.dtype).at[0].set(0.5).at[-1].set(0.5)
+            e = np.ones(n)
+            e[0] = e[-1] = 0.5
             shape = [1, 1, 1]
             shape[axis] = n
             w = w * e.reshape(shape)
-        return w / jnp.mean(w)
+        # normalize with the reference's ANALYTIC relative volume
+        # (diagnostics.f90:147-199 dVol_rel1: e.g. spherical
+        # (x1³−x0³)/(3dx)·(cosθ0−cosθ1)/dy·Lφ/dz), so sum-type means
+        # equal fsum·dVol_rel1 exactly
+        x0, x1 = gs.x0, gs.x0 + gs.Lx
+        y0, y1 = gs.y0, gs.y0 + gs.Ly
+        if gs.coords == "cylindrical":
+            D = 1.0
+            if gs.nx > 1:
+                D *= (x1 ** 2 - x0 ** 2) / (2.0 * gs.dx)
+            if gs.ny > 1:
+                D *= gs.Ly / gs.dy
+            if gs.nz > 1:
+                D *= gs.Lz / gs.dz
+        else:   # spherical
+            D = 1.0
+            if gs.nx > 1:
+                D *= (x1 ** 3 - x0 ** 3) / (3.0 * gs.dx)
+            if gs.ny > 1:
+                D *= (np.cos(y0) - np.cos(y1)) / gs.dy
+            if gs.nz > 1:
+                D *= gs.Lz / gs.dz
+        n_tot = gs.nx * gs.ny * gs.nz
+        return jnp.asarray(w * (n_tot / D), g.z.dtype)
 
     def _gh(self, name):
         """Ghosted slab of a named field: (ncomp, mx, my, mz)."""

@@ -29,6 +29,10 @@ class Viscosity(ModuleBase):
     nu_shock: float = 0.0
     zeta: float = 0.0      # dynamic bulk viscosity ('rho-nu-const-bulk')
     nu_aniso_hyper3: tuple = (0.0, 0.0, 0.0)  # 'hyper3_nu-const_aniso'
+    # operator-split exact spectral integration of ν∇²u after each full
+    # step (reference viscosity.f90 limplicit_viscosity →
+    # implicit_diffusion.f90 'fft'); the explicit term and its CFL are off
+    limplicit_viscosity: bool = False
 
     def rhs(self, pen, df, ts):
         if "uu" not in pen.reg.slots:
@@ -57,7 +61,7 @@ class Viscosity(ModuleBase):
                 heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
         if ({"simplified", "nu-simplified", "0"} & set(self.ivisc)) \
-                and self.nu > 0.0:
+                and self.nu > 0.0 and not self.limplicit_viscosity:
             # f = ν∇²u, no density factors (viscosity.f90:348-350
             # lvisc_simplified — the only ivisc Boussinesq permits,
             # viscosity.f90:668); heat pencil 2νS² (:958)
@@ -152,3 +156,11 @@ class Viscosity(ModuleBase):
             accumulate(df, "uu", fvisc)
         if not isinstance(heat, float):
             pen._cache["visc_heat"] = heat
+
+    def after_timestep(self, state, grid, cfg, reg, eos, dt, t, key,
+                       it=None):
+        if self.limplicit_viscosity and self.nu > 0.0 and "uu" in state:
+            from ..ops.poisson import diffuse_fft
+            state = dict(state)
+            state["uu"] = diffuse_fft(state["uu"], cfg.grid, self.nu, dt)
+        return state

