@@ -321,13 +321,30 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         return d
 
     eos_p = grp("eos")
+    # cgs unit system of the run (cdata unit_length/...); with
+    # lfix_unit_std the temperature unit is derived so that lnTT0=0
+    # (eos_idealgas.f90:172-183: Rgas=µ/γ, cp=1/(γ−1), unit_T=uv²Rgas/R*)
+    _units = {k: float(init_pars[k]) for k in
+              ("unit_length", "unit_velocity", "unit_density",
+               "unit_temperature") if k in init_pars}
+    _gamma_eos = float(eos_p.get("gamma", 5.0 / 3.0))
+    _cp_eos = float(eos_p.get("cp", 1.0))
+    if init_pars.get("lfix_unit_std") and _gamma_eos != 1.0:
+        _mu_eos = float(eos_p.get("mu", 0.62))
+        _cp_eos = 1.0 / (_gamma_eos - 1.0)
+        if "unit_temperature" not in _units:
+            _Rgas_cgs = 1.380649e-16 / 1.66053907e-24
+            _units["unit_temperature"] = (
+                _units.get("unit_velocity", 1.0) ** 2
+                * (_mu_eos / _gamma_eos) / _Rgas_cgs)
     if "noeos" in mkf.get("EOS", ""):
         pass   # EOS=noeos: no thermodynamics, no sound-speed CFL
     elif eos_p or "eos_init_pars" in start or "density_init_pars" in start:
         modules.append(EosIdealGas(
-            gamma=float(eos_p.get("gamma", 5.0 / 3.0)),
+            gamma=_gamma_eos,
             cs0=float(eos_p.get("cs0", 1.0)),
             rho0=float(eos_p.get("rho0", 1.0)),
+            cp=_cp_eos,
         ))
 
     # lweno_transport lives in the GENERAL run_pars (reference
@@ -354,6 +371,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lnolog=bool(den_p.get("ldensity_nolog", False)),
             lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             diffrho=float(den_p.get("diffrho", den_p.get("cdiffrho", 0.0))),
+            diffrho_shock=float(den_p.get("diffrho_shock", 0.0)),
             # idiff selects the operators (reference src/density.f90
             # multi-select); samples only set a diffrho_* coefficient when
             # the matching idiff label is chosen, so presence == selection
@@ -512,6 +530,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             gravz_profile=gprof,
             gravz=gz,
             zinfty=float(grav_p.get("zinfty", 0.0)),
+            unit_length=_units.get("unit_length", 1.0),
+            unit_velocity=_units.get("unit_velocity", 1.0),
             # GRAVITY=gravity_r central potentials (gravity_r.f90)
             ipotential=str(_first(grav_p.get("ipotential", ""))),
             g0=float(grav_p.get("g0", 0.0)),
@@ -593,12 +613,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             iheatcond=_as_tuple(ihc),
             hcond0=float(ent_p.get("hcond0", 0.0)),
             chi=float(ent_p.get("chi", 0.0)),
+            chi_shock=float(ent_p.get("chi_shock", 0.0)),
             chi_hyper3=float(ent_p.get("chi_hyper3", 0.0)),
             chi_hyper3_mesh=float(ent_p.get("chi_hyper3_mesh", 0.0)),
             chi_hyper3_aniso=_aniso3(ent_p.get("chi_hyper3_aniso", 0.0)),
             tau_cool=float(ent_p.get("tau_cool", 0.0)),
             TTref_cool=float(ent_p.get("ttref_cool", 0.0)),
             lupw_ss=bool(ent_p.get("lupw_ss", False)),
+            lthdiff_Hmax=bool(ent_p.get("lthdiff_hmax", False)),
             luminosity=float(ent_p.get("luminosity", 0.0)),
             wheat=float(ent_p.get("wheat", 0.1)),
             cool=float(ent_p.get("cool", 0.0)),
@@ -859,6 +881,34 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 par_p.get("dustdensity_powerlaw", 0.0)),
         ))
 
+    is_p = grp("interstellar")
+    if "nointerstellar" not in mkf.get("INTERSTELLAR", "nointerstellar"):
+        from ..physics.interstellar import Interstellar
+        modules.append(Interstellar(
+            cooling_select=str(is_p.get("cooling_select", "WSW")),
+            heating_select=str(is_p.get("heating_select", "wolfire")),
+            heating_rate=float(is_p.get("heating_rate", 0.015)),
+            GammaUV=float(is_p.get("gammauv", 0.0)),
+            coolingfunction_scalefactor=float(
+                is_p.get("coolingfunction_scalefactor", 1.0)),
+            heatingfunction_scalefactor=float(
+                is_p.get("heatingfunction_scalefactor", 1.0)),
+            heatingfunction_fadefactor=float(
+                is_p.get("heatingfunction_fadefactor", 0.0)),
+            laverage_SNI_heating=bool(
+                is_p.get("laverage_sni_heating", False)),
+            laverage_SNII_heating=bool(
+                is_p.get("laverage_snii_heating", False)),
+            lSNI=bool(is_p.get("lsni", True)),
+            lSNII=bool(is_p.get("lsnii", True)),
+            h_SNI=float(is_p.get("h_sni", 0.0)),
+            h_SNII=float(is_p.get("h_snii", 0.0)),
+            unit_length=_units.get("unit_length", 1.0),
+            unit_velocity=_units.get("unit_velocity", 1.0),
+            unit_density=_units.get("unit_density", 1.0),
+            unit_temperature=_units.get("unit_temperature", 1.0),
+        ))
+
     sp_p = grp("special")
     sp_slot = mkf.get("SPECIAL", "")
     if sp_slot:
@@ -895,6 +945,23 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     if ic_slot:
         from ..physics.initial_condition import InitialCondition
         plugin = ic_slot.split("/")[-1]
+        # unit system for IC plug-ins with cgs-constant profiles
+        for k, v in _units.items():
+            ic_p.setdefault(k, v)
+        if plugin == "ths_equilibrium_ism":
+            ism_fn = os.path.join(path, "init_ism.in")
+            if os.path.exists(ism_fn):
+                rows = []
+                with open(ism_fn) as fh:
+                    for line in fh:
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            try:
+                                rows.append((float(parts[0]),
+                                             float(parts[1])))
+                            except ValueError:
+                                pass
+                ic_p["_init_ism_rows"] = tuple(rows)
         modules.append(InitialCondition(
             plugin=plugin,
             params=tuple(sorted((k, v) for k, v in ic_p.items()))))
@@ -974,6 +1041,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                     v = float(arr[ci])
                 if c == "cT" and ent is not None and getattr(ent, "cs2cool", 0) > 0:
                     v = ent.cs2cool
+                elif c == "ism":
+                    # observed scale height: density_scale_factor or
+                    # 900 pc / unit_length (boundcond.f90:8613-8617)
+                    dsf = run_pars.get(
+                        "density_scale_factor",
+                        init_pars.get("density_scale_factor"))
+                    v = float(dsf) if dsf is not None else \
+                        2.7774e21 / _units.get("unit_length", 1.0)
                 elif c == "c1" and ent is not None and grav is not None \
                         and eos is not None:
                     # equilibrium flux F/K = −dT/dz of the bottom polytrope:

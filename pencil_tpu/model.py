@@ -333,6 +333,14 @@ class Model:
         if cfg.grid.coords != "cartesian":
             d1m = pen.dline_1()
             ts.dxyz2 = d1m[0] ** 2 + d1m[1] ** 2 + d1m[2] ** 2
+        ent = cfg.module("entropy")
+        if ent is not None and getattr(ent, "lthdiff_Hmax", False) \
+                and "ss" in df and self.eos is not None:
+            # heating-rate limit (entropy.f90:3439-3442, lthdiff_Hmax):
+            # dt1_max = max(dt1_max, |dss/dt|·cv1/cdts) over the TOTAL
+            # accumulated entropy tendency
+            cv1 = self.eos.gamma / self.eos.cp
+            ts.max_rate(jnp.abs(df["ss"]) * cv1 / cfg.time.cdts)
         dt1 = cfl_dt1(ts, grid, cfg.time)
         return dfa, dt1, dpstate
 

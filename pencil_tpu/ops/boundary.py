@@ -145,7 +145,10 @@ def bc_der(fgc, axis, side, val, ctx):
 
 
 def _lnrho_comp(ctx):
-    return ctx.fg[ctx.reg.comp_index("lnrho")]
+    if "lnrho" in ctx.reg.slots:
+        return ctx.fg[ctx.reg.comp_index("lnrho")]
+    # ldensity_nolog: the stored slot is rho itself
+    return jnp.log(jnp.maximum(ctx.fg[ctx.reg.comp_index("rho")], 1e-30))
 
 
 def bc_TT_temp(fgc, axis, side, val, ctx):
@@ -499,11 +502,16 @@ def bc_ss_temp_old(fgc, axis, side, val, ctx):
 
 def bc_ism(fgc, axis, side, val, ctx):
     """'ism': interstellar-run exponential density/entropy ghost profile
-    with scale height ``val`` (reference bc_ism; scale defaults to
-    density_scale_factor)."""
-    scale = val if val > 0 else 1.0
+    with the observed warm-gas scale height (reference bc_ism,
+    boundcond.f90:8590-8676).  ``val`` carries density_scale (the code-
+    units scale height, default 2.7774e21 cm/unit_length = 0.9 kpc);
+    ρ ghosts decay as exp(−Δz/h); ss ghosts hold local temperature
+    constant across the boundary plus a cv·ln(Δz·h+1) softening.  The
+    reference's log-density branch uses h at the bottom and 1/h at the
+    top (the :8631 vs :8655 asymmetry) — replicated verbatim."""
+    scale = val if val > 0 else 0.9
     m = fgc.shape[_ax(fgc, axis)]
-    cv = _coordvec(ctx, axis)
+    cvv = _coordvec(ctx, axis)
     _, _, bi = _plane_idx(m, side, 1)
     bnd = _take(fgc, axis, bi)
     if ctx.comp == "ss":
@@ -514,15 +522,21 @@ def bc_ism(fgc, axis, side, val, ctx):
         lnrho_b = _take(lnrho, axis, bi)
         for j in (1, 2, 3):
             gi, _, _ = _plane_idx(m, side, j)
-            dist = jnp.abs(cv[gi] - cv[bi])
+            dist = jnp.abs(cvv[gi] - cvv[bi])
             fgc = _put(fgc, axis, gi,
                        bnd + (cp - cvs) * (lnrho_b - _take(lnrho, axis, gi))
                        + cvs * jnp.log(dist * scale + 1.0))
-    else:
+    elif ctx.comp == "rho":
         for j in (1, 2, 3):
             gi, _, _ = _plane_idx(m, side, j)
-            dist = jnp.abs(cv[gi] - cv[bi])
-            fgc = _put(fgc, axis, gi, bnd - dist * scale)
+            dist = jnp.abs(cvv[gi] - cvv[bi])
+            fgc = _put(fgc, axis, gi, bnd * jnp.exp(-dist / scale))
+    else:   # lnrho
+        for j in (1, 2, 3):
+            gi, _, _ = _plane_idx(m, side, j)
+            dist = jnp.abs(cvv[gi] - cvv[bi])
+            fac = scale if side == 0 else 1.0 / scale
+            fgc = _put(fgc, axis, gi, bnd - dist * fac)
     return fgc
 
 

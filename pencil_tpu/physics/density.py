@@ -21,6 +21,7 @@ class Density(ModuleBase):
     lrelativistic_eos: bool = False  # p=ρ/3 fluid (density.f90:2546-2554)
     lweno_transport: bool = False  # WENO5 flux transport (weno_transport.f90)
     diffrho: float = 0.0           # Fickian mass diffusion
+    diffrho_shock: float = 0.0     # idiff='shock' (density.f90:2668)
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
     diffrho_hyper3_mesh: float = 0.0  # resolution-independent mesh flavor
     diffrho_hyper3_aniso: tuple = (0.0, 0.0, 0.0)  # per-axis flavor
@@ -100,6 +101,17 @@ class Density(ModuleBase):
             g2 = gl[0] ** 2 + gl[1] ** 2 + gl[2] ** 2
             out = out + self.diffrho * (pen.del2lnrho() + g2)
             ts.diffus(self.diffrho)
+        if self.diffrho_shock > 0.0 and "shock" in pen.reg.slots:
+            # D_sh·[shock·(∇²lnρ + |∇lnρ|²) + ∇shock·∇lnρ]
+            # (density.f90:2668-2678, log branch)
+            shock = pen.field("shock")
+            gshock = pen.grad("shock")
+            gl = pen.glnrho()
+            g2 = gl[0] ** 2 + gl[1] ** 2 + gl[2] ** 2
+            gsgl = sum(gshock[a] * gl[a] for a in range(3))
+            out = out + self.diffrho_shock * (
+                shock * (pen.del2lnrho() + g2) + gsgl)
+            ts.diffus(self.diffrho_shock * shock)
         if self.diffrho_hyper3 > 0.0:
             out = out + self.diffrho_hyper3 * pen.del6s_scaled("lnrho")
             ts.diffus3(self.diffrho_hyper3)

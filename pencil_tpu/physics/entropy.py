@@ -29,6 +29,7 @@ class Entropy(ModuleBase):
     iheatcond: Tuple[str, ...] = ("K-const",)
     hcond0: float = 0.0        # K for 'K-const'
     chi: float = 0.0           # χ for 'chi-const'
+    chi_shock: float = 0.0     # iheatcond 'shock' (entropy.f90:4675)
     chi_hyper3: float = 0.0
     chi_hyper3_mesh: float = 0.0
     chi_hyper3_aniso: tuple = (0.0, 0.0, 0.0)  # per-axis (iheatcond
@@ -38,6 +39,9 @@ class Entropy(ModuleBase):
     tau_cool: float = 0.0
     TTref_cool: float = 0.0
     lupw_ss: bool = False
+    # dt limited by the total entropy tendency |dss/dt|·cv1/cdts
+    # (entropy.f90:3440, needed by strong-heating ISM runs)
+    lthdiff_Hmax: bool = False
     lweno_transport: bool = False  # WENO flux advection (entropy.f90:3342)
     # heating/cooling layers (conv-slab style)
     luminosity: float = 0.0
@@ -104,6 +108,18 @@ class Entropy(ModuleBase):
             gdot = sum(glnTT[a] * (glnTT[a] + glnrho[a]) for a in range(3))
             out = out + eos.cp * self.chi * (pen.del2lnTT() + gdot)
             ts.diffus(self.chi * eos.gamma)
+        if "shock" in self.iheatcond and self.chi_shock > 0.0 \
+                and "shock" in pen.reg.slots:
+            # χ_sh·[shock·(∇²lnT + (∇lnρ+∇lnT)·∇lnT) + ∇shock·∇lnT]
+            # (entropy.f90:4675 calc_heatcond_shock, non-density-dep form)
+            shock = pen.field("shock")
+            gshock = pen.grad("shock")
+            glnrho = pen.glnrho()
+            g2 = sum((glnrho[a] + glnTT[a]) * glnTT[a] for a in range(3))
+            gsglnTT = sum(gshock[a] * glnTT[a] for a in range(3))
+            out = out + self.chi_shock * (
+                shock * (pen.del2lnTT() + g2) + gsglnTT)
+            ts.diffus(eos.gamma * self.chi_shock * shock)
         if self.chi_hyper3 > 0.0:
             out = out + self.chi_hyper3 * pen.del6s_scaled("ss")
             ts.diffus3(self.chi_hyper3)

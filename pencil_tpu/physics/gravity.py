@@ -22,6 +22,9 @@ class Gravity(ModuleBase):
     # top of the polytropic atmosphere: Φ = −g_z(z − z∞)
     # (gravity_simple.f90:427; defaults to 0 when not given, :230)
     zinfty: float = 0.0
+    # cgs base units for profiles with physical constants ('Ferriere')
+    unit_length: float = 1.0
+    unit_velocity: float = 1.0
     kappa_z: float = 1.0     # for 'sin-z': g = gravz·sin(kappa_z·z)
     # central potential (reference src/gravity_r.f90): g = −GM r̂/(r²+r₀²)
     mass: float = 0.0
@@ -84,6 +87,20 @@ class Gravity(ModuleBase):
             gz = self.gravz * g.zg + zero
         elif self.gravz_profile == "sin-z":
             gz = self.gravz * jnp.sin(self.kappa_z * g.zg) + zero
+        elif self.gravz_profile.lower() == "ferriere":
+            # K. Ferriere ApJ 497, 759 (1998) eq 34 at solar radius
+            # (gravity_simple.f90:536-553): stellar-disk + dark-halo terms,
+            # cgs constants a_S=4.4e-9, z_S=6.172e20, a_D=1.7e-9,
+            # z_D=3.086e21 converted with the run's unit system
+            uv, ul = self.unit_velocity, self.unit_length
+            utime = ul / uv
+            g_A = 4.4e-9 / uv * utime
+            g_B = 6.172e20 / ul
+            g_C = 1.7e-9 / uv * utime
+            g_D = 3.086e21 / ul
+            zz = g.zg
+            gz = -(g_A * zz / jnp.sqrt(zz ** 2 + g_B ** 2)
+                   + g_C * zz / g_D) + zero
         else:
             raise NotImplementedError(self.gravz_profile)
         gx = self.gravx + zero if self.gravx != 0.0 else zero

@@ -459,3 +459,82 @@ def ic_alfven_wave(grid, spec, eos, cfg, params):
         out["+aa"] = jnp.stack([-ck * amp[1] * cos, ck * amp[0] * cos,
                                 zero])
     return out
+
+
+def _ism_ss(lnrho, lnTT, eos):
+    """eoscalc(ilnrho_lnTT → ss): invert lnTT = lnTT0 + (γ/cp)ss +
+    (γ−1)(lnρ−lnρ0)."""
+    import jax.numpy as jnp
+    g = eos.gamma
+    return (eos.cp / g) * (lnTT - eos.lnTT0
+                           - (g - 1.0) * (lnrho - eos.lnrho0))
+
+
+@register_ic("ths1D_equilibrium_ism")
+def ic_ths1d_equilibrium_ism(grid, spec, eos, cfg, params):
+    """1-D thermo-hydrostatic ISM start (reference
+    src/initial_condition/ths1D_equilibrium_ism.f90): a 5-component
+    vertical density stack (2 gaussian + 3 exponential scale heights
+    from Dickey & Lockman) at uniform T_init, entropy from
+    eoscalc(ilnrho_lnTT)."""
+    import jax.numpy as jnp
+    p = dict(params)
+    ud = float(p.get("unit_density", 1.0))
+    ul = float(p.get("unit_length", 1.0))
+    ut = float(p.get("unit_temperature", 1.0))
+    rhox = float(p.get("rhox", 1.0))
+    He = float(p.get("he_factor", 1.101))
+    T_init = float(p.get("t_init", 0.0)) or 1e3 / ut
+    m_u = 1.66053907e-24
+    nfrac = (0.399, 0.1083, 0.0627, 0.015, 0.025)
+    hscale = tuple(h / ul for h in
+                   (3.9188e20, 9.8125e20, 1.2435e21, 2.1600e20, 2.7771e21))
+    frac = [rhox * He * n * m_u / ud for n in nfrac]
+    z = grid.zg
+    rho = (frac[0] * jnp.exp(-(z / hscale[0]) ** 2)
+           + frac[1] * jnp.exp(-(z / hscale[1]) ** 2)
+           + frac[2] * jnp.exp(-jnp.abs(z) / hscale[2])
+           + frac[3] * jnp.exp(-jnp.abs(z) / hscale[3])
+           + frac[4] * jnp.exp(-jnp.abs(z) / hscale[4]))
+    lnrho = jnp.log(rho)
+    lnTT = jnp.log(T_init) + 0.0 * lnrho
+    ones = jnp.ones(spec.shape, grid.z.dtype)
+    out = {}
+    den = cfg.module("density")
+    if den is not None and getattr(den, "lnolog", False):
+        out["rho"] = rho * ones
+    else:
+        out["lnrho"] = lnrho * ones
+    if cfg.module("entropy") is not None:
+        out["ss"] = _ism_ss(lnrho, lnTT, eos) * ones
+    return out
+
+
+@register_ic("ths_equilibrium_ism")
+def ic_ths_equilibrium_ism(grid, spec, eos, cfg, params):
+    """3-D ISM equilibrium start (reference ths_equilibrium_ism.f90):
+    reads the precomputed (ρ_cgs, T_cgs) column from the run dir's
+    init_ism.in (one row per global z point) and sets lnρ and ss."""
+    import numpy as np
+    import jax.numpy as jnp
+    p = dict(params)
+    rows = np.asarray(p.get("_init_ism_rows") or [], dtype=np.float64)
+    if rows.size == 0:
+        raise ValueError("ths_equilibrium_ism needs init_ism.in")
+    ud = float(p.get("unit_density", 1.0))
+    ut = float(p.get("unit_temperature", 1.0))
+    nz = spec.nz
+    rho_z = rows[:nz, 0] / ud
+    TT_z = rows[:nz, 1] / ut
+    lnrho = jnp.asarray(np.log(rho_z), grid.z.dtype)[None, None, :]
+    lnTT = jnp.asarray(np.log(TT_z), grid.z.dtype)[None, None, :]
+    ones = jnp.ones(spec.shape, grid.z.dtype)
+    out = {}
+    den = cfg.module("density")
+    if den is not None and getattr(den, "lnolog", False):
+        out["rho"] = jnp.exp(lnrho) * ones
+    else:
+        out["lnrho"] = lnrho * ones
+    if cfg.module("entropy") is not None:
+        out["ss"] = _ism_ss(lnrho, lnTT, eos) * ones
+    return out

@@ -204,6 +204,13 @@ class Pencils:
         return interior(out, self._crop(_OTHER_AXES[axis]), g=self._g)
 
     @_memo
+    def d5_raw(self, name, axis):
+        """Plain 5th difference (no Δ scaling) — the uij5 building block
+        of the reference 'hyper3-nu-const' viscosity (uij5glnrho)."""
+        out = st.der5(self._gh(name), axis, None)
+        return interior(out, self._crop(_OTHER_AXES[axis]), g=self._g)
+
+    @_memo
     def _d_partial(self, name, axis):
         """First derivative reducing only ``axis`` (other axes ghosted) —
         shared by the mixed second derivatives."""

@@ -139,8 +139,22 @@ class Viscosity(ModuleBase):
                 for i in range(3)
             ])
             ts.diffus(self.nu_shock * shock)
-        if "hyper3-simplified" in self.ivisc and self.nu_hyper3 > 0.0:
+        if ({"hyper3-simplified", "hyper3-nu-const",
+             "hyper3_nu-const"} & set(self.ivisc)) and self.nu_hyper3 > 0.0:
             fvisc = fvisc + self.nu_hyper3 * pen.del6v_scaled("uu")
+            if ({"hyper3-nu-const", "hyper3_nu-const"} & set(self.ivisc)) \
+                    and ("lnrho" in pen.reg.slots
+                         or "rho" in pen.reg.slots):
+                # ν₃(∇⁶u + u_{i,j}⁵·∂_j lnρ) (viscosity.f90:2095-2096);
+                # the uij5 factor uses 5th-derivative cross terms — the
+                # dominant ∂⁶ part is kept, plus the advective lnρ
+                # correction via uij·glnrho at 5th order is approximated
+                # with the same del6 scaling as the reference's aniso form
+                glnrho = pen.glnrho()
+                fvisc = fvisc + self.nu_hyper3 * jnp.stack([
+                    sum(pen.d5_raw("uu", a)[i] * pen._inv(a) ** 5
+                        * glnrho[a] for a in range(3))
+                    for i in range(3)])
             ts.diffus3(self.nu_hyper3)
         if "hyper3-mesh" in self.ivisc and self.nu_hyper3_mesh > 0.0:
             d1 = pen.dline_1()
