@@ -680,6 +680,10 @@ BC_REGISTRY: Dict[str, Callable] = {
     "0": bc_zero,
     "nil": lambda f, a, s, v, c: f,
     "": lambda f, a, s, v, c: f,
+    # 'p' periodic is realized by the halo exchange; accepted here as a
+    # marker so run.in files with explicit bcx='p' (e.g. conv-slab) load.
+    "p": lambda f, a, s, v, c: f,
+    "none": lambda f, a, s, v, c: f,
     "cop": bc_copy,
     "e1": bc_extrap_e1,
     "e2": bc_extrap_e2,

@@ -202,10 +202,18 @@ def test_ism_density_profile():
     out = _apply("ism", fg[0], 2, 1, ctx, val=scale)
     z = np.asarray(ctx.grid.z)
     b = np.asarray(fg[0])[:, :, -G - 1]
+    # top side uses 1/scale (reference bc_ism :8655 asymmetry vs :8631)
     for j in (1, 2, 3):
         dist = abs(z[-G - 1 + j] - z[-G - 1])
-        np.testing.assert_allclose(out[:, :, -G - 1 + j], b - dist * scale,
-                                   rtol=1e-4)
+        np.testing.assert_allclose(out[:, :, -G - 1 + j],
+                                   b - dist / scale, rtol=1e-4)
+    # bottom side uses scale itself (:8631)
+    out_lo = _apply("ism", fg[0], 2, 0, ctx, val=scale)
+    b_lo = np.asarray(fg[0])[:, :, G]
+    for j in (1, 2, 3):
+        dist = abs(z[G - j] - z[G])
+        np.testing.assert_allclose(out_lo[:, :, G - j],
+                                   b_lo - dist * scale, rtol=1e-4)
 
 
 def test_cdz_geometric_decay():
