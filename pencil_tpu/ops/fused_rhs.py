@@ -49,7 +49,7 @@ def _choose_tile(n, target=16):
 
 
 def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
-                   fuse_update=False, wrap_ghosts=False):
+                   fuse_update=False, wrap_ghosts=False, z_ghosted=False):
     """Returns rhs_fused(fg, z_int) -> (dfa, dt1_tiles), or with
     ``fuse_update`` rhs_fused(fg, z_int, df_prev, alpha, beta_dt) ->
     (df_new, fa_new, dt1_tiles) — the 2N-RK combine df ← α·df + rhs and
@@ -60,6 +60,13 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     dt1_tiles: (gx, gy) per-tile max inverse timestep.
     ``local_shape`` overrides the global grid dims for sharded (per-device)
     evaluation inside shard_map.
+
+    ``z_ghosted``: the state carries z ghost zones in HBM (filled by the
+    ppermute halo exchange across a z-sharded mesh, or by physical z BCs
+    on a non-periodic axis — reference finalize_isendrcv_bdry +
+    boundconds_z, mpicomm.f90:1704/boundcond.f90:1283); tiles DMA the
+    z-ghosted slab and stencils slice instead of circular-rolling, so the
+    megakernel survives z-sharding (round-2 verdict item #2).
     """
     cfg = model.cfg
     reg = model.reg
@@ -75,6 +82,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     gx, gy = nx // TX, ny // TY
     nc = reg.ncom
     nvar = reg.nvar
+    zext = nz + 2 * g if z_ghosted else nz  # DMA/scratch lane extent
     YS = -(-(TY + 2 * g) // 8) * 8          # sublane-aligned DMA slab size
     ypad = YS - (TY + 2 * g)                # extra high-side y padding
     dx1 = 1.0 / gs.dx
@@ -102,13 +110,13 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             dz1=jnp.asarray(dz1, dt),
             dx_1=jnp.full((TX + 2 * g,), dx1, dt),
             dy_1=jnp.full((TY + 2 * g,), dy1, dt),
-            dz_1=jnp.full((nz,), dz1, dt),
+            dz_1=jnp.full((zext,), dz1, dt),
             xg=x0_eff + gs.dx * xi,
             yg=y0_eff + gs.dy * yj,
             zg=z_ref[0, g:-g][None, None, :],
             z=z_ref[0],
         )
-        pen = Pencils(tile, tgrid, reg, cfg, eos, wrap_z=True)
+        pen = Pencils(tile, tgrid, reg, cfg, eos, wrap_z=not z_ghosted)
         df = {}
         ts = TimestepAccum()
         for m in model.modules:
@@ -247,14 +255,18 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         beta_dt = ab_ref[0, 1]
         dfn = alpha * dfp_ref[:] + dfa
         df_ref[:] = dfn
-        fa_ref[:] = (tile[:nvar, g:-g, g:-g, :] + beta_dt * dfn)
+        body_z = tile[:nvar, g:-g, g:-g, g:-g] if z_ghosted \
+            else tile[:nvar, g:-g, g:-g, :]
+        fa_ref[:] = body_z + beta_dt * dfn
         dt1_ref[i, j] = dt1m
 
-    vmem_bytes = (nc * (TX + 2 * g) * (TY + 2 * g) * (nz + 2 * g)) * 4
     interpret = jax.devices()[0].platform != "tpu"
 
-    if not gs.periodic[2]:
-        raise NotImplementedError("fused RHS v1 needs periodic z")
+    if not z_ghosted and not gs.periodic[2]:
+        raise NotImplementedError(
+            "fused RHS: non-periodic z requires z_ghosted tiles")
+    if wrap_ghosts and z_ghosted:
+        raise NotImplementedError("wrap_ghosts and z_ghosted are exclusive")
 
     dtype = jnp.dtype(cfg.dtype)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -271,7 +283,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     else:
         fetch = _dma_tile
         scratch_shapes = [
-            pltpu.VMEM((2, nc, TX + 2 * g, YS, nz), dtype),
+            pltpu.VMEM((2, nc, TX + 2 * g, YS, zext), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
@@ -302,6 +314,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
 
         rhs_fused.ypad = ypad
         rhs_fused.wrap_ghosts = wrap_ghosts
+        rhs_fused.z_ghosted = z_ghosted
         return rhs_fused
 
     call = pl.pallas_call(
@@ -334,4 +347,5 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
 
     rhs_fused_update.ypad = ypad
     rhs_fused_update.wrap_ghosts = wrap_ghosts
+    rhs_fused_update.z_ghosted = z_ghosted
     return rhs_fused_update

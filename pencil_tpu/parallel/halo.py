@@ -48,9 +48,8 @@ def _wrap_axis(fg: jnp.ndarray, axis: int, extra: int = 0,
 
 
 def _exchange_axis(fg: jnp.ndarray, axis: int, axis_name: str, psize: int,
-                   extra: int = 0) -> jnp.ndarray:
+                   extra: int = 0, g: int = NGHOST) -> jnp.ndarray:
     """ppermute ring exchange of ghost slabs along one sharded mesh axis."""
-    g = NGHOST
     ax = fg.ndim - 3 + axis
     m = fg.shape[ax] - extra
     hi_int = jax.lax.slice_in_dim(fg, m - 2 * g, m - g, axis=ax)
@@ -99,7 +98,7 @@ def fill_ghosts(
         name = mesh_axis_names[axis] if mesh_axis_names else None
         psize = mesh_shape[axis]
         if name is not None and psize > 1:
-            fg = _exchange_axis(fg, axis, name, psize, extra_hi[axis])
+            fg = _exchange_axis(fg, axis, name, psize, extra_hi[axis], g)
             if not spec.periodic[axis]:
                 idx = jax.lax.axis_index(name)
                 edge = (idx == 0, idx == psize - 1)
@@ -137,7 +136,7 @@ def fold_ghosts(acc, spec, mesh_axis_names=None, mesh_shape=(1, 1, 1)):
 
     acc: ghosted accumulator (..., mx, my, mz) → interior (..., nx, ny, nz).
     """
-    g = NGHOST
+    g = spec.nghost
     for axis in range(3):
         ax = acc.ndim - 3 + axis
         m = acc.shape[ax]

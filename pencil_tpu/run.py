@@ -73,11 +73,10 @@ class Run:
             os.path.join(self.datadir, "time_series.dat"), cols)
         self.diag = make_diagnostics(model, [c[0] for c in cols],
                                      allow_unknown=True)
-        if sharded:
-            mesh = model.make_mesh()
-            self.step = model.make_sharded_step(mesh)
-        else:
-            self.step = model.make_step()
+        self.mesh = model.make_mesh() if sharded else None
+        self.step = (model.make_sharded_step(self.mesh) if sharded
+                     else model.make_step())
+        self._stepk = {}            # chunk size → jitted k-step scan
         self._nsnap = 0
         self._tsnap_last = 0.0
         self._tvid_last = 0.0
@@ -194,6 +193,33 @@ class Run:
         path = os.path.join(self.datadir, "var.npz")
         return load_snapshot(path)
 
+    def _advance(self, state, k):
+        """Dispatch k device steps in ONE jitted scan (k=1 → plain step).
+        The chunked functions are cached per k; at most three distinct k
+        values occur per run (1, it1−1, it1)."""
+        if k == 1:
+            return self.step(state)
+        if k not in self._stepk:
+            self._stepk[k] = self.model.make_multi_step(k, self.mesh)
+        return self._stepk[k](state)
+
+    def _pick_chunk(self, p) -> int:
+        """Steps per device dispatch.  Host-side per-step features force 1;
+        otherwise chunk to the diagnostics cadence (the reference's it1
+        exists precisely so the hot loop isn't synced every step) and align
+        any other step-based cadences by gcd.  Time-based cadences (dsnap,
+        dvid, dspec, d2davg) are then checked at chunk boundaries — their
+        outputs can be at most it1−1 steps late, matching how the reference
+        polls control files only at the diagnostic interval."""
+        import math
+        if p.tavg > 0 or p.sound_points or p.it_timing:
+            return 1
+        chunk = max(1, p.it1)
+        for cad in (p.isave, p.it1d):
+            if cad:
+                chunk = math.gcd(chunk, cad)
+        return chunk
+
     def main_loop(self, state: Dict) -> Dict:
         p = self.params
         t_wall0 = time.time()
@@ -203,10 +229,20 @@ class Run:
         self._tsnap_last = float(np.asarray(state["t"]))
         completed = False
         npoints = self.model.cfg.grid.nx * self.model.cfg.grid.ny * self.model.cfg.grid.nz
-        for i in range(p.nt):
+        chunk = self._pick_chunk(p)
+        i = 0
+        while i < p.nt:
+            # run to the next diagnostics boundary (rows at it=1, it1,
+            # 2·it1, … — identical to the step-by-step loop's cadence)
+            if chunk == 1:
+                k = 1
+            else:
+                nxt = 1 if i == 0 else (i // chunk + 1) * chunk
+                k = min(nxt - i, p.nt - i)
             t_step0 = time.time()
-            state = self.step(state)
-            it = it0 + i + 1
+            state = self._advance(state, k)
+            i += k
+            it = it0 + i
             dt = float(np.asarray(state["dt"]))
             t = float(np.asarray(state["t"]))
             # per-step guard, independent of the diagnostics cadence: a
@@ -222,7 +258,7 @@ class Run:
                           "a") as fh:
                     fh.write(f"{it} {time.time() - t_wall0:.6f} step "
                              f"{time.time() - t_step0:.6f}\n")
-            if (i + 1) % p.it1 == 0 or i == 0:
+            if i % p.it1 == 0 or i == 1:
                 vals = self._write_diag(state)
                 if not np.isfinite(vals.get("urms", 0.0)):
                     self._checkpoint(state, "crash.npz")
@@ -231,13 +267,13 @@ class Run:
                 # reference: dt<dtmin abort with crash dump (run.f90:843)
                 self._checkpoint(state, "crash.npz")
                 raise RuntimeError(f"dt={dt} < dtmin={p.dtmin} at it={it}")
-            if p.isave and (i + 1) % p.isave == 0:
+            if p.isave and i % p.isave == 0:
                 self._checkpoint(state)
             if p.dsnap > 0 and t - self._tsnap_last >= p.dsnap:
                 self._nsnap += 1
                 self._checkpoint(state, f"VAR{self._nsnap}.npz")
                 self._tsnap_last = t
-            if p.it1d and (i + 1) % p.it1d == 0 and self.averages:
+            if p.it1d and i % p.it1d == 0 and self.averages:
                 vals = {k: np.asarray(v)
                         for k, v in self.averages(state).items()}
                 self.aver_writer.append(t, vals)
@@ -257,7 +293,7 @@ class Run:
                     self._tavg_fields = {
                         k: a + w * (cur[k] - a)
                         for k, a in self._tavg_fields.items()}
-                if p.isave and (i + 1) % p.isave == 0:
+                if p.isave and i % p.isave == 0:
                     np.savez(os.path.join(self.datadir, "timeavg.npz"),
                              t=t, **self._tavg_fields)
             if p.downsampl:

@@ -12,5 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PC_TPU=1 switches the suite to the real TPU lane: the fused-kernel
+# equivalence tests gated by ``needs_tpu`` run compiled on hardware
+# (invoke as `PC_TPU=1 pytest tests/test_fused.py`); everything else
+# runs on the virtual 8-device CPU mesh.
+if os.environ.get("PC_TPU", "") not in ("", "0"):
+    pass  # keep whatever platform the environment provides (axon/tpu)
+else:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -43,6 +43,71 @@ def test_fused_matches_jnp_path():
         assert rel < 2e-5, (k, rel)
 
 
+def test_fused_zsharded_matches_jnp():
+    """The megakernel must survive a z-sharded mesh (round-2 verdict #2):
+    with mesh (1,2,4) the fused path switches to z-ghosted tiles whose z
+    halo rides the ppermute exchange; result must match the single-device
+    jnp path.  Runs in the CPU interpreter at 16³."""
+    import dataclasses
+    from pencil_tpu import MeshSpec
+    base = dict(
+        grid=GridSpec(nx=16, ny=16, nz=16),
+        time=TimeSpec(itorder=3),
+        modules=(EosIdealGas(gamma=1.0001),
+                 Density(init="sinwave-z", ampl=0.05),
+                 Hydro(init="gaussian-noise", ampl=1e-2),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3),
+                 Magnetic(init="gaussian-noise", ampl=1e-3, eta=2e-3)),
+    )
+    mj = Model(Config(fused=False, **base))
+    sj = mj.init_state(3)
+    stj = mj.make_step()
+    mf = Model(Config(fused=True, mesh=MeshSpec(1, 2, 4), **base))
+    assert mf._fused_ok
+    assert mf._fused_mode(("x", "y", "z"), None, 4) == "zghost"
+    sf = mf.init_state(3)
+    stf = mf.make_sharded_step(mf.make_mesh())
+    for _ in range(3):
+        sj, sf = stj(sj), stf(sf)
+    np.testing.assert_allclose(float(sf["dt"]), float(sj["dt"]), rtol=1e-6)
+    for k in sj["fields"]:
+        a = np.asarray(sf["fields"][k], np.float64)
+        b = np.asarray(sj["fields"][k], np.float64)
+        assert np.abs(a - b).max() < 5e-6 * max(np.abs(b).max(), 1e-3), k
+
+
+def test_fused_nonperiodic_z_matches_jnp():
+    """z-ghosted tiles also unlock the fused kernel for non-periodic z
+    (physical BCs applied in the HBM ghosts before the DMA) — the
+    conv-slab geometry.  Fused vs jnp, CPU interpreter, 16³."""
+    from pencil_tpu import BC
+    bcz = (BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
+           BC.parse("lnrho", "a2"))
+    base = dict(
+        grid=GridSpec(nx=16, ny=16, nz=16, periodic=(True, True, False)),
+        time=TimeSpec(itorder=3),
+        modules=(EosIdealGas(gamma=1.4),
+                 Density(init="sinwave-x", ampl=0.05),
+                 Hydro(init="gaussian-noise", ampl=1e-2),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3)),
+        bcz=bcz,
+    )
+    out = {}
+    for fused in (True, False):
+        model = Model(Config(fused=fused, **base))
+        if fused:
+            assert model._fused_ok
+            assert model._fused_mode(None, None, 16) == "zghost"
+        state = model.init_state(3)
+        step = model.make_step()
+        for _ in range(3):
+            state = step(state)
+        out[fused] = {k: np.asarray(v) for k, v in state["fields"].items()}
+    for k in out[True]:
+        a, b = out[True][k], out[False][k]
+        assert np.abs(a - b).max() < 5e-6 * max(np.abs(b).max(), 1e-3), k
+
+
 def test_fused_shear_shock_matches_jnp_small():
     """Fused path with SHEAR (shear-periodic x ghosts + in-kernel tile
     coordinates for u_y0 = S·x) and SHOCK (jnp aux pre-pass feeding the

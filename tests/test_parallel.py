@@ -81,6 +81,32 @@ def test_sharded_selfgravity_shock_matches_single():
                                    err_msg=k)
 
 
+def test_sharded_matches_single_nghost5():
+    """10th-order (nghost=5) halo exchange must ship 5-wide slabs: a
+    z-sharded run has to match single-device (round-2 weakness: the slab
+    width was hardcoded to 3)."""
+    def cfg(mesh):
+        return Config(
+            grid=GridSpec(nx=16, ny=16, nz=16, nghost=5),
+            mesh=mesh,
+            time=TimeSpec(itorder=3),
+            modules=(
+                EosIdealGas(gamma=1.4, cs0=1.0),
+                Density(init="sinwave-z", ampl=0.05),
+                Hydro(init="gaussian-noise", ampl=1e-2),
+                Viscosity(ivisc=("nu-const",), nu=2e-3),
+                Magnetic(init="gaussian-noise", ampl=1e-3, eta=2e-3),
+            ),
+        )
+
+    ref, dt_ref = _run(cfg(MeshSpec(1, 1, 1)), 4, sharded=False)
+    shr, dt_shr = _run(cfg(MeshSpec(2, 2, 2)), 4, sharded=True)
+    assert abs(dt_ref - dt_shr) < 1e-5 * abs(dt_ref)
+    for k in ref:
+        np.testing.assert_allclose(shr[k], ref[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_sharded_matches_single_nonperiodic_z():
     bcz = (BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
            BC.parse("lnrho", "a2"),
