@@ -120,9 +120,13 @@ class Model:
         if not self._fused_ok:
             return None
         cfg = self.cfg
+        if self._on_tpu and nzl % 128 != 0:
+            # Mosaic DMA slices must be 128-aligned in the lane (z) dim:
+            # every fused variant slabs the state with full-lane DMAs, so
+            # an unaligned local nz falls back to the jnp path on hardware
+            return None
         names = mesh_axis_names or (None, None, None)
-        z_roll_ok = (cfg.grid.periodic[2] and names[2] is None
-                     and (not self._on_tpu or nzl % 128 == 0))
+        z_roll_ok = cfg.grid.periodic[2] and names[2] is None
         wrap = (z_roll_ok and cfg.grid.periodic[0] and cfg.grid.periodic[1]
                 and names[0] is None and names[1] is None
                 and shear_dy is None and cfg.grid.ny % 8 == 0
@@ -434,16 +438,19 @@ class Model:
 
         for isub in range(len(alpha)):
             t_sub = t0 + cstage[isub] * dt
-            if use_fused_update and isub > 0:
+            shear = cfg.module("shear")
+            sdy0 = shear.deltay(t_sub, cfg.grid.Lx, cfg.grid.Ly) \
+                if shear else None
+            fmode = (self._fused_mode(mesh_axis_names, sdy0, fa.shape[3])
+                     if use_fused_update else None)
+            if fmode is not None and isub > 0:
                 # substeps 2+: RHS + 2N-RK combine + state update in ONE
                 # Pallas kernel (dt is already known from substep 1)
-                shear = cfg.module("shear")
-                sdy = shear.deltay(t_sub, cfg.grid.Lx, cfg.grid.Ly) \
-                    if shear else None
+                sdy = sdy0
                 if self._aux_modules:
                     fa = self._refresh_aux_fa(fa, grid, mesh_axis_names,
                                               mesh_shape, sdy)
-                mode = self._fused_mode(mesh_axis_names, sdy, fa.shape[3])
+                mode = fmode
                 fused = self._fused_rhs(tuple(fa.shape[1:]), True,
                                         mode == "wrap", mode == "zghost")
                 if mode == "wrap":

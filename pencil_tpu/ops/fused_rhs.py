@@ -61,12 +61,18 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     ``local_shape`` overrides the global grid dims for sharded (per-device)
     evaluation inside shard_map.
 
-    ``z_ghosted``: the state carries z ghost zones in HBM (filled by the
-    ppermute halo exchange across a z-sharded mesh, or by physical z BCs
-    on a non-periodic axis — reference finalize_isendrcv_bdry +
-    boundconds_z, mpicomm.f90:1704/boundcond.f90:1283); tiles DMA the
-    z-ghosted slab and stencils slice instead of circular-rolling, so the
-    megakernel survives z-sharding (round-2 verdict item #2).
+    ``z_ghosted``: the state carries z ghost zones (filled by the ppermute
+    halo exchange across a z-sharded mesh, or by physical z BCs on a
+    non-periodic axis — reference finalize_isendrcv_bdry + boundconds_z,
+    mpicomm.f90:1704/boundcond.f90:1283); stencils slice the z-ghosted
+    tile instead of circular-rolling, so the megakernel survives
+    z-sharding (round-2 verdict item #2).  Mosaic requires DMA slices to
+    be 128-aligned in the lane (z) dim, so the ghosted stack is NOT DMA'd
+    whole: the body rides the usual aligned DMA (lane extent nz) and the
+    six z-halo planes arrive as pre-windowed Pallas inputs packed with z
+    in the SUBLANE dim ((gx, gy, nc, TX+2g, 8, YS) — tiny blocks, 8-row
+    sublane alignment), transposed and lane-concatenated with the body
+    in-kernel (value-level relayouts, no unaligned memref slices).
     """
     cfg = model.cfg
     reg = model.reg
@@ -82,7 +88,7 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     gx, gy = nx // TX, ny // TY
     nc = reg.ncom
     nvar = reg.nvar
-    zext = nz + 2 * g if z_ghosted else nz  # DMA/scratch lane extent
+    zext = nz + 2 * g if z_ghosted else nz  # tile z extent seen by Pencils
     YS = -(-(TY + 2 * g) // 8) * 8          # sublane-aligned DMA slab size
     ypad = YS - (TY + 2 * g)                # extra high-side y padding
     dx1 = 1.0 / gs.dx
@@ -236,11 +242,36 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
 
     fetch = None   # chosen below once wrap_ghosts helpers exist
 
+    def _halo_tile(h_ref):
+        """One windowed z-halo block → (nc, TX+2g, TY+2g, g) tile slab.
+        Blocks are packed (1, 1, nc, TX+2g, 8, YS): z in the SUBLANE dim
+        (3 planes padded to 8 rows) and y in the lane dim, so the Pallas
+        pipeline DMA is sublane-aligned; unpacking is a value transpose."""
+        h = h_ref[0, 0]                       # (nc, TX+2g, 8, YS)
+        h = h[:, :, :g, : TY + 2 * g]
+        return jnp.transpose(h, (0, 1, 3, 2))  # (nc, TX+2g, TY+2g, g)
+
+    def _fetch_zg(fg_ref, zlo_ref, zhi_ref, scratch, sem, i, j):
+        view = _dma_tile(fg_ref, scratch, sem, i, j)   # lane extent nz
+        return jnp.concatenate(
+            [_halo_tile(zlo_ref), view, _halo_tile(zhi_ref)], axis=-1)
+
     def kernel(fg_ref, z_ref, df_ref, dt1_ref, scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         _, dfa, dt1m = body(i, j, lambda: fetch(fg_ref, scratch, sem, i, j),
                             z_ref)
+        df_ref[:] = dfa
+        dt1_ref[i, j] = dt1m
+
+    def kernel_zg(fg_ref, zlo_ref, zhi_ref, z_ref, df_ref, dt1_ref,
+                  scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        _, dfa, dt1m = body(
+            i, j,
+            lambda: _fetch_zg(fg_ref, zlo_ref, zhi_ref, scratch, sem, i, j),
+            z_ref)
         df_ref[:] = dfa
         dt1_ref[i, j] = dt1m
 
@@ -255,9 +286,22 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         beta_dt = ab_ref[0, 1]
         dfn = alpha * dfp_ref[:] + dfa
         df_ref[:] = dfn
-        body_z = tile[:nvar, g:-g, g:-g, g:-g] if z_ghosted \
-            else tile[:nvar, g:-g, g:-g, :]
-        fa_ref[:] = body_z + beta_dt * dfn
+        fa_ref[:] = tile[:nvar, g:-g, g:-g, :] + beta_dt * dfn
+        dt1_ref[i, j] = dt1m
+
+    def kernel_zg_upd(fg_ref, zlo_ref, zhi_ref, z_ref, dfp_ref, ab_ref,
+                      df_ref, fa_ref, dt1_ref, scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tile, dfa, dt1m = body(
+            i, j,
+            lambda: _fetch_zg(fg_ref, zlo_ref, zhi_ref, scratch, sem, i, j),
+            z_ref, want_dt1=False)
+        alpha = ab_ref[0, 0]
+        beta_dt = ab_ref[0, 1]
+        dfn = alpha * dfp_ref[:] + dfa
+        df_ref[:] = dfn
+        fa_ref[:] = tile[:nvar, g:-g, g:-g, g:-g] + beta_dt * dfn
         dt1_ref[i, j] = dt1m
 
     interpret = jax.devices()[0].platform != "tpu"
@@ -283,18 +327,58 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     else:
         fetch = _dma_tile
         scratch_shapes = [
-            pltpu.VMEM((2, nc, TX + 2 * g, YS, zext), dtype),
+            pltpu.VMEM((2, nc, TX + 2 * g, YS, nz), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
+    # z-halo windowed blocks: (gx, gy, nc, TX+2g, 8, YS), z in sublane
+    halo_spec = pl.BlockSpec(
+        (1, 1, nc, TX + 2 * g, 8, YS),
+        lambda i, j: (i, j, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    import numpy as _np
+    _xi = _np.arange(gx)[:, None] * TX + _np.arange(TX + 2 * g)[None, :]
+    _yi = _np.arange(gy)[:, None] * TY + _np.arange(YS)[None, :]
+
+    def _window_halo(zh):
+        """(nc, mx, my_pad, g) z-halo planes → (gx, gy, nc, TX+2g, 8, YS)
+        overlapping per-tile windows, z packed into the sublane dim."""
+        zt = jnp.transpose(zh, (0, 1, 3, 2))          # (nc, mx, g, my_pad)
+        zt = jnp.pad(zt, ((0, 0), (0, 0), (0, 8 - g), (0, 0)))
+        w = zt[:, _xi]                                # (nc,gx,TX+2g,8,my)
+        w = w[..., _yi]                               # (nc,gx,TX+2g,8,gy,YS)
+        return jnp.transpose(w, (1, 4, 0, 2, 3, 5))
+
+    def _split_z(fgz):
+        """Fully-ghosted stack (lane extent nz+2g) → aligned body + halos."""
+        return (fgz[..., g:-g], fgz[..., :g], fgz[..., -g:])
+
+    def _maybe_ypad(fg):
+        if not wrap_ghosts and ypad and fg.shape[2] == ny + 2 * g:
+            # high-side y padding so every DMA slab is sublane-aligned
+            # (callers that pre-pad via fill_ghosts extra_hi skip this)
+            fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
+        return fg
+
     if not fuse_update:
-        call = pl.pallas_call(
-            kernel,
-            grid=(gx, gy),
-            in_specs=[
+        if z_ghosted:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                halo_spec, halo_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # z vector (1, mz)
+            ]
+            kern = kernel_zg
+        else:
+            in_specs = [
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # z vector (1, mz)
-            ],
+            ]
+            kern = kernel
+        call = pl.pallas_call(
+            kern,
+            grid=(gx, gy),
+            in_specs=in_specs,
             out_specs=(blk, pl.BlockSpec(memory_space=pltpu.SMEM)),
             out_shape=(
                 jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),
@@ -306,10 +390,11 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         )
 
         def rhs_fused(fg, z_vec):
-            if not wrap_ghosts and ypad and fg.shape[2] == ny + 2 * g:
-                # high-side y padding so every DMA slab is sublane-aligned
-                # (callers that pre-pad via fill_ghosts extra_hi skip this)
-                fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
+            fg = _maybe_ypad(fg)
+            if z_ghosted:
+                bodyz, zlo, zhi = _split_z(fg)
+                return call(bodyz, _window_halo(zlo), _window_halo(zhi),
+                            z_vec.reshape(1, -1))
             return call(fg, z_vec.reshape(1, -1))
 
         rhs_fused.ypad = ypad
@@ -317,15 +402,29 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         rhs_fused.z_ghosted = z_ghosted
         return rhs_fused
 
-    call = pl.pallas_call(
-        kernel_upd,
-        grid=(gx, gy),
-        in_specs=[
+    if z_ghosted:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            halo_spec, halo_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # z vector
+            blk,                                         # df_prev
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # (1,2) alpha,βΔt
+        ]
+        kern = kernel_zg_upd
+        aliases = {4: 0}
+    else:
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # z vector
             blk,                                         # df_prev
             pl.BlockSpec(memory_space=pltpu.SMEM),       # (1,2) alpha,βΔt
-        ],
+        ]
+        kern = kernel_upd
+        aliases = {2: 0}
+    call = pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=in_specs,
         out_specs=(blk, blk, pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),  # df_new
@@ -335,14 +434,17 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         scratch_shapes=scratch_shapes,
         compiler_params=cparams,
         interpret=interpret,
-        input_output_aliases={2: 0},  # df_prev buffer reused for df_new
+        input_output_aliases=aliases,  # df_prev buffer reused for df_new
     )
 
     def rhs_fused_update(fg, z_vec, df_prev, alpha, beta_dt):
-        if not wrap_ghosts and ypad and fg.shape[2] == ny + 2 * g:
-            fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
+        fg = _maybe_ypad(fg)
         ab = jnp.stack([jnp.asarray(alpha, dtype),
                         jnp.asarray(beta_dt, dtype)]).reshape(1, 2)
+        if z_ghosted:
+            bodyz, zlo, zhi = _split_z(fg)
+            return call(bodyz, _window_halo(zlo), _window_halo(zhi),
+                        z_vec.reshape(1, -1), df_prev, ab)
         return call(fg, z_vec.reshape(1, -1), df_prev, ab)
 
     rhs_fused_update.ypad = ypad

@@ -48,8 +48,9 @@ def test_fused_zsharded_matches_jnp():
     with mesh (1,2,4) the fused path switches to z-ghosted tiles whose z
     halo rides the ppermute exchange; result must match the single-device
     jnp path.  Runs in the CPU interpreter at 16³."""
-    import dataclasses
     from pencil_tpu import MeshSpec
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
     base = dict(
         grid=GridSpec(nx=16, ny=16, nz=16),
         time=TimeSpec(itorder=3),
@@ -79,12 +80,16 @@ def test_fused_zsharded_matches_jnp():
 def test_fused_nonperiodic_z_matches_jnp():
     """z-ghosted tiles also unlock the fused kernel for non-periodic z
     (physical BCs applied in the HBM ghosts before the DMA) — the
-    conv-slab geometry.  Fused vs jnp, CPU interpreter, 16³."""
+    conv-slab geometry.  Fused vs jnp: 16³ in the CPU interpreter, or
+    32×32×128 COMPILED when run on the real chip (PC_TPU=1 lane —
+    this is the hardware validation of the z-ghosted Mosaic layout)."""
     from pencil_tpu import BC
+    on_tpu = jax.default_backend() == "tpu"
+    nz = 128 if on_tpu else 16
     bcz = (BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
            BC.parse("lnrho", "a2"))
     base = dict(
-        grid=GridSpec(nx=16, ny=16, nz=16, periodic=(True, True, False)),
+        grid=GridSpec(nx=16, ny=16, nz=nz, periodic=(True, True, False)),
         time=TimeSpec(itorder=3),
         modules=(EosIdealGas(gamma=1.4),
                  Density(init="sinwave-x", ampl=0.05),
@@ -97,7 +102,7 @@ def test_fused_nonperiodic_z_matches_jnp():
         model = Model(Config(fused=fused, **base))
         if fused:
             assert model._fused_ok
-            assert model._fused_mode(None, None, 16) == "zghost"
+            assert model._fused_mode(None, None, nz) == "zghost"
         state = model.init_state(3)
         step = model.make_step()
         for _ in range(3):
