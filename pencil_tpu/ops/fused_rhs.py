@@ -49,7 +49,8 @@ def _choose_tile(n, target=16):
 
 
 def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
-                   fuse_update=False, wrap_ghosts=False, z_ghosted=False):
+                   fuse_update=False, wrap_ghosts=False, z_ghosted=False,
+                   defer_prev=False, last=False, with_kick=False):
     """Returns rhs_fused(fg, z_int) -> (dfa, dt1_tiles), or with
     ``fuse_update`` rhs_fused(fg, z_int, df_prev, alpha, beta_dt) ->
     (df_new, fa_new, dt1_tiles) — the 2N-RK combine df ← α·df + rhs and
@@ -304,6 +305,95 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         fa_ref[:] = tile[:nvar, g:-g, g:-g, g:-g] + beta_dt * dfn
         dt1_ref[i, j] = dt1m
 
+    # ---- wrap-mode tail kernels (substeps 2..n of the 2N-RK chain) ------
+    # defer_prev: substep 1's state update f1 = f0 + βΔt·df1 never touches
+    #   HBM — substep 2 DMAs BOTH raw f0 and raw df1 (each with wrapped
+    #   halos) and reconstructs the ghosted f1 in VMEM, eliminating a full
+    #   field-set axpy round trip per step.
+    # last: the final substep's df is dead after the update — skip its
+    #   HBM write entirely.
+    # with_kick: apply the stochastic helical forcing kick (addforce,
+    #   src/run.f90:729) to uu inside the last substep's update, saving
+    #   the separate read-modify-write pass over the velocity field.
+    def kernel_tail(*refs):
+        idx = 0
+        fa_ref = refs[idx]; idx += 1
+        dfh_ref = None
+        if defer_prev:
+            dfh_ref = refs[idx]; idx += 1
+        z_ref = refs[idx]; idx += 1
+        dfp_ref = None
+        if not defer_prev:
+            dfp_ref = refs[idx]; idx += 1
+        ab_ref = refs[idx]; idx += 1
+        kick_ref = None
+        if with_kick:
+            kick_ref = refs[idx]; idx += 1
+        df_ref = None
+        if not last:
+            df_ref = refs[idx]; idx += 1
+        fao_ref = refs[idx]; idx += 1
+        dt1_ref = refs[idx]; idx += 1
+        scrA = refs[idx]; semA = refs[idx + 1]; idx += 2
+        if defer_prev:
+            scrB = refs[idx]; semB = refs[idx + 1]; idx += 2
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        alpha = ab_ref[0, 0]
+        beta_dt = ab_ref[0, 1]
+        cprev = ab_ref[0, 2]
+
+        if defer_prev:
+            tileD = _dma_tile_wrap(dfh_ref, scrB, semB, i, j)
+
+            def tile_fn():
+                tA = _dma_tile_wrap(fa_ref, scrA, semA, i, j)
+                upd = tA[:nvar] + cprev * tileD
+                if nc > nvar:
+                    return jnp.concatenate([upd, tA[nvar:]], axis=0)
+                return upd
+
+            dfp_int = tileD[:, g:-g, g:-g, :]
+        else:
+            def tile_fn():
+                return _dma_tile_wrap(fa_ref, scrA, semA, i, j)
+
+            dfp_int = dfp_ref[:]
+
+        tile, dfa, _ = body(i, j, tile_fn, z_ref, want_dt1=False)
+        dfn = alpha * dfp_int + dfa
+        fa_new = tile[:nvar, g:-g, g:-g, :] + beta_dt * dfn
+        if with_kick:
+            dtp = fa_new.dtype
+            iuu = model.reg.slice("uu").start
+            xi = (i * TX
+                  + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
+                  ).astype(dtp)
+            yj = (j * TY
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+                  ).astype(dtp)
+            xg = x0_eff + gs.dx * xi
+            yg = y0_eff + gs.dy * yj
+            zg = z_ref[0, g:-g][None, None, :]
+            th = (kick_ref[0, 0] * xg + kick_ref[0, 1] * yg
+                  + kick_ref[0, 2] * zg + kick_ref[0, 3])
+            cth = jnp.cos(th)
+            sth = jnp.sin(th)
+            amp = kick_ref[0, 10]
+            kicked = []
+            for c_ in range(3):
+                duu = amp * (kick_ref[0, 4 + c_] * cth
+                             - kick_ref[0, 7 + c_] * sth)
+                kicked.append(fa_new[iuu + c_] + duu)
+            fa_new = jnp.concatenate(
+                [fa_new[:iuu]] + [k[None] for k in kicked]
+                + [fa_new[iuu + 3:]], axis=0)
+        if not last:
+            df_ref[:] = dfn
+        fao_ref[:] = fa_new
+        dt1_ref[i, j] = jnp.zeros((), fa_new.dtype)
+
     interpret = jax.devices()[0].platform != "tpu"
 
     if not z_ghosted and not gs.periodic[2]:
@@ -360,6 +450,91 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             # (callers that pre-pad via fill_ghosts extra_hi skip this)
             fg = jnp.pad(fg, ((0, 0), (0, 0), (0, ypad), (0, 0)))
         return fg
+
+    if defer_prev or last or with_kick:
+        if not (wrap_ghosts and fuse_update):
+            raise NotImplementedError(
+                "tail kernels are wrap-mode update kernels")
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]        # fa raw
+        if defer_prev:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # df raw
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))     # z vec
+        if not defer_prev:
+            in_specs.append(blk)                                   # df_prev
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))     # ab (1,3)
+        if with_kick:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (1,12)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        if last:
+            out_specs = (blk, smem)
+            out_shape = (
+                jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),   # fa_new
+                jax.ShapeDtypeStruct((gx, gy), dtype),
+            )
+            aliases = {}
+        else:
+            out_specs = (blk, blk, smem)
+            out_shape = (
+                jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),   # df_new
+                jax.ShapeDtypeStruct((nvar, nx, ny, nz), dtype),   # fa_new
+                jax.ShapeDtypeStruct((gx, gy), dtype),
+            )
+            # df_prev blk may be donated into df_new; NEVER alias the
+            # wrap-DMA'd raw inputs (later tiles read neighbor halos that
+            # an aliased write would have clobbered)
+            aliases = {} if defer_prev else {2: 0}
+        tail_scratch = [
+            pltpu.VMEM((2, nc, TX + 2 * g, YW, nz), dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ]
+        if defer_prev:
+            tail_scratch += [
+                pltpu.VMEM((2, nvar, TX + 2 * g, YW, nz), dtype),
+                pltpu.SemaphoreType.DMA((2, 9)),
+            ]
+        call = pl.pallas_call(
+            kernel_tail,
+            grid=(gx, gy),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=tail_scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+            input_output_aliases=aliases,
+        )
+
+        def rhs_tail(fa, z_vec, df_prev, alpha, beta_dt, cprev=0.0,
+                     kick=None):
+            """Substep-tail call.  Returns fa_new (last) or
+            (df_new, fa_new)."""
+            ab = jnp.stack([jnp.asarray(alpha, dtype),
+                            jnp.asarray(beta_dt, dtype),
+                            jnp.asarray(cprev, dtype)]).reshape(1, 3)
+            args = [fa]
+            if defer_prev:
+                args.append(df_prev)
+            args.append(z_vec.reshape(1, -1))
+            if not defer_prev:
+                args.append(df_prev)
+            args.append(ab)
+            if with_kick:
+                k_phys, phase, f_re, f_im, Ndt = kick
+                kv = jnp.concatenate([
+                    k_phys.astype(dtype), jnp.reshape(phase, (1,)).astype(dtype),
+                    f_re.astype(dtype), f_im.astype(dtype),
+                    jnp.reshape(Ndt, (1,)).astype(dtype),
+                    jnp.zeros((1,), dtype)]).reshape(1, 12)
+                args.append(kv)
+            out = call(*args)
+            if last:
+                return out[0]
+            return out[0], out[1]
+
+        rhs_tail.ypad = ypad
+        rhs_tail.wrap_ghosts = True
+        rhs_tail.z_ghosted = False
+        return rhs_tail
 
     if not fuse_update:
         if z_ghosted:

@@ -57,6 +57,42 @@ def _axis_index(fg: jnp.ndarray, axis: int) -> int:
     return fg.ndim - 3 + axis
 
 
+import os
+
+# PC_ZMM=1: last-axis (lane-dim) stencils as banded matmuls on the MXU.
+# Measured on v5e at 256³ MHD this LOSES 3× vs lane rolls (the per-tile
+# matmuls are M≈70 slivers that underfill the 128×128 array, and f32
+# accuracy costs 3-6 bf16 passes), so rolls stay the default; the path is
+# kept for experimentation on parts with larger arithmetic intensity.
+@functools.lru_cache(maxsize=1)
+def _zmm_enabled():
+    if os.environ.get("PC_ZMM", "0") in ("0", ""):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _band_matrix(m: int, offsets: tuple, weights: tuple, wrap: bool,
+                 g: int, dtype_str: str):
+    """(m, n) banded stencil matrix: out[..., j] = Σ_o w_o · f[..., j+o].
+
+    Built IN-TRACE from iota comparisons (not as a closed-over ndarray):
+    Pallas kernels reject captured array constants, while XLA constant-
+    folds the identical expression outside kernels.  All inputs are
+    static, so each distinct matrix is CSE'd to one materialization."""
+    n = m if wrap else m - 2 * g
+    dt = jnp.dtype(dtype_str)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    D = None
+    for o, w in zip(offsets, weights):
+        if w == 0.0:
+            continue
+        src = (cols + o) % m if wrap else g + cols + o
+        t = jnp.asarray(w, dt) * (rows == src).astype(dt)
+        D = t if D is None else D + t
+    return D
+
+
 def _stencil_axis(fg: jnp.ndarray, axis: int, weights: Sequence[float],
                   offsets: Sequence[int], wrap: bool = False,
                   g: int = NGHOST) -> jnp.ndarray:
@@ -67,6 +103,11 @@ def _stencil_axis(fg: jnp.ndarray, axis: int, weights: Sequence[float],
     fused kernel for the full-extent periodic z axis — no halo, no copy).
     """
     ax = _axis_index(fg, axis)
+    m = fg.shape[ax]
+    if ax == fg.ndim - 1 and m >= 8 and _zmm_enabled():
+        D = _band_matrix(m, tuple(offsets), tuple(weights), wrap, g,
+                         str(fg.dtype))
+        return jnp.matmul(fg, D, precision=jax.lax.Precision.HIGHEST)
     out = None
     if wrap:
         for o, w in zip(offsets, weights):
@@ -76,7 +117,6 @@ def _stencil_axis(fg: jnp.ndarray, axis: int, weights: Sequence[float],
             term = w * s if w != 1.0 else s
             out = term if out is None else out + term
         return out if out is not None else jnp.zeros_like(fg)
-    m = fg.shape[ax]
     n = m - 2 * g
     for o, w in zip(offsets, weights):
         if w == 0.0:
@@ -202,7 +242,30 @@ def derij_bidiag(fg, ax1, ax2, inv1=None, inv2=None, wrap2=False):
     a2 = _axis_index(fg, ax2)
     n1 = fg.shape[a1] - 2 * NGHOST
     n2 = fg.shape[a2] - 2 * NGHOST
+    m2 = fg.shape[a2]
     out = None
+    if a2 == fg.ndim - 1 and m2 >= 8 and _zmm_enabled():
+        # group the four diagonal terms per offset by their z-shift:
+        #   S(+o,+o) − S(−o,+o) + S(−o,−o) − S(+o,−o)
+        #     = B_o @ [R(+o) − R(−o)],  B_o = Sx(+o) − Sx(−o)
+        # so the lane-dim shifts become ONE banded circulant (or sliced)
+        # matmul per offset on the MXU instead of two lane rotations.
+        for o, c in zip((1, 2, 3),
+                        (270.0 / 720.0, -27.0 / 720.0, 2.0 / 720.0)):
+            hi = jax.lax.slice_in_dim(fg, NGHOST + o, NGHOST + o + n1,
+                                      axis=a1)
+            lo = jax.lax.slice_in_dim(fg, NGHOST - o, NGHOST - o + n1,
+                                      axis=a1)
+            B = hi - lo
+            C = _band_matrix(m2, (o, -o), (1.0, -1.0), wrap2, NGHOST,
+                             str(fg.dtype))
+            t = c * jnp.matmul(B, C, precision=jax.lax.Precision.HIGHEST)
+            out = t if out is None else out + t
+        if inv1 is not None:
+            out = out * inv1
+        if inv2 is not None:
+            out = out * inv2
+        return out
     for o, c in zip((1, 2, 3), (270.0 / 720.0, -27.0 / 720.0, 2.0 / 720.0)):
         for s1, s2, sgn in ((o, o, 1.0), (-o, o, -1.0),
                             (-o, -o, 1.0), (o, -o, -1.0)):

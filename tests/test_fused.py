@@ -43,6 +43,41 @@ def test_fused_matches_jnp_path():
         assert rel < 2e-5, (k, rel)
 
 
+def test_fused_wrap_tail_matches_jnp():
+    """The wrap-mode tail chain (deferred substep-1 axpy, dead-df-write
+    elision on the last substep, in-kernel forcing kick) must reproduce
+    the jnp path bit-for-bit-in-f32 — this IS the benchmarked flagship
+    configuration.  CPU interpreter, 16³."""
+    from pencil_tpu import Forcing
+    base = dict(
+        grid=GridSpec(nx=16, ny=16, nz=16),
+        time=TimeSpec(itorder=3),
+        modules=(EosIdealGas(gamma=1.0, cs0=1.0),
+                 Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-3),
+                 Viscosity(ivisc=("nu-const",), nu=5e-3),
+                 Magnetic(init="gaussian-noise", ampl=1e-4, eta=5e-3),
+                 Forcing(force=0.07, kf=3.0)),
+    )
+    out = {}
+    for fused in (True, False):
+        model = Model(Config(fused=fused, **base))
+        if fused:
+            assert model._fused_mode(None, None, 16) == "wrap"
+        state = model.init_state(11)
+        step = model.make_step()
+        for _ in range(4):
+            state = step(state)
+        out[fused] = {k: np.asarray(v) for k, v in state["fields"].items()}
+        out[(fused, "dt")] = float(state["dt"])
+    np.testing.assert_allclose(out[(True, "dt")], out[(False, "dt")],
+                               rtol=1e-6)
+    for k in out[True]:
+        a = np.asarray(out[True][k], np.float64)
+        b = np.asarray(out[False][k], np.float64)
+        assert np.abs(a - b).max() < 5e-6 * max(np.abs(b).max(), 1e-3), k
+
+
 def test_fused_zsharded_matches_jnp():
     """The megakernel must survive a z-sharded mesh (round-2 verdict #2):
     with mesh (1,2,4) the fused path switches to z-ghosted tiles whose z
