@@ -18,6 +18,7 @@ from .physics import Shock
 from .physics import PassiveScalar, Shear
 from .physics import SelfGravity
 from .particles import ParticlesDust
+from .particles.drag import ParticlesDrag
 from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas
 from .physics import TestfieldZ
 from .physics import BorderProfiles, CosmicRay

@@ -925,6 +925,61 @@ def _vprms(pen, st):
     return jnp.sqrt(jnp.mean(jnp.sum(vp * vp, axis=1)))
 
 
+@diag("vpxmin")
+def _vpxmin(pen, st):
+    return jnp.min(st["particles"]["vp"][:, 0])
+
+
+@diag("vpymin")
+def _vpymin(pen, st):
+    return jnp.min(st["particles"]["vp"][:, 1])
+
+
+@diag("vpzmin")
+def _vpzmin(pen, st):
+    return jnp.min(st["particles"]["vp"][:, 2])
+
+
+@diag("vpxmax")
+def _vpxmax(pen, st):
+    return jnp.max(st["particles"]["vp"][:, 0])
+
+
+@diag("vpymax")
+def _vpymax(pen, st):
+    return jnp.max(st["particles"]["vp"][:, 1])
+
+
+@diag("vpzmax")
+def _vpzmax(pen, st):
+    return jnp.max(st["particles"]["vp"][:, 2])
+
+
+def _rhop(pen, st):
+    dust = pen.cfg.module("particles")
+    shear = pen.cfg.module("shear")
+    sdy = (shear.deltay(st["t"], pen.cfg.grid.Lx, pen.cfg.grid.Ly)
+           if shear is not None else None)
+    return dust.rhop(st["particles"], pen, pen.cfg.grid, shear_dy=sdy)
+
+
+@diag("rhopm")
+def _rhopm(pen, st):
+    """Mean particle mass density (particles_dust idiag_rhopm via the
+    TSC deposit, src/particles_map.f90)."""
+    return jnp.mean(_rhop(pen, st))
+
+
+@diag("rhopmin")
+def _rhopmin(pen, st):
+    return jnp.min(_rhop(pen, st))
+
+
+@diag("rhopmax")
+def _rhopmax(pen, st):
+    return jnp.max(_rhop(pen, st))
+
+
 def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
     """Build a jitted evaluator: state → {name: scalar} for the requested
     diagnostic columns (plus it/t/dt pulled straight from state)."""

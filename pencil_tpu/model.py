@@ -437,7 +437,13 @@ class Model:
         dfp = None
         sharded_names = [n for n in (mesh_axis_names or ()) if n is not None]
 
-        use_fused_update = self._fused_ok and pstate is None
+        shear_mod = cfg.module("shear")
+        safi = (shear_mod is not None
+                and getattr(shear_mod, "lshearadvection_as_shift", False))
+        if safi and mesh_axis_names and mesh_axis_names[1] is not None \
+                and mesh_shape[1] > 1:
+            raise NotImplementedError("SAFI with sharded y axis")
+        use_fused_update = self._fused_ok and pstate is None and not safi
         # wrap-mode tail chain: substep 1's axpy is deferred into substep
         # 2's kernel (f1 rebuilt in VMEM from raw f0 + df1), the last
         # substep skips its dead df write, and the forcing kick lands
@@ -539,6 +545,20 @@ class Model:
                 # deferred-update kernel — keep f0 and df1 as-is
                 continue
             fa = fa.at[:nvar].add(beta[isub] * dt * df)
+            if safi:
+                # exact shear-advection shift of f (and the 2N-RK df
+                # carry on non-final substeps) — reference advance_shear
+                # per substep with the TRUE time increment dtsub =
+                # ds·β_i·dt = (c_{i+1} − c_i)·dt (the ds recursion in
+                # timestep.f90:120-152; e.g. RK3: dt·(1/3, 5/12, 1/4))
+                c_next = (cstage[isub + 1] if isub + 1 < len(alpha)
+                          else 1.0)
+                dtsub = (c_next - cstage[isub]) * dt
+                fa = fa.at[:nvar].set(shear_mod.shift_advection(
+                    fa[:nvar], grid, cfg.grid, dtsub))
+                if isub < len(alpha) - 1:
+                    df = shear_mod.shift_advection(df, grid, cfg.grid,
+                                                   dtsub)
             if pstate is not None:
                 if isub == 0:
                     dfp = dp
@@ -549,6 +569,15 @@ class Model:
                     lambda s_, d_, b=beta[isub]: s_ + b * dt * d_,
                     pstate, dfp)
 
+        pdrag = cfg.module("particles_drag")
+        if pdrag is not None and pstate is not None:
+            # operator-split mutual drag + epicycle over the FULL dt
+            # (reference split_update_particles → integrate_drag,
+            # particles_main.f90:553 / timestep.f90:199)
+            dly = (shear_mod.deltay(t0 + dt, cfg.grid.Lx, cfg.grid.Ly)
+                   if shear_mod is not None else None)
+            fa, pstate = pdrag.integrate(fa, pstate, self, grid, dt,
+                                         deltay=dly)
         fa = self.bc_writeback(fa, grid, t0 + dt, mesh_axis_names,
                                mesh_shape)
         bsq = cfg.module("boussinesq")

@@ -111,21 +111,51 @@ def fill_ghosts(
                                     eos, edge_mask=(True, True))
         if axis == 0 and shear_dy is not None:
             # shear-periodic x faces: ghost slabs y-shifted by ±deltay
-            # (reference initiate_shearing, src/mpicomm.f90:2104)
+            # (reference initiate_shearing, src/mpicomm.f90:2104-2422 —
+            # there the shift spans up to 3 y-neighbor ranks; here a
+            # sharded y axis all-gathers the thin face slab's interior
+            # rows, Fourier-shifts over the GLOBAL y circle, and slices
+            # the local block back out.  A sharded x axis shifts only on
+            # the domain-edge shards: interior x faces came from real
+            # neighbors via ppermute and must stay unshifted.)
             from ..physics.shear import fourier_shift_y
-            if name is not None and psize > 1:
-                raise NotImplementedError("shear with sharded x axis")
             yname = mesh_axis_names[1] if mesh_axis_names else None
-            if yname is not None and mesh_shape[1] > 1:
-                raise NotImplementedError("shear with sharded y axis")
+            ysh = mesh_shape[1] if yname is not None else 1
+            ny_loc = spec.ny // ysh
             ax = fg.ndim - 3
+            ay = fg.ndim - 2
             m = fg.shape[ax]
+
+            def yshift(slab, dy):
+                if ysh == 1:
+                    return fourier_shift_y(slab, dy, spec.Ly,
+                                           ny_int=spec.ny)
+                y_int = jax.lax.slice_in_dim(slab, g, g + ny_loc, axis=ay)
+                full = jax.lax.all_gather(y_int, yname, axis=ay,
+                                          tiled=True)
+                fk = jnp.fft.rfft(full, axis=ay)
+                k = jnp.fft.rfftfreq(spec.ny, d=spec.Ly / spec.ny)
+                kshape = [1] * slab.ndim
+                kshape[ay] = -1
+                phase = jnp.exp(-2j * jnp.pi * k.reshape(kshape) * dy)
+                shifted = jnp.fft.irfft(fk * phase, n=spec.ny,
+                                        axis=ay).astype(slab.dtype)
+                iy = jax.lax.axis_index(yname)
+                mine = jax.lax.dynamic_slice_in_dim(
+                    shifted, iy * ny_loc, ny_loc, axis=ay)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    slab, mine, g, axis=ay)
+
             lo = jax.lax.slice_in_dim(fg, 0, g, axis=ax)
             hi = jax.lax.slice_in_dim(fg, m - g, m, axis=ax)
-            lo = fourier_shift_y(lo, shear_dy, spec.Ly, ny_int=spec.ny)
-            hi = fourier_shift_y(hi, -shear_dy, spec.Ly, ny_int=spec.ny)
-            fg = jax.lax.dynamic_update_slice_in_dim(fg, lo, 0, axis=ax)
-            fg = jax.lax.dynamic_update_slice_in_dim(fg, hi, m - g, axis=ax)
+            lo_s = yshift(lo, shear_dy)
+            hi_s = yshift(hi, -shear_dy)
+            if name is not None and psize > 1:
+                idx = jax.lax.axis_index(name)
+                lo_s = jnp.where(idx == 0, lo_s, lo)
+                hi_s = jnp.where(idx == psize - 1, hi_s, hi)
+            fg = jax.lax.dynamic_update_slice_in_dim(fg, lo_s, 0, axis=ax)
+            fg = jax.lax.dynamic_update_slice_in_dim(fg, hi_s, m - g, axis=ax)
     return fg
 
 

@@ -48,9 +48,18 @@ class ParticlesDust(ModuleBase):
         if self.init == "random":
             xp = lo + L * jax.random.uniform(kx, (self.npar, 3), dtype)
         elif self.init == "equidistant":
-            n = int(round(self.npar ** (1.0 / 3.0)))
-            g1 = (jnp.arange(n, dtype=dtype) + 0.5) / n
-            xyz = jnp.stack(jnp.meshgrid(g1, g1, g1, indexing="ij"), -1)
+            # even per-axis particle lattice over the ACTIVE dims only
+            # (2-D runs put one particle column per cell — reference
+            # init 'equidistant', particles_dust.f90)
+            active = [a for a in range(3) if spec.shape[a] > 1]
+            n = int(round(self.npar ** (1.0 / max(len(active), 1))))
+            axes = []
+            for a in range(3):
+                if a in active:
+                    axes.append((jnp.arange(n, dtype=dtype) + 0.5) / n)
+                else:
+                    axes.append(jnp.asarray([0.5], dtype))
+            xyz = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1)
             xp = (lo + L * xyz.reshape(-1, 3))[: self.npar]
         elif self.init in ("random-cylindrical", "random-cyl"):
             # r drawn so the surface density follows a power law
@@ -122,6 +131,12 @@ class ParticlesDust(ModuleBase):
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz)
         dxp = vp
+        shear = pen.cfg.module("shear") if pen.cfg is not None else None
+        if shear is not None:
+            # background-shear advection of particle positions:
+            # dy_p/dt += S·x_p (reference dxxp_dt, particles_dust.f90:
+            # "dfp(iyp) −= qshear·Omega·xp" — independent of SAFI)
+            dxp = dxp.at[:, 1].add(shear.S * xp[:, 0])
         if self.eps_dtog > 0.0 and uu_slots:
             # back-reaction: gas feels +ε ρ_p/ρ_g (v_p − u)/τ_s; deposit the
             # per-particle momentum-exchange then normalize by gas density.
@@ -147,14 +162,17 @@ class ParticlesDust(ModuleBase):
         xp = lo + jnp.mod(pstate["xp"] - lo, L)
         return {**pstate, "xp": xp}
 
-    def rhop(self, pstate, pen, spec):
-        """Particle mass density on the grid (reference rhop aux)."""
+    def rhop(self, pstate, pen, spec, shear_dy=None):
+        """Particle mass density on the grid (reference rhop aux).
+        ``shear_dy``: shear-periodic x-boundary offset for the deposit
+        ghost fold."""
         mp = self.eps_dtog if self.eps_dtog > 0 else 1.0
         mp = mp * spec.Lx * spec.Ly * spec.Lz / self.npar
         dV = spec.dx * spec.dy * spec.dz
         ones = jnp.ones((pstate["xp"].shape[0],), pstate["xp"].dtype)
         return deposit(ones * (mp / dV), pstate["xp"], spec, spec.shape,
-                       self.scheme, dtype=pstate["xp"].dtype)
+                       self.scheme, dtype=pstate["xp"].dtype,
+                       shear_dy=shear_dy)
 
 
 @dataclass(frozen=True)
@@ -236,6 +254,9 @@ class ParticlesDustSharded(ParticlesDust):
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz * active)
         dxp = vp * active[:, None]
+        shear = pen.cfg.module("shear") if pen.cfg is not None else None
+        if shear is not None:
+            dxp = dxp.at[:, 1].add(shear.S * xp[:, 0] * active)
         if self.eps_dtog > 0.0 and uu_slots:
             mp = self.eps_dtog * jnp.exp(pen.eos.lnrho0 if pen.eos else 0.0) \
                 * spec.Lx * spec.Ly * spec.Lz / self.npar

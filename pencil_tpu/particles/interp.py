@@ -86,7 +86,7 @@ def interpolate(fields, xp, spec, scheme="tsc", origin=None, mask=None):
 
 def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32,
             origin=None, mask=None, mesh_axis_names=None,
-            mesh_shape=(1, 1, 1)):
+            mesh_shape=(1, 1, 1), shear_dy=None):
     """Scatter particle values onto the grid (ghosted accumulate + fold).
 
     values: (npar,) or (nc, npar); returns interior (nc?, nx, ny, nz) with
@@ -116,7 +116,7 @@ def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32,
         if mask is not None:
             idx = jnp.clip(idx, 0, jnp.asarray([mx - 1, my - 1, mz - 1]))
         acc = acc.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].add(values)
-        out = _fold(acc, spec, mesh_axis_names, mesh_shape)
+        out = _fold(acc, spec, mesh_axis_names, mesh_shape, shear_dy)
         return out[0] if squeeze else out
     if mask is not None:
         i0 = jnp.clip(i0, 0, mx - 3)
@@ -127,34 +127,72 @@ def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32,
             for c, wc in enumerate(wz):
                 w = wa * wb * wc
                 acc = acc.at[:, i0 + a, j0 + b, k0 + c].add(values * w)
-    out = _fold(acc, spec, mesh_axis_names, mesh_shape)
+    out = _fold(acc, spec, mesh_axis_names, mesh_shape, shear_dy)
     return out[0] if squeeze else out
 
 
-def _fold(acc, spec, mesh_axis_names, mesh_shape):
+def _fold(acc, spec, mesh_axis_names, mesh_shape, shear_dy=None):
     if mesh_axis_names and any(
             n is not None and s > 1
             for n, s in zip(mesh_axis_names, mesh_shape)):
         from ..parallel.halo import fold_ghosts
         return fold_ghosts(acc, spec, mesh_axis_names, mesh_shape)
-    return _fold_ghosts(acc, spec)
+    return _fold_ghosts(acc, spec, shear_dy)
 
 
-def _fold_ghosts(acc, spec):
+def _fold_ghosts(acc, spec, shear_dy=None):
     """Adjoint of the periodic ghost fill: ghost-zone contributions are
-    added back to their interior images, then ghosts dropped."""
+    added back to their interior images, then ghosts dropped.
+
+    ``shear_dy``: shear-periodic x faces — the x-ghost slabs are Fourier
+    y-shifted by ∓deltay before folding (adjoint of the shearing ghost
+    fill; the y/z axes are folded FIRST so the slabs carry interior-only
+    y when the shift runs)."""
     g = NGHOST
-    for axis in range(3):
+    order = (1, 2, 0) if shear_dy is not None else (0, 1, 2)
+    for axis in order:
         ax = acc.ndim - 3 + axis
         m = acc.shape[ax]
+        n = m - 2 * g
+        if spec.periodic[axis] and n < g:
+            # short/degenerate axis (e.g. nz=1): slab folds would read
+            # other ghost cells — fold every plane modularly instead
+            import numpy as np_
+            idx = np_.mod(np_.arange(m) - g, n)
+            body = jnp.zeros(acc.shape[:ax] + (n,) + acc.shape[ax + 1:],
+                             acc.dtype)
+            for j in range(m):
+                body = jax.lax.dynamic_update_index_in_dim(
+                    body,
+                    jax.lax.index_in_dim(body, int(idx[j]), axis=ax,
+                                         keepdims=False)
+                    + jax.lax.index_in_dim(acc, j, axis=ax,
+                                           keepdims=False),
+                    int(idx[j]), axis=ax)
+            acc = body
+            continue
         if not spec.periodic[axis]:
             # non-periodic: clip deposits into the edge cells
             pass
         lo_ghost = jax.lax.slice_in_dim(acc, 0, g, axis=ax)
         hi_ghost = jax.lax.slice_in_dim(acc, m - g, m, axis=ax)
         body = jax.lax.slice_in_dim(acc, g, m - g, axis=ax)
-        n = m - 2 * g
         if spec.periodic[axis]:
+            if axis == 0 and shear_dy is not None:
+                # lo ghosts (x < x0) live on the HIGH side at y − deltay:
+                # fold with the inverse of the ghost-fill shift.  y was
+                # folded first, so the slab's y extent is interior-only —
+                # shift over the whole axis.
+                def _yshift(slab, dy):
+                    ny = slab.shape[-2]
+                    fk = jnp.fft.rfft(slab, axis=-2)
+                    k = jnp.fft.rfftfreq(ny, d=spec.Ly / ny).reshape(-1, 1)
+                    ph = jnp.exp(-2j * jnp.pi * k * dy)
+                    return jnp.fft.irfft(fk * ph, n=ny,
+                                         axis=-2).astype(slab.dtype)
+
+                lo_ghost = _yshift(lo_ghost, -shear_dy)
+                hi_ghost = _yshift(hi_ghost, shear_dy)
             # lo ghosts map onto the high end of the interior, hi onto low
             hi_img = jax.lax.slice_in_dim(body, n - g, n, axis=ax) + lo_ghost
             lo_img = jax.lax.slice_in_dim(body, 0, g, axis=ax) + hi_ghost

@@ -26,6 +26,12 @@ class Shear(ModuleBase):
 
     qshear: float = 1.5
     Omega: float = 1.0
+    # SAFI (reference lshearadvection_as_shift, shear.f90:40): the
+    # background-shear advection −u₀∂_y is removed from the RHS (and from
+    # the CFL) and applied per substep as an exact x-dependent Fourier
+    # y-shift following Gammie 2001 (advance_shear → sheared_advection_fft
+    # shear.f90:536-579).
+    lshearadvection_as_shift: bool = False
 
     @property
     def S(self) -> float:
@@ -38,14 +44,22 @@ class Shear(ModuleBase):
         S = self.S
         x = pen.grid.xg  # (nx,1,1) local coordinates
         uy0 = S * x
-        # advect every evolved field by the background flow: −uy0 ∂f/∂y
-        for name, slot in pen.reg.slots.items():
-            if slot.kind != "pde":
-                continue
-            dfy = pen.d(name, 1)
-            term = -uy0 * dfy
-            accumulate(df, name, term[0] if slot.ncomp == 1 else term)
-        if "uu" in pen.reg.slots:
+        if not self.lshearadvection_as_shift:
+            # advect every evolved field by the background flow: −uy0 ∂f/∂y
+            for name, slot in pen.reg.slots.items():
+                if slot.kind != "pde":
+                    continue
+                dfy = pen.d(name, 1)
+                term = -uy0 * dfy
+                accumulate(df, name, term[0] if slot.ncomp == 1 else term)
+            # background-flow advective CFL (removed under SAFI — the
+            # shift is exact, shear.f90 "Removes time-step constraint")
+            d1 = pen.dline_1()
+            ts.advec(jnp.abs(uy0) * d1[1])
+        # shear acceleration handed over to Particles_drag when active
+        # (reference shear.f90:160)
+        pdrag = pen.cfg.module("particles_drag") if pen.cfg else None
+        if "uu" in pen.reg.slots and pdrag is None:
             uu = pen.uu()
             zero = jnp.zeros_like(uu[0])
             accumulate(df, "uu", jnp.stack([zero, -S * uu[0], zero]))
@@ -53,9 +67,19 @@ class Shear(ModuleBase):
             aa = pen.aa()
             zero = jnp.zeros_like(aa[0])
             accumulate(df, "aa", jnp.stack([-S * aa[1], zero, zero]))
-        # background-flow advective CFL
-        d1 = pen.dline_1()
-        ts.advec(jnp.abs(uy0) * d1[1])
+
+    def shift_advection(self, arr, grid, spec, dtsub):
+        """Exact shear-advection shift of (ncomp, nx, ny, nz) interior
+        fields: f(x, y) ← f(x, y − S·x·dtsub) via per-x-plane Fourier
+        phase (reference sheared_advection_fft)."""
+        uy0 = self.S * grid.xg[:, 0, 0]              # (nx,)
+        shift = uy0 * dtsub
+        fk = jnp.fft.rfft(arr, axis=2)
+        k = jnp.fft.rfftfreq(spec.ny, d=spec.Ly / spec.ny)
+        phase = jnp.exp(-2j * jnp.pi * k[None, :] * shift[:, None])
+        out = jnp.fft.irfft(fk * phase[None, :, :, None], n=spec.ny,
+                            axis=2)
+        return out.astype(arr.dtype)
 
 
 def fourier_shift_y(slab, dy, Ly, ny_int=None):

@@ -107,6 +107,38 @@ def test_sharded_matches_single_nghost5():
                                    err_msg=k)
 
 
+@pytest.mark.parametrize("mesh", [MeshSpec(1, 2, 4), MeshSpec(2, 2, 2)])
+def test_sharded_shear_matches_single(mesh):
+    """Shearing-box halos across a sharded mesh (reference shears across
+    up to 3 y-neighbor ranks, mpicomm.f90:2104-2422): sharded y
+    all-gathers the x-face slab and Fourier-shifts over the global y
+    circle; sharded x shifts only on domain-edge shards.  Must match the
+    single-device run (round-2 weak #8: this raised NotImplementedError)."""
+    from pencil_tpu import Shear
+
+    def cfg(mesh):
+        return Config(
+            grid=GridSpec(nx=16, ny=16, nz=16),
+            mesh=mesh,
+            time=TimeSpec(itorder=3),
+            modules=(
+                EosIdealGas(gamma=1.0001, cs0=1.0),
+                Density(init="sinwave-z", ampl=0.05),
+                Hydro(init="gaussian-noise", ampl=1e-2, Omega=1.0),
+                Shear(Omega=1.0, qshear=1.5),
+                Viscosity(ivisc=("nu-const",), nu=2e-3),
+                Magnetic(init="gaussian-noise", ampl=1e-3, eta=2e-3),
+            ),
+        )
+
+    ref, dt_ref = _run(cfg(MeshSpec(1, 1, 1)), 5, sharded=False)
+    shr, dt_shr = _run(cfg(mesh), 5, sharded=True)
+    assert abs(dt_ref - dt_shr) < 1e-5 * abs(dt_ref)
+    for k in ref:
+        np.testing.assert_allclose(shr[k], ref[k], rtol=5e-4, atol=2e-6,
+                                   err_msg=k)
+
+
 def test_sharded_matches_single_nonperiodic_z():
     bcz = (BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
            BC.parse("lnrho", "a2"),

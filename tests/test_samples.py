@@ -1377,3 +1377,112 @@ def test_damped_alfven_waves_golden(tmp_path):
                 ours[col][n], ref[col][m], rtol=5e-3,
                 err_msg=f"{col} at it {it}")
         assert abs(ours["divbmax"][n]) < 1e-4
+
+
+@needs_ref
+def test_shearwave_dust_par_golden():
+    """samples/2d-tests/shearwave-dust-par: gas-particle shear wave with
+    the PIC mutual-drag integrator (particles_drag.f90 analytic
+    epicycle+drag per cell, split after the RK step), SAFI shear
+    advection (lshearadvection_as_shift), 64×64×1, one TSC particle per
+    cell, deterministic coswave IC.  One of BASELINE.json's named
+    configs (round-2 verdict ask #5)."""
+    import jax.numpy as jnp
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            ParticlesDrag, ParticlesDust, Shear, TimeSpec)
+    from pencil_tpu.physics.pencils import Pencils
+
+    n = 64
+    cfg = Config(
+        grid=GridSpec(nx=n, ny=n, nz=1),
+        time=TimeSpec(itorder=3),
+        modules=(
+            EosIdealGas(gamma=1.0, cs0=1.0, rho0=1.0),
+            Density(lnolog=True),
+            Hydro(),
+            Shear(Omega=1.0, qshear=1.5, lshearadvection_as_shift=True),
+            ParticlesDust(npar=n * n, tausp=0.0, init="equidistant",
+                          scheme="tsc", vinit="zero"),
+            ParticlesDrag(tdrag=1.0, Omega=1.0, qshear=1.5,
+                          ldrag_on_par=True, ldrag_on_gas=True,
+                          eps_dtog=1.0),
+        ),
+    )
+    model = Model(cfg)
+    g = model.grid
+    x = np.asarray(g.x)[3:-3]
+    y = np.asarray(g.y)[3:-3]
+    uy0 = 1e-3 * np.cos(-x[:, None, None] + y[None, :, None])
+    uu0 = np.zeros((3, n, n, 1))
+    uu0[1] = uy0
+    state = model.init_state(0, overrides={
+        "uu": jnp.asarray(uu0, jnp.float32),
+        "rho": jnp.ones((n, n, 1), jnp.float32),
+    })
+    step = model.make_step()
+
+    rows = [l.split() for l in
+            open(f"{REF}/2d-tests/shearwave-dust-par/reference.out")
+            if l.strip() and not l.startswith("#")]
+    gold = {int(float(r[0])): [float(v) for v in r[1:]] for r in rows}
+    dust = cfg.module("particles")
+
+    shear = cfg.module("shear")
+
+    def cols(s):
+        uu = np.asarray(s["fields"]["uu"], np.float64)
+        rho = np.asarray(s["fields"]["rho"], np.float64)
+        vp = np.asarray(s["particles"]["vp"], np.float64)
+        sdy = shear.deltay(s["t"], cfg.grid.Lx, cfg.grid.Ly)
+        rhop = np.asarray(dust.rhop(s["particles"], None, cfg.grid,
+                                    shear_dy=sdy), np.float64)
+        return dict(
+            uxmin=uu[0].min(), uymin=uu[1].min(),
+            uxmax=uu[0].max(), uymax=uu[1].max(),
+            rhomin=rho.min(), rhomax=rho.max(),
+            vpxmin=vp[:, 0].min(), vpymin=vp[:, 1].min(),
+            vpxmax=vp[:, 0].max(), vpymax=vp[:, 1].max(),
+            rhopm=rhop.mean(), rhopmin=rhop.min(), rhopmax=rhop.max(),
+        )
+
+    names = ("uxmin", "uymin", "uxmax", "uymax", "rhomin", "rhomax",
+             "vpxmin", "vpymin", "vpxmax", "vpymax", "rhopm", "rhopmin",
+             "rhopmax")
+
+    # t=0 row: exact IC
+    c = cols(state)
+    ref0 = dict(zip(names, gold[0][2:]))
+    np.testing.assert_allclose(c["uymin"], ref0["uymin"], rtol=1e-5)
+    np.testing.assert_allclose(c["rhomin"], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(c["rhopm"], 1.0, rtol=1e-4)
+
+    for it in range(1, 96):
+        state = step(state)
+        if it in gold:
+            row = gold[it]
+            t_ref, dt_ref = row[0], row[1]
+            np.testing.assert_allclose(float(state["t"]), t_ref, atol=2e-3)
+            np.testing.assert_allclose(float(state["dt"]), dt_ref,
+                                       rtol=2e-3)
+            c = cols(state)
+            ref = dict(zip(names, row[2:]))
+            # late rows sit at high wound-up kx where the reference's
+            # bspline shift damps what our exact Fourier shift keeps —
+            # tolerance widens with the winding
+            rt = 0.05 if it <= 50 else 0.15
+            for k in ("uxmin", "uymin", "uxmax", "uymax",
+                      "vpxmin", "vpymin", "vpxmax", "vpymax"):
+                np.testing.assert_allclose(
+                    c[k], ref[k], rtol=rt, atol=1e-5,
+                    err_msg=f"{k} at it={it}")
+            for k in ("rhomin", "rhomax"):
+                np.testing.assert_allclose(
+                    c[k] - 1.0, ref[k] - 1.0, rtol=0.1, atol=1e-5,
+                    err_msg=f"{k} at it={it}")
+            for k in ("rhopmin", "rhopmax"):
+                # f32 TSC-deposit noise ≈1e-5 + scheme difference (exact
+                # Fourier SAFI here vs the reference's bspline shift)
+                np.testing.assert_allclose(
+                    c[k] - 1.0, ref[k] - 1.0, rtol=0.2, atol=1.5e-4,
+                    err_msg=f"{k} at it={it}")
+            np.testing.assert_allclose(c["rhopm"], 1.0, rtol=1e-4)
