@@ -127,13 +127,25 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
     if gen not in ("nr_f90", "min_std"):
         return None, modules
     seed0 = int(init_pars.get("seed0", 1812))
-    if gen == "nr_f90":
-        rng = start_seed(seed0, 0)
-    else:
+    npx = int(cpar.get("nprocx", 1))
+    npy = int(cpar.get("nprocy", 1))
+    npz = int(cpar.get("nprocz", 1))
+    nproc = npx * npy * npz
+
+    def _make_rng(iproc):
+        if gen == "nr_f90":
+            return start_seed(seed0, iproc)
         # min_std: random_seed_wrapper(PUT) installs the seed verbatim
         # (no draw consumed) — src/general.f90 ran0 path
-        rng = Ran0(-((seed0 - 1812 + 1) * 10 + 0))
+        return Ran0(-((seed0 - 1812 + 1) * 10 + iproc))
+
+    # every MPI rank runs the init cascade on its OWN stream seeded by
+    # iproc (start.f90:383 random_seed_wrapper per rank); replay each
+    # rank's draws over its local ghosted block and mosaic the interiors
+    rngs = [_make_rng(i) for i in range(nproc)]
+    rng = rngs[0]
     mx, my, mz = grid.nx + 6, grid.ny + 6, grid.nz + 6
+    nxl, nyl, nzl = grid.nx // npx, grid.ny // npy, grid.nz // npz
     overrides = {}
 
     def noise_for(mod, field, ncomp):
@@ -142,9 +154,18 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
         init = getattr(mod, "init", "nothing")
         ampl = float(getattr(mod, "ampl", 0.0))
         if init in ("gaussian-noise", "gaussian_noise") and ampl != 0.0:
-            full = gaunoise_vect(rng, ampl, mx, my, mz, ncomp)
-            arr = full[:, 3:-3, 3:-3, 3:-3]
-            overrides[field] = arr if ncomp > 1 else arr[0]
+            import numpy as np
+            full = np.zeros((ncomp, grid.nx, grid.ny, grid.nz), np.float32)
+            for ip in range(nproc):
+                ipx = ip % npx
+                ipy = (ip // npx) % npy
+                ipz = ip // (npx * npy)
+                loc = gaunoise_vect(rngs[ip], ampl, nxl + 6, nyl + 6,
+                                    nzl + 6, ncomp)
+                full[:, ipx * nxl:(ipx + 1) * nxl,
+                     ipy * nyl:(ipy + 1) * nyl,
+                     ipz * nzl:(ipz + 1) * nzl] = loc[:, 3:-3, 3:-3, 3:-3]
+            overrides[field] = full if ncomp > 1 else full[0]
 
     by_name = {m.name: m for m in modules}
 
@@ -295,7 +316,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         itorder=int(run_pars.get("itorder", 3)),
         cdt=float(run_pars.get("cdt", 0.9)),
         cdtv=float(run_pars.get("cdtv", 0.25)),
-        cdtv3=float(run_pars.get("cdtv3", 0.25)),
+        cdtv3=float(run_pars.get("cdtv3", 0.01)),
         dt=float(run_pars.get("dt", 0.0)),
         dtmin=float(run_pars.get("dtmin", 1e-10)),
         eps_rkf=float(run_pars.get("eps_rkf", 1e-8)),
@@ -405,6 +426,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             init=str(_first(dd_p.get("initnd", "zero"))),
             inituud=str(_first(dv_p.get("inituud", "zero"))),
             ampluud=float(_first(dv_p.get("ampluud", 0.0))),
+            lshorttausd=bool(dv_p.get("ldustvelocity_shorttausd", False)),
+            lnolog_nd=not bool(dd_p.get("ldustdensity_log", True)),
         ))
 
     cr_p = grp("cosmicray")

@@ -113,7 +113,7 @@ class TimeSpec:
                                # 5 = adaptive Cash-Karp RKF45
     cdt: float = 0.9           # advective CFL safety factor
     cdtv: float = 0.25         # diffusive (del2) CFL
-    cdtv3: float = 0.25        # hyperdiffusive (del6) CFL
+    cdtv3: float = 0.01        # hyperdiffusive (del6) CFL (cdata.f90:149)
     cdts: float = 1.0          # heating/cooling-rate safety (cdata:145)
     dt: float = 0.0            # fixed dt if > 0, else adaptive
     dtmin: float = 1.0e-10

@@ -470,6 +470,8 @@ def _mu5rms(pen, st):
 
 # ---- dust fluid ------------------------------------------------------------
 def _nd(pen):
+    if "nd" in pen.reg.slots:
+        return pen.field("nd")
     return jnp.exp(pen.field("lnnd"))
 
 

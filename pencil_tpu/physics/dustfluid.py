@@ -29,6 +29,12 @@ class DustFluid(ModuleBase):
     diffnd_anisotropic: tuple = (0.0, 0.0, 0.0)  # 'simplified-anisotropic'
     eps_dtog: float = 0.0      # mean dust-to-gas ratio (back-reaction)
     ldragforce_gas: bool = False  # momentum-conserving drag on the gas
+    # short-stopping-time approximation (reference
+    # ldustvelocity_shorttausd, dustvelocity.f90:1071-1097): uud is
+    # algebraically slaved to its terminal value u + τ·(cs²∇lnρ − J×B/ρ)
+    # instead of being evolved — no uud PDE slot, no τ CFL constraint
+    lshorttausd: bool = False
+    lnolog_nd: bool = False    # evolve nd itself (ldustdensity_log=F)
     lgravz: bool = False
     gravz: float = 0.0
     init: str = "zero"
@@ -38,10 +44,29 @@ class DustFluid(ModuleBase):
     kx: float = 1.0
 
     def register(self, reg):
-        reg.register("uud", 3, "pde", comps=("udx", "udy", "udz"))
-        reg.register("lnnd", 1, "pde")
+        if not self.lshorttausd:
+            reg.register("uud", 3, "pde", comps=("udx", "udy", "udz"))
+        reg.register("nd" if self.lnolog_nd else "lnnd", 1, "pde")
+
+    def _slaved_uud(self, pen):
+        uu = pen.uu()
+        acc = 0.0
+        if "lnrho" in pen.reg.slots or "rho" in pen.reg.slots:
+            acc = acc + pen.cs2() * pen.glnrho()
+        if "aa" in pen.reg.slots:
+            acc = acc - pen.jxbr()
+        if self.lgravz and self.gravz != 0.0:
+            z3 = jnp.zeros_like(uu)
+            acc = acc + z3.at[2].add(self.gravz)
+        return uu + self.tausd * acc
 
     def rhs(self, pen, df, ts):
+        if self.lshorttausd:
+            uud = self._slaved_uud(pen)
+            self._rhs_nd(pen, df, ts, uud, divud=None)
+            d1 = pen.dline_1()
+            ts.advec(sum(jnp.abs(uud[a]) * d1[a] for a in range(3)))
+            return
         uud = pen.field("uud")
         # dust advection (pressureless)
         uijd = jnp.stack([pen.d("uud", j) for j in range(3)], axis=1)
@@ -81,6 +106,35 @@ class DustFluid(ModuleBase):
         accumulate(df, "uud", out_u)
 
         divud = uijd[0, 0] + uijd[1, 1] + uijd[2, 2]
+        self._rhs_nd(pen, df, ts, uud, divud)
+
+        d1 = pen.dline_1()
+        ts.advec(sum(jnp.abs(uud[a]) * d1[a] for a in range(3)))
+
+    def _rhs_nd(self, pen, df, ts, uud, divud=None):
+        if self.lnolog_nd:
+            # conservative continuity for nd itself (ldustdensity_log=F):
+            # dnd/dt = −∇·(nd·uud); slaved uud has no stored derivatives,
+            # so build div(nd·ud) from product-rule pencils
+            nd = pen.field("nd")
+            gnd = pen.grad("nd")
+            if divud is None:
+                # slaved mode: ud = u + τ·a_rel → div ud ≈ div u + τ·(...)
+                # with τ ≤ 1e-6 the correction to DIVERGENCE is O(τ·∇a),
+                # far below f32 resolution — use div u (reference computes
+                # the full derivative of the slaved field numerically)
+                divud = pen.divu()
+            out_n = -sum(uud[a] * gnd[a] for a in range(3)) - nd * divud
+            if self.diffnd_hyper3 > 0.0:
+                out_n = out_n + self.diffnd_hyper3 * pen.del6s_scaled("nd")
+                ts.diffus3(self.diffnd_hyper3)
+            if self.diffnd > 0.0:
+                out_n = out_n + self.diffnd * pen.del2s("nd")
+                ts.diffus(self.diffnd)
+            accumulate(df, "nd", out_n)
+            return
+        if divud is None:
+            divud = pen.divu()
         glnnd = pen.grad("lnnd")
         out_n = -sum(uud[a] * glnnd[a] for a in range(3)) - divud
         if self.diffnd > 0.0:
@@ -103,9 +157,6 @@ class DustFluid(ModuleBase):
                           for a in range(3)) / dxyz2)
         accumulate(df, "lnnd", out_n)
 
-        d1 = pen.dline_1()
-        ts.advec(sum(jnp.abs(uud[a]) * d1[a] for a in range(3)))
-
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_scalar, init_vector
         zero = jnp.zeros(spec.shape, grid.z.dtype)
@@ -118,9 +169,16 @@ class DustFluid(ModuleBase):
                               ampl=self.ampluud, kx=self.kx)
         if self.init in ("zero", "nothing", "gaussian_nd", "const_nd"):
             # gaussian_nd is installed by the IC plug-in (dust-equilibrium)
-            # or left at lnnd = 0
+            # or left at lnnd = 0 / nd = 1
             lnnd = zero
         else:
             lnnd = init_scalar(self.init, grid, spec, eos, key,
                                ampl=self.ampl, kx=self.kx)
-        return {"uud": uud, "lnnd": lnnd}
+        out = {}
+        if not self.lshorttausd:
+            out["uud"] = uud
+        if self.lnolog_nd:
+            out["nd"] = jnp.exp(lnnd)
+        else:
+            out["lnnd"] = lnnd
+        return out

@@ -279,6 +279,29 @@ class Pencils:
         return sum(self.d6_raw(name, a)[0] * self._inv(a) ** 6 for a in range(3))
 
     @_memo
+    def grad5divu(self):
+        """(grad5divu)_i = Σ_j ∂⁵/∂x_i⁵ ∂u_j/∂x_j — the symmetric-hyper
+        viscous cross term (reference hydro.f90:3148-3156 via der5i1j).
+        i=j uses the direct 6th derivative; i≠j composes ∂⁵_i∘∂_j (the
+        two axes have independent ghost budgets)."""
+        uu_g = self._gh("uu")
+        out = []
+        for i_ in range(3):
+            acc = self.d6_raw("uu", i_)[i_] * self._inv(i_) ** 6
+            for j_ in range(3):
+                if j_ == i_:
+                    continue
+                t = st._der_n(uu_g[j_][None], i_, None, 5, 2,
+                              wrap=self._wr(i_), g=self._g)
+                t = st._der_n(t, j_, None, 1, 6, wrap=self._wr(j_),
+                              g=self._g)
+                rest = tuple(set((0, 1, 2)) - {i_, j_})
+                acc = acc + interior(t, self._crop(rest), g=self._g)[0] \
+                    * self._inv(i_) ** 5 * self._inv(j_)
+            out.append(acc)
+        return jnp.stack(out)
+
+    @_memo
     def field(self, name):
         """Interior values of a stored field: (ncomp, nx, ny, nz) / squeezed."""
         arr = interior(self._gh(name), self._crop((0, 1, 2)), g=self._g)

@@ -156,6 +156,15 @@ class Viscosity(ModuleBase):
                         * glnrho[a] for a in range(3))
                     for i in range(3)])
             ts.diffus3(self.nu_hyper3)
+        if ({"hyper3_rho_nu-const_symm", "hyper3-rho-nu-const-symm"}
+                & set(self.ivisc)) and self.nu_hyper3 > 0.0:
+            # μ₃=const symmetric hyperviscosity: force = μ₃/ρ·(∇⁶u +
+            # ∇⁵(∇·u)) from τ_ij = ∂⁵u_i/∂x_j⁵ + ∂⁵u_j/∂x_i⁵
+            # (viscosity.f90:1950-1961 lvisc_hyper3_rho_nu_const_symm)
+            murho1 = self.nu_hyper3 * pen.rho1()
+            fvisc = fvisc + murho1 * (pen.del6v_scaled("uu")
+                                      + pen.grad5divu())
+            ts.diffus3(self.nu_hyper3)   # ×rho1 in the reference; bound
         if "hyper3-mesh" in self.ivisc and self.nu_hyper3_mesh > 0.0:
             d1 = pen.dline_1()
             # reference normalization: ν₃ᵐ/π⁵ · δ⁶u/60 · dline_1
