@@ -15,8 +15,61 @@ import time
 import numpy as np
 
 
+def bench_particles():
+    """PC_BENCH=particles: dusty-turbulence throughput with npar≈1e6 TSC
+    particles + drag back-reaction on the gas (the workload the
+    reference's brick load balancing exists for,
+    src/particles_mpicomm_blocks.f90)."""
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    n = int(os.environ.get("BENCH_N", 128 if on_accel else 16))
+    npar = int(os.environ.get("BENCH_NPAR",
+                              1_000_000 if on_accel else 10_000))
+    nsteps = int(os.environ.get("BENCH_STEPS", 10 if on_accel else 3))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Model, ParticlesDust, TimeSpec, Viscosity)
+
+    cfg = Config(
+        grid=GridSpec(nx=n, ny=n, nz=n),
+        time=TimeSpec(itorder=3),
+        modules=(EosIdealGas(gamma=1.0001), Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-2),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3),
+                 ParticlesDust(npar=npar, tausp=0.1, eps_dtog=0.01,
+                               init="random", scheme="tsc")),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+    state = step(state)
+    jax.block_until_ready(state["particles"]["vp"])
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state = step(state)
+    jax.block_until_ready(state["particles"]["vp"])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(state["particles"]["vp"])).all()
+    per_s = nsteps * (npar + n ** 3) / elapsed
+    print(json.dumps({
+        "metric": f"gas+particle updates/s/chip, {n}^3 hydro + {npar} TSC "
+                  f"drag particles w/ back-reaction, {platform}",
+        "value": per_s,
+        "unit": "updates/s",
+        "vs_baseline": per_s / 1.0e9,
+        "steps": nsteps, "npar": npar, "grid": n,
+    }))
+
+
 def main():
     import jax
+
+    if os.environ.get("PC_BENCH", "") == "particles":
+        return bench_particles()
 
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)

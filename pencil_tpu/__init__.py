@@ -19,6 +19,7 @@ from .physics import PassiveScalar, Shear
 from .physics import SelfGravity
 from .particles import ParticlesDust
 from .particles.drag import ParticlesDrag
+from .particles.collisions import ParticlesCollisions
 from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas
 from .physics import TestfieldZ
 from .physics import BorderProfiles, CosmicRay

@@ -578,6 +578,12 @@ class Model:
                    if shear_mod is not None else None)
             fa, pstate = pdrag.integrate(fa, pstate, self, grid, dt,
                                          deltay=dly)
+        pcoll = cfg.module("particles_collisions")
+        if pcoll is not None and pstate is not None:
+            # MC collision sweep once per step (reference
+            # particles_collisions.f90 via particles_pde hooks)
+            kcoll = jax.random.fold_in(state["key"], 17)
+            pstate = pcoll.integrate(pstate, cfg.grid, dt, kcoll)
         fa = self.bc_writeback(fa, grid, t0 + dt, mesh_axis_names,
                                mesh_shape)
         bsq = cfg.module("boussinesq")

@@ -68,17 +68,26 @@ def interpolate(fields, xp, spec, scheme="tsc", origin=None, mask=None):
         return fields[:, idx[:, 0], idx[:, 1], idx[:, 2]]
     else:
         raise ValueError(scheme)
+    mx_, my_, mz_ = fields.shape[1:]
     if mask is not None:
-        mx_, my_, mz_ = fields.shape[1:]
         i0 = jnp.clip(i0, 0, mx_ - 3)
         j0 = jnp.clip(j0, 0, my_ - 3)
         k0 = jnp.clip(k0, 0, mz_ - 3)
-    out = 0.0
-    for a, wa in enumerate(wx):
-        for b, wb in enumerate(wy):
-            for c, wc in enumerate(wz):
-                w = wa * wb * wc
-                out = out + w * fields[:, i0 + a, j0 + b, k0 + c]
+    # ONE combined gather for all K³ cloud cells (27 separate gathers
+    # serialize badly on TPU), then the weighted reduction on registers
+    Ka, Kb, Kc = len(wx), len(wy), len(wz)
+    flat0 = (i0 * my_ + j0) * mz_ + k0
+    ff = fields.reshape(fields.shape[0], -1)
+    idx = []
+    ws = []
+    for a in range(Ka):
+        for b in range(Kb):
+            for c in range(Kc):
+                idx.append(flat0 + (a * my_ + b) * mz_ + c)
+                ws.append(wx[a] * wy[b] * wz[c])
+    gathered = ff[:, jnp.stack(idx)]          # (nc, K, npar)
+    w = jnp.stack(ws)                          # (K, npar)
+    out = jnp.sum(gathered * w[None], axis=1)
     if mask is not None:
         out = out * mask[None, :]
     return out
@@ -122,11 +131,37 @@ def deposit(values, xp, spec, shape, scheme="tsc", dtype=jnp.float32,
         i0 = jnp.clip(i0, 0, mx - 3)
         j0 = jnp.clip(j0, 0, my - 3)
         k0 = jnp.clip(k0, 0, mz - 3)
-    for a, wa in enumerate(wx):
-        for b, wb in enumerate(wy):
-            for c, wc in enumerate(wz):
-                w = wa * wb * wc
-                acc = acc.at[:, i0 + a, j0 + b, k0 + c].add(values * w)
+    # TPU scatter-adds with duplicate indices serialize: 27 separate
+    # scatters cost ~30× one.  Deposit every cloud cell's contribution
+    # as a CHANNEL at the particle's anchor cell in ONE scatter, then
+    # realign channels with K³ cheap grid rolls (anchor+offset stays
+    # inside the ghost margin, so the circular roll never wraps mass).
+    Ka, Kb, Kc = len(wx), len(wy), len(wz)
+    K = Ka * Kb * Kc
+    flat0 = (i0 * my + j0) * mz + k0
+    ws = []
+    for a in range(Ka):
+        for b in range(Kb):
+            for c in range(Kc):
+                ws.append(wx[a] * wy[b] * wz[c])
+    w = jnp.stack(ws)                                  # (K, npar)
+    vals = values[:, None, :] * w[None]                # (nc, K, npar)
+    accf = jnp.zeros((nc, K, mx * my * mz), dtype)
+    accf = accf.at[:, :, flat0].add(vals)
+    accf = accf.reshape(nc, K, mx, my, mz)
+    k_ = 0
+    for a in range(Ka):
+        for b in range(Kb):
+            for c in range(Kc):
+                ch = accf[:, k_]
+                if a:
+                    ch = jnp.roll(ch, a, axis=1)
+                if b:
+                    ch = jnp.roll(ch, b, axis=2)
+                if c:
+                    ch = jnp.roll(ch, c, axis=3)
+                acc = acc + ch
+                k_ += 1
     out = _fold(acc, spec, mesh_axis_names, mesh_shape, shear_dy)
     return out[0] if squeeze else out
 

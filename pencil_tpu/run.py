@@ -50,6 +50,8 @@ class RunParams:
     power_fields: tuple = ()    # e.g. ("kin", "mag")
     sound_points: tuple = ()    # ((x,y,z), ...) probe locations (sound.in)
     sound_fields: tuple = ("ux",)
+    dstalk: float = 0.0         # particle-stalker cadence (sim time); 0=off
+    npar_stalk: int = 0         # number of stalked particles
 
 
 class Run:
@@ -101,6 +103,7 @@ class Run:
         self._tavg_fields = None     # running time average (timeavg.f90)
         self._tsnap_down_last = 0.0
         self._nsnap_down = 0
+        self._tstalk_last = -1e30
         self.slices = None
         if self.params.dvid > 0:
             from .io.slices import SliceWriter
@@ -167,6 +170,46 @@ class Run:
         if not self.quiet:
             print("RELOAD: run parameters re-read, step re-jitted", flush=True)
         return state
+
+    def _write_stalker(self, state, t):
+        """Trajectory sampling of the first npar_stalk particles
+        (reference ``src/particles_stalker.f90``: positions, velocities
+        and TSC-interpolated gas quantities at dstalk cadence into
+        particles_stalker.dat)."""
+        p = self.params
+        ps = state.get("particles")
+        if ps is None or p.npar_stalk <= 0:
+            return
+        m = self.model
+        n = min(p.npar_stalk, int(np.asarray(ps["xp"]).shape[0]))
+        xp = np.asarray(ps["xp"])[:n]
+        vp = np.asarray(ps["vp"])[:n]
+        # gas state at the stalked particles (lstalk_uu / lstalk_rho)
+        from .parallel.halo import fill_ghosts
+        from .particles.interp import interpolate
+        import jax.numpy as jnp
+        fa = m.reg.stack(state["fields"])
+        fg = fill_ghosts(fa[: m.reg.ncom], m.cfg.grid,
+                         (m.cfg.bcx, m.cfg.bcy, m.cfg.bcz), m.reg,
+                         m.grid, m.cfg, m.eos)
+        cols = [xp, vp]
+        if "uu" in m.reg.slots:
+            cols.append(np.asarray(interpolate(
+                fg[m.reg.slice("uu")], jnp.asarray(xp), m.cfg.grid,
+                "tsc")).T)
+        for dens in ("rho", "lnrho"):
+            if dens in m.reg.slots:
+                r = np.asarray(interpolate(
+                    fg[m.reg.slice(dens)], jnp.asarray(xp), m.cfg.grid,
+                    "tsc")).T
+                cols.append(np.exp(r) if dens == "lnrho" else r)
+                break
+        data = np.concatenate(cols, axis=1)
+        with open(os.path.join(self.datadir, "particles_stalker.dat"),
+                  "a") as fh:
+            for ipar in range(n):
+                row = " ".join(f"{v:.6e}" for v in data[ipar])
+                fh.write(f"{t:.6e} {ipar} {row}\n")
 
     def _write_sound(self, state, t):
         """Point probes (reference write_sound / sound.in,
@@ -309,6 +352,10 @@ class Run:
                         self.datadir, f"VARd{self._nsnap_down}.npz"),
                         t=t, **ds)
                     self._tsnap_down_last = t
+            if p.dstalk > 0 and p.npar_stalk > 0 \
+                    and t - self._tstalk_last >= p.dstalk:
+                self._write_stalker(state, t)
+                self._tstalk_last = t
             if self.slices and p.dvid > 0 and t - self._tvid_last >= p.dvid:
                 self.slices.capture(self.model, state)
                 self._tvid_last = t

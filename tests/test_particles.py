@@ -228,3 +228,90 @@ def test_sharded_particle_buffers_match_replicated():
     key_s = np.lexsort(xs.T)
     key_r = np.lexsort(xr.T)
     np.testing.assert_allclose(xs[key_s], xr[key_r], rtol=1e-4, atol=1e-5)
+
+
+def test_collisions_conserve_momentum_and_energy():
+    """MC hard-sphere collisions (reference particles_collisions.f90):
+    total momentum exactly conserved; kinetic energy conserved at
+    restitution 1, dissipated below it; collisions actually occur."""
+    import jax
+    from pencil_tpu import GridSpec
+    from pencil_tpu.particles.collisions import ParticlesCollisions
+    spec = GridSpec(nx=8, ny=8, nz=8)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    npar = 4096
+    xp = jnp.asarray([spec.x0, spec.y0, spec.z0]) + \
+        jnp.asarray([spec.Lx, spec.Ly, spec.Lz]) * \
+        jax.random.uniform(k1, (npar, 3))
+    vp = jax.random.normal(k2, (npar, 3)) * 0.5
+    ps = {"xp": xp, "vp": vp}
+    coll = ParticlesCollisions(sigma_coll=0.05, coeff_restitution=1.0)
+    out = coll.integrate(ps, spec, 0.5, k3)
+    v0, v1 = np.asarray(vp, np.float64), np.asarray(out["vp"], np.float64)
+    changed = np.abs(v1 - v0).max(axis=1) > 1e-12
+    assert changed.sum() > 50, "no collisions happened"
+    np.testing.assert_allclose(v1.sum(0), v0.sum(0), atol=1e-3)
+    np.testing.assert_allclose((v1 ** 2).sum(), (v0 ** 2).sum(), rtol=1e-5)
+    # inelastic: energy strictly decreases
+    out2 = ParticlesCollisions(sigma_coll=0.05, coeff_restitution=0.5
+                               ).integrate(ps, spec, 0.5, k3)
+    v2 = np.asarray(out2["vp"], np.float64)
+    assert (v2 ** 2).sum() < (v0 ** 2).sum() - 1e-3
+    np.testing.assert_allclose(v2.sum(0), v0.sum(0), atol=1e-3)
+
+
+def test_collisions_relax_bidisperse_in_model():
+    """Two-stream dust relaxes toward a common rms via collisions when
+    run through the Model split hook."""
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Model, ParticlesCollisions, ParticlesDust,
+                            TimeSpec, Viscosity)
+    n = 8
+    cfg = Config(
+        grid=GridSpec(nx=n, ny=n, nz=n),
+        time=TimeSpec(itorder=3, dt=5e-3),
+        modules=(EosIdealGas(gamma=1.0001), Density(), Hydro(),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3),
+                 ParticlesDust(npar=2048, tausp=0.0, init="random"),
+                 ParticlesCollisions(sigma_coll=0.2)),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    vp = state["particles"]["vp"]
+    vp = vp.at[: 1024, 0].set(0.5).at[1024:, 0].set(-0.5)
+    state["particles"]["vp"] = vp
+    step = model.make_step()
+    for _ in range(30):
+        state = step(state)
+    v = np.asarray(state["particles"]["vp"], np.float64)
+    # streams mixed: x-velocity variance spread off the two deltas
+    assert 0.02 < v[:, 0].std() < 0.55
+    assert np.abs(v.sum(0)).max() < 2.0   # momentum ~conserved (f32)
+
+
+def test_stalker_output(tmp_path):
+    """particles_stalker.dat rows at dstalk cadence with position,
+    velocity, and interpolated gas columns (particles_stalker.f90)."""
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Model, ParticlesDust, TimeSpec, Viscosity)
+    from pencil_tpu.run import Run, RunParams
+    cfg = Config(
+        grid=GridSpec(nx=8, ny=8, nz=8),
+        time=TimeSpec(itorder=3, dt=5e-3),
+        modules=(EosIdealGas(gamma=1.0001), Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-2),
+                 Viscosity(ivisc=("nu-const",), nu=2e-3),
+                 ParticlesDust(npar=64, tausp=0.1, init="random")),
+    )
+    model = Model(cfg)
+    run = Run(model, datadir=str(tmp_path),
+              params=RunParams(nt=10, it1=5, dstalk=1e-4, npar_stalk=4),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    rows = [l.split() for l in
+            open(tmp_path / "particles_stalker.dat")]
+    assert len(rows) >= 8            # ≥2 samples × 4 particles
+    # t, ipar, xp(3), vp(3), uu(3), rho
+    assert len(rows[0]) == 12
+    assert {int(float(r[1])) for r in rows[:4]} == {0, 1, 2, 3}
