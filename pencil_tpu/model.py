@@ -584,6 +584,11 @@ class Model:
             # particles_collisions.f90 via particles_pde hooks)
             kcoll = jax.random.fold_in(state["key"], 17)
             pstate = pcoll.integrate(pstate, cfg.grid, dt, kcoll)
+        for m in self.modules:
+            # operator-split stiff terms (reference split_update,
+            # timestep.f90:199-222 — e.g. LSODE chemistry)
+            if hasattr(m, "split_update"):
+                fa = m.split_update(fa, self, grid, dt)
         fa = self.bc_writeback(fa, grid, t0 + dt, mesh_axis_names,
                                mesh_shape)
         bsq = cfg.module("boussinesq")

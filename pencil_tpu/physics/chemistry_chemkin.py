@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dfield
 from typing import ClassVar, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,14 @@ class ChemistryChemkin(ModuleBase):
     P_init: float = 1.013e6        # dyn/cm²
     Y_init: Tuple[Tuple[str, float], ...] = ()
     lreactions: bool = True
+    # LSODE-analog operator splitting (reference
+    # src/lsode_for_chemistry.f90 via split_update, timestep.f90:199):
+    # reaction source terms leave the explicit RHS and are integrated
+    # per cell over the full dt by sub-stepped backward-Euler/Newton —
+    # L-stable, so stiff networks no longer collapse the CFL dt
+    lsplit_reactions: bool = False
+    nsplit_substeps: int = 8
+    newton_iters: int = 4
     ladvection: bool = True
     ldiffusion: bool = False
     lheatc_chemistry: bool = False
@@ -264,8 +273,9 @@ class ChemistryChemkin(ModuleBase):
         cpR = _nasa_eval(m.nasa, m.T_ranges[:, 1], TT, lnTT, "cp")
         zero = jnp.zeros_like(Y)
 
+        lreac_expl = self.lreactions and not self.lsplit_reactions
         DYDt_reac = self._reaction_term(pen, Y, TT, lnTT, rho, TT1, mu1,
-                                        H0RT) if self.lreactions else zero
+                                        H0RT) if lreac_expl else zero
 
         # ---- species diffusion (lDiff_simple coefficients, detailed flux
         # form: chemistry.f90:5014-5066) --------------------------------
@@ -343,7 +353,7 @@ class ChemistryChemkin(ModuleBase):
         hk = H0RT * RGAS * TT[None] / W          # erg/g
         DY_tot = DYDt_reac + DYDt_diff
         sum_DYDt = jnp.sum(RGAS / W * DY_tot, axis=0)
-        if self.lreactions:
+        if lreac_expl:
             sum_hhk = -jnp.sum(hk * DYDt_reac, axis=0)
         else:
             sum_hhk = 0.0
@@ -374,6 +384,87 @@ class ChemistryChemkin(ModuleBase):
             tmp = (lam * (pen.del2s("lnTT") + g2TT) + g2TTlam) / cv * rho1
             accumulate(df, "lnTT", tmp)
             ts.diffus(jnp.max(lam / (rho * cp)) * (cp / cv))
+
+    def _point_rhs(self, u, rho_):
+        """Per-cell reaction ODE rhs on u = (Y_1..Y_ns, lnTT) at fixed ρ
+        (isochoric split, as the reference LSODE call): returns du/dt."""
+        m = self.mech
+        ns = m.ns
+        Yc = u[:ns].reshape(ns, 1, 1, 1)
+        ln = u[ns].reshape(1, 1, 1)
+        TT = jnp.exp(ln)
+        TT1 = 1.0 / TT
+        W = m.mass[:, None, None, None]
+        W1 = 1.0 / W
+        mu1 = jnp.sum(Yc * W1, axis=0)
+        H0RT = _nasa_eval(m.nasa, m.T_ranges[:, 1], TT, ln, "h")
+        w = self._reaction_term(None, Yc, TT, ln, rho_.reshape(1, 1, 1),
+                                TT1, mu1, H0RT)
+        cpR = _nasa_eval(m.nasa, m.T_ranges[:, 1], TT, ln, "cp")
+        cv = jnp.sum(Yc * (cpR - 1.0) * RGAS * W1, axis=0)
+        hk = H0RT * RGAS * TT[None] * W1
+        sum_DYDt = jnp.sum(RGAS * W1 * w, axis=0)
+        sum_hhk = -jnp.sum(hk * w, axis=0)
+        dln = (sum_DYDt + sum_hhk * TT1) / cv
+        return jnp.concatenate([w.reshape(ns), dln.reshape(1)])
+
+    def split_update(self, fa, model, grid, dt):
+        """Operator-split stiff reaction integration over the full step
+        (reference split_update → lsode_for_chemistry): sub-stepped
+        backward Euler with a vmapped per-cell Newton solve on the
+        (ns+1)-dim (Y, lnTT) system."""
+        if not (self.lreactions and self.lsplit_reactions):
+            return fa
+        reg = model.reg
+        m = self.mech
+        ns = m.ns
+        Y = fa[reg.slice("chem")]
+        shape = Y.shape[1:]
+        N = int(np.prod(shape))
+        if "lnTT" in reg.slots:
+            lnT = fa[reg.slice("lnTT")][0]
+        else:
+            lnT = jnp.log(fa[reg.slice("TT")][0])
+        if "lnrho" in reg.slots:
+            rho = jnp.exp(fa[reg.slice("lnrho")][0])
+        elif "rho" in reg.slots:
+            rho = fa[reg.slice("rho")][0]
+        else:
+            rho = jnp.ones(shape, fa.dtype)
+        U0 = jnp.concatenate(
+            [Y.reshape(ns, N), lnT.reshape(1, N)], axis=0).T   # (N, ns+1)
+        rf = rho.reshape(N)
+        h = dt / self.nsplit_substeps
+        eye = jnp.eye(ns + 1, dtype=fa.dtype)
+        jac = jax.jacfwd(self._point_rhs)
+
+        def be_substep(u0, rho_):
+            def newton(u, _):
+                F = u - u0 - h * self._point_rhs(u, rho_)
+                J = eye - h * jac(u, rho_)
+                return u - jnp.linalg.solve(J, F), None
+            u, _ = jax.lax.scan(newton, u0, None,
+                                length=self.newton_iters)
+            return u
+
+        def cell(u0, rho_):
+            def body(u, _):
+                return be_substep(u, rho_), None
+            u, _ = jax.lax.scan(body, u0, None,
+                                length=self.nsplit_substeps)
+            return u
+
+        out = jax.vmap(cell)(U0, rf)                           # (N, ns+1)
+        Yn = jnp.clip(out[:, :ns].T.reshape((ns,) + shape), 0.0, 1.0)
+        lnTn = out[:, ns].reshape(shape)
+        fa = fa.at[reg.slice("chem")].set(Yn.astype(fa.dtype))
+        if "lnTT" in reg.slots:
+            fa = fa.at[reg.slice("lnTT")].set(
+                lnTn[None].astype(fa.dtype))
+        else:
+            fa = fa.at[reg.slice("TT")].set(
+                jnp.exp(lnTn)[None].astype(fa.dtype))
+        return fa
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         """Reference air_field (chemistry.f90): mass fractions from the

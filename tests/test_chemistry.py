@@ -52,3 +52,73 @@ def test_gray_scott_pattern_develops():
     # the V spot survives and spreads (pattern formation, not decay)
     assert V.max() > 0.1
     assert (V > 0.1).mean() > 0.005
+
+
+def test_stiff_chemistry_operator_split():
+    """LSODE-analog operator splitting (reference
+    src/lsode_for_chemistry.f90 + split_update, timestep.f90:199): H2/O2
+    ignition integrated THROUGH the runaway at dt=2e-6 — far beyond the
+    explicit stability limit.  The explicit path goes NaN; the split path
+    (per-cell backward-Euler/Newton, 8 substeps) matches a fine-dt truth
+    integration to <1%.  Subprocess for x64."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ref = "/root/reference/samples/0d-tests/chemistry_H2_ignition_rkf"
+    if not os.path.isdir(ref):
+        import pytest
+        pytest.skip("reference tree not mounted")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = r'''
+import sys, json, dataclasses
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from pencil_tpu.compat.rundir import load_rundir
+from pencil_tpu.core.config import TimeSpec
+from pencil_tpu import Model
+cfg, info = load_rundir(%r)
+
+def runto(dt, t_end, split=False):
+    mods = cfg.modules
+    if split:
+        mods = tuple(dataclasses.replace(m, lsplit_reactions=True,
+                                         nsplit_substeps=8, newton_iters=5)
+                     if m.name == "chemistry" else m for m in mods)
+    mdl = Model(dataclasses.replace(cfg, modules=mods,
+                                    time=TimeSpec(itorder=3, dt=dt)))
+    st = mdl.init_state(0)
+    n = int(round(t_end / dt))
+    done = 0
+    while done < n:
+        k = min(500, n - done)
+        st = mdl.make_multi_step(k)(st)
+        done += k
+        T = float(np.exp(np.asarray(st["fields"]["lnTT"])).flat[0])
+        if not np.isfinite(T):
+            return T
+    return float(np.exp(np.asarray(st["fields"]["lnTT"])).flat[0])
+
+out = {
+    "truth": runto(1e-7, 6e-4),
+    "explicit": runto(2e-6, 6e-4),
+    "split": runto(2e-6, 6e-4, split=True),
+}
+print("RESULT " + json.dumps(out))
+'''
+    out = subprocess.run([sys.executable, "-c", code % (repo, ref)],
+                         capture_output=True, text=True, timeout=1100)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    data = json.loads(line[0][7:])
+    import math
+    # explicit at 13x the stable dt diverges through the runaway
+    assert not math.isfinite(data["explicit"])
+    # the L-stable split stays on the true trajectory
+    assert math.isfinite(data["split"])
+    assert abs(data["split"] - data["truth"]) < 0.01 * data["truth"]
+    assert data["truth"] > 1500.0     # runaway really happened
