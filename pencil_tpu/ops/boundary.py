@@ -665,6 +665,124 @@ def bc_freeze(fgc, axis, side, val, ctx):
     return bc_sym(fgc, axis, side, val, ctx, about_value=True)
 
 
+def bc_onesided(fgc, axis, side, val, ctx, n2nd=False, dirichlet=False,
+                neumann=False):
+    """'1s'/'d1s'/'n1s': ghost zones for one-sided 1st/2nd derivatives
+    (reference set_ghosts_for_onesided_ders, deriv.f90:5777-5840):
+    7th-order extrapolation ghost(k) = 7(f₁−f₆) − 21(f₂−f₅) + 35(f₃−f₄)
+    + f₇ filled sequentially outward.  'd1s' pins the boundary value to
+    ``val`` first; 'n1s' sets the boundary from the one-sided 6th-order
+    Neumann formula (bval_from_neumann, deriv.f90:5523)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    g = NGHOST
+    sgn = 1 if side == 0 else -1
+    bi = g if side == 0 else m - g - 1
+    if dirichlet:
+        fgc = _put(fgc, axis, bi,
+                   jnp.full_like(_take(fgc, axis, bi), val))
+    if neumann:
+        d = _spacing(ctx, axis)
+        coeffs = (360.0, -450.0, 400.0, -225.0, 72.0, -10.0)
+        s = sum(c * _take(fgc, axis, bi + sgn * (k + 1))
+                for k, c in enumerate(coeffs))
+        fgc = _put(fgc, axis, bi, (-sgn * val * 60.0 * d + s) / 147.0)
+    nset = g - 1 if n2nd else g
+    idxs = (list(range(g - 1, g - 1 - nset, -1)) if side == 0
+            else list(range(m - g, m - g + nset)))
+    for k in idxs:
+        v = (7.0 * (_take(fgc, axis, k + sgn)
+                    - _take(fgc, axis, k + 6 * sgn))
+             - 21.0 * (_take(fgc, axis, k + 2 * sgn)
+                       - _take(fgc, axis, k + 5 * sgn))
+             + 35.0 * (_take(fgc, axis, k + 3 * sgn)
+                       - _take(fgc, axis, k + 4 * sgn))
+             + _take(fgc, axis, k + 7 * sgn))
+        fgc = _put(fgc, axis, k, v)
+    return fgc
+
+
+def bc_ss_temp2(fgc, axis, side, val, ctx):
+    """'cT2': constant temperature keeping lnrho (bc_ss_temp2_z,
+    eos_idealgas.f90:3794): ss on the boundary AND ghosts set from the
+    local density so that cs² = val (0 → cs20) there."""
+    eos = ctx.eos
+    lnrho = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    cs2 = val if val > 0.0 else eos.cs20
+    cv = eos.cp / eos.gamma
+    tmp = cv * jnp.log(cs2 / eos.cs20)
+    _, _, bi = _plane_idx(m, side, 1)
+    for j in (0, 1, 2, 3):
+        gi = bi if j == 0 else _plane_idx(m, side, j)[0]
+        fgc = _put(fgc, axis, gi,
+                   tmp - (eos.cp - cv)
+                   * (_take(lnrho, axis, gi) - eos.lnrho0))
+    return fgc
+
+
+def bc_ss_energy(fgc, axis, side, val, ctx):
+    """'ce': constant energy — the ghost cs² (temperature) pinned to the
+    boundary value given the local density (bc_ss_energy,
+    eos_idealgas.f90:4287)."""
+    eos = ctx.eos
+    lnrho = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    g1 = eos.gamma - 1.0
+    cv = eos.cp / eos.gamma
+    cv1 = 1.0 / cv
+    _, _, bi = _plane_idx(m, side, 1)
+    lncs2_b = (jnp.log(eos.cs20) + g1 * _take(lnrho, axis, bi)
+               + cv1 * _take(fgc, axis, bi))
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi,
+                   cv * (-g1 * _take(lnrho, axis, gi)
+                         - jnp.log(eos.cs20) + lncs2_b))
+    return fgc
+
+
+def bc_hydrostatic(fgc, axis, side, val, ctx):
+    """'hs': hydrostatic equilibrium ∂z p = ρ g_z at the boundary
+    (bc_lnrho_hds_z_iso, eos_idealgas.f90:4457): constant ghost slopes
+    dlnρ/dz = γ g_z/cs²(corner), ds/dz = −(γ−1) g_z/cs²(corner) from the
+    single corner-point sound speed."""
+    eos = ctx.eos
+    grav = ctx.cfg.module("gravity") if ctx.cfg is not None else None
+    if grav is None or getattr(grav, "gravz", 0.0) == 0.0:
+        raise NotImplementedError("'hs' needs gravity with constant gravz")
+    gz = float(grav.gravz)
+    lnrho = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    g = NGHOST
+    _, _, bi = _plane_idx(m, side, 1)
+    corner = (g, g, bi) if axis == 2 else (
+        (bi, g, g) if axis == 0 else (g, bi, g))
+    lnr0 = lnrho[corner]
+    if "ss" in ctx.reg.slots:
+        ss0 = ctx.fg[ctx.reg.comp_index("ss")][corner]
+    else:
+        ss0 = 0.0
+    g1 = eos.gamma - 1.0
+    cs2_pt = eos.cs20 * jnp.exp(eos.gamma * ss0 / eos.cp
+                                + g1 * (lnr0 - eos.lnrho0))
+    if ctx.comp in ("lnrho", "rho"):
+        slope = eos.gamma * gz / cs2_pt
+        if ctx.comp == "rho":
+            rho0c = jnp.exp(lnr0)
+            slope = slope * rho0c
+    elif ctx.comp == "ss":
+        slope = -g1 * gz / cs2_pt
+    else:
+        raise NotImplementedError(f"'hs' on component {ctx.comp!r}")
+    d = _spacing(ctx, axis)
+    sgn = 1.0 if side == 0 else -1.0
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi,
+                   _take(fgc, axis, mi) - sgn * 2.0 * j * d * slope)
+    return fgc
+
+
 BC_REGISTRY: Dict[str, Callable] = {
     "s": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=1.0),
     "a": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=-1.0),
@@ -708,6 +826,15 @@ BC_REGISTRY: Dict[str, Callable] = {
     "str": bc_stratified,
     "f": bc_freeze,
     "fg": bc_freeze,
+    # one-sided-derivative family + BC-census tail (round-2 ask #8)
+    "1s": bc_onesided,
+    "d1s": lambda f, a, s, v, c: bc_onesided(f, a, s, v, c, n2nd=True,
+                                             dirichlet=True),
+    "n1s": lambda f, a, s, v, c: bc_onesided(f, a, s, v, c, n2nd=True,
+                                             neumann=True),
+    "cT2": bc_ss_temp2,
+    "ce": bc_ss_energy,
+    "hs": bc_hydrostatic,
 }
 
 

@@ -71,3 +71,4 @@ from . import chiral_mhd  # noqa: E402,F401
 from . import alphadisk  # noqa: E402,F401
 from . import set_gravity  # noqa: E402,F401
 from . import newton_cooling  # noqa: E402,F401
+from . import streamfunction  # noqa: E402,F401

@@ -334,3 +334,102 @@ def test_freeze_zeroes_df_on_boundary():
     np.testing.assert_array_equal(lnrho1[:, :, 0], lnrho0[:, :, 0])
     np.testing.assert_array_equal(lnrho1[:, :, -1], lnrho0[:, :, -1])
     assert np.any(lnrho1[:, :, 1:-1] != lnrho0[:, :, 1:-1])
+
+
+def test_onesided_exact_on_cubic():
+    """'1s' (set_ghosts_for_onesided_ders): the 7th-order extrapolation
+    reproduces polynomials up to degree 6 exactly — check a cubic."""
+    spec = GridSpec(nx=8, ny=8, nz=16, periodic=(True, True, False))
+    ctx, _ = _ctx(spec)
+    z = np.asarray(ctx.grid.z)
+    f = (1.0 + 0.5 * z - 0.2 * z ** 2 + 0.05 * z ** 3)
+    fg = jnp.asarray(np.broadcast_to(f, (8 + 2 * G, 8 + 2 * G, len(z))
+                                     ).copy())
+    bad = fg.at[:, :, :G].set(99.0).at[:, :, -G:].set(-99.0)
+    lo = _apply("1s", bad, 2, 0, ctx)
+    hi = _apply("1s", bad, 2, 1, ctx)
+    np.testing.assert_allclose(lo[:, :, :G], np.asarray(fg)[:, :, :G],
+                               rtol=5e-5, atol=5e-4)
+    np.testing.assert_allclose(hi[:, :, -G:], np.asarray(fg)[:, :, -G:],
+                               rtol=5e-5, atol=5e-4)
+
+
+def test_d1s_pins_boundary():
+    ctx, fg = _ctx()
+    out = _apply("d1s", fg[0], 2, 0, ctx, val=2.5)
+    np.testing.assert_allclose(out[:, :, G], 2.5)
+    out = _apply("d1s", fg[0], 2, 1, ctx, val=-1.0)
+    np.testing.assert_allclose(out[:, :, -G - 1], -1.0)
+
+
+def test_n1s_neumann_boundary_value():
+    """'n1s': the boundary value satisfies the one-sided 6th-order
+    first-derivative formula with the requested slope — exact on a
+    linear profile."""
+    spec = GridSpec(nx=8, ny=8, nz=16, periodic=(True, True, False))
+    ctx, _ = _ctx(spec)
+    z = np.asarray(ctx.grid.z)
+    f = 1.0 + 0.7 * z
+    fg = jnp.asarray(np.broadcast_to(f, (8 + 2 * G, 8 + 2 * G, len(z))
+                                     ).copy())
+    out = _apply("n1s", fg, 2, 0, ctx, val=0.7)
+    np.testing.assert_allclose(out[:, :, G], f[G], rtol=1e-5)
+    out = _apply("n1s", fg, 2, 1, ctx, val=0.7)
+    np.testing.assert_allclose(out[:, :, -G - 1], f[-G - 1], rtol=1e-5)
+
+
+def test_cT2_sets_temperature_from_density():
+    ctx, fg = _ctx()
+    ctx.comp = "ss"
+    eos = ctx.eos
+    cs2 = 0.8
+    out = _apply("cT2", fg[1], 2, 1, ctx, val=cs2)
+    lnrho = np.asarray(fg[0])
+    cv = eos.cp / eos.gamma
+    for j in (0, 1, 2, 3):
+        zi = -G - 1 + j if j else -G - 1
+        expect = (cv * np.log(cs2 / eos.cs20)
+                  - (eos.cp - cv) * (lnrho[:, :, zi] - eos.lnrho0))
+        np.testing.assert_allclose(out[:, :, zi], expect, rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_ce_constant_energy_ghosts():
+    """'ce' (bc_ss_energy): ghost cs² equals the boundary cs² given the
+    ghost density."""
+    ctx, fg = _ctx()
+    ctx.comp = "ss"
+    eos = ctx.eos
+    out = _apply("ce", fg[1], 2, 0, ctx)
+    lnrho = np.asarray(fg[0])
+    g1 = eos.gamma - 1.0
+    cv = eos.cp / eos.gamma
+    cs2 = eos.cs20 * np.exp(g1 * lnrho + np.asarray(out) / cv)
+    for j in (1, 2, 3):
+        np.testing.assert_allclose(cs2[:, :, G - j], cs2[:, :, G],
+                                   rtol=1e-4)
+
+
+def test_hs_hydrostatic_slopes():
+    """'hs' (bc_lnrho_hds_z_iso): ghost slope d lnρ/dz = γ g_z/cs² and
+    ds/dz = −(γ−1) g_z/cs² from the corner sound speed."""
+    from pencil_tpu.physics.gravity import Gravity
+    spec = GridSpec(nx=8, ny=8, nz=8, periodic=(True, True, False))
+    cfg = Config(grid=spec, modules=(Gravity(gravz_profile="const",
+                                             gravz=-1.5),))
+    ctx, fg = _ctx(spec)
+    ctx.cfg = cfg
+    eos = ctx.eos
+    ctx.comp = "lnrho"
+    out = _apply("hs", fg[0], 2, 0, ctx)
+    lnr0 = float(np.asarray(fg[0])[G, G, G])
+    ss0 = float(np.asarray(fg[1])[G, G, G])
+    cs2 = eos.cs20 * np.exp(eos.gamma * ss0 / eos.cp
+                            + (eos.gamma - 1) * (lnr0 - eos.lnrho0))
+    slope = eos.gamma * (-1.5) / cs2
+    dz = spec.Lz / (spec.nz - 1)
+    for j in (1, 2, 3):
+        np.testing.assert_allclose(
+            out[:, :, G - j],
+            np.asarray(fg[0])[:, :, G + j] - 2 * j * dz * slope,
+            rtol=1e-4, atol=1e-5)

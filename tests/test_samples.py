@@ -1564,3 +1564,102 @@ def test_mri_turbulence_hyper_golden():
                     err_msg=f"{k} at it={it}")
             np.testing.assert_allclose(c["rhom"], 1.0, rtol=1e-4)
             np.testing.assert_allclose(c["ndm"], 1.0, rtol=1e-3)
+
+
+@needs_ref
+def test_stokes_convection_multigrid_golden():
+    """samples/2d-tests/StokesConvectionMultigrid: infinite-Prandtl
+    Stokes convection (special/streamfunction_fullmultigrid) — the
+    4th-order momentum equation for ψ is solved EXACTLY in the DST-I
+    basis of the reference's own discrete stencils (one sine-matmul pair
+    per step instead of SOR full-multigrid sweeps) and matches the
+    committed golden at format precision.  Subprocess for x64 (double
+    precision sample)."""
+    import json
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = r'''
+import sys, json
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from pencil_tpu import BC, Config, Model
+from pencil_tpu.core.config import GridSpec, TimeSpec
+from pencil_tpu.physics.special.streamfunction import Streamfunction
+from pencil_tpu.physics.eos import EosIdealGas
+from pencil_tpu.parallel.halo import fill_ghosts
+from pencil_tpu.physics.pencils import Pencils
+from pencil_tpu.physics.base import TimestepAccum
+n = 33
+cfg = Config(
+    grid=GridSpec(nx=n, ny=1, nz=n, x0=0.0, Lx=1e6, y0=-5e5, Ly=1e6,
+                  z0=0.0, Lz=1e6, periodic=(False, True, False)),
+    time=TimeSpec(itorder=3, cdt=0.4, cdtv=0.4, cdtv3=0.4),
+    dtype="float64",
+    modules=(EosIdealGas(gamma=1.0),
+             Streamfunction(ampltt=10.0, kx_TT=3.141592, Tbot=1000.0,
+                            Tupp=0.0, rho0_bq=4e3, kappa=1e-6,
+                            gravity_z=10.0, alpha_thermal=2.5e-5,
+                            eta_0=1e23)),
+    bcx=(BC.parse("TT", "s"), BC.parse("psi", "a2")),
+    bcz=(BC.parse("TT", "set", lval=0.0, hval=0.0),
+         BC.parse("psi", "a2")),
+)
+model = Model(cfg)
+state = model.init_state(0)
+
+def diag(s):
+    fa = model.reg.stack(s["fields"])
+    fg = fill_ghosts(fa[:model.reg.ncom], cfg.grid,
+                     (cfg.bcx, cfg.bcy, cfg.bcz), model.reg, model.grid,
+                     cfg, model.eos)
+    pen = Pencils(fg, model.grid, model.reg, cfg, model.eos)
+    sf = cfg.module("streamfunction")
+    sf.rhs(pen, {}, TimestepAccum())
+    uqx, uqz = (np.asarray(v) for v in pen._cache["uq"])
+    TT = np.asarray(s["fields"]["TT"])
+    uq2 = uqx ** 2 + uqz ** 2
+    return dict(TTmax=TT.max(), TTmin=TT.min(), TTm=abs(TT).mean(),
+                uqxmax=uqx.max(), uqxmin=uqx.min(),
+                uqzmax=uqz.max(), uqzmin=uqz.min(),
+                uqrms=float(np.sqrt(uq2.mean())),
+                uqmax=float(np.sqrt(uq2.max())))
+
+rows = {0: dict(t=0.0, **diag(state))}
+step = model.make_step()
+for it in range(1, 51):
+    state = step(state)
+    if it %% 5 == 0:
+        rows[it] = dict(t=float(state["t"]), dt=float(state["dt"]),
+                        **diag(state))
+print("RESULT " + json.dumps(rows))
+'''
+    ref = f"{REF}/2d-tests/StokesConvectionMultigrid"
+    out = subprocess.run([sys.executable, "-c", code % (repo,)],
+                         capture_output=True, text=True, timeout=1100)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    rows = {int(k): v for k, v in json.loads(line[0][7:]).items()}
+    gold = {}
+    for l in open(f"{ref}/reference.out"):
+        p = l.split()
+        if p and not l.startswith("#"):
+            gold[int(float(p[0]))] = [float(v) for v in p[1:]]
+    # columns: t dt dtv dtdiffus dtchi TTmax TTmin TTm uqxmin uqxmax
+    # uqxrms uqxm uqx2m uqzmin uqzmax uqzrms uqzm uqz2m uq2m uqrms uqmax
+    for it in (0, 5, 15, 25, 35, 45):
+        r = rows[it]
+        g = gold[it]
+        np.testing.assert_allclose(r["TTmax"], g[5], rtol=2e-4)
+        np.testing.assert_allclose(r["TTmin"], g[6], rtol=2e-4)
+        np.testing.assert_allclose(r["uqxmin"], g[8], rtol=1e-3)
+        np.testing.assert_allclose(r["uqxmax"], g[9], rtol=1e-3)
+        np.testing.assert_allclose(r["uqzmin"], g[13], rtol=1e-3)
+        np.testing.assert_allclose(r["uqzmax"], g[14], rtol=1e-3)
+        np.testing.assert_allclose(r["uqmax"], g[20], rtol=1e-3)
+        if it:
+            np.testing.assert_allclose(r["t"], g[0], rtol=1e-3)
+            np.testing.assert_allclose(r["dt"], g[1], rtol=5e-3)
