@@ -802,6 +802,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
             battery_term=float(mag_p.get("battery_term", 0.0)),
+            hall_term=float(mag_p.get("hall_term", 0.0)),
             llorentzforce=bool(mag_p.get("llorentzforce", True)),
             meanfield_alpha=float(mf_p.get("alpha_effect", 0.0)),
             meanfield_etat=float(mf_p.get("meanfield_etat", 0.0)),

@@ -29,6 +29,9 @@ class Magnetic(ModuleBase):
     eta_shock: float = 0.0
     # Biermann battery: dA/dt −= battery_term·f_pres (magnetic.f90:5329-5337)
     battery_term: float = 0.0
+    # Hall effect: dA/dt −= hall_term·J×B (magnetic.f90:5310-5318) with
+    # the whistler advection CFL Σ|u − hall·J|·dline
+    hall_term: float = 0.0
     # mean-field closure (reference src/magnetic/meanfield.f90): adds the
     # parameterized EMF  E = α·B − η_t µ0 J  to the induction equation
     meanfield_alpha: float = 0.0
@@ -119,6 +122,14 @@ class Magnetic(ModuleBase):
                     f"Omega_profile={self.omega_profile!r}")
         if self.battery_term != 0.0:
             out = out - self.battery_term * pen.fpres()
+        if self.hall_term != 0.0:
+            out = out - self.hall_term * pen.jxb()
+            if "uu" in pen.reg.slots:
+                uu = pen.uu()
+                jj = pen.jj()
+                d1 = pen.dline_1()
+                ts.advec(sum(jnp.abs(uu[a] - self.hall_term * jj[a])
+                             * d1[a] for a in range(3)))
         accumulate(df, "aa", out)
 
         if "uu" in pen.reg.slots:
@@ -147,6 +158,35 @@ class Magnetic(ModuleBase):
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector
+        if self.init == "Alfvenz-rot-shear":
+            # rotating-shearing Alfvén eigenmode along z (reference
+            # alfvenz_rot_shear, magnetic.f90: dux/dt−2Ωuy=−Ay'' etc.);
+            # initializes BOTH aa and (additively) uu
+            import numpy as np
+            hyd = cfg.module("hydro") if cfg is not None else None
+            OO = float(getattr(hyd, "Omega", 0.0) or 0.0)
+            kz = self.kz
+            a = self.ampl
+            z = np.asarray(grid.z)[3:-3]
+            fac = complex(OO - np.sqrt(16.0 * kz ** 2 + OO ** 2), 0.0)
+            e = np.exp(1j * kz * z)
+            root = np.sqrt(complex(2.0 * kz ** 2 + OO * fac))
+            ux = (a * fac / (4.0 * kz)) * np.sin(kz * z)
+            uy = a * np.real(e * fac * root
+                             / (np.sqrt(2.0) * kz * (-6.0 * OO - fac)))
+            ax = a * np.sin(kz * z) / kz
+            ay = -a * 2.0 * np.sqrt(2.0) * np.imag(
+                e * root / (-6.0 * OO - fac) / (1j * kz))
+            shape = (spec.nx, spec.ny, spec.nz)
+            dt_ = grid.x.dtype
+
+            def bz(v):
+                return jnp.asarray(np.broadcast_to(
+                    np.real(v)[None, None, :], shape).copy(), dt_)
+
+            zero = jnp.zeros(shape, dt_)
+            return {"aa": jnp.stack([bz(ax), bz(ay), zero]),
+                    "+uu": jnp.stack([bz(ux), bz(uy), zero])}
         return {"aa": init_vector(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, kx=self.kx, ky=self.ky,
                                   kz=self.kz, sigma=self.relhel_aa,

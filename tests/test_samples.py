@@ -1663,3 +1663,54 @@ print("RESULT " + json.dumps(rows))
         if it:
             np.testing.assert_allclose(r["t"], g[0], rtol=1e-3)
             np.testing.assert_allclose(r["dt"], g[1], rtol=5e-3)
+
+
+@needs_ref
+def test_hallmri_golden():
+    """samples/1d-tests/hallmri: MRI with the Hall effect — whistler-
+    modified rotating-shearing Alfvén eigenmode (initaa
+    'Alfvenz-rot-shear', magnetic.f90 alfvenz_rot_shear) + soundwave,
+    Hall term dA/dt −= hall·J×B (magnetic.f90:5310), fixed dt.
+    Deterministic: urms/uzrms/uxuym match at format precision."""
+    import jax.numpy as jnp
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Magnetic, Shear, TimeSpec, Viscosity)
+    cfg = Config(
+        grid=GridSpec(nx=1, ny=1, nz=128),
+        time=TimeSpec(itorder=3, dt=5e-4),
+        modules=(EosIdealGas(gamma=1.0), Density(),
+                 Hydro(Omega=1.0, init="soundwave-z", ampl=1e-6, kz=1.0),
+                 Shear(Omega=1.0, qshear=1.5),
+                 Viscosity(ivisc=("nu-const",), nu=1e-3),
+                 Magnetic(init="Alfvenz-rot-shear", ampl=1e-6, kz=1.0,
+                          eta=1e-3, hall_term=-0.75,
+                          B_ext=(0.0, 0.0, 1.0))),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    rows = [l.split() for l in
+            open(f"{REF}/1d-tests/hallmri/reference.out")
+            if l.strip() and not l.startswith("#")]
+    gold = {int(float(r[0])): [float(v) for v in r[1:]] for r in rows}
+
+    def diag(s):
+        uu = np.asarray(s["fields"]["uu"], np.float64)
+        return (np.sqrt((uu ** 2).sum(0).mean()),
+                np.sqrt((uu[2] ** 2).mean()),
+                (uu[0] * uu[1]).mean())
+
+    urms, uzrms, uxuym = diag(state)
+    np.testing.assert_allclose(urms, gold[0][2], rtol=2e-4)
+    np.testing.assert_allclose(uxuym, gold[0][4], rtol=5e-3)
+    step = model.make_step()
+    for it in range(1, 201):
+        state = step(state)
+        if it in gold:
+            r = gold[it]
+            urms, uzrms, uxuym = diag(state)
+            np.testing.assert_allclose(float(state["t"]), r[0], atol=5e-4)
+            np.testing.assert_allclose(urms, r[2], rtol=3e-4,
+                                       err_msg=f"urms it={it}")
+            np.testing.assert_allclose(uzrms, r[3], rtol=3e-4)
+            np.testing.assert_allclose(uxuym, r[4], rtol=1e-2,
+                                       err_msg=f"uxuym it={it}")
