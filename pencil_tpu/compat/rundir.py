@@ -511,6 +511,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             # (hydro.f90:915: .not.ldensity → lpressuregradient_gas=F)
             lpressuregradient_gas=bool(
                 hyd_p.get("lpressuregradient_gas", not lbouss)),
+            lremove_mean_momenta=bool(
+                hyd_p.get("lremove_mean_momenta", False)),
             init=str(hyd_p.get("inituu", "zero")),
             ampl=float(hyd_p.get("ampluu", 0.0)),
             kx=float(hyd_p.get("kx_uu", 1.0)),
@@ -839,6 +841,18 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(Shear(
             qshear=float(shear_p.get("qshear", 1.5)),
             Omega=float(shear_p.get("omega", hyd_p.get("omega", 1.0))),
+            Sshear=float(shear_p.get("sshear", 0.0)),
+            lshearadvection_as_shift=bool(
+                shear_p.get("lshearadvection_as_shift", False)),
+        ))
+
+    tf_p = grp("testfield")
+    if tf_p or "testfield" in mkf.get("TESTFIELD", ""):
+        from ..physics.testfield import TestfieldZ
+        modules.append(TestfieldZ(
+            etatest=float(tf_p.get("etatest", 1e-2)),
+            ktestfield=float(tf_p.get("ktestfield", 1.0)),
+            lsoca=bool(tf_p.get("lsoca", True)),
         ))
 
     pq_p = grp("pointmasses")

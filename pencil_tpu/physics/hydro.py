@@ -52,9 +52,29 @@ class Hydro(ModuleBase):
     rdampint: float = 0.0     # defaults to r_int/r_ext from the run dir
     rdampext: float = 0.0
     lcylinder_in_a_box: bool = False
+    # subtract the volume-mean momentum <ρu>/<ρ> each step (reference
+    # remove_mean_momenta, hydro.f90:7346 — shearing-box wind guard)
+    lremove_mean_momenta: bool = False
 
     def register(self, reg):
         reg.register("uu", 3, "pde", comps=("ux", "uy", "uz"))
+
+    def after_timestep(self, state, grid, cfg, reg, eos, dt, t, key,
+                       it=None):
+        if not self.lremove_mean_momenta:
+            return state
+        uu = state["uu"]
+        if "rho" in state:
+            rho = state["rho"]
+        elif "lnrho" in state:
+            rho = jnp.exp(state["lnrho"])
+        else:
+            rho = jnp.ones_like(uu[0])
+        rum = jnp.mean(rho[None] * uu, axis=(1, 2, 3))
+        rm = jnp.mean(rho)
+        state = dict(state)
+        state["uu"] = uu - (rum / rm)[:, None, None, None]
+        return state
 
     def rhs(self, pen, df, ts):
         uu = pen.uu()

@@ -26,6 +26,9 @@ class Shear(ModuleBase):
 
     qshear: float = 1.5
     Omega: float = 1.0
+    # direct shear rate (reference Sshear namelist: when set it overrides
+    # −qshear·Omega, shear.f90:96 — used by pure-shear runs with Ω=0)
+    Sshear: float = 0.0
     # SAFI (reference lshearadvection_as_shift, shear.f90:40): the
     # background-shear advection −u₀∂_y is removed from the RHS (and from
     # the CFL) and applied per substep as an exact x-dependent Fourier
@@ -35,6 +38,8 @@ class Shear(ModuleBase):
 
     @property
     def S(self) -> float:
+        if self.Sshear != 0.0:
+            return self.Sshear
         return -self.qshear * self.Omega
 
     def deltay(self, t, Lx, Ly):

@@ -37,6 +37,9 @@ class TestfieldZ(ModuleBase):
     etatest: float = 1e-2
     daainit: float = 0.0       # rescale interval in time units (0 = off)
     rescale_aatest: float = 0.0  # rescale factor (0 = zero out)
+    # SOCA: keep only u×B̄ in the test equations; lsoca=False adds the
+    # fluctuating EMF u×b − <u×b>_xy (testfield_z.f90 daatest_dt)
+    lsoca: bool = True
 
     def register(self, reg):
         comps = tuple(f"a{q+1}test{c}" for q in range(NTEST) for c in "xyz")
@@ -64,18 +67,30 @@ class TestfieldZ(ModuleBase):
         for q in range(NTEST):
             sl = slice(3 * q, 3 * q + 3)
             aq = aij[sl]  # (3, 3, nx, ny, nz): ∂a_i/∂x_j
-            bq = [
-                aq[2, 1] - aq[1, 2] + bmean[q][0],
-                aq[0, 2] - aq[2, 0] + bmean[q][1],
-                aq[1, 0] - aq[0, 1] + bmean[q][2],
+            bf = [                       # fluctuating response ∇×a^q
+                aq[2, 1] - aq[1, 2],
+                aq[0, 2] - aq[2, 0],
+                aq[1, 0] - aq[0, 1],
             ]
-            uxb = jnp.stack([
-                uu[1] * bq[2] - uu[2] * bq[1],
-                uu[2] * bq[0] - uu[0] * bq[2],
-                uu[0] * bq[1] - uu[1] * bq[0],
-            ])
-            emfs.append(uxb)
-            out.append(uxb + self.etatest * del2[sl])
+
+            def cross(b):
+                return jnp.stack([
+                    uu[1] * b[2] - uu[2] * b[1],
+                    uu[2] * b[0] - uu[0] * b[2],
+                    uu[0] * b[1] - uu[1] * b[0],
+                ])
+
+            uxB = cross(bmean[q])        # drive by the mean test field
+            uxbf = cross(bf)             # fluctuating EMF (measured)
+            emfs.append(uxbf)
+            if self.lsoca:
+                out.append(uxB + self.etatest * del2[sl])
+            else:
+                # full test equation (testfield_z.f90 lsoca=F): the
+                # fluctuating EMF enters minus its horizontal mean
+                out.append(uxB + uxbf
+                           - jnp.mean(uxbf, axis=(1, 2), keepdims=True)
+                           + self.etatest * del2[sl])
         pen._cache["testfield_emf"] = emfs
         accumulate(df, "aatest", jnp.concatenate(out, axis=0))
         ts.diffus(self.etatest)
@@ -123,8 +138,9 @@ def transport_coefficients(model, state):
         out[f"eta{nm}1"] = 2.0 / (B0 * k) * np.mean(-e[0][i] * s + e[1][i] * c)
         out[f"eta{nm}2"] = 2.0 / (B0 * k) * np.mean(-e[2][i] * s + e[3][i] * c)
     # scalar turbulent coefficients in the usual E = αB̄ − η_t µ0 J̄ form:
-    # the eta columns above are w.r.t. dB̄/dz, which is J̄ rotated by 90° in
-    # (x,y) — so η_t = (eta21 − eta12)/2 and α = (alp11 + alp22)/2.
+    # the eta columns above are w.r.t. dB̄/dz, which is J̄ rotated by 90°
+    # in (x,y) — for B̄∥x̂, E_y = +η_t k sin kz ⇒ eta21 = −c·η_t and the
+    # y-quartet gives eta12 = +c·η_t, so η_t ∝ (eta12 − eta21)/2.
     out["alphat"] = 0.5 * (out["alp11"] + out["alp22"])
-    out["etat"] = 0.5 * (out["eta21"] - out["eta12"])
+    out["etat"] = 0.5 * (out["eta12"] - out["eta21"])
     return out

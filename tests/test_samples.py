@@ -1714,3 +1714,91 @@ def test_hallmri_golden():
             np.testing.assert_allclose(uzrms, r[3], rtol=3e-4)
             np.testing.assert_allclose(uxuym, r[4], rtol=1e-2,
                                        err_msg=f"uxuym it={it}")
+
+
+@needs_ref
+def test_helical_mhdturb_4procs_golden():
+    """samples/turbulence/helical-MHDturb32-4procs: 128³ forced MHD on a
+    1×4×8 rank layout — validates the MULTI-RANK RNG replay (32 per-rank
+    min_std streams mosaicked into the IC): brms matches the committed
+    golden at format precision through it=5.  The sample does not commit
+    its k.dat, so the forcing k-draws (and hence urms) are only checked
+    at kick-statistics level with the helical-MHDturb K_VECTORS set."""
+    import shutil
+    import tempfile
+    src = f"{REF}/turbulence/helical-MHDturb32-4procs"
+    with tempfile.TemporaryDirectory() as td:
+        rd = os.path.join(td, "run")
+        shutil.copytree(src, rd)
+        shutil.copy(f"{REF}/helical-MHDturb/K_VECTORS",
+                    os.path.join(rd, "k.dat"))
+        from pencil_tpu.compat.rundir import load_rundir
+        cfg, info = load_rundir(rd)
+    model = Model(cfg)
+    state = model.init_state(0, overrides=info.get("init_overrides"))
+    from pencil_tpu.parallel.halo import fill_ghosts
+    from pencil_tpu.physics.pencils import Pencils
+
+    def diag(s):
+        fa = model.reg.stack(s["fields"])
+        fg = fill_ghosts(fa[: model.reg.ncom], cfg.grid,
+                         (cfg.bcx, cfg.bcy, cfg.bcz), model.reg,
+                         model.grid, cfg, model.eos)
+        pen = Pencils(fg, model.grid, model.reg, cfg, model.eos)
+        bb = np.asarray(pen.bb(), np.float64)
+        uu = np.asarray(s["fields"]["uu"], np.float64)
+        return (np.sqrt((uu ** 2).sum(0).mean()),
+                np.sqrt((bb ** 2).sum(0).mean()))
+
+    urms0, brms0 = diag(state)
+    np.testing.assert_allclose(brms0, 5.398e-3, rtol=5e-4)
+    assert urms0 == 0.0
+    step = model.make_step()
+    for _ in range(5):
+        state = step(state)
+    urms, brms = diag(state)
+    # induction/decay through 5 steps of the replayed 32-rank noise
+    np.testing.assert_allclose(brms, 2.528e-3, rtol=1e-3)
+    # forcing kicks with the surrogate K_VECTORS: right scale only
+    np.testing.assert_allclose(urms, 2.181e-2, rtol=0.3)
+    np.testing.assert_allclose(float(state["dt"]), 2.38e-2, rtol=0.02)
+
+
+@needs_ref
+def test_testfield_z_golden():
+    """samples/testfield_z: test-field measurement of α_ij/η_ij in
+    sheared helical turbulence (test_methods/testfield_z.f90, lsoca=F,
+    Sshear=−0.1).  The nr_f90 forcing replay includes the shearing-frame
+    kx adjustment (forcing.f90:1396-1407 with Fortran mod semantics);
+    residual realization differences keep this at physics-level
+    tolerances: urms ~10%, transport coefficients ~25%."""
+    from pencil_tpu.compat.rundir import load_rundir
+    from pencil_tpu.physics.testfield import transport_coefficients
+    cfg, info = load_rundir(f"{REF}/testfield_z")
+    assert cfg.module("testfield") is not None
+    assert not cfg.module("testfield").lsoca
+    np.testing.assert_allclose(cfg.module("shear").S, -0.1)
+    model = Model(cfg)
+    state = model.init_state(0, overrides=info.get("init_overrides"))
+    step = model.make_step()
+    rows = [l.split() for l in open(f"{REF}/testfield_z/reference.out")
+            if l.strip() and not l.startswith("#")]
+    gold = {int(float(r[0])): [float(v) for v in r[1:]] for r in rows}
+    for it in range(1, 101):
+        state = step(state)
+        if it in gold:
+            r = gold[it]
+            uu = np.asarray(state["fields"]["uu"], np.float64)
+            urms = np.sqrt((uu ** 2).sum(0).mean())
+            np.testing.assert_allclose(urms, r[2], rtol=0.12,
+                                       err_msg=f"urms it={it}")
+            np.testing.assert_allclose(float(state["dt"]), r[1], rtol=0.02)
+            co = transport_coefficients(model, state)
+            # reference alp/eta columns carry half our quadrature factor
+            np.testing.assert_allclose(co["alp11"] / 2, r[9], rtol=0.35,
+                                       err_msg=f"alp11 it={it}")
+            np.testing.assert_allclose(co["alp22"] / 2, r[12], rtol=0.35)
+            np.testing.assert_allclose(co["etat"] / 2, r[13], rtol=0.35,
+                                       err_msg=f"eta11 it={it}")
+            # α negative (positive-helicity forcing), η_t positive
+            assert co["alp11"] < 0 and co["etat"] > 0
