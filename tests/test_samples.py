@@ -1730,7 +1730,7 @@ def test_helical_mhdturb_4procs_golden():
     with tempfile.TemporaryDirectory() as td:
         rd = os.path.join(td, "run")
         shutil.copytree(src, rd)
-        shutil.copy(f"{REF}/helical-MHDturb/K_VECTORS",
+        shutil.copy(f"{REF}/helical-MHDturb/k.dat",
                     os.path.join(rd, "k.dat"))
         from pencil_tpu.compat.rundir import load_rundir
         cfg, info = load_rundir(rd)
