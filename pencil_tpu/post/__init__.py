@@ -1,1 +1,2 @@
-from . import read
+from . import calc, read, sim, visu
+from .sim import Simulation, get_sim, simulations
