@@ -57,6 +57,24 @@ class HydroKinematic(ModuleBase):
             uz = a * jnp.sqrt(2.0) * jnp.sin(kx * x) * jnp.sin(ky * y)
             one = jnp.ones(pen_shape(pen), x.dtype)
             return jnp.stack([ux * one, uy * one, uz * one])
+        if self.profile == "rigid-x":
+            # rigid rotation about the Cartesian x-axis, expressed in
+            # SPHERICAL components (the yin-yang overset advection test:
+            # the flow crosses both patches' horizontal boundaries);
+            # u_cart = ampl·x̂×r = ampl·(0, −z_c, y_c)
+            th, ph = y, z     # spherical: (r, θ, φ)
+            r = x
+            st, ct = jnp.sin(th), jnp.cos(th)
+            sp, cp = jnp.sin(ph), jnp.cos(ph)
+            ucx = 0.0 * st
+            ucy = -a * r * ct
+            ucz = a * r * st * sp
+            # project onto (r̂, θ̂, φ̂)
+            ur = ucx * st * cp + ucy * st * sp + ucz * ct
+            uth = ucx * ct * cp + ucy * ct * sp - ucz * st
+            uph = -ucx * sp + ucy * cp
+            one = jnp.ones(pen_shape(pen), x.dtype)
+            return jnp.stack([ur * one, uth * one, uph * one])
         raise NotImplementedError(self.profile)
 
     def flow_uij(self, pen):
