@@ -22,6 +22,7 @@ from .particles.drag import ParticlesDrag
 from .particles.collisions import ParticlesCollisions
 from .physics import HydroKinematic, RadiationRay, TemperatureIdealGas
 from .physics import TestfieldZ
+from .physics import TestflowZ
 from .physics import BorderProfiles, CosmicRay
 from .physics import DustFluid, Neutrals
 from .physics import Chemistry

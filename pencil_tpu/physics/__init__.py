@@ -15,6 +15,7 @@ from .hydro_kinematic import HydroKinematic
 from .radiation import RadiationRay
 from .temperature import TemperatureIdealGas
 from .testfield import TestfieldZ
+from .testflow import TestflowZ
 from .border import BorderProfiles
 from .cosmicray import CosmicRay
 from .dustfluid import DustFluid
