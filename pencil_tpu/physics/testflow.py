@@ -14,7 +14,8 @@ dropped; lsoca=False adds u·∇u^q + u^q·∇u minus its horizontal mean):
 The xy-averaged Reynolds-stress responses
     Q^q_ij(z) = <u_i u^q_j + u^q_i u_j>_xy
 yield ν_t by the same sine/cosine quadrature the test-field method uses
-for η_t: for Ū¹ ∝ cos kz, Q_xz = +ν_t·Wk·sin kz at leading order."""
+for η_t: for Ū¹ ∝ cos kz, Q_xz ∝ ν_t·Wk·sin kz at leading order
+(sign convention fixed empirically against the Roberts flow)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
@@ -137,9 +138,9 @@ def turbulent_viscosity(model, state):
     # Ū¹=W cos kz x̂: SOCA stress Q¹_xz = +ν_t W k sin kz;
     # Ū² picks the cosine phase — quadrature over the (1,2) pair, and
     # the (3,4) pair gives the yz response
-    out["nut_x"] = float(np.mean(-Q(0, 0, 2) * s + Q(1, 0, 2) * c)) \
+    out["nut_x"] = float(np.mean(Q(0, 0, 2) * s - Q(1, 0, 2) * c)) \
         / (W * k) * 2.0
-    out["nut_y"] = float(np.mean(-Q(2, 1, 2) * s + Q(3, 1, 2) * c)) \
+    out["nut_y"] = float(np.mean(Q(2, 1, 2) * s - Q(3, 1, 2) * c)) \
         / (W * k) * 2.0
     # AKA: in-phase response (Λ effect) — vanishes for mirror-symmetric
     # non-helical turbulence
