@@ -64,6 +64,40 @@ def parse_cparam_local(path) -> Dict[str, int]:
     return out
 
 
+def _list_pars(p, init_names, amap):
+    """Per-entry ((field, value), ...) tuples pairing the j-th init name
+    with the j-th entry of each namelist array (the reference's ninit
+    parameter arrays, e.g. amplaa(j)/kz_aa(j))."""
+    if not isinstance(init_names, tuple):
+        return ()
+    out = []
+    for i in range(len(init_names)):
+        d = []
+        for fld, k in amap.items():
+            v = p.get(k)
+            if isinstance(v, list) and i < len(v):
+                d.append((fld, float(v[i])))
+        out.append(tuple(d))
+    return tuple(out)
+
+
+def _init_name(v, default="zero"):
+    """initxx namelists can be ARRAYS (the reference ninit cascade) —
+    keep lists as tuples so module init_fields can sum the entries."""
+    if v is None:
+        return default
+    if isinstance(v, (list, tuple)):
+        names = [str(x) for x in v]
+        while names and names[-1] in ("", "nothing"):
+            names.pop()
+        if not names:
+            return default
+        if len(names) == 1:
+            return names[0]
+        return tuple(names)
+    return str(v)
+
+
 def _as_tuple(v):
     return tuple(v) if isinstance(v, list) else (v,)
 
@@ -374,6 +408,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     lweno = bool(run_pars.get("lweno_transport", False))
 
     den_p = grp("density")
+    ent_p0 = _g(start, "entropy_init_pars")
     # DENSITY=experimental/boussinesq: no density evolution — the slot is
     # the incompressible projection module instead (appended after the
     # hydro/entropy groups are read; it needs Ra/Pr/beta_bouss from them)
@@ -383,9 +418,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lweno_transport=lweno,
             # 'globaldisc' is provided by the centrifugal_balance IC path
             init={"globaldisc": "zero"}.get(
-                str(den_p.get("initlnrho", "zero")),
-                str(den_p.get("initlnrho", "zero"))),
-            ampl=float(den_p.get("ampllnrho", 0.0)),
+                _init_name(den_p.get("initlnrho")),
+                _init_name(den_p.get("initlnrho"))),
+            ampl=float(_first(den_p.get("ampllnrho", 0.0))),
             rho_const=float(den_p.get("rho_const", 1.0)),
             width=float(den_p.get("widthlnrho", 0.05)),
             lupw_lnrho=bool(den_p.get("lupw_lnrho", False)),
@@ -402,7 +437,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             rho_left=float(den_p.get("rho_left", 1.0)),
             rho_right=float(den_p.get("rho_right", 1.0)),
             kx=float(_first(den_p.get("kx_lnrho", 1.0))),
-            mpoly=float(den_p.get("mpoly", 1.5)),
+            ky=float(_first(den_p.get("ky_lnrho", 1.0))),
+            kz=float(_first(den_p.get("kz_lnrho", 1.0))),
+            phase=float(_first(den_p.get("phase_lnrho", 0.0))),
+            mpoly=float(den_p.get(
+                "mpoly", den_p.get("mpoly0", ent_p0.get("mpoly0", 1.5)))),
             strati_type=str(den_p.get("strati_type", "lnrho_ss")),
             strati_data=(_read_stratification(path)
                          if "stratification"
@@ -513,8 +552,20 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 hyd_p.get("lpressuregradient_gas", not lbouss)),
             lremove_mean_momenta=bool(
                 hyd_p.get("lremove_mean_momenta", False)),
-            init=str(hyd_p.get("inituu", "zero")),
-            ampl=float(hyd_p.get("ampluu", 0.0)),
+            init=_init_name(hyd_p.get("inituu")),
+            init_list_pars=_list_pars(
+                hyd_p, _init_name(hyd_p.get("inituu")),
+                {"ampl": "ampluu", "kx": "kx_uu", "ky": "ky_uu",
+                 "kz": "kz_uu", "width": "widthuu"}),
+            ampl=float(_first(hyd_p.get(
+                "ampluu", hyd_p.get("max_uu", 0.0)))),
+            comp_pars=tuple(
+                (float(_first(hyd_p.get(f"ampl_u{c}", 0.0))),
+                 float(_first(hyd_p.get(f"kx_u{c}", 0.0))),
+                 float(_first(hyd_p.get(f"ky_u{c}", 0.0))),
+                 float(_first(hyd_p.get(f"kz_u{c}", 0.0))),
+                 float(_first(hyd_p.get(f"phase_u{c}", 0.0))))
+                for c in "xyz"),
             kx=float(hyd_p.get("kx_uu", 1.0)),
             ky=float(hyd_p.get("ky_uu", 1.0)),
             kz=float(hyd_p.get("kz_uu", 1.0)),
@@ -545,7 +596,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ))
 
     grav_p = grp("grav")
-    if grav_p:
+    if grav_p and "nogravity" not in mkf.get("GRAVITY", ""):
+        # a grav_*_pars namelist with GRAVITY=nogravity is dead config the
+        # reference ignores (e.g. samples/2d-tests/globaldisc, where the
+        # central potential comes from POINTMASSES instead)
         gprof = str(grav_p.get("gravz_profile", "const"))
         gz = float(grav_p.get("gravz", 0.0))
         if gprof == "linear":
@@ -555,6 +609,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             gravz_profile=gprof,
             gravz=gz,
             zinfty=float(grav_p.get("zinfty", 0.0)),
+            zref=float(grav_p.get("zref", 9e99)),
             unit_length=_units.get("unit_length", 1.0),
             unit_velocity=_units.get("unit_velocity", 1.0),
             # GRAVITY=gravity_r central potentials (gravity_r.f90)
@@ -633,7 +688,15 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ihc = ent_p.get("iheatcond", "K-const")
         modules.append(Entropy(
             lweno_transport=lweno,
-            init=str(ent_p.get("initss", "zero")),
+            init=_init_name(ent_p.get("initss")),
+            init_list_pars=_list_pars(
+                ent_p, _init_name(ent_p.get("initss")),
+                {"ampl": "ampl_ss", "radius": "radius_ss"}),
+            ampl=float(_first(ent_p.get("ampl_ss", 0.0))),
+            radius=float(_first(ent_p.get("radius_ss", 1.0))),
+            center1=(float(ent_p.get("center1_x", 0.0)),
+                     float(ent_p.get("center1_y", 0.0)),
+                     float(ent_p.get("center1_z", 0.0))),
             width=float(ent_p.get("widthss", 0.05)),
             iheatcond=_as_tuple(ihc),
             hcond0=float(ent_p.get("hcond0", 0.0)),
@@ -785,7 +848,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
         mf_p = grp("magn_mf")   # MAGNETIC_MEANFIELD namelists
         modules.append(Magnetic(
-            init=str(mag_p.get("initaa", "zero")),
+            init=_init_name(mag_p.get("initaa")),
+            init_list_pars=_list_pars(
+                mag_p, _init_name(mag_p.get("initaa")),
+                {"ampl": "amplaa", "kx": "kx_aa", "ky": "ky_aa",
+                 "kz": "kz_aa"}),
             ampl=float(_first(mag_p.get("amplaa", 0.0))),
             relhel_aa=float(mag_p.get("relhel_aa", 1.0)),
             rnoise_int=float(mag_p.get(
@@ -864,15 +931,21 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         xq0 = xq0 if isinstance(xq0, list) else [xq0]
         rsm = pq_p.get("r_smooth", [0.0] * len(pmv))
         rsm = rsm if isinstance(rsm, list) else [rsm]
+        ipot = _as_tuple(pq_p.get("ipotential_pointmass", ()))
+        lcyl = _as_tuple(pq_p.get("lcylindrical_gravity_nbody", ()))
         modules.append(PointMasses(
             pmass=tuple(float(v) for v in pmv),
             xq0=tuple(float(v) for v in xq0),
-            r_smooth=tuple(float(v) for v in rsm),
+            r_smooth=tuple(float(v) for v in rsm)
+            if "r_smooth" in pq_p else (),
             iprimary=int(pq_p.get("iprimary", 1)),
             GNewton=float(pq_p.get("gnewton", 1.0)),
             initxxq=str(pq_p.get("initxxq", "fixed-cm")),
             initvvq=str(pq_p.get("initvvq", "fixed-cm")),
             lreset_cm=bool(pq_p.get("lreset_cm", False)),
+            ipotential=tuple(str(v) for v in ipot),
+            lcylindrical_gravity=tuple(bool(v) for v in lcyl),
+            frac_smooth=float(_first(pq_p.get("frac_smooth", 0.4))),
         ))
 
     shk_p = grp("shock")
@@ -893,9 +966,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     if psc_p:
         pinit = str(psc_p.get("initcc", psc_p.get("initlncc", "zero")))
         pinit = {"wave-z": "sinwave-z"}.get(pinit, pinit)
+        pampl = float(_first(psc_p.get("amplcc",
+                                       psc_p.get("ampllncc", 0.0))))
+        if pinit == "constant":
+            # f(ilncc) = log(cc_const) (pscalar.f90:161)
+            import math as _math
+            pinit = "const"
+            pampl = _math.log(float(psc_p.get("cc_const", 1.0)))
         modules.append(PassiveScalar(
             init=pinit,
-            ampl=float(psc_p.get("amplcc", psc_p.get("ampllncc", 0.0))),
+            ampl=pampl,
             diffcc=float(psc_p.get("pscalar_diff", psc_p.get("diffcc", 0.0))),
         ))
 
@@ -911,12 +991,26 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eps_dtog=float(par_p.get("eps_dtog", 0.0)),
             scheme=scheme,
             init=str(_first(par_p.get("initxxp", "random"))),
+            vinit=str(_first(par_p.get("initvvp", "zero"))),
             rp_int=float(run_pars.get("rp_int",
                                       init_pars.get("rp_int", 0.0))),
             rp_ext=float(run_pars.get("rp_ext",
                                       init_pars.get("rp_ext", 0.0))),
             dustdensity_powerlaw=float(
                 par_p.get("dustdensity_powerlaw", 0.0)),
+            zp0=float(par_p.get("zp0", 1.0)),
+            xp0=float(par_p.get("xp0", 0.0)),
+            yp0=float(par_p.get("yp0", 0.0)),
+            zp0_box=float(par_p.get("zp0", 0.0)),
+            Lx0=float(par_p.get("lx0", 0.0)),
+            Ly0=float(par_p.get("ly0", 0.0)),
+            Lz0=float(par_p.get("lz0", 0.0)),
+            delta_vp0=float(par_p.get("delta_vp0", 1.0)),
+            beta_glnrho_global=tuple(float(v) for v in _vec3(
+                den_p.get("beta_glnrho_global", [0.0, 0.0, 0.0]),
+                [0.0, 0.0, 0.0])),
+            Omega=float(hyd_p.get("omega", 0.0)),
+            cs0=float(eos_p.get("cs0", 1.0)),
         ))
 
     is_p = grp("interstellar")

@@ -146,6 +146,9 @@ class Config:
     bcx: tuple = ()
     bcy: tuple = ()
     bcz: tuple = ()
+    # 'g' (forced-boundary) profiles for the lower/upper z boundary
+    # (reference &run_pars force_lower_bound/force_upper_bound)
+    force_bound: tuple = ("", "")
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

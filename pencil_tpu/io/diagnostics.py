@@ -811,6 +811,63 @@ def _jbm(pen, st):
     return jnp.mean(jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2])
 
 
+def _mk_uirms(i):
+    def fn(pen, st):
+        return _vrms(pen, pen.uu()[i] ** 2)
+    return fn
+
+
+def _mk_bibjm(i, j):
+    def fn(pen, st):
+        bb = pen.bb()
+        return _vmean(pen, bb[i] * bb[j])
+    return fn
+
+
+for _i, _c in enumerate("xyz"):
+    DIAG_REGISTRY[f"u{_c}rms"] = _mk_uirms(_i)
+for (_i, _j, _n) in ((0, 1, "bxbym"), (0, 2, "bxbzm"), (1, 2, "bybzm")):
+    DIAG_REGISTRY[_n] = _mk_bibjm(_i, _j)
+
+
+@diag("Marms")
+def _marms(pen, st):
+    """rms Mach number √<u²/cs²> (hydro.f90 idiag_Marms)."""
+    return _vrms(pen, pen.u2() / jnp.maximum(pen.cs2(), 1e-30))
+
+
+@diag("Mamax")
+def _mamax(pen, st):
+    return jnp.sqrt(jnp.max(pen.u2() / jnp.maximum(pen.cs2(), 1e-30)))
+
+
+@diag("um2")
+def _um2(pen, st):
+    """max(u²) (hydro.f90 idiag_um2 via max_mn_name)."""
+    return jnp.max(pen.u2())
+
+
+@diag("epot")
+def _epot(pen, st):
+    """<ρΦ_grav> (gravity_simple.f90 idiag_epot)."""
+    grav = pen.cfg.module("gravity") if pen.cfg is not None else None
+    if grav is None:
+        return jnp.zeros(())
+    pot = grav.potential_field(pen.grid, pen.cfg.grid)
+    return _vmean(pen, pen.rho() * (pot + 0.0 * pen.rho()))
+
+
+@diag("unzm")
+def _unzm(pen, st):
+    """<u_nz> of the neutral fluid (neutrals.f90 idiag_unzm)."""
+    return _vmean(pen, pen.field("uun")[2])
+
+
+@diag("XXmax")
+def _xxmax(pen, st):
+    return jnp.max(pen.field("XX_chiral"))
+
+
 @diag("emag")
 def _emag(pen, st):
     return 0.5 * jnp.mean(pen.b2())
@@ -1018,7 +1075,8 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
         return has_pm and _re.fullmatch(r"v?[xyz]q\d+", n)
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
-               and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv")
+               and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv",
+                             "dtdiffus", "dtdragp")
                and not _chem_diag(n) and not _pm_diag(n)
                and not _gw_diag(n)]
     if unknown:
@@ -1087,6 +1145,38 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 if not isinstance(adv2, float):
                     adv = adv + jnp.sqrt(adv2)
                 out[n] = dt * jnp.max(adv) / cfg.time.cdt
+            elif n == "dtdiffus":
+                # dt·(maxdiffus·dxyz₂/cdtv + maxdiffus3·dxyz₆/cdtv3) from a
+                # fresh accumulator pass over the module rhs hooks (the
+                # same classes cfl_dt1 assembles, equ.f90:1100-1151)
+                from ..physics.base import TimestepAccum
+                ts_ = TimestepAccum()
+                df_ = {}
+                for m_ in model.modules:
+                    try:
+                        m_.rhs(pen, df_, ts_)
+                    except Exception:
+                        pass
+                dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
+                dxyz6 = grid.dx1 ** 6 + grid.dy1 ** 6 + grid.dz1 ** 6
+                val = jnp.zeros(())
+                if not (isinstance(ts_.maxdiffus, float)
+                        and ts_.maxdiffus == 0.0):
+                    val = val + jnp.max(ts_.maxdiffus * dxyz2
+                                        + jnp.zeros((1,))) / cfg.time.cdtv
+                if not (isinstance(ts_.maxdiffus3, float)
+                        and ts_.maxdiffus3 == 0.0):
+                    val = val + jnp.max(ts_.maxdiffus3 * dxyz6
+                                        + jnp.zeros((1,))) / cfg.time.cdtv3
+                out[n] = dt * val
+            elif n == "dtdragp":
+                # dt·(1/τ_s)/cdtp_drag (particles_dust.f90 idiag_dtdragp,
+                # ilabel_max_dt printing: dt·rate)
+                pmod = cfg.module("particles")
+                if pmod is not None and pmod.tausp > 0:
+                    out[n] = dt / pmod.tausp / 0.2
+                else:
+                    out[n] = jnp.zeros(())
             elif n == "dtnu":
                 visc = cfg.module("viscosity")
                 nu = visc.nu if visc else 0.0

@@ -216,7 +216,8 @@ class Model:
 
     # ------------------------------------------------------------------
     def rhs(self, fa: jnp.ndarray, grid: Grid, t,
-            mesh_axis_names=None, mesh_shape=(1, 1, 1), pstate=None):
+            mesh_axis_names=None, mesh_shape=(1, 1, 1), pstate=None,
+            pm_xq=None):
         """One RHS evaluation on the local block.
 
         fa: (nf, nx, ny, nz) local interior stack.
@@ -228,7 +229,7 @@ class Model:
         if shear is not None:
             shear_dy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly)
         return self._rhs_inner(fa, t, grid, mesh_axis_names, mesh_shape,
-                               pstate, shear_dy)
+                               pstate, shear_dy, pm_xq)
 
     def _make_halo1(self, grid, mesh_axis_names=None, mesh_shape=(1, 1, 1),
                     shear_dy=None):
@@ -293,7 +294,7 @@ class Model:
         return fa
 
     def _rhs_inner(self, fa, t, grid, mesh_axis_names, mesh_shape,
-                   pstate, shear_dy):
+                   pstate, shear_dy, pm_xq=None):
         cfg = self.cfg
         mode = self._fused_mode(mesh_axis_names, shear_dy, fa.shape[3])
         if mode is not None:
@@ -329,6 +330,8 @@ class Model:
         pen = Pencils(fg, grid, self.reg, cfg, self.eos,
                       mesh_axis_names, mesh_shape)
         pen._cache["_t"] = t
+        if pm_xq is not None:
+            pen._cache["_pm_xq"] = pm_xq
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
         if self._aux_modules:
@@ -443,7 +446,18 @@ class Model:
         if safi and mesh_axis_names and mesh_axis_names[1] is not None \
                 and mesh_shape[1] > 1:
             raise NotImplementedError("SAFI with sharded y axis")
-        use_fused_update = self._fused_ok and pstate is None and not safi
+        pm = self.pointmasses
+        if pm is not None and "pointmasses" in state:
+            from .physics.pointmasses import cart_to_polar, polar_to_cart
+            xc, vc = polar_to_cart(state["pointmasses"]["xq"],
+                                   state["pointmasses"]["vq"],
+                                   cfg.grid.coords)
+            dxq = dvq = None
+        else:
+            pm = None
+            xc = vc = dxq = dvq = None
+        use_fused_update = (self._fused_ok and pstate is None and not safi
+                            and pm is None)
         # wrap-mode tail chain: substep 1's axpy is deferred into substep
         # 2's kernel (f1 rebuilt in VMEM from raw f0 + df1), the last
         # substep skips its dead df write, and the forcing kick lands
@@ -524,8 +538,11 @@ class Model:
                 else:
                     fa = fa_new
                 continue
+            cur_xq = cart_to_polar(xc, vc, cfg.grid.coords)[0] \
+                if pm is not None else None
             dfa, dt1, dp = self.rhs(fa, grid, t_sub, mesh_axis_names,
-                                    mesh_shape, pstate=pstate)
+                                    mesh_shape, pstate=pstate,
+                                    pm_xq=cur_xq)
             if self._freeze:
                 dfa = self._apply_freeze(dfa, mesh_axis_names, mesh_shape)
             if isub == 0:
@@ -568,6 +585,18 @@ class Model:
                 pstate = jax.tree_util.tree_map(
                     lambda s_, d_, b=beta[isub]: s_ + b * dt * d_,
                     pstate, dfp)
+            if pm is not None:
+                # point masses ride the same 2N-RK, integrated in
+                # CARTESIAN (reference advance_particles_in_cartesian,
+                # pointmasses.f90:2748)
+                dxc_, dvc_ = vc, pm.accel_cart(xc)
+                if isub == 0:
+                    dxq, dvq = dxc_, dvc_
+                else:
+                    dxq = alpha[isub] * dxq + dxc_
+                    dvq = alpha[isub] * dvq + dvc_
+                xc = xc + beta[isub] * dt * dxq
+                vc = vc + beta[isub] * dt * dvq
 
         pdrag = cfg.module("particles_drag")
         if pdrag is not None and pstate is not None:
@@ -614,6 +643,15 @@ class Model:
             "it": state["it"] + 1,
             "key": key,
         }
+        if pm is not None:
+            xq, vq = cart_to_polar(xc, vc, cfg.grid.coords)
+            if cfg.grid.coords == "cylindrical":
+                gs = cfg.grid
+                xq = xq.at[:, 1].set(
+                    gs.y0 + jnp.mod(xq[:, 1] - gs.y0, gs.Ly))
+            out["pointmasses"] = {"xq": xq, "vq": vq}
+        elif "pointmasses" in state:
+            out["pointmasses"] = state["pointmasses"]
         if pstate is not None:
             try:
                 out["particles"] = self.particles.wrap_positions(

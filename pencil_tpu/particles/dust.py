@@ -39,6 +39,20 @@ class ParticlesDust(ModuleBase):
     rp_int: float = 0.0
     rp_ext: float = 0.0
     dustdensity_powerlaw: float = 0.0
+    # 'gaussian-z' scale height / 'random-box' sub-box / velocity inits
+    # (particles_dust.f90 zp0, xp0..Lz0, delta_vp0, beta_glnrho_global
+    # via the dragforce-equilibrium NSH solution :1975)
+    zp0: float = 1.0
+    xp0: float = 0.0
+    yp0: float = 0.0
+    zp0_box: float = 0.0
+    Lx0: float = 0.0
+    Ly0: float = 0.0
+    Lz0: float = 0.0
+    delta_vp0: float = 1.0
+    beta_glnrho_global: tuple = (0.0, 0.0, 0.0)
+    Omega: float = 0.0
+    cs0: float = 1.0
 
     # -- state ----------------------------------------------------------
     def init_particles(self, grid, spec, key, dtype):
@@ -79,9 +93,53 @@ class ParticlesDust(ModuleBase):
                 zz = jnp.full((self.npar,), spec.z0 + 0.5 * spec.Lz, dtype)
             xp = jnp.stack([rad * jnp.cos(phi), rad * jnp.sin(phi), zz],
                            axis=-1)
+        elif self.init == "gaussian-z":
+            # x,y uniform; z ~ N(0, zp0) truncated to the box by a wrap
+            # (reference rejection loop, particles_dust.f90:1635-1659 with
+            # r0gaussz=1, qgaussz=0)
+            k1, k2 = jax.random.split(kx)
+            xy = lo[:2] + L[:2] * jax.random.uniform(
+                k1, (self.npar, 2), dtype)
+            zz = self.zp0 * jax.random.normal(k2, (self.npar,), dtype)
+            if spec.nz > 1:
+                # box-truncate (clip instead of the reference's redraw loop)
+                zz = jnp.clip(zz, spec.z0, spec.z0 + spec.Lz)
+            else:
+                zz = jnp.full((self.npar,), spec.z0 + 0.5 * spec.Lz, dtype)
+            xp = jnp.concatenate([xy, zz[:, None]], axis=1)
+        elif self.init == "random-box":
+            # uniform inside the sub-box [xp0, xp0+Lx0]×… (reference
+            # particles_dust.f90 'random-box'; degenerate axes centred)
+            b0 = jnp.asarray([self.xp0, self.yp0, self.zp0_box], dtype)
+            bL = jnp.asarray([self.Lx0 or spec.Lx, self.Ly0 or spec.Ly,
+                              self.Lz0 or spec.Lz], dtype)
+            u = jax.random.uniform(kx, (self.npar, 3), dtype)
+            xp = b0 + bL * u
+            for a, n in enumerate(spec.shape):
+                if n == 1:
+                    c = (spec.x0 + 0.5 * spec.Lx, spec.y0 + 0.5 * spec.Ly,
+                         spec.z0 + 0.5 * spec.Lz)[a]
+                    xp = xp.at[:, a].set(c)
         else:
             raise NotImplementedError(self.init)
         vp = jnp.zeros((self.npar, 3), dtype)
+        if self.vinit == "random":
+            # vp += delta_vp0·(2U−1) (particles_dust.f90 initvvp 'random')
+            vp = vp + self.delta_vp0 * (
+                2.0 * jax.random.uniform(kv, (self.npar, 3), dtype) - 1.0)
+        elif self.vinit in ("dragforce_equilibrium",
+                            "dragforce-equilibrium"):
+            # NSH (1986) drag equilibrium with global dust-to-gas ratio ε
+            # (particles_dust.f90:1975-2032): vpx += βx·Ωτ/((1+ε)²+(Ωτ)²)·cs
+            # vpy += βx·(1+ε)/(2((1+ε)²+(Ωτ)²))·cs; the matching gas
+            # velocity is installed by the hydro 'nsh-equilibrium' hook in
+            # the run-dir loader
+            eps = self.eps_dtog
+            ot = self.Omega * self.tausp
+            den = (1.0 + eps) ** 2 + ot ** 2
+            bx = self.beta_glnrho_global[0]
+            vp = vp.at[:, 0].add(bx * ot / den * self.cs0)
+            vp = vp.at[:, 1].add(bx * (1.0 + eps) / (2.0 * den) * self.cs0)
         return {"xp": xp, "vp": vp}
 
     # -- dynamics -------------------------------------------------------

@@ -31,6 +31,7 @@ class Density(ModuleBase):
     kx: float = 1.0
     ky: float = 1.0
     kz: float = 1.0
+    phase: float = 0.0         # 'sinwave-phase'/'coswave-phase'
     rho_left: float = 1.0      # for init='xjump'
     rho_right: float = 1.0
     rho_const: float = 1.0     # for init='const_rho'
@@ -128,9 +129,13 @@ class Density(ModuleBase):
         import math
         import jax.numpy as jnp
         if self.lnolog:
+            # build in lnrho form, exp at the end (the reference's
+            # ldensity_nolog conversion, density.f90:1650); keep any
+            # cross-field '+' contributions
             out = Density(**{**self.__dict__, "lnolog": False}).init_fields(
                 grid, spec, eos, key, cfg)
-            return {"rho": jnp.exp(out["lnrho"])}
+            out["rho"] = jnp.exp(out.pop("lnrho"))
+            return out
         if self.init in ("const_rho", "const_lnrho"):
             lnrho0 = math.log(self.rho_const) if self.init == "const_rho" \
                 else self.ampl
@@ -141,6 +146,40 @@ class Density(ModuleBase):
             return {"lnrho": init_scalar(
                 self.init, grid, spec, eos, key, width=self.width,
                 left=math.log(self.rho_left), right=math.log(self.rho_right))}
+        if self.init == "isothermal":
+            # isothermal stratification lnρ = lnρ0 − γΦ/cs₀², with the
+            # matching ss = −(cp−cv)(lnρ−lnρ0) when entropy is evolved
+            # (reference isothermal_density, density.f90:3108-3175)
+            grav = cfg.module("gravity") if cfg else None
+            ones = jnp.ones(spec.shape, grid.x.dtype)
+            pot = grav.potential_field(grid, spec) if grav else 0.0
+            lnrho = (eos.lnrho0 - eos.gamma * pot / eos.cs20) * ones
+            out = {"lnrho": lnrho}
+            if cfg is not None and cfg.module("entropy") is not None:
+                # the reference always sets ss here; skip only when the
+                # entropy init will itself ASSIGN (not add) a profile
+                ent = cfg.module("entropy")
+                einit = getattr(ent, "init", "zero")
+                assigners = {"isothermal", "const_ss", "polytropic",
+                             "polytropic_simple", "piecew-poly", "5"}
+                names = (einit if isinstance(einit, (list, tuple))
+                         else (einit,))
+                if not any(str(n) in assigners for n in names):
+                    out["+ss"] = -(eos.cp - eos.cv) * (lnrho - eos.lnrho0)
+            return out
+        if self.init in ("polytropic",):
+            # single polytropic layer from zref downward (density.f90:1379
+            # → polytropic_lnrho_z :1774): lnρ = lnρ0 + m·ln(1 +
+            # β₁(z−zref)/cs₀²), β₁ = γ g_z/(m+1)
+            grav = cfg.module("gravity") if cfg else None
+            gravz = grav.gravz if grav else -1.0
+            zref = grav.zref if grav and grav.zref < 1e99 else 0.0
+            m = self.mpoly
+            beta1 = eos.gamma * gravz / (m + 1.0)
+            arg = jnp.maximum(1.0 + beta1 * (grid.zg - zref) / eos.cs20,
+                              1e-30)
+            ones = jnp.ones(spec.shape, grid.x.dtype)
+            return {"lnrho": (eos.lnrho0 + m * jnp.log(arg)) * ones}
         if self.init == "piecew-poly":
             from .stratification import piecew_poly_profiles
             ent = cfg.module("entropy") if cfg else None
@@ -237,4 +276,4 @@ class Density(ModuleBase):
         return {"lnrho": init_scalar(self.init, grid, spec, eos, key,
                                      ampl=self.ampl, width=self.width,
                                      kx=self.kx, ky=self.ky, kz=self.kz,
-                                     field="lnrho")}
+                                     phase=self.phase, field="lnrho")}

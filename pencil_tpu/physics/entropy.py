@@ -65,6 +65,9 @@ class Entropy(ModuleBase):
     kz: float = 1.0
     ss_left: float = 0.0       # for init='xjump'
     ss_right: float = 0.0
+    radius: float = 1.0        # init='blob'/'blob_hs' (radius_ss)
+    center1: tuple = (0.0, 0.0, 0.0)
+    init_list_pars: tuple = () # per-entry overrides for list inits
 
     def register(self, reg):
         reg.register("ss", 1, "pde")
@@ -174,6 +177,33 @@ class Entropy(ModuleBase):
         accumulate(df, "ss", out)
 
     def init_fields(self, grid, spec, eos, key, cfg=None, fields=None):
+        if isinstance(self.init, (list, tuple)):
+            # ninit cascade — each entry ADDS (entropy.f90 init loop)
+            import dataclasses
+
+            import jax
+            out = {}
+            for i, nm in enumerate(self.init):
+                key, sub = jax.random.split(key)
+                over = dict(self.init_list_pars[i]) \
+                    if i < len(self.init_list_pars) else {}
+                d = dataclasses.replace(
+                    self, init=str(nm), init_list_pars=(), **over) \
+                    .init_fields(
+                    grid, spec, eos, sub, cfg,
+                    fields={**(fields or {}),
+                            **{k: v for k, v in out.items()
+                               if not k.startswith("+")}})
+                for k, v in d.items():
+                    out[k] = out.get(k, 0.0) + v
+            return out
+        if self.init == "blob_hs":
+            # blob in hydrostatic equilibrium: +A on ss, −A on lnrho
+            # (entropy.f90:1722-1726)
+            from .initcond import init_scalar
+            b = init_scalar("blob", grid, spec, eos, key, ampl=self.ampl,
+                            radius=self.radius, center1=self.center1)
+            return {"ss": b, "+lnrho": -b}
         if self.init in ("isothermal", "const_ss"):
             if self.init == "const_ss":
                 # uniform entropy ss_const (entropy.f90 'const_ss')
@@ -234,7 +264,11 @@ class Entropy(ModuleBase):
             gamma = eos.gamma
             cs20 = eos.cs20
             m_den = getattr(den, "mpoly", self.mpoly0) if den else self.mpoly0
-            zref = zinfty - (m_den + 1.0) * cs20 / (-gamma * gravz)
+            if grav is not None and getattr(grav, "zref", 9e99) < 1e99:
+                # explicit zref namelist value wins (gravity_simple zref)
+                zref = grav.zref
+            else:
+                zref = zinfty - (m_den + 1.0) * cs20 / (-gamma * gravz)
             m = self.mpoly0
             beta1 = gamma * gravz / (m + 1.0)
             arg = jnp.maximum(1.0 + beta1 * (grid.zg - zref) / cs20, 1e-30)
@@ -256,4 +290,5 @@ class Entropy(ModuleBase):
         return {"ss": init_scalar(self.init, grid, spec, eos, key,
                                   ampl=self.ampl, width=self.width,
                                   kx=self.kx, ky=self.ky, kz=self.kz,
+                                  radius=self.radius, center1=self.center1,
                                   field="ss")}

@@ -22,6 +22,9 @@ class Gravity(ModuleBase):
     # top of the polytropic atmosphere: Φ = −g_z(z − z∞)
     # (gravity_simple.f90:427; defaults to 0 when not given, :230)
     zinfty: float = 0.0
+    # reference height where lnrho=lnrho0, cs2=cs20 (gravity_simple
+    # zref namelist; 9e99 = the reference's `impossible` sentinel)
+    zref: float = 9e99
     # cgs base units for profiles with physical constants ('Ferriere')
     unit_length: float = 1.0
     unit_velocity: float = 1.0
@@ -54,6 +57,35 @@ class Gravity(ModuleBase):
         n = float(self.n_pot)
         return (-self.g0 * r ** (n - 1.0)
                 * (r ** n + self._r0 ** n) ** (-(n + 1.0) / n))
+
+    def potential_field(self, grid, spec):
+        """Gravity potential Φ over the interior grid (reference
+        potential() calls in e.g. isothermal_density, density.f90:3146);
+        broadcastable against (nx, ny, nz)."""
+        z = grid.zg
+        if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
+                               "no-smooth"):
+            x, y = grid.xg, grid.yg
+            if getattr(spec, "coords", "cartesian") != "cartesian":
+                r = x
+            else:
+                r2 = x * x + y * y
+                if not self.lcylindrical_gravity:
+                    r2 = r2 + z * z
+                r = jnp.sqrt(r2)
+            return self.potential(r)
+        if self.gravz_profile == "central":
+            x, y = grid.xg, grid.yg
+            r = jnp.sqrt(x * x + y * y + z * z + self.r0 ** 2)
+            return -self.mass / r
+        if self.gravz_profile == "const":
+            return -self.gravz * (z - self.zinfty)
+        if self.gravz_profile in ("linear-z", "linear"):
+            # g_z = gravz·z (gravz = −ν_epi²) → Φ = −½·gravz·z²
+            return -0.5 * self.gravz * z ** 2
+        if self.gravz_profile == "sin-z":
+            return (self.gravz / self.kappa_z) * jnp.cos(self.kappa_z * z)
+        return jnp.zeros_like(z)
 
     def gvec(self, pen):
         """Acceleration field (3, nx, ny, nz) — shared by the gas and any

@@ -38,6 +38,19 @@ class Hydro(ModuleBase):
     kz: float = 1.0
     width: float = 0.1
     uu_const: tuple = (0.0, 0.0, 0.0)   # init='const_uu' (hydro.f90:1691)
+    # per-component (ampl, kx, ky, kz, phase) for the 'sinwave-phase' /
+    # 'coswave-phase' / 'trilinear-y' families (reference ampl_ux… arrays)
+    comp_pars: tuple = ()
+    # per-entry overrides for list-valued inits (ninit cascades where the
+    # reference pairs ampluu(j)/kz_uu(j) with inituu(j)): tuple of
+    # ((field, value), ...) per init name
+    init_list_pars: tuple = ()
+    # global radial pressure-gradient parameter (density namelist
+    # beta_glnrho_global) for 'sub-Keplerian' (hydro.f90:2231)
+    beta_glnrho_global: tuple = (0.0, 0.0, 0.0)
+    # constant velocity ADDED after any init (run-dir loader hook for the
+    # NSH drag-equilibrium gas flow, particles_dust.f90:1999-2004)
+    uu_add_const: tuple = (0.0, 0.0, 0.0)
     rnoise_int: float = 0.0   # radial band for 'gaussian-noise-rprof'
     rnoise_ext: float = 0.0   # (defaults to r_int/r_ext in the run dir)
     urand: float = 0.0   # additive uniform noise (hydro.f90:2518)
@@ -168,10 +181,52 @@ class Hydro(ModuleBase):
             ts.advec2(pen.cs2() * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
+        import dataclasses
+
+        import jax
+
         from .initcond import init_vector
-        return {"uu": init_vector(self.init, grid, spec, eos, key,
-                                  ampl=self.ampl, kx=self.kx, ky=self.ky,
-                                  kz=self.kz, width=self.width,
-                                  const3=self.uu_const,
-                                  rnoise_int=self.rnoise_int,
-                                  rnoise_ext=self.rnoise_ext)}
+        if isinstance(self.init, (list, tuple)):
+            # ninit cascade: each entry ADDS its profile (hydro.f90 init
+            # loop `do j=1,ninit`)
+            uu = 0.0
+            for i, nm in enumerate(self.init):
+                key, sub = jax.random.split(key)
+                over = dict(self.init_list_pars[i]) \
+                    if i < len(self.init_list_pars) else {}
+                uu = uu + dataclasses.replace(
+                    self, init=str(nm), init_list_pars=(), **over) \
+                    .init_fields(grid, spec, eos, sub, cfg)["uu"]
+            return {"uu": uu}
+        import jax.numpy as jnp
+        if self.init == "sub-Keplerian":
+            # u −= cs²β̂_y/(2Ω) x̂ − cs²β̂_x/(2Ω) ŷ with β̂ = β·Ω/cs0
+            # (hydro.f90:2231-2234; entropy.f90:906 beta_glnrho_scaled)
+            # → ux = −cs0·β_y/2, uy = +cs0·β_x/2
+            cs0 = eos.cs20 ** 0.5 if eos is not None else 1.0
+            shape = (spec.nx, spec.ny, spec.nz)
+            b = self.beta_glnrho_global
+            ux = jnp.full(shape, -0.5 * cs0 * b[1], grid.x.dtype)
+            uy = jnp.full(shape, 0.5 * cs0 * b[0], grid.x.dtype)
+            uu = jnp.stack([ux, uy, jnp.zeros_like(ux)])
+        else:
+            uu = init_vector(self.init, grid, spec, eos, key,
+                             ampl=self.ampl, kx=self.kx, ky=self.ky,
+                             kz=self.kz, width=self.width,
+                             const3=self.uu_const,
+                             rnoise_int=self.rnoise_int,
+                             rnoise_ext=self.rnoise_ext,
+                             comp_pars=self.comp_pars)
+        if any(v != 0.0 for v in self.uu_add_const):
+            uu = uu + jnp.asarray(self.uu_add_const,
+                                  uu.dtype)[:, None, None, None]
+        if self.urand != 0.0:
+            # extra uniform perturbation u_i += urand·(U[0,1]−½)
+            # (hydro.f90:2518-2526; urand<0 multiplicative flavor)
+            key, sub = jax.random.split(key)
+            r = jax.random.uniform(sub, uu.shape, uu.dtype)
+            if self.urand > 0:
+                uu = uu + self.urand * (r - 0.5)
+            else:
+                uu = uu * self.urand * (r - 0.5)
+        return {"uu": uu}

@@ -21,12 +21,23 @@ def cubic_step(x, x0, width, shift=0.0):
 
 def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
                 kx=1.0, ky=1.0, kz=1.0, field="", left=0.0, right=0.0,
-                xjump=0.0):
+                xjump=0.0, phase=0.0, radius=1.0,
+                center1=(0.0, 0.0, 0.0)):
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
     zero = jnp.zeros(shape, dtype=grid.x.dtype)
     if name in ("zero", "nothing"):
         return zero
+    if name in ("sinwave-phase", "coswave-phase"):
+        # A·{sin,cos}(k·x + φ) (reference initcond.f90:2579/2601)
+        fn = jnp.sin if name[0] == "s" else jnp.cos
+        return ampl * fn(kx * x + ky * y + kz * z + phase) + zero
+    if name == "blob":
+        # gaussian blob, NOT normalized by 2 in the exponent (reference
+        # sub.f90:5450: f += A·exp(−((x−x0)²+(y−y0)²+(z−z0)²)/r²))
+        r2 = ((x - center1[0]) ** 2 + (y - center1[1]) ** 2
+              + (z - center1[2]) ** 2)
+        return ampl * jnp.exp(-r2 / radius ** 2) + zero
     if name in ("xjump", "yjump", "zjump"):
         # tanh step along one axis (reference 'xjump' etc.: Sod-type
         # discontinuity)
@@ -54,7 +65,7 @@ def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
 def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
                 kz=1.0, width=0.1, sigma=1.0, const3=(0.0, 0.0, 0.0),
                 rnoise_int=0.0, rnoise_ext=0.0, radius=1.0, eps_tube=0.0,
-                center1=(0.0, 0.0, 0.0)):
+                center1=(0.0, 0.0, 0.0), comp_pars=()):
     name = name.lower()
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
@@ -62,6 +73,48 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
     zeros3 = jnp.zeros((3,) + shape, dtype=grid.x.dtype)
     if name in ("zero", "nothing"):
         return zeros3
+    if name in ("sinwave-phase", "coswave-phase"):
+        # per-COMPONENT plane waves A_i·{sin,cos}(k_i·x + φ_i) — the
+        # reference drives each component from its own ampl_ux/kx_ux/…
+        # namelist arrays (hydro.f90:1756-1763)
+        fn = jnp.sin if name[0] == "s" else jnp.cos
+        comps = []
+        for i in range(3):
+            a, kxi, kyi, kzi, ph = (comp_pars[i] if i < len(comp_pars)
+                                    else (0.0, 0.0, 0.0, 0.0, 0.0))
+            comps.append(a * fn(kxi * x + kyi * y + kzi * z + ph) + zero)
+        return jnp.stack(comps)
+    if name == "trilinear-y":
+        # u_y = Σ_a c_a·(linear in non-periodic directions, sin in
+        # periodic ones) (initcond.f90 trilinear; hydro.f90:1747 routes
+        # ampl_ux/uy/uz as the three direction coefficients)
+        import math as _m
+        amps = (comp_pars[0][0] if comp_pars else ampl,
+                comp_pars[1][0] if len(comp_pars) > 1 else 0.0,
+                comp_pars[2][0] if len(comp_pars) > 2 else 0.0)
+        tmp = zero
+        for a, (c, L, c0, per) in zip(amps, (
+                (x, spec.Lx, spec.x0, spec.periodic[0]),
+                (y, spec.Ly, spec.y0, spec.periodic[1]),
+                (z, spec.Lz, spec.z0, spec.periodic[2]))):
+            if a == 0.0:
+                continue
+            if per:
+                tmp = tmp + a * jnp.sin(2 * _m.pi / L * (c - c0 - 0.25 * L))
+            else:
+                tmp = tmp + a * c
+        return jnp.stack([zero, tmp + zero, zero])
+    if name == "parabola_x":
+        # channel profile u_y = max_uu·(1 − (x/x_wall)²) (hydro.f90:1697;
+        # ampl carries max_uu); x(l1) is the leftmost interior point
+        xw = float(grid.interior(grid.x)[0])
+        return jnp.stack([zero, ampl * (1.0 - (x / xw) ** 2) + zero, zero])
+    if name == "x1cosycosz":
+        # u_y += A·(1/x)·cos(ky·y)·cos(kz·z) — Taylor-Couette azimuthal
+        # seed (initcond.f90 x1_cosy_cosz via hydro.f90:1808)
+        return jnp.stack([zero,
+                          ampl / x * jnp.cos(ky * y) * jnp.cos(kz * z)
+                          + zero, zero])
     if name == "gaussian-noise":
         return ampl * jax.random.normal(key, (3,) + shape, dtype=grid.x.dtype)
     if name == "sinwave-x":  # u_y = A sin(kx x): transverse wave

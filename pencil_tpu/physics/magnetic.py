@@ -44,6 +44,7 @@ class Magnetic(ModuleBase):
     llorentzforce: bool = True
     lohmic_heat: bool = True
     init: str = "zero"
+    init_list_pars: tuple = ()  # per-entry overrides for list inits
     ampl: float = 0.0
     kx: float = 1.0
     ky: float = 1.0
@@ -158,6 +159,22 @@ class Magnetic(ModuleBase):
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector
+        if isinstance(self.init, (list, tuple)):
+            # ninit cascade — each entry ADDS (magnetic.f90 init loop)
+            import dataclasses
+
+            import jax
+            out = {}
+            for i, nm in enumerate(self.init):
+                key, sub = jax.random.split(key)
+                over = dict(self.init_list_pars[i]) \
+                    if i < len(self.init_list_pars) else {}
+                d = dataclasses.replace(
+                    self, init=str(nm), init_list_pars=(), **over) \
+                    .init_fields(grid, spec, eos, sub, cfg)
+                for k, v in d.items():
+                    out[k] = out.get(k, 0.0) + v
+            return out
         if self.init == "Alfvenz-rot-shear":
             # rotating-shearing Alfvén eigenmode along z (reference
             # alfvenz_rot_shear, magnetic.f90: dux/dt−2Ωuy=−Ay'' etc.);

@@ -88,10 +88,102 @@ class PointMasses(ModuleBase):
     initxxq: str = "fixed-cm"
     initvvq: str = "fixed-cm"
     lreset_cm: bool = False
+    # per-particle potential for the GAS gravity (pointmasses.f90:71
+    # ipotential_pointmass: 'newton'|'plummer'|'boley') and the
+    # cylindrical-gravity switch (:53); frac_smooth sets the default
+    # smoothing radius of secondaries when r_smooth isn't given (:284:
+    # r_smooth = frac_smooth·|xq0|·(pmass/3)^{1/3})
+    ipotential: Tuple[str, ...] = ()
+    lcylindrical_gravity: Tuple[bool, ...] = ()
+    frac_smooth: float = 0.4
 
     @property
     def nqpar(self):
         return len(self.pmass)
+
+    def _r_smooth(self):
+        if self.r_smooth:
+            return np.asarray((list(self.r_smooth)
+                               + [0.0] * self.nqpar)[: self.nqpar])
+        m = self.masses()
+        out = np.zeros(self.nqpar)
+        for ks in range(self.nqpar):
+            if ks != self.iprimary - 1:
+                out[ks] = (self.frac_smooth * abs(self.xq0[ks])
+                           * (m[ks] / 3.0) ** (1.0 / 3.0))
+        return out
+
+    def _pot(self, ks):
+        return self.ipotential[ks] if ks < len(self.ipotential) else "newton"
+
+    def _lcyl(self, ks):
+        return (self.lcylindrical_gravity[ks]
+                if ks < len(self.lcylindrical_gravity) else False)
+
+    def gas_gravity(self, pen, xq):
+        """Acceleration field (3, nx, ny, nz) the point masses exert on
+        the gas (reference get_total_gravity, pointmasses.f90:1700-1830):
+        per particle, Ω²(r) from ipotential_pointmass with the distance
+        taken cylindrically when lcylindrical_gravity_nbody, then the
+        coordinate-aware separation vector of
+        get_gravity_field_pointmasses (:1524-1551)."""
+        g = pen.grid
+        coords = getattr(pen.cfg.grid, "coords", "cartesian")
+        x, y, z = g.xg, g.yg, g.zg
+        m = self.masses()
+        rs = self._r_smooth()
+        G = self.GNewton
+        ggt = None
+        for ks in range(self.nqpar):
+            x0, y0, z0 = xq[ks, 0], xq[ks, 1], xq[ks, 2]
+            if coords == "cartesian":
+                rp2cyl = (x - x0) ** 2 + (y - y0) ** 2
+                rp2 = rp2cyl + (z - z0) ** 2
+                rp1 = jnp.sqrt(x0 ** 2 + y0 ** 2 + z0 ** 2)
+                evr = ((x - x0), (y - y0), (z - z0))
+            elif coords == "cylindrical":
+                rp2cyl = x ** 2 + x0 ** 2 - 2 * x * x0 * jnp.cos(y - y0)
+                rp2 = rp2cyl + (z - z0) ** 2
+                rp1 = jnp.sqrt(x0 ** 2 + z0 ** 2)
+                evr = ((x - x0 * jnp.cos(y - y0)),
+                       (x0 * jnp.sin(y - y0)) + 0.0 * x,
+                       (z - z0) + 0.0 * x)
+            else:   # spherical (r, θ, φ); particle polar (r0, θ0, φ0)
+                th, ph = y, z
+                th0, ph0 = y0, z0
+                cosgam = (jnp.cos(th) * jnp.cos(th0)
+                          + jnp.sin(th) * jnp.sin(th0) * jnp.cos(ph - ph0))
+                rp2 = x ** 2 + x0 ** 2 - 2 * x * x0 * cosgam
+                # cylindrical radius about the polar axis
+                rcg = x * jnp.sin(th)
+                rc0 = x0 * jnp.sin(th0)
+                rp2cyl = (rcg ** 2 + rc0 ** 2
+                          - 2 * rcg * rc0 * jnp.cos(ph - ph0))
+                rp1 = x0
+                evr = ((x - x0 * jnp.sin(th) * jnp.sin(th0)
+                        * jnp.cos(ph - ph0)),
+                       (x0 * (jnp.sin(th) * jnp.cos(th0)
+                              - jnp.cos(th) * jnp.sin(th0)
+                              * jnp.cos(ph - ph0))) + 0.0 * x,
+                       (x0 * jnp.sin(th0) * jnp.sin(ph - ph0)) + 0.0 * x)
+            rr = jnp.sqrt(jnp.maximum(
+                rp2cyl if self._lcyl(ks) else rp2, 1e-300))
+            pot = self._pot(ks)
+            if pot == "plummer":
+                om2 = -G * m[ks] * (rr ** 2 + rs[ks] ** 2) ** -1.5
+            elif pot == "boley":
+                rhill = rp1 * (G * m[ks] / 3.0) ** (1.0 / 3.0)
+                rhill1 = 1.0 / jnp.maximum(rhill, 1e-300)
+                om2 = jnp.where(
+                    rr > rhill,
+                    -G * m[ks] * rr ** -3.0,
+                    G * m[ks] * (3.0 * rr * rhill1 - 4.0) * rhill1 ** 3)
+            else:   # 'newton': constant inside r_smooth
+                rrs = jnp.maximum(rr, rs[ks])
+                om2 = -G * m[ks] * rrs ** -3.0
+            gg = jnp.stack([e * om2 for e in evr])
+            ggt = gg if ggt is None else ggt + gg
+        return ggt
 
     def masses(self):
         """'fixed-cm': primary mass = 1 − Σ secondaries (pointmasses.f90)."""
@@ -137,6 +229,17 @@ class PointMasses(ModuleBase):
             pos[:, 1] = y0 + np.mod(pos[:, 1] - y0, Ly)
         return {"xq": jnp.asarray(pos, dtype),
                 "vq": jnp.asarray(vel, dtype)}
+
+    def rhs(self, pen, df, ts):
+        """Gas feels the point-mass gravity (reference dvvq_dt_pointmasses
+        → get_total_gravity added to df(iux:iuz), pointmasses.f90:981).
+        The current particle positions ride the pencil cache (threaded
+        from state by the stepper)."""
+        xq = pen._cache.get("_pm_xq")
+        if xq is None or "uu" not in pen.reg.slots:
+            return
+        from .base import accumulate
+        accumulate(df, "uu", self.gas_gravity(pen, xq))
 
     def accel_cart(self, xc):
         """Pairwise Newtonian gravity in cartesian, smoothing floor

@@ -50,7 +50,11 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
     if gs.nx * gs.ny * gs.nz > MAX_POINTS:
         return ("SKIP", f"grid {gs.nx}x{gs.ny}x{gs.nz}")
     nt_ref = int(max(ref["it"]))
-    nt = min(nt_ref, nt_cap, MAX_NT)
+    # run at least up to the FIRST nonzero reference row, else small it1
+    # caps (e.g. sod's it1=100 vs --nt 15) leave no comparable rows
+    nz_its = [int(i) for i in ref["it"] if int(i) > 0]
+    first_it = min(nz_its) if nz_its else nt_cap
+    nt = min(nt_ref, max(nt_cap, first_it), MAX_NT)
     it1 = int(info["run_pars"].get("it1", 10))
     model = Model(cfg)
     run = Run(model, datadir=tmpdir,
@@ -94,6 +98,7 @@ def main():
     ap.add_argument("--nt", type=int, default=60)
     ap.add_argument("--only", default="*")
     ap.add_argument("--out", default="census.json")
+    ap.add_argument("--tb", action="store_true")
     args = ap.parse_args()
     results = {}
     dirs = sorted(os.path.dirname(p) for p in glob.glob(
