@@ -353,6 +353,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         cdtv3=float(run_pars.get("cdtv3", 0.01)),
         dt=float(run_pars.get("dt", 0.0)),
         dtmin=float(run_pars.get("dtmin", 1e-10)),
+        dtmax=float(run_pars.get("dtmax", 1e37)),
         eps_rkf=float(run_pars.get("eps_rkf", 1e-8)),
         tstart=float(init_pars.get("tstart", 0.0)),
     )
@@ -1067,7 +1068,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         for slot in sp_slot.split():
             if slot.split("/")[-1] == "nospecial":
                 continue
-            modules.append(make_special(slot.split("/")[-1], sp_all))
+            sp_name = slot.split("/")[-1]
+            if "streamfunction" in sp_name:
+                # the streamfunction special owns BOTH TT and psi (it
+                # replaces the temperature module's evolution with its
+                # Stokes-flow advection) — drop a TemperatureIdealGas the
+                # energy branch already appended to avoid a duplicate TT
+                modules = [m for m in modules if m.name != "temperature"]
+            modules.append(make_special(sp_name, sp_all))
 
     # the IC plug-in group is named plain &initial_condition_pars
     known.add("initial_condition_pars")

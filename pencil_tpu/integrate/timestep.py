@@ -76,6 +76,11 @@ def cfl_dt1(ts, grid, time_cfg):
         dxyz6 = grid.dx1 ** 6 + grid.dy1 ** 6 + grid.dz1 ** 6
         dif = dif + ts.maxdiffus3 * dxyz6 / time_cfg.cdtv3
     if isinstance(adv, float) and isinstance(dif, float):
+        # no advective/diffusive classes — a direct-max rate (particle
+        # drag, heating limit) may still bound dt
+        extra = getattr(ts, "dt1_extra", 0.0)
+        if not isinstance(extra, float):
+            return extra + jnp.zeros((1, 1, 1))
         return jnp.zeros((1, 1, 1))
     dt1_a = adv / time_cfg.cdt if not isinstance(adv, float) else 0.0
     if isinstance(dif, float):

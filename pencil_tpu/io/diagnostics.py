@@ -868,6 +868,185 @@ def _xxmax(pen, st):
     return jnp.max(pen.field("XX_chiral"))
 
 
+@diag("YYmax")
+def _yymax(pen, st):
+    return jnp.max(pen.field("YY_chiral"))
+
+
+# ---- magnetic tail (magnetic.f90 DIAG_DOC blocks) --------------------------
+@diag("epsM")
+def _epsM(pen, st):
+    """<η μ0 j²> (idiag_epsM, magnetic.f90:496; μ0=1 code units)."""
+    mag = pen.cfg.module("magnetic") if pen.cfg is not None else None
+    eta = getattr(mag, "eta", 0.0) if mag else 0.0
+    return eta * _vmean(pen, pen.j2())
+
+
+@diag("vA2m")
+def _vA2m(pen, st):
+    return _vmean(pen, pen.b2() * pen.rho1())
+
+
+@diag("j2m")
+def _j2m(pen, st):
+    return _vmean(pen, pen.j2())
+
+
+@diag("ab_int")
+def _ab_int(pen, st):
+    aa, bb = pen.field("aa"), pen.bb()
+    dv = pen.cfg.grid.dx * pen.cfg.grid.dy * pen.cfg.grid.dz
+    return jnp.sum(aa[0] * bb[0] + aa[1] * bb[1] + aa[2] * bb[2]) * dv
+
+
+@diag("jb_int")
+def _jb_int(pen, st):
+    jj, bb = pen.jj(), pen.bb()
+    dv = pen.cfg.grid.dx * pen.cfg.grid.dy * pen.cfg.grid.dz
+    return jnp.sum(jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2]) * dv
+
+
+@diag("uxbm")
+def _uxbm(pen, st):
+    """<u×B>·B_ext/B_ext² (idiag_uxbm, magnetic.f90:664)."""
+    mag = pen.cfg.module("magnetic") if pen.cfg is not None else None
+    B0 = jnp.asarray(getattr(mag, "B_ext", (0.0, 0.0, 0.0)))
+    B02 = jnp.maximum(jnp.sum(B0 ** 2), 1e-30)
+    uu, bb = pen.uu(), pen.bb()
+    uxb = jnp.stack([uu[1] * bb[2] - uu[2] * bb[1],
+                     uu[2] * bb[0] - uu[0] * bb[2],
+                     uu[0] * bb[1] - uu[1] * bb[0]])
+    return _vmean(pen, sum(uxb[a] * B0[a] for a in range(3))) / B02
+
+
+def _mk_compm(fieldname, i, builder=None):
+    def fn(pen, st):
+        arr = builder(pen) if builder else pen.field(fieldname)
+        return _vmean(pen, arr[i])
+    return fn
+
+
+def _mk_compmax(builder, i, absval=True):
+    def fn(pen, st):
+        arr = builder(pen)
+        return jnp.max(jnp.abs(arr[i]) if absval else arr[i])
+    return fn
+
+
+for _i, _c in enumerate("xyz"):
+    DIAG_REGISTRY[f"b{_c}m"] = _mk_compm(None, _i, lambda pen: pen.bb())
+    DIAG_REGISTRY[f"a{_c}m"] = _mk_compm("aa", _i)
+    DIAG_REGISTRY[f"j{_c}max"] = _mk_compmax(lambda pen: pen.jj(), _i)
+
+
+@diag("ozm")
+def _ozm(pen, st):
+    return _vmean(pen, pen.oo()[2])
+
+
+@diag("ruxuym")
+def _ruxuym(pen, st):
+    uu = pen.uu()
+    return _vmean(pen, pen.rho() * uu[0] * uu[1])
+
+
+@diag("totmass")
+def _totmass(pen, st):
+    """∫ρ dV (idiag_totmass, density.f90:221)."""
+    dv = pen.cfg.grid.dx * pen.cfg.grid.dy * pen.cfg.grid.dz
+    w = pen.vol_weight()
+    rho = pen.rho()
+    if w is not None:
+        rho = rho * (w + 0.0 * rho)
+    return jnp.sum(rho + 0.0 * rho) * dv
+
+
+@diag("shockmax")
+def _shockmax(pen, st):
+    return jnp.max(pen.field("shock"))
+
+
+@diag("gTmax")
+def _gtmax(pen, st):
+    """max|∇T| = max(T·|∇lnT|)."""
+    g = pen.glnTT()
+    TT = pen.TT()
+    return jnp.sqrt(jnp.max((g[0] ** 2 + g[1] ** 2 + g[2] ** 2) * TT ** 2))
+
+
+@diag("udrms")
+def _udrms(pen, st):
+    ud = pen.field("uud")
+    return _vrms(pen, ud[0] ** 2 + ud[1] ** 2 + ud[2] ** 2)
+
+
+@diag("udmax")
+def _udmax(pen, st):
+    ud = pen.field("uud")
+    return jnp.sqrt(jnp.max(ud[0] ** 2 + ud[1] ** 2 + ud[2] ** 2))
+
+
+# ---- particle-swarm statistics (particles_dust.f90:301-330) ----------------
+def _pp(st):
+    return st.get("particles")
+
+
+def _mk_pstat(fn):
+    def g(pen, st):
+        p = _pp(st)
+        if p is None:
+            return jnp.zeros(())
+        return fn(pen, p)
+    return g
+
+
+for _i, _c in enumerate("xyz"):
+    DIAG_REGISTRY[f"{_c}pm"] = _mk_pstat(
+        lambda pen, p, i=_i: jnp.mean(p["xp"][:, i]))
+    DIAG_REGISTRY[f"vp{_c}2m"] = _mk_pstat(
+        lambda pen, p, i=_i: jnp.mean(p["vp"][:, i] ** 2))
+DIAG_REGISTRY["vpym"] = _mk_pstat(lambda pen, p: jnp.mean(p["vp"][:, 1]))
+DIAG_REGISTRY["vpzm"] = _mk_pstat(lambda pen, p: jnp.mean(p["vp"][:, 2]))
+DIAG_REGISTRY["vpmax"] = _mk_pstat(
+    lambda pen, p: jnp.sqrt(jnp.max(jnp.sum(p["vp"] ** 2, axis=1))))
+
+
+@diag("ekinp")
+def _ekinp(pen, st):
+    """particle kinetic energy Σ ½ m_p v_p² (idiag_ekinp)."""
+    p = _pp(st)
+    if p is None:
+        return jnp.zeros(())
+    pmod = pen.cfg.module("particles")
+    gs = pen.cfg.grid
+    eps = pmod.eps_dtog if pmod.eps_dtog > 0 else 1.0
+    mp = eps * gs.Lx * gs.Ly * gs.Lz / pmod.npar
+    return 0.5 * mp * jnp.sum(p["vp"] ** 2)
+
+
+def _np_cells(pen, p):
+    """NGP particle count per cell (the reference's np aux)."""
+    from ..particles.interp import deposit
+    gs = pen.cfg.grid
+    ones = jnp.ones((p["xp"].shape[0],), p["xp"].dtype)
+    return deposit(ones, p["xp"], gs, gs.shape, "ngp",
+                   dtype=p["xp"].dtype)
+
+
+DIAG_REGISTRY["npmax"] = _mk_pstat(
+    lambda pen, p: jnp.max(_np_cells(pen, p)))
+DIAG_REGISTRY["npmin"] = _mk_pstat(
+    lambda pen, p: jnp.min(_np_cells(pen, p)))
+DIAG_REGISTRY["npm"] = _mk_pstat(
+    lambda pen, p: jnp.mean(_np_cells(pen, p)))
+DIAG_REGISTRY["np2m"] = _mk_pstat(
+    lambda pen, p: jnp.mean(_np_cells(pen, p) ** 2))
+DIAG_REGISTRY["nparmax"] = _mk_pstat(
+    lambda pen, p: jnp.asarray(float(p["xp"].shape[0])))
+DIAG_REGISTRY["nparmin"] = _mk_pstat(
+    lambda pen, p: jnp.asarray(float(p["xp"].shape[0])))
+
+
 @diag("emag")
 def _emag(pen, st):
     return 0.5 * jnp.mean(pen.b2())
@@ -1076,7 +1255,7 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
                and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv",
-                             "dtdiffus", "dtdragp")
+                             "dtdiffus", "dtdragp", "dtb", "dteta")
                and not _chem_diag(n) and not _pm_diag(n)
                and not _gw_diag(n)]
     if unknown:
@@ -1091,9 +1270,18 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
 
     @jax.jit
     def evaluate(state):
-        fa = reg.stack(state["fields"])
-        fg = fill_ghosts(fa[: reg.ncom], cfg.grid,
-                         (cfg.bcx, cfg.bcy, cfg.bcz), reg, grid, cfg, eos)
+        if reg.nf == 0:
+            # mvar=0 runs: only state scalars and particle/point-mass
+            # diagnostics are meaningful
+            g = cfg.grid.nghost
+            fa = jnp.zeros((0, cfg.grid.nx + 2 * g, cfg.grid.ny + 2 * g,
+                            cfg.grid.nz + 2 * g))
+            fg = fa
+        else:
+            fa = reg.stack(state["fields"])
+            fg = fill_ghosts(fa[: reg.ncom], cfg.grid,
+                             (cfg.bcx, cfg.bcy, cfg.bcz), reg, grid, cfg,
+                             eos)
         pen = Pencils(fg, grid, reg, cfg, eos)
         if model._aux_modules:
             # reference samples diagnostics in the NEXT iteration's first
@@ -1177,6 +1365,18 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                     out[n] = dt / pmod.tausp / 0.2
                 else:
                     out[n] = jnp.zeros(())
+            elif n == "dtb":
+                # Alfvén advective fraction dt·max(√(vA²·Σ Δ⁻²))/cdt
+                # (idiag_dtb, magnetic.f90:557)
+                d1 = pen.dline_1()
+                va2 = pen.b2() * pen.rho1()
+                dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+                out[n] = dt * jnp.sqrt(jnp.max(va2 * dxyz2)) / cfg.time.cdt
+            elif n == "dteta":
+                mag = cfg.module("magnetic")
+                eta = getattr(mag, "eta", 0.0) if mag else 0.0
+                dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
+                out[n] = dt * eta * dxyz2 / cfg.time.cdtv
             elif n == "dtnu":
                 visc = cfg.module("viscosity")
                 nu = visc.nu if visc else 0.0

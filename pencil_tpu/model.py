@@ -363,7 +363,10 @@ class Model:
             elif d.ndim == 3:
                 d = d[None]
             parts.append(d)
-        dfa = jnp.concatenate(parts, axis=0)
+        # mvar=0 (pure particle / point-mass runs, e.g. the reference's
+        # samples/no-modules and 0d-tests/solar_system): empty tendency
+        dfa = jnp.concatenate(parts, axis=0) if parts else \
+            jnp.zeros((0,) + fa.shape[1:], fa.dtype)
         if cfg.grid.coords != "cartesian":
             d1m = pen.dline_1()
             ts.dxyz2 = d1m[0] ** 2 + d1m[1] ** 2 + d1m[2] ** 2
@@ -431,7 +434,9 @@ class Model:
                                         state["dt"], state["t"], sub,
                                         it=state["it"])
         state = {**state, "fields": pre, "key": key0}
-        fa = reg.stack(state["fields"])
+        gs = cfg.grid
+        fa = reg.stack(state["fields"]) if reg.nf else \
+            jnp.zeros((0, gs.nx, gs.ny, gs.nz), self.dtype)
         nvar = reg.nvar
         df = jnp.zeros((nvar,) + fa.shape[1:], fa.dtype)
         t0 = state["t"]

@@ -783,6 +783,199 @@ def bc_hydrostatic(fgc, axis, side, val, ctx):
     return fgc
 
 
+def bc_cpc(fgc, axis, side, val, ctx):
+    """'cpc': cylindrical perfect conductor A''+A'/R = 0 (reference
+    bc_cpc_x, boundcond.f90:776): boundary value pinned to 0, ghosts by
+    the 2nd/4th/6th-order recurrences in dxR = −dx/R_boundary (sign
+    mirrored on the low side)."""
+    m = fgc.shape[_ax(fgc, axis)]
+    d = _spacing(ctx, axis)
+    g1, m1_, bi = _plane_idx(m, side, 1)
+    g2, m2_, _ = _plane_idx(m, side, 2)
+    g3, m3_, _ = _plane_idx(m, side, 3)
+    xb = float(ctx.grid.x[NGHOST if side == 0 else
+                          ctx.grid.x.shape[0] - NGHOST - 1])
+    dxR = (-d / xb) * (1.0 if side == 1 else -1.0)
+    fgc = _put(fgc, axis, bi, jnp.zeros_like(_take(fgc, axis, bi)))
+    f1 = -(1.0 - 0.5 * dxR) * _take(fgc, axis, m1_) / (1.0 + 0.5 * dxR)
+    fgc = _put(fgc, axis, g1, f1)
+    extra1 = (1.0 + 0.5 * dxR) * f1 \
+        + (1.0 - 0.5 * dxR) * _take(fgc, axis, m1_)
+    f2 = (-(1.0 - dxR) * _take(fgc, axis, m2_) + 16.0 * extra1) \
+        / (1.0 + dxR)
+    fgc = _put(fgc, axis, g2, f2)
+    extra2 = (1.0 + dxR) * f2 + (1.0 - dxR) * _take(fgc, axis, m2_) \
+        - 10.0 * extra1
+    f3 = (-(2.0 - 3.0 * dxR) * _take(fgc, axis, m3_) + 27.0 * extra2) \
+        / (2.0 + 3.0 * dxR)
+    return _put(fgc, axis, g3, f3)
+
+
+def _boundary_thermo(ctx, axis, side):
+    """(rho, TT, dlnrho/dn) on the boundary plane (shared by the turbulent
+    flux BCs; reference bc_ss_flux_turb_x, eos_idealgas.f90)."""
+    eos = ctx.eos
+    m = ctx.fg.shape[_ax(ctx.fg[0], axis) + 1]
+    _, _, bi = _plane_idx(m, side, 1)
+    lnrho_f = _lnrho_comp(ctx)
+    ss_f = ctx.fg[ctx.reg.comp_index("ss")]
+    lnrho_b = _take(lnrho_f, axis, bi)
+    ss_b = _take(ss_f, axis, bi)
+    rho = jnp.exp(lnrho_b)
+    cv1 = eos.gamma / eos.cp
+    cs2 = eos.cs20 * jnp.exp((eos.gamma - 1.0) * (lnrho_b - eos.lnrho0)
+                             + cv1 * ss_b)
+    TT = cs2 / ((eos.gamma - 1.0) * eos.cp)
+    # centered 6th-order d lnrho/dn at the boundary (uses lnrho ghosts,
+    # filled before ss in the per-field BC sequence)
+    d1 = 1.0 / _spacing(ctx, axis)
+    c = (45.0 / 60.0, -9.0 / 60.0, 1.0 / 60.0)
+    dldn = sum(c[j - 1] * (_take(lnrho_f, axis, bi + j)
+                           - _take(lnrho_f, axis, bi - j))
+               for j in (1, 2, 3)) * d1
+    return rho, TT, dldn, bi
+
+
+def bc_ss_flux_turb(fgc, axis, side, val, ctx):
+    """'Fgs': black-body boundary −χ_t ρT ds/dn − K dT/dn = σ_SBt·T⁴
+    (bc_ss_flux_turb_x, eos_idealgas.f90): impose
+    ds/dn = −(σ_SBt T³ + K(γ−1) dlnρ/dn)/(χ_t,prof·χ_t·ρ + K/cv),
+    Kramers branch ds/dn = −cv((σ/K₀)T^{3−6.5n}ρ^{2n} + (γ−1)dlnρ/dn)."""
+    eos = ctx.eos
+    ent = ctx.cfg.module("entropy") if ctx.cfg else None
+    rho, TT, dldn, bi = _boundary_thermo(ctx, axis, side)
+    sig = getattr(ent, "sigmaSBt", 0.0) if ent else 0.0
+    chi_t = getattr(ent, "chi_t", 0.0) if ent else 0.0
+    chit_prof = (getattr(ent, "chit_prof1", 1.0) if side == 0
+                 else getattr(ent, "chit_prof2", 1.0)) if ent else 1.0
+    hcond = (getattr(ent, "hcondbot", 0.0) if side == 0
+             else getattr(ent, "hcondtop", 0.0)) if ent else 0.0
+    cv = eos.cp / eos.gamma
+    if ent is not None and getattr(ent, "hcond0_kramers", 0.0) > 0.0:
+        nk = getattr(ent, "nkramers", 1.0)
+        dsdn = -cv * ((sig / ent.hcond0_kramers)
+                      * TT ** (3.0 - 6.5 * nk) * rho ** (2.0 * nk)
+                      + (eos.gamma - 1.0) * dldn)
+    else:
+        dsdn = -(sig * TT ** 3 + hcond * (eos.gamma - 1.0) * dldn) \
+            / (chit_prof * chi_t * rho + hcond / cv + 1e-30)
+    m = fgc.shape[_ax(fgc, axis)]
+    d = _spacing(ctx, axis)
+    sgn = -1.0 if side == 0 else 1.0
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi,
+                   _take(fgc, axis, mi) + sgn * 2.0 * j * d * dsdn)
+    return fgc
+
+
+def bc_ss_flux_condturb(fgc, axis, side, val, ctx):
+    """'Fct': constant total flux Fbot = −K dT/dn − χ_t ρT ds/dn
+    (bc_ss_flux_condturb_x, eos_idealgas.f90): ghost recurrence
+    f(g_j) = f(m_j) + K(γ−1)/(K/cv+χ_tρ)·Δlnρ_j + 2jΔ·dsdn with
+    dsdn = (F/T)/(χ_t,prof·χ_t·ρ + K·cv1)."""
+    eos = ctx.eos
+    ent = ctx.cfg.module("entropy") if ctx.cfg else None
+    rho, TT, dldn, bi = _boundary_thermo(ctx, axis, side)
+    chi_t = getattr(ent, "chi_t", 0.0) if ent else 0.0
+    chit_prof = (getattr(ent, "chit_prof1", 1.0) if side == 0
+                 else getattr(ent, "chit_prof2", 1.0)) if ent else 1.0
+    F = (getattr(ent, "Fbot", 0.0) if side == 0
+         else getattr(ent, "Ftop", 0.0)) if ent else 0.0
+    cv = eos.cp / eos.gamma
+    cv1 = 1.0 / cv
+    if ent is not None and getattr(ent, "hcond0_kramers", 0.0) > 0.0:
+        nk = getattr(ent, "nkramers", 1.0)
+        K = ent.hcond0_kramers * TT ** (6.5 * nk) / rho ** (2.0 * nk)
+    else:
+        K = (getattr(ent, "hcondbot", 0.0) if side == 0
+             else getattr(ent, "hcondtop", 0.0)) if ent else 0.0
+    dsdn = (F / jnp.maximum(TT, 1e-30)) \
+        / (chit_prof * chi_t * rho + K * cv1 + 1e-30)
+    lnrho_f = _lnrho_comp(ctx)
+    m = fgc.shape[_ax(fgc, axis)]
+    d = _spacing(ctx, axis)
+    sgn = -1.0 if side == 0 else 1.0
+    fac = K * (eos.gamma - 1.0) / (K * cv1 + chit_prof * chi_t * rho
+                                   + 1e-30)
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        dlnrho_j = (_take(lnrho_f, axis, mi) - _take(lnrho_f, axis, gi)) \
+            * (-sgn)
+        # reference bot: f(g) = f(m) + fac·dlnrho + dx2_bound(−j)·dsdn with
+        # dx2_bound(−j) = +2jΔ (grid.f90:2652) — POSITIVE on the low side
+        fgc = _put(fgc, axis, gi,
+                   _take(fgc, axis, mi) + fac * dlnrho_j
+                   - sgn * 2.0 * j * d * dsdn)
+    return fgc
+
+
+def bc_force(fgc, axis, side, val, ctx):
+    """'g': forced boundary values (bc_force_z, boundcond.f90:1576) —
+    profile from Config.force_bound; 'uxy_sin-cos' drives
+    (ux, uy) = (cos k_y y, sin k_x x) on the plane, ghosts antisymmetric
+    about the forced value."""
+    import math as _m
+    prof_name = (ctx.cfg.force_bound[side]
+                 if ctx.cfg is not None
+                 and len(getattr(ctx.cfg, "force_bound", ())) > side
+                 else "")
+    m = fgc.shape[_ax(fgc, axis)]
+    _, _, bi = _plane_idx(m, side, 1)
+    gs = ctx.cfg.grid
+    g = ctx.grid
+    if prof_name == "uxy_sin-cos":
+        if ctx.comp == "ux":
+            ky = 2.0 * _m.pi / gs.Ly if gs.Ly > 0 else 0.0
+            plane = jnp.cos(ky * g.yg) + 0.0 * _take(fgc, axis, bi)
+        elif ctx.comp == "uy":
+            kx = 2.0 * _m.pi / gs.Lx if gs.Lx > 0 else 0.0
+            plane = jnp.sin(kx * g.xg) + 0.0 * _take(fgc, axis, bi)
+        else:
+            plane = jnp.zeros_like(_take(fgc, axis, bi))
+    elif prof_name == "cT":
+        eos = ctx.eos
+        plane = jnp.full_like(_take(fgc, axis, bi),
+                              float(jnp.log(eos.cs20 / (eos.gamma - 1.0))))
+    else:
+        # unknown/empty profile: freeze the current boundary value
+        plane = _take(fgc, axis, bi)
+    fgc = _put(fgc, axis, bi, plane)
+    for j in (1, 2, 3):
+        gi, mi, _ = _plane_idx(m, side, j)
+        fgc = _put(fgc, axis, gi, 2.0 * plane - _take(fgc, axis, mi))
+    return fgc
+
+
+def bc_aa_pot(fgc, axis, side, val, ctx):
+    """'pot': potential (vacuum) field above/below a z boundary
+    (bc_aa_pot2, boundcond.f90:6278): ghost plane j is the boundary plane
+    filtered by exp(−j·κ·Δz) in horizontal Fourier space, κ=|k_h|."""
+    import math as _m
+    if axis != 2:
+        raise NotImplementedError("'pot' BC is a z-boundary condition")
+    m = fgc.shape[-1]
+    _, _, bi = _plane_idx(m, side, 1)
+    plane = _take(fgc, axis, bi)[..., 0]          # (mx, my)
+    gs = ctx.cfg.grid
+    d = _spacing(ctx, axis)
+    nx, ny = gs.nx, gs.ny
+    pin = plane[NGHOST:NGHOST + nx, NGHOST:NGHOST + ny] \
+        if plane.ndim == 2 else plane
+    kx = 2.0 * _m.pi * jnp.fft.fftfreq(nx, d=gs.Lx / max(nx, 1))
+    ky = 2.0 * _m.pi * jnp.fft.fftfreq(ny, d=gs.Ly / max(ny, 1))
+    kap = jnp.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+    ft = jnp.fft.fft2(pin)
+    for j in (1, 2, 3):
+        gi, _, _ = _plane_idx(m, side, j)
+        gplane = jnp.real(jnp.fft.ifft2(ft * jnp.exp(-j * kap * d)))
+        full = plane * 0.0
+        full = full.at[NGHOST:NGHOST + nx, NGHOST:NGHOST + ny].set(
+            gplane.astype(plane.dtype))
+        fgc = _put(fgc, axis, gi, full[..., None])
+    return fgc
+
+
 BC_REGISTRY: Dict[str, Callable] = {
     "s": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=1.0),
     "a": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=-1.0),
@@ -832,6 +1025,11 @@ BC_REGISTRY: Dict[str, Callable] = {
                                              dirichlet=True),
     "n1s": lambda f, a, s, v, c: bc_onesided(f, a, s, v, c, n2nd=True,
                                              neumann=True),
+    "cpc": bc_cpc,
+    "Fgs": bc_ss_flux_turb,
+    "Fct": bc_ss_flux_condturb,
+    "g": bc_force,
+    "pot": bc_aa_pot,
     "cT2": bc_ss_temp2,
     "ce": bc_ss_energy,
     "hs": bc_hydrostatic,

@@ -68,6 +68,19 @@ class Entropy(ModuleBase):
     radius: float = 1.0        # init='blob'/'blob_hs' (radius_ss)
     center1: tuple = (0.0, 0.0, 0.0)
     init_list_pars: tuple = () # per-entry overrides for list inits
+    # 'Fgs'/'Fct' boundary-flux parameters (run_pars sigmaSBt + entropy
+    # chi_t/chit_prof1/chit_prof2/Fbot/Ftop, hcond at the boundaries;
+    # kramers conductivity pars — eos_idealgas.f90 bc_ss_flux_turb*)
+    sigmaSBt: float = 0.0
+    chi_t: float = 0.0
+    chit_prof1: float = 1.0
+    chit_prof2: float = 1.0
+    hcondbot: float = 0.0
+    hcondtop: float = 0.0
+    Fbot: float = 0.0
+    Ftop: float = 0.0
+    hcond0_kramers: float = 0.0
+    nkramers: float = 1.0
 
     def register(self, reg):
         reg.register("ss", 1, "pde")

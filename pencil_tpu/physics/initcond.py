@@ -26,7 +26,7 @@ def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
     zero = jnp.zeros(shape, dtype=grid.x.dtype)
-    if name in ("zero", "nothing"):
+    if name in ("zero", "nothing", ""):
         return zero
     if name in ("sinwave-phase", "coswave-phase"):
         # A·{sin,cos}(k·x + φ) (reference initcond.f90:2579/2601)
@@ -71,7 +71,7 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
     shape = (spec.nx, spec.ny, spec.nz)
     zero = jnp.zeros(shape, dtype=grid.x.dtype)
     zeros3 = jnp.zeros((3,) + shape, dtype=grid.x.dtype)
-    if name in ("zero", "nothing"):
+    if name in ("zero", "nothing", ""):
         return zeros3
     if name in ("sinwave-phase", "coswave-phase"):
         # per-COMPONENT plane waves A_i·{sin,cos}(k_i·x + φ_i) — the

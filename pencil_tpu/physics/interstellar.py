@@ -30,6 +30,9 @@ _YR = 3.155692e7
 # cooling_select tables: (name → (coolT_cgs, coolH_cgs, coolB))
 # coolH for the first three sets is divided by m_p² (number-density form)
 _TABLES = {
+    # cooling_select='off': no radiative cooling (interstellar.f90 'off');
+    # the equal band edges terminate the band loop immediately
+    "off": ((1.0, 1.0), (0.0,), (0.0,)),
     "WSW": (    # Wolfire + Sarazin & White fit (:1045-1080)
         (90.0, 141.0, 313.0, 6102.0, 1e5, 2.88e5, 4.73e5, 2.11e6,
          3.98e6, 2.0e7, 1e17),

@@ -270,6 +270,11 @@ class Run:
         if not self.quiet:
             print(self.ts_writer.header(), flush=True)
         self._tsnap_last = float(np.asarray(state["t"]))
+        if it0 == 0:
+            # the reference prints the it=0 diagnostics row before stepping
+            # (run.f90 first prints() call) — several samples' reference.out
+            # contain ONLY that row
+            self._write_diag(state)
         completed = False
         npoints = self.model.cfg.grid.nx * self.model.cfg.grid.ny * self.model.cfg.grid.nz
         chunk = self._pick_chunk(p)

@@ -45,6 +45,10 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
     from pencil_tpu.run import Run, RunParams
 
     ref = read_time_series(os.path.join(rundir, "reference.out"))
+    if "it" not in ref:
+        # not a parseable time series (e.g. samples/multigrid ships a raw
+        # build log as reference.out)
+        return ("SKIP", "reference.out is not a time series")
     cfg, info = load_rundir(rundir)
     gs = cfg.grid
     if gs.nx * gs.ny * gs.nz > MAX_POINTS:
@@ -67,13 +71,20 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     worst = (0.0, "")
     ncomp = 0
+    # dt-like columns at it=0 reflect the reference's pre-step CFL
+    # evaluation, which has no analog before our first step
+    dtcols = {"dt", "dtc", "dtu", "dtv", "dtnu", "dtb", "dtd", "dteta",
+              "dtchi", "dtchi2", "dtdiffus", "dtgh", "dtH", "dtF",
+              "dtdragp", "dtrad", "dtspitzer"}
     for n, it in enumerate(ours["it"]):
         it = int(it)
-        if it not in rows or it == 0:
+        if it not in rows:
             continue
         m = rows[it]
         for col in ref:
             if col in ("it",) or col not in ours:
+                continue
+            if it == 0 and col in dtcols:
                 continue
             r, o = float(ref[col][m]), float(ours[col][n])
             if not np.isfinite(o):
