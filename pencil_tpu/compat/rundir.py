@@ -443,6 +443,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             phase=float(_first(den_p.get("phase_lnrho", 0.0))),
             mpoly=float(den_p.get(
                 "mpoly", den_p.get("mpoly0", ent_p0.get("mpoly0", 1.5)))),
+            eps_planet=float(den_p.get("eps_planet", 0.5)),
+            radius_lnrho=float(_first(den_p.get("radius_lnrho", 1.0))),
+            rbound=float(den_p.get("rbound", 1.0)),
+            hh0=float(den_p.get("hh0", 0.0)),
+            r_int=float(init_pars.get("r_int", 0.0)),
+            r_ext=float(init_pars.get("r_ext", 0.0)),
             strati_type=str(den_p.get("strati_type", "lnrho_ss")),
             strati_data=(_read_stratification(path)
                          if "stratification"
@@ -464,6 +470,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eps_dtog=float(dd_p.get("eps_dtog", 0.0)),
             ldragforce_gas=bool(dv_p.get("ldragforce_gas", False)),
             init=str(_first(dd_p.get("initnd", "zero"))),
+            nd_const=float(_first(dd_p.get("nd_const", 1.0))),
             inituud=str(_first(dv_p.get("inituud", "zero"))),
             ampluud=float(_first(dv_p.get("ampluud", 0.0))),
             lshorttausd=bool(dv_p.get("ldustvelocity_shorttausd", False)),
@@ -721,6 +728,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             z1=float(grav_p.get("z1", ent_p.get("z1", 0.0))),
             z2=float(grav_p.get("z2", ent_p.get("z2", 1.0))),
             isothtop=int(ent_p.get("isothtop", 1)),
+            T0=float(ent_p.get("t0", 1.0)),
             ss_left=float(ent_p.get("ss_left", 0.0)),
             ss_right=float(ent_p.get("ss_right", 0.0)),
         ))

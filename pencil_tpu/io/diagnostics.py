@@ -892,18 +892,29 @@ def _j2m(pen, st):
     return _vmean(pen, pen.j2())
 
 
+def _vint(pen, x):
+    """∫x dV with the true curvilinear volume element (r dr dφ dz /
+    r²sinθ dr dθ dφ)."""
+    gs = pen.cfg.grid
+    dv = gs.dx * gs.dy * gs.dz
+    g = pen.grid
+    if gs.coords == "cylindrical":
+        x = x * g.xg
+    elif gs.coords == "spherical":
+        x = x * g.xg ** 2 * jnp.sin(g.yg)
+    return jnp.sum(x + 0.0 * x) * dv
+
+
 @diag("ab_int")
 def _ab_int(pen, st):
     aa, bb = pen.field("aa"), pen.bb()
-    dv = pen.cfg.grid.dx * pen.cfg.grid.dy * pen.cfg.grid.dz
-    return jnp.sum(aa[0] * bb[0] + aa[1] * bb[1] + aa[2] * bb[2]) * dv
+    return _vint(pen, aa[0] * bb[0] + aa[1] * bb[1] + aa[2] * bb[2])
 
 
 @diag("jb_int")
 def _jb_int(pen, st):
     jj, bb = pen.jj(), pen.bb()
-    dv = pen.cfg.grid.dx * pen.cfg.grid.dy * pen.cfg.grid.dz
-    return jnp.sum(jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2]) * dv
+    return _vint(pen, jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2])
 
 
 @diag("uxbm")
@@ -1375,7 +1386,8 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
             elif n == "dteta":
                 mag = cfg.module("magnetic")
                 eta = getattr(mag, "eta", 0.0) if mag else 0.0
-                dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
+                dxyz2 = jnp.max(grid.dx1 ** 2 + 0.0 * grid.dx1) \
+                    + jnp.max(grid.dy1 ** 2) + jnp.max(grid.dz1 ** 2)
                 out[n] = dt * eta * dxyz2 / cfg.time.cdtv
             elif n == "dtnu":
                 visc = cfg.module("viscosity")

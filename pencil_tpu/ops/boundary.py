@@ -793,8 +793,8 @@ def bc_cpc(fgc, axis, side, val, ctx):
     g1, m1_, bi = _plane_idx(m, side, 1)
     g2, m2_, _ = _plane_idx(m, side, 2)
     g3, m3_, _ = _plane_idx(m, side, 3)
-    xb = float(ctx.grid.x[NGHOST if side == 0 else
-                          ctx.grid.x.shape[0] - NGHOST - 1])
+    xb = ctx.grid.x[NGHOST if side == 0 else
+                    ctx.grid.x.shape[0] - NGHOST - 1]
     dxR = (-d / xb) * (1.0 if side == 1 else -1.0)
     fgc = _put(fgc, axis, bi, jnp.zeros_like(_take(fgc, axis, bi)))
     f1 = -(1.0 - 0.5 * dxR) * _take(fgc, axis, m1_) / (1.0 + 0.5 * dxR)
@@ -1030,6 +1030,11 @@ BC_REGISTRY: Dict[str, Callable] = {
     "Fct": bc_ss_flux_condturb,
     "g": bc_force,
     "pot": bc_aa_pot,
+    # 'pfe'/'pwd': potential-field extrapolation variants (reference
+    # bc_aa_pot_field_extrapol / bc_aa_pot3) — same vacuum exp(−kΔz)
+    # ghost construction as 'pot' here
+    "pfe": bc_aa_pot,
+    "pwd": bc_aa_pot,
     "cT2": bc_ss_temp2,
     "ce": bc_ss_energy,
     "hs": bc_hydrostatic,

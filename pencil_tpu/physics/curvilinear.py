@@ -27,7 +27,9 @@ def metric(pen):
         return None
     g = pen.grid
     r = g.xg
-    inv_r = 1.0 / r
+    # r=0 on the cylindrical/spherical axis: the reference zeroes 1/r at
+    # the axis point instead of dividing (grid.f90:1582-1583 r1_mn(1)=0)
+    inv_r = jnp.where(jnp.abs(r) < 1e-12, 0.0, 1.0 / r)
     if coords == "cylindrical":
         return {"inv_r": inv_r, "cot_r": None, "inv_rsin": None}
     if coords == "spherical":

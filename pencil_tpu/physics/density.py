@@ -41,6 +41,13 @@ class Density(ModuleBase):
     # selects the second-column meaning
     strati_type: str = "lnrho_ss"
     strati_data: tuple = ()
+    # 'planet' (GNG87 vortex) / 'geo-kws' shell parameters
+    eps_planet: float = 0.5
+    radius_lnrho: float = 1.0
+    rbound: float = 1.0
+    hh0: float = 0.0
+    r_int: float = 0.0
+    r_ext: float = 0.0
 
     def register(self, reg):
         reg.register("rho" if self.lnolog else "lnrho", 1, "pde")
@@ -254,6 +261,96 @@ class Density(ModuleBase):
                     out["+ss"] = jnp.asarray(
                         col2, grid.z.dtype)[None, None, :] * ones
             return out
+        if self.init == "geo-kws":
+            # hydrostatic spherical-shell stratification (shell_lnrho,
+            # density.f90:1904): lnρ = lnρ0 + m·ln(1 + β₁(r_out/r − 1)),
+            # β₁ = g0/(m+1)·γ/(γ−1); the outermost radius keeps lnρ0
+            grav = cfg.module("gravity") if cfg else None
+            g0 = getattr(grav, "g0", 1.0) if grav else 1.0
+            gamma = eos.gamma
+            m = self.mpoly
+            beta1 = g0 / (m + 1.0) * gamma / (gamma - 1.0)
+            ones = jnp.ones(spec.shape, grid.x.dtype)
+            if getattr(spec, "coords", "cartesian") != "cartesian":
+                r = grid.xg + 0.0 * ones
+                r_out = float(grid.interior(grid.x)[-1])
+                prof = eos.lnrho0 + m * jnp.log(
+                    jnp.maximum(1.0 + beta1 * (r_out / r - 1.0), 1e-30))
+                return {"lnrho": prof.at[-1].set(eos.lnrho0)}
+            r = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2 + grid.zg ** 2) \
+                + 0.0 * ones
+            r_int = getattr(self, "r_int", 0.0) or 0.7
+            r_ext = getattr(self, "r_ext", 0.0) or 1.0
+            prof = eos.lnrho0 + m * jnp.log(
+                jnp.maximum(1.0 + beta1 * (r_ext / jnp.maximum(r, 1e-9)
+                                           - 1.0), 1e-30))
+            lnrho_int = eos.lnrho0 + m * math.log(
+                1.0 + beta1 * (r_ext / r_int - 1.0))
+            out = jnp.where(r <= r_int, lnrho_int,
+                            jnp.where(r >= r_ext, eos.lnrho0, prof))
+            return {"lnrho": out}
+        if self.init == "toomre-wave-x":
+            # sound wave + self-gravity + rotation (density.f90:1580):
+            # lnρ = lnρ0 + A sin(kx·x); ux, uy from the complex Toomre
+            # dispersion ω_J = √(cs₀²kx² + Ω² − 4πGρ₀)/(ρ₀kx)
+            import cmath
+            sg = cfg.module("selfgravity") if cfg else None
+            hyd = cfg.module("hydro") if cfg else None
+            OO = float(getattr(hyd, "Omega", 0.0) or 0.0)
+            rhs_pc = 4.0 * math.pi * (sg.gravitational_const if sg else 0.0)
+            rho0 = eos.rho0
+            om_j = cmath.sqrt(complex(
+                eos.cs20 * self.kx ** 2 + OO ** 2 - rhs_pc * rho0)) \
+                / (rho0 * self.kx)
+            x = grid.xg
+            ones = jnp.ones(spec.shape, grid.x.dtype)
+            lnrho = eos.lnrho0 + self.ampl * jnp.sin(self.kx * x) * ones
+            oa = om_j * self.ampl
+            ux = abs(oa) * jnp.sin(self.kx * x + cmath.phase(oa)) * ones
+            ca = self.ampl * complex(0.0, -0.5 * OO / (self.kx * rho0))
+            uy = abs(ca) * jnp.sin(self.kx * x + cmath.phase(ca)) * ones
+            return {"lnrho": lnrho,
+                    "+uu": jnp.stack([ux, uy, jnp.zeros_like(ux)])}
+        if self.init == "planet":
+            # GNG87 cylindrical planet vortex (initcond.f90:3171 planet):
+            # enthalpy hh inside the ellipse r_ell<1 from the σ,δ params,
+            # u = (ε²σΩy, (q−σ)Ωx)·ξ, lnρ = ln((γ−1)h/cs₀²)/(γ−1), then
+            # normalized to unit box-average density
+            shear = cfg.module("shear") if cfg else None
+            hyd = cfg.module("hydro") if cfg else None
+            OO = float(getattr(shear, "Omega", 0.0)
+                       or getattr(hyd, "Omega", 0.0) or 1.0)
+            q = float(getattr(shear, "qshear", 1.5) if shear else 1.5)
+            eps = self.eps_planet
+            radius = self.radius_lnrho
+            sigma = math.sqrt(2.0 * q / (1.0 - eps ** 2))
+            delta2 = (2.0 - sigma) * sigma
+            gamma = eos.gamma
+            x, y, z = grid.xg, grid.yg, grid.zg
+            ones = jnp.ones(spec.shape, grid.x.dtype)
+            b_ell, a_ell = radius, radius / eps
+            ztop = spec.z0 + spec.Lz
+            r_ell = jnp.sqrt((x / b_ell) ** 2 + (y / a_ell) ** 2) \
+                + 0.0 * ones
+            w = max(self.width, 1e-9)
+            xi = 1.0 / (jnp.exp((r_ell - self.rbound) / w) + 1.0)
+            hh = (0.5 * delta2 * OO ** 2
+                  * (radius ** 2 - x ** 2 - eps ** 2 * y ** 2)
+                  - 0.5 * OO ** 2 * z ** 2 + 0.5 * OO ** 2 * ztop ** 2
+                  + self.hh0)
+            hh_out = (-0.5 * OO ** 2 * z ** 2 + 0.5 * OO ** 2 * ztop ** 2
+                      + self.hh0) + 0.0 * ones
+            hh = jnp.where(r_ell > 1.0, hh_out, hh + 0.0 * ones)
+            ux = eps ** 2 * sigma * OO * y * xi + 0.0 * ones
+            uy = (q - sigma) * OO * x * xi + ones * 0.0
+            if abs(gamma - 1.0) < 1e-6:
+                lnrho = hh / eos.cs20 + ones * 0.0
+            else:
+                lnrho = jnp.log(jnp.maximum(
+                    (gamma - 1.0) * hh / eos.cs20, 1e-30)) / (gamma - 1.0)
+            lnrho = lnrho - jnp.mean(lnrho)   # <ρ> → rho0 normalization
+            return {"lnrho": lnrho + ones * 0.0,
+                    "+uu": jnp.stack([ux, uy, jnp.zeros_like(ux)])}
         if self.init == "jeans-wave-x":
             # Jeans wave: lnρ = A sin(kx·x), ux += |ω_J A| sin(kx·x + arg)
             # with ω_J = sqrt(cs₀²kx² − rhs_poisson·ρ₀)/(ρ₀ kx)

@@ -34,7 +34,8 @@ class DustFluid(ModuleBase):
     # algebraically slaved to its terminal value u + τ·(cs²∇lnρ − J×B/ρ)
     # instead of being evolved — no uud PDE slot, no τ CFL constraint
     lshorttausd: bool = False
-    lnolog_nd: bool = False    # evolve nd itself (ldustdensity_log=F)
+    lnolog_nd: bool = False
+    nd_const: float = 1.0   # initnd='const_nd' value
     lgravz: bool = False
     gravz: float = 0.0
     init: str = "zero"
@@ -167,7 +168,10 @@ class DustFluid(ModuleBase):
         else:
             uud = init_vector(self.inituud, grid, spec, eos, key,
                               ampl=self.ampluud, kx=self.kx)
-        if self.init in ("zero", "nothing", "gaussian_nd", "const_nd"):
+        if self.init == "const_nd":
+            # nd = nd_const (dustdensity.f90 'const_nd')
+            lnnd = zero + jnp.log(jnp.maximum(self.nd_const, 1e-300))
+        elif self.init in ("zero", "nothing", "gaussian_nd"):
             # gaussian_nd is installed by the IC plug-in (dust-equilibrium)
             # or left at lnnd = 0 / nd = 1
             lnnd = zero

@@ -68,6 +68,7 @@ class Entropy(ModuleBase):
     radius: float = 1.0        # init='blob'/'blob_hs' (radius_ss)
     center1: tuple = (0.0, 0.0, 0.0)
     init_list_pars: tuple = () # per-entry overrides for list inits
+    T0: float = 1.0            # 'geo-kws' exterior temperature
     # 'Fgs'/'Fct' boundary-flux parameters (run_pars sigmaSBt + entropy
     # chi_t/chit_prof1/chit_prof2/Fbot/Ftop, hcond at the boundaries;
     # kramers conductivity pars — eos_idealgas.f90 bc_ss_flux_turb*)
@@ -210,6 +211,44 @@ class Entropy(ModuleBase):
                 for k, v in d.items():
                     out[k] = out.get(k, 0.0) + v
             return out
+        if self.init in ("geo-kws", "geo-benchmark"):
+            # spherical-shell temperature profile (shell_ss, entropy.f90):
+            # T = T_ext(1 + β₁(r_out/r − 1)), β₁ = (1/cp)·g0/(m+1)·γ/(γ−1);
+            # ss from eoscalc(ilnrho_lnTT)
+            grav = cfg.module("gravity") if cfg else None
+            g0 = getattr(grav, "g0", 1.0) if grav else 1.0
+            gamma = eos.gamma
+            m = self.mpoly0
+            beta1 = (1.0 / eos.cp) * g0 / (m + 1.0) * gamma / (gamma - 1.0)
+            ones = jnp.ones(spec.shape, grid.z.dtype)
+            TT_ext = self.T0
+            if getattr(spec, "coords", "cartesian") != "cartesian":
+                r = grid.xg + 0.0 * ones
+                r_out = float(grid.interior(grid.x)[-1])
+                TT = TT_ext * (1.0 + beta1 * (r_out / r - 1.0))
+                TT = TT.at[-1].set(TT_ext)
+            else:
+                # shell-in-a-box branch: T = T_ext + β₁(1/r − 1/r_ext)
+                # between r_int..r_ext, clamped outside (shell_ss)
+                r = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2
+                             + grid.zg ** 2) + 0.0 * ones
+                den = cfg.module("density") if cfg else None
+                r_int = (getattr(den, "r_int", 0.0) or 0.5) if den else 0.5
+                r_ext = (getattr(den, "r_ext", 0.0) or 1.0) if den else 1.0
+                TT_int = TT_ext + beta1 * (1.0 / r_int - 1.0 / r_ext)
+                TT = TT_ext + beta1 * (1.0 / jnp.maximum(r, 1e-9)
+                                       - 1.0 / r_ext)
+                TT = jnp.where(r >= r_ext, TT_ext,
+                               jnp.where(r <= r_int, TT_int, TT))
+            lnrho = None
+            if fields is not None and "lnrho" in fields:
+                lnrho = fields["lnrho"]
+            if lnrho is None:
+                lnrho = jnp.full(spec.shape, eos.lnrho0, grid.z.dtype)
+            lnTT = jnp.log(jnp.maximum(TT, 1e-30))
+            ss = (eos.cp / gamma) * (lnTT - eos.lnTT0
+                                     - (gamma - 1.0) * (lnrho - eos.lnrho0))
+            return {"ss": ss + 0.0 * ones}
         if self.init == "blob_hs":
             # blob in hydrostatic equilibrium: +A on ss, −A on lnrho
             # (entropy.f90:1722-1726)

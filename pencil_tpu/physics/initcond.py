@@ -8,6 +8,49 @@ import jax
 import jax.numpy as jnp
 
 
+def _bessj0(x):
+    """J0 by the A&S 9.4.1/9.4.3 rational approximations (the reference's
+    bessj(0,x), general.f90 — Numerical Recipes bessj0)."""
+    ax = jnp.abs(x)
+    y = x * x
+    p1 = (57568490574.0 + y * (-13362590354.0 + y * (651619640.7
+          + y * (-11214424.18 + y * (77392.33017 + y * (-184.9052456))))))
+    q1 = (57568490411.0 + y * (1029532985.0 + y * (9494680.718
+          + y * (59272.64853 + y * (267.8532712 + y)))))
+    small = p1 / q1
+    z = 8.0 / jnp.maximum(ax, 1e-30)
+    y2 = z * z
+    xx = ax - 0.785398164
+    pa = (1.0 + y2 * (-0.1098628627e-2 + y2 * (0.2734510407e-4
+          + y2 * (-0.2073370639e-5 + y2 * 0.2093887211e-6))))
+    pb = (-0.1562499995e-1 + y2 * (0.1430488765e-3
+          + y2 * (-0.6911147651e-5 + y2 * (0.7621095161e-6
+          + y2 * (-0.934935152e-7)))))
+    big = jnp.sqrt(0.636619772 / jnp.maximum(ax, 1e-30))         * (jnp.cos(xx) * pa - z * jnp.sin(xx) * pb)
+    return jnp.where(ax < 8.0, small, big)
+
+
+def _bessj1(x):
+    """J1 (Numerical Recipes bessj1, as the reference's bessj(1,x))."""
+    ax = jnp.abs(x)
+    y = x * x
+    p1 = x * (72362614232.0 + y * (-7895059235.0 + y * (242396853.1
+         + y * (-2972611.439 + y * (15704.48260 + y * (-30.16036606))))))
+    q1 = (144725228442.0 + y * (2300535178.0 + y * (18583304.74
+         + y * (99447.43394 + y * (376.9991397 + y)))))
+    small = p1 / q1
+    z = 8.0 / jnp.maximum(ax, 1e-30)
+    y2 = z * z
+    xx = ax - 2.356194491
+    pa = (1.0 + y2 * (0.183105e-2 + y2 * (-0.3516396496e-4
+          + y2 * (0.2457520174e-5 + y2 * (-0.240337019e-6)))))
+    pb = (0.4687499995e-1 + y2 * (-0.2002690873e-3
+          + y2 * (0.8449199096e-5 + y2 * (-0.88228987e-6
+          + y2 * 0.105787412e-6))))
+    big = jnp.sqrt(0.636619772 / jnp.maximum(ax, 1e-30))         * (jnp.cos(xx) * pa - z * jnp.sin(xx) * pb) * jnp.sign(x)
+    return jnp.where(ax < 8.0, small, big)
+
+
 def _coords(grid):
     return grid.xg, grid.yg, grid.zg
 
@@ -115,6 +158,17 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         return jnp.stack([zero,
                           ampl / x * jnp.cos(ky * y) * jnp.cos(kz * z)
                           + zero, zero])
+    if name == "bessel-x":
+        # A_y += A·J1(kx·x)/kx, A_z += A·(J0(kx·x)−J0(kx·x1))/kx — the
+        # force-free reversed-field-pinch screw field (initcond.f90
+        # bessel_x via magnetic.f90:2000)
+        x1d = grid.interior(grid.x)
+        j0_edge = _bessj0(jnp.asarray(kx * (spec.x0 + spec.Lx)))
+        J0 = (_bessj0(kx * x1d) - j0_edge) / kx
+        J1 = _bessj1(kx * x1d) / kx
+        ay = ampl * J1[:, None, None] + zero
+        az = ampl * J0[:, None, None] + zero
+        return jnp.stack([zero, ay, az])
     if name == "gaussian-noise":
         return ampl * jax.random.normal(key, (3,) + shape, dtype=grid.x.dtype)
     if name == "sinwave-x":  # u_y = A sin(kx x): transverse wave

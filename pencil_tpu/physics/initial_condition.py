@@ -538,3 +538,78 @@ def ic_ths_equilibrium_ism(grid, spec, eos, cfg, params):
     if cfg.module("entropy") is not None:
         out["ss"] = _ism_ss(lnrho, lnTT, eos) * ones
     return out
+
+@register_ic("fieldloop")
+def ic_fieldloop(grid, spec, eos, cfg, params):
+    """Advected field loop (reference initial_condition/fieldloop.f90):
+    A_z = max(amplaa·(0.3 − dist), 0) with dist the distance to the loop
+    center (offset 1.5 in azimuth off-cartesian)."""
+    a = float(params.get("amplaa", 1e-3))
+    x, y, z = grid.xg, grid.yg, grid.zg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    coords = getattr(spec, "coords", "cartesian")
+    if coords == "cylindrical":
+        dist = jnp.sqrt(x ** 2 + 1.5 ** 2 - 2.0 * x * 1.5 * jnp.cos(y))
+    elif coords == "spherical":
+        rr = x * jnp.sin(y)
+        dist = jnp.sqrt(rr ** 2 + 1.5 ** 2 - 2.0 * rr * 1.5 * jnp.cos(z))
+    else:
+        dist = jnp.sqrt(x ** 2 + y ** 2)
+    az = jnp.maximum(a * (0.3 - dist), 0.0) + 0.0 * ones
+    zero = jnp.zeros_like(az)
+    return {"+aa": jnp.stack([zero, zero, az])}
+
+
+@register_ic("init_delta")
+def ic_init_delta(grid, spec, eos, cfg, params):
+    """Delta spike on A (samples/implicit_resistivity/src/init_delta.f90):
+    A_i = dx⁻¹dy⁻¹dz⁻¹ in the cell band |x_i|·dx⁻¹ < 1 around the origin."""
+    x, y, z = grid.xg, grid.yg, grid.zg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    d1 = (1.0 / spec.dx, 1.0 / spec.dy, 1.0 / spec.dz)
+    mask = ((jnp.abs(x) * d1[0] < 1.0) & (jnp.abs(y) * d1[1] < 1.0)
+            & (jnp.abs(z) * d1[2] < 1.0)) & (ones > 0)
+    val = d1[0] * d1[1] * d1[2]
+    a = jnp.where(mask, val, 0.0) + 0.0 * ones
+    return {"+aa": jnp.stack([a, a, a])}
+
+
+@register_ic("fluxring_cylindrical")
+def ic_fluxring_cylindrical(grid, spec, eos, cfg, params):
+    """Cylindrical flux ring in pressure equilibrium (reference
+    initial_condition/fluxring_cylindrical.f90): A_z from the erf
+    integral of the gaussian B_φ ring at s0, A_y = ½B_z·x, lnρ correction
+    ε·ln(p/cs₀²)."""
+    from jax.scipy.special import erf
+    import math as _m
+    b0 = float(params.get("b0", 0.0))
+    b1 = float(params.get("b1", 0.0))
+    b2 = float(params.get("b2", 0.0))
+    s0 = float(params.get("s0", 2.0))
+    w = float(params.get("width", 0.5))
+    p0 = float(params.get("p0", 1.0))
+    eps = float(params.get("eps", 0.0))
+    bz = float(params.get("bz", 0.0))
+    ampl_diffrot = float(params.get("ampl_diffrot", 0.0))
+    om_exp = float(params.get("omega_exponent", 0.0))
+    x = grid.xg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    sqrtpi, sqrt2 = _m.sqrt(_m.pi), _m.sqrt(2.0)
+    arg = (x - s0) / w
+    az = (-(0.5 * b0 / s0) * w * (s0 * sqrtpi * erf(arg)
+                                  - w * jnp.exp(-arg ** 2))
+          - b1 * x - b2 * jnp.log(jnp.maximum(x, 1e-30)))
+    ay = 0.5 * bz * x
+    out = {"+aa": jnp.stack([0.0 * ones, ay + 0.0 * ones,
+                             az + 0.0 * ones])}
+    if eps != 0.0:
+        arg2 = sqrt2 * arg
+        term1 = s0 * w * sqrtpi * sqrt2 * erf(arg2)
+        term2 = (2.0 * x ** 2 - w ** 2) * jnp.exp(-arg2 ** 2)
+        press = p0 - (0.5 * b0 / s0) ** 2 * (term1 + term2)
+        out["+lnrho"] = eps * jnp.log(
+            jnp.maximum(press / eos.cs20, 1e-30)) + 0.0 * ones
+    if ampl_diffrot != 0.0:
+        uy = x * ampl_diffrot * x ** om_exp + 0.0 * ones
+        out["+uu"] = jnp.stack([0.0 * ones, uy, 0.0 * ones])
+    return out

@@ -69,6 +69,8 @@ from . import baroclinic  # noqa: E402,F401
 from . import photoelectric_dust  # noqa: E402,F401
 from . import chiral_mhd  # noqa: E402,F401
 from . import alphadisk  # noqa: E402,F401
+from . import solar_corona  # noqa: E402,F401
+from . import stubs  # noqa: E402,F401
 from . import set_gravity  # noqa: E402,F401
 from . import newton_cooling  # noqa: E402,F401
 from . import streamfunction  # noqa: E402,F401

@@ -26,6 +26,15 @@ def _read_ref(path):
     return read_time_series(path)
 
 
+def _read_ours(path):
+    """Driver output, minus the it=0 pre-step row (goldens were recorded
+    against rows starting at it=1; the reference prints it=0 too)."""
+    d = read_time_series(path)
+    if "it" in d and len(d["it"]) and int(d["it"][0]) == 0:
+        d = {k: v[1:] for k, v in d.items()}
+    return d
+
+
 @needs_ref
 def test_conv_slab_golden(tmp_path):
     from pencil_tpu.compat.rundir import load_rundir
@@ -37,7 +46,7 @@ def test_conv_slab_golden(tmp_path):
                                               "rhom", "ssm")),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     ref = _read_ref(f"{REF}/conv-slab/reference.out")
     # timestep within 5% (CFL semantics match)
     np.testing.assert_allclose(ours["dt"][0], ref["dt"][0], rtol=0.05)
@@ -124,7 +133,7 @@ def test_sod_shock_tube_golden(tmp_path):
                                               "rhom")),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     ref = _read_ref(f"{REF}/1d-tests/sod_100/reference.out")
     np.testing.assert_allclose(ours["rhom"], ref["rhom"][0], rtol=1e-3)
     for col, tol in (("urms", 0.10), ("ekin", 0.05), ("ethm", 0.01),
@@ -153,7 +162,7 @@ def test_kelvin_helmholtz_golden(tmp_path):
                                               "ruy2m")),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     ref = _read_ref(f"{REF}/2d-tests/Kelvin-Helmholtz/reference.out")
     np.testing.assert_allclose(ours["rhom"], 1.5, rtol=1e-5)
     np.testing.assert_allclose(ours["dt"][0], ref["dt"][0], rtol=0.3)
@@ -339,7 +348,7 @@ def test_sod_variants_golden(tmp_path, variant, nt):
                                               "rhom")),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     ref = _read_ref(f"{REF}/1d-tests/{variant}/reference.out")
     np.testing.assert_allclose(ours["rhom"], ref["rhom"][0], rtol=1e-3)
     for col, tol in (("ekin", 0.06), ("ethm", 0.01), ("ruxm", 0.06)):
@@ -769,7 +778,7 @@ def _golden_rowmatch(sample, tols, tmp_path, default_tol=0.03):
     ov = info.get("init_overrides")
     run.main_loop(model.init_state(0, overrides=ov) if ov
                   else model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for k in ref:
         if k == "it":
@@ -818,7 +827,7 @@ def test_kin_dynamo_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -866,7 +875,7 @@ def test_battery_term_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -902,7 +911,7 @@ def test_boussinesq_convection_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -951,7 +960,7 @@ def test_incompress_conv_peri_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -990,7 +999,7 @@ def test_incompress_turb_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     # the committed golden predates the current addforce ordering (its
     # it=0 CFL dt already reflects a forced state, which the current
@@ -1038,7 +1047,7 @@ def test_dynamical_alpha_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     o_rows = {int(i): n for n, i in enumerate(ours["it"])}
     # CFL dt identical (noise-independent)
@@ -1087,7 +1096,7 @@ def test_cylindrical_gdisk_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -1171,7 +1180,7 @@ def test_debris_photoelectric_fluid_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -1208,7 +1217,7 @@ def test_chiral_dynamo_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     o_rows = {int(i): n for n, i in enumerate(ours["it"])}
     for it, m in rows.items():
@@ -1248,7 +1257,7 @@ def test_alphadisk_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     for n, it in enumerate(ours["it"]):
         it = int(it)
@@ -1284,7 +1293,7 @@ def test_taylor_couette_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     o_rows = {int(i): n for n, i in enumerate(ours["it"])}
     for it, m in rows.items():
@@ -1323,7 +1332,7 @@ def test_spherical_viscous_ring_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info.get("init_overrides")))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     o_rows = {int(i): n for n, i in enumerate(ours["it"])}
     for it in (10, 20, 30):
@@ -1365,7 +1374,7 @@ def test_damped_alfven_waves_golden(tmp_path):
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0, overrides=info.get("init_overrides")))
-    ours = read_time_series(tmp_path / "time_series.dat")
+    ours = _read_ours(tmp_path / "time_series.dat")
     rows = {int(i): n for n, i in enumerate(ref["it"])}
     o_rows = {int(i): n for n, i in enumerate(ours["it"])}
     for it in (10, 30, 50):
