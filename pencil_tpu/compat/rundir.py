@@ -338,12 +338,26 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
               "spherical": "spherical", "spherical_coords": "spherical",
               }.get(str(init_pars.get("coord_system", "cartesian")),
                     "cartesian")
+    # grid_func: Fortran namelist `array=scalar` fills element 1 only
+    # (src/grid.f90 grid_func defaults to 'linear' per axis)
+    gf = init_pars.get("grid_func", "linear")
+    if not isinstance(gf, list):
+        gf = [gf]
+    gf = (list(gf) + ["linear", "linear", "linear"])[:3]
+    gf = tuple("uniform" if str(f) in ("linear", "") else str(f)
+               for f in gf)
+    gc = init_pars.get("coeff_grid", 0.0)
+    if not isinstance(gc, list):
+        gc = [gc]
+    gc = tuple((list(gc) + [0.0, 0.0, 0.0])[:3])
     grid = GridSpec(nx=nx, ny=ny, nz=nz,
                     x0=xyz0[0], y0=xyz0[1], z0=xyz0[2],
                     Lx=Lxyz[0], Ly=Lxyz[1], Lz=Lxyz[2],
                     periodic=tuple(bool(p) for p in lperi),
                     lshift_origin=tuple(bool(v) for v in lshift),
                     lpole=tuple(bool(v) for v in lpole),
+                    grid_func=gf,
+                    grid_coeff=tuple(float(c) for c in gc),
                     coords=coords)
 
     time = TimeSpec(
@@ -615,6 +629,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             gz = -float(grav_p.get("nu_epicycle", 1.0)) ** 2
         modules.append(Gravity(
             gravz_profile=gprof,
+            gravx_profile=str(grav_p.get("gravx_profile", "const")),
+            gravx=float(grav_p.get("gravx", 0.0)),
             gravz=gz,
             zinfty=float(grav_p.get("zinfty", 0.0)),
             zref=float(grav_p.get("zref", 9e99)),
@@ -729,6 +745,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             z2=float(grav_p.get("z2", ent_p.get("z2", 1.0))),
             isothtop=int(ent_p.get("isothtop", 1)),
             T0=float(ent_p.get("t0", 1.0)),
+            sigmaSBt=float(run_pars.get(
+                "sigmasbt", eos_p.get("sigmasbt",
+                                      init_pars.get("sigmasbt", 0.0)))),
+            chi_t=float(ent_p.get("chi_t", 0.0)),
+            chit_prof1=float(ent_p.get("chit_prof1", 1.0)),
+            chit_prof2=float(ent_p.get("chit_prof2", 1.0)),
+            Fbot=float(ent_p.get("fbot", 0.0)),
+            Ftop=float(ent_p.get("ftop", 0.0)),
+            hcond0_kramers=float(ent_p.get("hcond0_kramers", 0.0)),
+            nkramers=float(ent_p.get("nkramers", 1.0)),
             ss_left=float(ent_p.get("ss_left", 0.0)),
             ss_right=float(ent_p.get("ss_right", 0.0)),
         ))
@@ -1044,6 +1070,19 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lSNII=bool(is_p.get("lsnii", True)),
             h_SNI=float(is_p.get("h_sni", 0.0)),
             h_SNII=float(is_p.get("h_snii", 0.0)),
+            initinterstellar=_first(is_p.get("initinterstellar", "nothing")),
+            initial_SNI=int(is_p.get("initial_sni", 0)),
+            lSN_scale_rad=bool(is_p.get("lsn_scale_rad", False)),
+            N_mass=float(is_p.get("n_mass", 250.0)),
+            rfactor_SN=float(is_p.get("rfactor_sn", 5.0)),
+            frac_ecr=float(is_p.get("frac_ecr", 0.0)),
+            frac_kin=float(is_p.get("frac_kin", 0.0)),
+            kin_max=float(is_p.get("kin_max", 0.075)),
+            thermal_profile=str(is_p.get("thermal_profile", "gaussian")),
+            velocity_profile=str(is_p.get("velocity_profile", "gaussian")),
+            width_SN=float(is_p.get("width_sn", 0.0)),
+            seed0=int(init_pars.get("seed0", run_pars.get("seed0", 1812))),
+            mu_ism=float(eos_p.get("mu", 0.62)),
             unit_length=_units.get("unit_length", 1.0),
             unit_velocity=_units.get("unit_velocity", 1.0),
             unit_density=_units.get("unit_density", 1.0),
@@ -1113,6 +1152,34 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(InitialCondition(
             plugin=plugin,
             params=tuple(sorted((k, v) for k, v in ic_p.items()))))
+        if plugin == "spherical_convection":
+            # the IC writes the radiative-conductivity profile the run
+            # uses (kappa = L·ρ0·√(g·R*)·cv(γ−1)/4π·(npoly2+1),
+            # spherical_convection.f90) — expose its boundary values so
+            # the 'Fgs'/'c1' entropy BCs have a finite K
+            import dataclasses as _dc
+            import math as _math
+            for i, m in enumerate(modules):
+                if m.name == "entropy":
+                    gamma_ = float(eos_p.get("gamma", 5.0 / 3.0))
+                    cv_ = 1.0 / gamma_          # cp = 1 in code units
+                    L_ = float(ic_p.get("star_luminosity", 0.0))
+                    gx_ = float(grav_p.get("gravx", 1.0))
+                    Rs_ = float(ic_p.get("rstar", 1.0))
+                    rho0_ = float(eos_p.get("rho0", 1.0))
+                    nad_ = float(ic_p.get("nad", 1.5))
+                    njump_ = float(ic_p.get("npoly_jump", 1.0))
+                    x0_ = grid.x0
+                    Rsurf_ = grid.x0 + grid.Lx
+                    coef1 = (L_ * rho0_ * _math.sqrt(gx_ * Rs_) * cv_
+                             * (gamma_ - 1.0) / (4.0 * _math.pi))
+                    npoly_bot = nad_
+                    npoly_top = (njump_ * (Rsurf_ / x0_) ** (-15.0)
+                                 + nad_ - njump_)
+                    modules[i] = _dc.replace(
+                        m, hcondbot=coef1 * (npoly_bot + 1.0),
+                        hcondtop=max(coef1 * (npoly_top + 1.0), 0.0))
+                    break
     elif str(den_p.get("initlnrho", "")) == "globaldisc":
         # pre-2013 samples: initlnrho='globaldisc' in density_init_pars is
         # today's initial_condition/centrifugal_balance (params split

@@ -143,6 +143,29 @@ def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
         # tilde = −x_jj/x_j² with j the unit grid index: the dξ factors
         # cancel to −x''(ξ)/x'(ξ)²  (see der2 coordinate-transform rule)
         dt_ = -xpp / (xp * xp)
+    elif func == "power-law":
+        # d[x^c] = const (src/grid.f90:356-385 with grid_profile
+        # g=ξ̃^(1/c), :2080): u(ξ) = x0^c + (x1^c − x0^c)·ξ, x = u^(1/c)
+        c = coeff
+        if not c:
+            raise ValueError("grid_func='power-law' needs coeff_grid")
+        x1 = x0 + L
+        u0, u1 = x0 ** c, x1 ** c
+        u = u0 + (u1 - u0) * xi
+        coords = u ** (1.0 / c)
+        xp = (1.0 / c) * u ** (1.0 / c - 1.0) * (u1 - u0)
+        xpp = (1.0 / c) * (1.0 / c - 1.0) * u ** (1.0 / c - 2.0) \
+            * (u1 - u0) ** 2
+        d1 = 1.0 / (xp * dxi)
+        dt_ = -xpp / (xp * xp)
+    elif func in ("log", "logarithmic"):
+        # d[ln x] = const (src/grid.f90 'log'): x = x0·(x1/x0)^ξ
+        x1 = x0 + L
+        lr = np.log(x1 / x0)
+        coords = x0 * np.exp(lr * xi)
+        xp = coords * lr
+        d1 = 1.0 / (xp * dxi)
+        dt_ = -lr * lr * coords / (xp * xp)
     else:
         raise NotImplementedError(f"grid_func={func!r}")
     return (np.asarray(coords, dtype), np.asarray(d1, dtype),

@@ -17,9 +17,6 @@ from ..parallel.halo import fill_ghosts
 from ..physics.pencils import Pencils
 
 
-def _rms(x):
-    return jnp.sqrt(jnp.mean(x))
-
 
 def _staged_mean(x):
     """Per-axis staged mean: a single flat f32 reduction over ~32k
@@ -69,17 +66,17 @@ def _u2m(pen, st):
 
 @diag("ux2m")
 def _ux2m(pen, st):
-    return jnp.mean(pen.uu()[0] ** 2)
+    return _vmean(pen, pen.uu()[0] ** 2)
 
 
 @diag("uy2m")
 def _uy2m(pen, st):
-    return jnp.mean(pen.uu()[1] ** 2)
+    return _vmean(pen, pen.uu()[1] ** 2)
 
 
 @diag("uz2m")
 def _uz2m(pen, st):
-    return jnp.mean(pen.uu()[2] ** 2)
+    return _vmean(pen, pen.uu()[2] ** 2)
 
 
 @diag("uxm")
@@ -99,25 +96,25 @@ def _uzm(pen, st):
 
 @diag("divum")
 def _divum(pen, st):
-    return jnp.mean(pen.divu())
+    return _vmean(pen, pen.divu())
 
 
 @diag("divu2m")
 def _divu2m(pen, st):
-    return jnp.mean(pen.divu() ** 2)
+    return _vmean(pen, pen.divu() ** 2)
 
 
 @diag("orms")
 def _orms(pen, st):
     oo = pen.oo()
-    return _rms(oo[0] ** 2 + oo[1] ** 2 + oo[2] ** 2)
+    return _vrms(pen, oo[0] ** 2 + oo[1] ** 2 + oo[2] ** 2)
 
 
 @diag("oum")
 def _oum(pen, st):
     """Mean kinetic helicity <ω·u>."""
     oo, uu = pen.oo(), pen.uu()
-    return jnp.mean(oo[0] * uu[0] + oo[1] * uu[1] + oo[2] * uu[2])
+    return _vmean(pen, oo[0] * uu[0] + oo[1] * uu[1] + oo[2] * uu[2])
 
 
 @diag("ekin")
@@ -146,20 +143,20 @@ def _ethtot(pen, st):
 @diag("EEK")
 def _EEK(pen, st):
     """<½ρu²> (hydro.f90:4067 idiag_EEK)."""
-    return 0.5 * jnp.mean(pen.rho() * pen.u2())
+    return 0.5 * _vmean(pen, pen.rho() * pen.u2())
 
 
 @diag("EEM")
 def _EEM(pen, st):
     """<B²/2> (magnetic.f90:5757)."""
-    return 0.5 * jnp.mean(pen.b2())
+    return 0.5 * _vmean(pen, pen.b2())
 
 
 @diag("drho2m")
 def _drho2m(pen, st):
     """<(ρ−ρ₀)²> (density.f90:3020)."""
     rho0 = pen.eos.rho0 if pen.eos is not None else 1.0
-    return jnp.mean((pen.rho() - rho0) ** 2)
+    return _vmean(pen, (pen.rho() - rho0) ** 2)
 
 
 @diag("rhof2m")
@@ -167,7 +164,7 @@ def _rhof2m(pen, st):
     """<ρ'²> with ρ' = ρ − exp(<lnρ>_xy(z)) (density.f90:1709 rho_flucz)."""
     rho = pen.rho()
     ref = jnp.exp(jnp.mean(pen.lnrho(), axis=(0, 1), keepdims=True))
-    return jnp.mean((rho - ref) ** 2)
+    return _vmean(pen, (rho - ref) ** 2)
 
 
 def _has_density(pen):
@@ -289,7 +286,7 @@ def _rhomin(pen, st):
 
 @diag("lnrhom")
 def _lnrhom(pen, st):
-    return jnp.mean(pen.lnrho())
+    return _vmean(pen, pen.lnrho())
 
 
 # ---- entropy / thermo -----------------------------------------------------
@@ -299,7 +296,7 @@ def _ssm(pen, st):
     # requested under thermal_energy prints 0.0000E+00)
     if "ss" not in pen.reg.slots:
         return jnp.zeros(())
-    return jnp.mean(pen.ss())
+    return _vmean(pen, pen.ss())
 
 
 @diag("TTm")
@@ -320,7 +317,7 @@ def _ttmin(pen, st):
 @diag("TT2m")
 def _tt2m(pen, st):
     """<T²> (temperature_idealgas.f90:127 idiag_TT2m)."""
-    return jnp.mean(pen.TT() ** 2)
+    return _vmean(pen, pen.TT() ** 2)
 
 
 @diag("drurms")
@@ -331,8 +328,8 @@ def _drurms(pen, st):
     if _has_density(pen):
         gr = pen.glnrho() * pen.rho()[None]
         ugrho = sum(pen.uu()[a] * gr[a] for a in range(3))
-        return _rms((pen.rho() * pen.divu() + ugrho) ** 2)
-    return _rms(pen.divu() ** 2)
+        return _vrms(pen, (pen.rho() * pen.divu() + ugrho) ** 2)
+    return _vrms(pen, pen.divu() ** 2)
 
 
 @diag("drumax")
@@ -529,22 +526,22 @@ def _epsdmax(pen, st):
 
 @diag("csm")
 def _csm(pen, st):
-    return _rms(pen.cs2())
+    return _vrms(pen, pen.cs2())
 
 
 @diag("eth")
 def _eth(pen, st):
     """Mean thermal energy density ρ e = ρ cv T."""
     e = pen.eos
-    return jnp.mean(pen.rho() * e.cv * pen.TT())
+    return _vmean(pen, pen.rho() * e.cv * pen.TT())
 
 
 @diag("ethm")
 def _ethm(pen, st):
     if "eth" in pen.reg.slots:
-        return jnp.mean(pen.field("eth"))
+        return _vmean(pen, pen.field("eth"))
     e = pen.eos
-    return jnp.mean(pen.rho() * e.cv * pen.TT())
+    return _vmean(pen, pen.rho() * e.cv * pen.TT())
 
 
 def _visc_heat(pen):
@@ -573,7 +570,7 @@ def _epsK(pen, st):
 
 @diag("visc_heatm")
 def _visc_heatm(pen, st):
-    return jnp.mean(_visc_heat(pen))
+    return _vmean(pen, _visc_heat(pen))
 
 
 @diag("visc_heat")
@@ -589,29 +586,29 @@ def _eem(pen, st):
     """<e> mean specific internal energy (entropy.f90:266 idiag_eem,
     pencil ee = cv·T)."""
     if "eth" in pen.reg.slots:
-        return jnp.mean(pen.field("eth") / pen.rho())
-    return jnp.mean(pen.eos.cv * pen.TT())
+        return _vmean(pen, pen.field("eth") / pen.rho())
+    return _vmean(pen, pen.eos.cv * pen.TT())
 
 
 @diag("pdivum")
 def _pdivum(pen, st):
     """<p∇·u> (thermal_energy.f90:607); p = (γ−1)eth = ρcs²/γ."""
-    return jnp.mean(pen.rho() * pen.cs2() / pen.eos.gamma * pen.divu())
+    return _vmean(pen, pen.rho() * pen.cs2() / pen.eos.gamma * pen.divu())
 
 
 @diag("ruxm")
 def _ruxm(pen, st):
-    return jnp.mean(pen.rho() * pen.uu()[0])
+    return _vmean(pen, pen.rho() * pen.uu()[0])
 
 
 @diag("ruym")
 def _ruym(pen, st):
-    return jnp.mean(pen.rho() * pen.uu()[1])
+    return _vmean(pen, pen.rho() * pen.uu()[1])
 
 
 @diag("ruzm")
 def _ruzm(pen, st):
-    return jnp.mean(pen.rho() * pen.uu()[2])
+    return _vmean(pen, pen.rho() * pen.uu()[2])
 
 
 def _curlo(pen):
@@ -646,65 +643,65 @@ def _fcont(pen):
 @diag("qrms")
 def _qrms(pen, st):
     """√<|∇×ω|²> (hydro.f90:4219 idiag_qrms)."""
-    return _rms(jnp.sum(_curlo(pen) ** 2, axis=0))
+    return _vrms(pen, jnp.sum(_curlo(pen) ** 2, axis=0))
 
 
 @diag("quxom")
 def _quxom(pen, st):
     """<q·(u×ω)> (hydro.f90:4235)."""
     uxo = jnp.cross(pen.uu(), pen.oo(), axis=0)
-    return jnp.mean(jnp.sum(_curlo(pen) * uxo, axis=0))
+    return _vmean(pen, jnp.sum(_curlo(pen) * uxo, axis=0))
 
 
 @diag("qfviscm")
 def _qfviscm(pen, st):
     """<q·f_visc> (viscosity.f90:2307-2309)."""
-    return jnp.mean(jnp.sum(_curlo(pen) * _fvisc_vec(pen), axis=0))
+    return _vmean(pen, jnp.sum(_curlo(pen) * _fvisc_vec(pen), axis=0))
 
 
 @diag("gdivu2m")
 def _gdivu2m(pen, st):
     """<|∇(∇·u)|²> (hydro.f90:377)."""
-    return jnp.mean(jnp.sum(pen.graddivu() ** 2, axis=0))
+    return _vmean(pen, jnp.sum(pen.graddivu() ** 2, axis=0))
 
 
 @diag("rdivum")
 def _rdivum(pen, st):
-    return jnp.mean(pen.rho() * pen.divu())
+    return _vmean(pen, pen.rho() * pen.divu())
 
 
 @diag("ourms")
 def _ourms(pen, st):
     """√<(ω·u)²> (hydro.f90:457)."""
-    return _rms(jnp.sum(pen.oo() * pen.uu(), axis=0) ** 2)
+    return _vrms(pen, jnp.sum(pen.oo() * pen.uu(), axis=0) ** 2)
 
 
 @diag("ufm")
 def _ufm(pen, st):
     """<u·f_cont> (forcing.f90:6075 — the continuous-forcing pencil)."""
-    return jnp.mean(jnp.sum(pen.uu() * _fcont(pen), axis=0))
+    return _vmean(pen, jnp.sum(pen.uu() * _fcont(pen), axis=0))
 
 
 @diag("rufm")
 def _rufm(pen, st):
     """<ρ u·f_cont> (forcing.f90:6065)."""
-    return jnp.mean(pen.rho() * jnp.sum(pen.uu() * _fcont(pen), axis=0))
+    return _vmean(pen, pen.rho() * jnp.sum(pen.uu() * _fcont(pen), axis=0))
 
 
 @diag("ruy2m")
 def _ruy2m(pen, st):
-    return jnp.mean(pen.rho() * pen.uu()[1] ** 2)
+    return _vmean(pen, pen.rho() * pen.uu()[1] ** 2)
 
 
 @diag("rux2m")
 def _rux2m(pen, st):
-    return jnp.mean(pen.rho() * pen.uu()[0] ** 2)
+    return _vmean(pen, pen.rho() * pen.uu()[0] ** 2)
 
 
 # ---- magnetic -------------------------------------------------------------
 @diag("brms")
 def _brms(pen, st):
-    return _rms(pen.b2())
+    return _vrms(pen, pen.b2())
 
 
 def _pt(arr, gs):
@@ -718,7 +715,7 @@ def _pt(arr, gs):
 
 @diag("b2m")
 def _b2m(pen, st):
-    return jnp.mean(pen.b2())
+    return _vmean(pen, pen.b2())
 
 
 @diag("bxpt")
@@ -754,7 +751,7 @@ def _uzpt(pen, st):
 @diag("alpmm")
 def _alpmm(pen, st):
     """<α_m> (special/meanfield_alpm.f90 idiag_alpmm)."""
-    return jnp.mean(pen.field("alpm"))
+    return _vmean(pen, pen.field("alpm"))
 
 
 @diag("ammax")
@@ -764,7 +761,7 @@ def _ammax(pen, st):
 
 @diag("alpmrms")
 def _alpmrms(pen, st):
-    return _rms(pen.field("alpm") ** 2)
+    return _vrms(pen, pen.field("alpm") ** 2)
 
 
 @diag("bmax")
@@ -774,41 +771,41 @@ def _bmax(pen, st):
 
 @diag("bx2m")
 def _bx2m(pen, st):
-    return jnp.mean(pen.bb()[0] ** 2)
+    return _vmean(pen, pen.bb()[0] ** 2)
 
 
 @diag("by2m")
 def _by2m(pen, st):
-    return jnp.mean(pen.bb()[1] ** 2)
+    return _vmean(pen, pen.bb()[1] ** 2)
 
 
 @diag("bz2m")
 def _bz2m(pen, st):
-    return jnp.mean(pen.bb()[2] ** 2)
+    return _vmean(pen, pen.bb()[2] ** 2)
 
 
 @diag("arms")
 def _arms(pen, st):
     aa = pen.aa()
-    return _rms(aa[0] ** 2 + aa[1] ** 2 + aa[2] ** 2)
+    return _vrms(pen, aa[0] ** 2 + aa[1] ** 2 + aa[2] ** 2)
 
 
 @diag("abm")
 def _abm(pen, st):
     """Mean magnetic helicity <A·B>."""
     aa, bb = pen.aa(), pen.bb()
-    return jnp.mean(aa[0] * bb[0] + aa[1] * bb[1] + aa[2] * bb[2])
+    return _vmean(pen, aa[0] * bb[0] + aa[1] * bb[1] + aa[2] * bb[2])
 
 
 @diag("jrms")
 def _jrms(pen, st):
-    return _rms(pen.j2())
+    return _vrms(pen, pen.j2())
 
 
 @diag("jbm")
 def _jbm(pen, st):
     jj, bb = pen.jj(), pen.bb()
-    return jnp.mean(jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2])
+    return _vmean(pen, jj[0] * bb[0] + jj[1] * bb[1] + jj[2] * bb[2])
 
 
 def _mk_uirms(i):
@@ -948,6 +945,28 @@ for _i, _c in enumerate("xyz"):
     DIAG_REGISTRY[f"b{_c}m"] = _mk_compm(None, _i, lambda pen: pen.bb())
     DIAG_REGISTRY[f"a{_c}m"] = _mk_compm("aa", _i)
     DIAG_REGISTRY[f"j{_c}max"] = _mk_compmax(lambda pen: pen.jj(), _i)
+    DIAG_REGISTRY[f"b{_c}max"] = _mk_compmax(lambda pen: pen.bb(), _i)
+
+
+@diag("rumax")
+def _rumax(pen, st):
+    """max|ρu| (hydro.f90 idiag_rumax)."""
+    return jnp.sqrt(jnp.max(pen.rho() ** 2 * pen.u2()))
+
+
+@diag("tot_ang_mom")
+def _tot_ang_mom(pen, st):
+    """∫ρ·r·sinθ·u_φ dV — z-axis angular momentum in a spherical wedge
+    (hydro.f90:4138-4139 idiag_tot_ang_mom)."""
+    g = pen.grid
+    return _vint(pen, pen.rho() * g.xg * jnp.sin(g.yg) * pen.uu()[2])
+
+
+@diag("amax")
+def _amax(pen, st):
+    """max|A| (magnetic.f90:6044 idiag_amax, lsqrt)."""
+    aa = pen.field("aa")
+    return jnp.sqrt(jnp.max(aa[0]**2 + aa[1]**2 + aa[2]**2))
 
 
 @diag("ozm")
@@ -1060,12 +1079,12 @@ DIAG_REGISTRY["nparmin"] = _mk_pstat(
 
 @diag("emag")
 def _emag(pen, st):
-    return 0.5 * jnp.mean(pen.b2())
+    return 0.5 * _vmean(pen, pen.b2())
 
 
 @diag("vArms")
 def _varms(pen, st):
-    return _rms(pen.va2())
+    return _vrms(pen, pen.va2())
 
 
 @diag("jmax")
@@ -1100,7 +1119,7 @@ def _ccmax(pen, st):
 
 @diag("ccm")
 def _ccm(pen, st):
-    return jnp.mean(pen.field("cc"))
+    return _vmean(pen, pen.field("cc"))
 
 
 @diag("abmn")
@@ -1216,7 +1235,7 @@ def _rhop(pen, st):
 def _rhopm(pen, st):
     """Mean particle mass density (particles_dust idiag_rhopm via the
     TSC deposit, src/particles_map.f90)."""
-    return jnp.mean(_rhop(pen, st))
+    return _vmean(pen, _rhop(pen, st))
 
 
 @diag("rhopmin")
@@ -1438,10 +1457,10 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                     Y = pen.field("chem")
                     W1 = (1.0 / chem.mech.mass)[:, None, None, None]
                     mu1 = jnp.sum(Y * W1, axis=0)
-                    out[n] = jnp.mean(RGAS * mu1 * pen.rho() * pen.TT())
+                    out[n] = _vmean(pen, RGAS * mu1 * pen.rho() * pen.TT())
                 else:
                     k = int(n[1:-1]) - 1
-                    out[n] = jnp.mean(pen.field("chem")[k])
+                    out[n] = _vmean(pen, pen.field("chem")[k])
             else:
                 out[n] = DIAG_REGISTRY[n](pen, state)
         return out

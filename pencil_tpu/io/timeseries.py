@@ -78,8 +78,8 @@ class TimeSeriesWriter:
         parts = []
         for name, fmt in self.columns:
             w = _col_width(fmt)
-            label = name[: w - 1]
-            pad = w - 1 - len(label)
+            label = name      # never truncate (ref prints full names, e.g.
+            pad = max(w - 1 - len(label), 0)   # conv-slab 'tot_ang_mom')
             parts.append("-" * (pad // 2 + pad % 2) + label + "-" * (pad // 2) + "-")
         return "#" + "".join(parts)[1:]
 

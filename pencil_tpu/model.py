@@ -203,8 +203,22 @@ class Model:
         # noise first, then e.g. initial_condition_uu adds its profile
         # (start.f90:416-423 then :451)
         for k, v in additive:
+            if k == "lnrho" and k not in self.reg.slots \
+                    and "rho" in self.reg.slots:
+                # ldensity_nolog: a +lnrho contribution multiplies ρ
+                state["fields"]["rho"] = state["fields"]["rho"] \
+                    * jnp.exp(v.astype(self.dtype))
+                continue
+            if k not in self.reg.slots:
+                continue    # e.g. +ss with no entropy module selected
             state["fields"][k] = (state["fields"].get(k, 0.0)
                                   + v.astype(self.dtype))
+        for m in self.modules:
+            # post-assembly init hooks (e.g. interstellar seeds its
+            # initial SN remnants into the finished state the way
+            # init_interstellar runs after init_uu/lnrho/ss)
+            if hasattr(m, "post_init"):
+                state["fields"] = m.post_init(state["fields"], self)
         if any(not self.cfg.grid.periodic[a] for a in range(3)):
             # value-setting BCs pin the boundary planes from the start
             # (reference: boundconds run before the it=0 diagnostics), so

@@ -1035,6 +1035,10 @@ BC_REGISTRY: Dict[str, Callable] = {
     # ghost construction as 'pot' here
     "pfe": bc_aa_pot,
     "pwd": bc_aa_pot,
+    # 'StS' stellar-surface lnrho BC: the reference's eos_idealgas build
+    # ABORTS on it (bc_stellar_surface stub) — the ionization-EOS variant
+    # is not ported; fall back to symmetric ghosts
+    "StS": lambda f, a, s, v, c: bc_sym(f, a, s, v, c, sign=1.0),
     "cT2": bc_ss_temp2,
     "ce": bc_ss_energy,
     "hs": bc_hydrostatic,

@@ -19,6 +19,9 @@ class Gravity(ModuleBase):
     gravz_profile: str = "const"
     gravz: float = 0.0
     gravx: float = 0.0
+    # gravity_simple x-profiles ('kepler': g_x = −gravx/x², Φ = −gravx/x,
+    # gravity_simple.f90:305)
+    gravx_profile: str = "const" 
     # top of the polytropic atmosphere: Φ = −g_z(z − z∞)
     # (gravity_simple.f90:427; defaults to 0 when not given, :230)
     zinfty: float = 0.0
@@ -78,7 +81,11 @@ class Gravity(ModuleBase):
             x, y = grid.xg, grid.yg
             r = jnp.sqrt(x * x + y * y + z * z + self.r0 ** 2)
             return -self.mass / r
-        if self.gravz_profile == "const":
+        if self.gravx_profile == "kepler":
+            return -self.gravx / grid.xg
+        if self.gravz_profile in ("const", "zero"):
+            if self.gravz_profile == "zero":
+                return jnp.zeros_like(z)
             return -self.gravz * (z - self.zinfty)
         if self.gravz_profile in ("linear-z", "linear"):
             # g_z = gravz·z (gravz = −ν_epi²) → Φ = −½·gravz·z²
@@ -113,8 +120,14 @@ class Gravity(ModuleBase):
             fac = -self.mass * r2 ** -1.5
             return jnp.stack([
                 fac * x + zero, fac * y + zero, fac * z + zero])
-        if self.gravz_profile == "const":
-            gz = self.gravz + zero
+        if self.gravx_profile == "kepler":
+            gx = -self.gravx / g.xg ** 2 + zero
+            gz = (self.gravz + zero if self.gravz_profile == "const"
+                  else zero)
+            return jnp.stack([gx, zero, gz])
+        if self.gravz_profile in ("const", "zero"):
+            gz = (self.gravz if self.gravz_profile == "const" else 0.0) \
+                + zero
         elif self.gravz_profile in ("linear-z", "linear"):
             gz = self.gravz * g.zg + zero
         elif self.gravz_profile == "sin-z":

@@ -158,6 +158,21 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         return jnp.stack([zero,
                           ampl / x * jnp.cos(ky * y) * jnp.cos(kz * z)
                           + zero, zero])
+    if name == "magnetogram":
+        # file-driven photospheric magnetogram seed (solar_corona driver
+        # data): not ported — start from A=0 (the corona build-up is
+        # driven by the boundary physics, not this seed)
+        return zeros3
+    if name == "poshel-roberts":
+        # positive-helicity Roberts flow A ∝ u_Roberts/kf (initcond.f90
+        # roberts flow vector potential; fluxes aligned for kf=√2·k):
+        # A = (ampl/√2)·(cos kx·sin ky, −sin kx·cos ky, √2 cos kx·cos ky)
+        fac = ampl / jnp.sqrt(2.0)
+        return jnp.stack([
+            fac * jnp.cos(kx * x) * jnp.sin(ky * y) + zero,
+            -fac * jnp.sin(kx * x) * jnp.cos(ky * y) + zero,
+            fac * jnp.sqrt(2.0) * jnp.cos(kx * x) * jnp.cos(ky * y)
+            + zero])
     if name == "bessel-x":
         # A_y += A·J1(kx·x)/kx, A_z += A·(J0(kx·x)−J0(kx·x1))/kx — the
         # force-free reversed-field-pinch screw field (initcond.f90

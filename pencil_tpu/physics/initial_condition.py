@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, ClassVar, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,6 +112,9 @@ class InitialCondition(ModuleBase):
         if fn is None:
             raise KeyError(f"unknown initial_condition plugin "
                            f"{self.plugin!r}; known: {sorted(IC_REGISTRY)}")
+        import inspect
+        if "key" in inspect.signature(fn).parameters:
+            return fn(grid, spec, eos, cfg, dict(self.params), key=key)
         return fn(grid, spec, eos, cfg, dict(self.params))
 
 
@@ -612,4 +616,155 @@ def ic_fluxring_cylindrical(grid, spec, eos, cfg, params):
     if ampl_diffrot != 0.0:
         uy = x * ampl_diffrot * x ** om_exp + 0.0 * ones
         out["+uu"] = jnp.stack([0.0 * ones, uy, 0.0 * ones])
+    return out
+
+@register_ic("spherical_convection")
+def ic_spherical_convection(grid, spec, eos, cfg, params):
+    """Spherical-wedge star-in-a-wedge stratification (reference
+    initial_condition/spherical_convection.f90, non-corona branch):
+    T(r) = g_x/(cv(γ−1))·(ξ0/Rstar + (1/(npoly1+1))(1/r − 1/Rsurf)),
+    ρ = ρ0(T/T00)^{1/(γ−1)}, ss = ln(cs²/cs₀²)/γ − (γ−1)/γ·lnρ/ρ0."""
+    gamma = eos.gamma
+    cv = eos.cp / gamma
+    grav = cfg.module("gravity") if cfg else None
+    gravx = float(params.get("gravx", getattr(grav, "gravx", 1.0)
+                             if grav else 1.0))
+    Rstar = float(params.get("rstar", params.get("Rstar", 1.0)))
+    npoly1 = float(params.get("npoly1", 1.5))
+    xi0 = float(params.get("xi0", 0.012))
+    Rsurf = spec.x0 + spec.Lx
+    r = grid.xg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    TT = gravx / (cv * (gamma - 1.0)) * (
+        xi0 / Rstar + (1.0 / (npoly1 + 1.0)) * (1.0 / r - 1.0 / Rsurf))
+    T00 = gravx / (cv * (gamma - 1.0)) * (
+        xi0 / Rstar + (1.0 / (npoly1 + 1.0)) * (1.0 / spec.x0
+                                                - 1.0 / Rsurf))
+    lnrho = (1.0 / (gamma - 1.0)) * jnp.log(jnp.maximum(TT / T00, 1e-30))
+    cs2 = eos.cs20 * TT * cv * gamma * (gamma - 1.0)
+    ss = (jnp.log(jnp.maximum(cs2 / eos.cs20, 1e-30)) / gamma
+          - (gamma - 1.0) / gamma * lnrho)
+    return {"+lnrho": lnrho + 0.0 * ones, "+ss": ss + 0.0 * ones}
+
+
+@register_ic("mhs_equilibrium")
+def ic_mhs_equilibrium(grid, spec, eos, cfg, params, key=None):
+    """Magnetohydrostatic global-disk equilibrium in SPHERICAL coordinates
+    (reference initial_condition/mhs_equilibrium.f90): midplane power-law
+    density p, temperature power-law q via cs² = cs₀²(R/r_ref)^{-q},
+    vertical stratification −γ(Φ(r)−Φ(R))/(cs²ξ) with the magnetic
+    pressure factor ξ = (1+β)/β (:76), sub-Keplerian rotation
+    u_φ = R·√(Ω_K²(1 + H²/R²(ξ(p+q−2)+2) + q(1−sinθ))) (:160-171), a
+    constant-plasma-β azimuthal seed field A_θ = (1/r)∫B_φ r dr with
+    radial step-function capping (:308-455, :558-586), and optional
+    cs-proportional velocity noise (:670-674)."""
+    gamma = eos.gamma
+    p = -float(params.get("density_power_law", 1.5))
+    q = -float(params.get("temperature_power_law", 1.0))
+    r_ref = float(params.get("r_ref", 1.0))
+    beta = float(params.get("plasma_beta", 25.0))
+    lmag = cfg is not None and cfg.module("magnetic") is not None
+    ksi = (1.0 + beta) / beta if lmag else 1.0
+    x, th = grid.xg, grid.yg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    sinth = jnp.sin(th)
+    rr_sph = x + 0.0 * ones
+    rr_cyl = x * jnp.maximum(sinth, 1e-9) + 0.0 * ones
+    cs2 = eos.cs20 * (rr_cyl / r_ref) ** q
+    grav = cfg.module("gravity") if cfg else None
+    pm = cfg.module("pointmasses") if cfg else None
+    if grav is not None and grav.g0 != 0.0:
+        g_r = grav.g_r(rr_sph)
+        pot_sph = grav.potential(rr_sph)
+        pot_cyl = grav.potential(rr_cyl)
+    else:
+        g0 = float(pm.GNewton * pm.masses().sum()) if pm is not None else 1.0
+        g_r = -g0 / rr_sph ** 2
+        pot_sph = -g0 / rr_sph
+        pot_cyl = -g0 / rr_cyl
+    lnrho = (p * jnp.log(rr_cyl / r_ref)
+             - gamma * (pot_sph - pot_cyl) / (cs2 * ksi))
+    OOK2 = jnp.maximum(-g_r / (rr_sph * jnp.maximum(sinth, 1e-9) ** 3),
+                       0.0)
+    H2 = cs2 / (gamma * jnp.maximum(OOK2, 1e-30))
+    OO2 = OOK2 * (1.0 + H2 / rr_cyl ** 2 * (ksi * (p + q - 2.0) + 2.0)
+                  + q * (1.0 - sinth))
+    uphi = rr_cyl * jnp.sqrt(jnp.maximum(OO2, 0.0))
+    zero = jnp.zeros_like(uphi + ones)
+    uu = jnp.stack([zero, zero, uphi + 0.0 * ones])
+    if bool(params.get("ladd_noise_propto_cs", False)) and key is not None:
+        fac = float(params.get("ampluu_cs_factor", 0.01))
+        uu = uu + fac * jnp.sqrt(cs2) * jax.random.normal(
+            key, (3,) + spec.shape, grid.x.dtype)
+    out = {"+lnrho": lnrho + 0.0 * ones, "+uu": uu}
+    if lmag and bool(params.get("ladd_field", True)):
+        # azimuthal constant-β field: B_φ = √(2ρcs²/β) capped radially by
+        # step functions of width 5Δx, then A_θ(r) = (1/r)∫₀^r B_φ r' dr'
+        # accumulated from the inner ghost point exactly like the
+        # reference's serial x-scan (:434-452)
+        rho = jnp.exp(lnrho)
+        BB = jnp.sqrt(2.0 * rho * cs2 / beta)
+        ng = spec.nghost
+        x1d = grid.x[ng:-ng]                       # interior r coords
+        dx1d = grid.x[ng:-ng] - grid.x[ng - 1:-ng - 1]
+        if bool(params.get("lcap_field_radius", False)):
+            rm_int = float(params.get("rm_int", 0.0))
+            rm_ext = float(params.get("rm_ext", 1e30))
+            # width = 5/dx_1 — the ANALYTIC local spacing (:570), not a
+            # one-sided difference
+            w = 5.0 / grid.dx_1[ng:-ng][:, None, None]
+            xc = x1d[:, None, None]
+            BB = BB * (0.5 * (1.0 + jnp.tanh((xc - rm_int) / w))
+                       - 0.5 * (1.0 + jnp.tanh((xc - rm_ext) / w)))
+        if bool(params.get("lcap_field_theta", False)):
+            tm_bot = float(params.get("tm_bot", 0.0))
+            tm_top = float(params.get("tm_top", 1e30))
+            wy = spec.Ly / max(spec.ny, 1)
+            BB = BB * (0.5 * (1.0 + jnp.tanh((th - tm_bot) / wy))
+                       - 0.5 * (1.0 + jnp.tanh((th - tm_top) / wy)))
+        integrand = BB * x1d[:, None, None] * dx1d[:, None, None]
+        Atheta = jnp.cumsum(integrand, axis=0) / x1d[:, None, None]
+        aa = jnp.stack([zero, Atheta + 0.0 * ones, zero])
+        out["+aa"] = aa
+    return out
+
+@register_ic("hs_equilibrium_ism")
+def ic_hs_equilibrium_ism(grid, spec, eos, cfg, params):
+    """Galactic hydrostatic+thermal equilibrium (reference
+    initial_condition/hs_equilibrium_ism.f90): ρ(z) from the Ferriere
+    stellar-disk + dark-halo gravity with constant initial temperature
+    T_init, ss from eoscalc(lnρ, lnT(z)).  The column-normalized seed
+    field (initial_condition_aa) is not ported."""
+    import math as _m
+    ul = float(params.get("unit_length", 3.086e21))
+    uv = float(params.get("unit_velocity", 1e5))
+    ud = float(params.get("unit_density", 1.6728e-24))
+    ut = float(params.get("unit_temperature", 46.02))
+    a_S, z_S = 4.4e-9, 6.172e20
+    a_D, z_D = 1.7e-9, 3.086e21
+    m_u, k_B = 1.66053907e-24, 1.380649e-16
+    rho0ts = float(params.get("rho0ts", 3.5e-24 / ud))
+    T_init_K = float(params.get("t_init", params.get("T_init",
+                                                     7.088e2 / ut))) * ut
+    mu = float(params.get("mu", 0.62))
+    lthermal = bool(params.get("lthermal_hse", True))
+    z_cgs = grid.zg * ul
+    prof = (a_S * jnp.sqrt(z_S ** 2 + z_cgs ** 2)
+            + 0.5 * a_D * z_cgs ** 2 / z_D)
+    TT_K = T_init_K / (a_S * z_S) * prof
+    if lthermal:
+        coef = a_S * z_S * m_u * mu / (k_B * T_init_K)
+        logrho = _m.log(rho0ts) + coef * (jnp.log(T_init_K)
+                                          - jnp.log(TT_K))
+    else:
+        logrho = _m.log(rho0ts) - 0.015 * (-a_S * z_S + prof)
+    logrho = jnp.maximum(logrho, -40.0)
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    out = {"+lnrho": logrho + 0.0 * ones}
+    if cfg is not None and cfg.module("entropy") is not None:
+        gamma = eos.gamma
+        lnTT = jnp.log(TT_K / ut)
+        ss = (eos.cp / gamma) * (lnTT - eos.lnTT0 - (gamma - 1.0)
+                                 * (logrho - eos.lnrho0))
+        out["+ss"] = ss + 0.0 * ones
     return out

@@ -80,6 +80,26 @@ _SN_INTERVAL_RHOM_CGS = 2.8e-25
 _H_SNI_CGS = 1.00295e21
 _H_SNII_CGS = 2.7774e20
 
+# discrete-SN constants (:237-290)
+_SOLAR_MASS_CGS = 1.989e33
+_WIDTH_SN_CGS = 6.172e19
+_PC_CGS = 3.0856776e18
+_KYR_CGS = 3.1556952e10
+_M_H_CGS = 1.6726e-24
+
+# spherical profile-integral norms ∫profile dV (:160-184): index 2 = 3-D
+_CNORM = {"gaussian": (0.8862269254527579, math.pi, 5.568327996831708),
+          "gaussian2": (0.9064024770554771, 2.784163998415854,
+                        3.849760110050832),
+          "gaussian3": (0.9277193336300392, 2.805377873352155,
+                        3.712218664554472)}
+_VNORM = {"gaussian": (0.6266570686577501, 1.570796326794897,
+                       1.9687012432153024),
+          "gaussian2": (0.7621905937330379, 1.968701243215302,
+                        2.2890810569630537),
+          "gaussian3": (0.8265039651250117, 2.226629893663761,
+                        2.624934990953737)}
+
 
 @dataclass(frozen=True)
 class Interstellar(ModuleBase):
@@ -98,6 +118,30 @@ class Interstellar(ModuleBase):
     lSNII: bool = True
     h_SNI: float = 0.0                    # code units; 0 → cgs default
     h_SNII: float = 0.0
+    # discrete SN injection at start (init_interstellar :1470-1604 +
+    # explode_SN :3182-3805).  Runtime stochastic check_SN scheduling is
+    # not yet wired into the step; 'multiple' seeds initial_SNI type-I
+    # remnants into the initial state with the reference's seeded RNG.
+    initinterstellar: str = "nothing"
+    initial_SNI: int = 0
+    lSN_scale_rad: bool = False
+    N_mass: float = 250.0
+    rfactor_SN: float = 5.0
+    lSN_eth: bool = True
+    lSN_mass: bool = False
+    lSN_momentum: bool = True
+    lSN_autofrackin: bool = True
+    kin_max: float = 0.075
+    frac_ecr: float = 0.0
+    frac_kin: float = 0.0
+    thermal_profile: str = "gaussian"
+    velocity_profile: str = "gaussian"
+    energy_width_ratio: float = 1.0
+    velocity_width_ratio: float = 1.0
+    width_SN: float = 0.0                 # 0 → max(cgs default, rfactor·dx)
+    xsi_sedov: float = 2.026
+    seed0: int = 1812
+    mu_ism: float = 0.62                  # mean molecular weight (getmu)
     # unit system (cgs base units of the run)
     unit_length: float = 1.0
     unit_velocity: float = 1.0
@@ -174,3 +218,230 @@ class Interstellar(ModuleBase):
                                * self.heatingfunction_scalefactor)
         heatcool = jnp.exp(-lnTT) * (heat - cool)
         accumulate(df, "ss", heatcool)
+
+    # ---- discrete SN injection (explode_SN :3182-3805) -----------------
+    def post_init(self, fields, model):
+        """Seed initial_SNI type-I remnants into the assembled initial
+        state (init_interstellar 'multiple' :1566-1582): position from the
+        reference's seeded RNG (position_SN_gaussianz :2601-2872), radius
+        bisected to enclose N_mass solar masses (:3233-3272), thermal
+        energy + momentum kick injection (:3595-3675)."""
+        if self.initinterstellar != "multiple" or self.initial_SNI < 1:
+            return fields
+        import numpy as np
+        from ..compat.pencil_rng import Ran0
+
+        eos = model.eos
+        gs = model.cfg.grid
+        ng = gs.nghost
+        x = np.asarray(model.grid.x, np.float64)[ng:-ng]
+        y = np.asarray(model.grid.y, np.float64)[ng:-ng]
+        z = np.asarray(model.grid.z, np.float64)[ng:-ng]
+        dVol = gs.dx * gs.dy * gs.dz
+        ul, uv, ud, ut, utime, uL, uG = self._units
+        uE = ud * ul ** 3 * uv ** 2         # unit energy
+        ampl_SN = _AMPL_SN_CGS / uE
+        solar_mass = _SOLAR_MASS_CGS / (ud * ul ** 3)
+        hSN = self.h_SNII if self.h_SNII > 0 else _H_SNII_CGS / ul
+        TT_SN_max = 2.5e6 / ut
+        Nsig = {"gaussian3": 1.25, "gaussian2": 1.75,
+                "gaussian": 2.25}.get(self.thermal_profile, 1.5)
+        cnorm = _CNORM[self.thermal_profile][2]
+        vnorm = _VNORM[self.velocity_profile][2]
+        # Sedov / shell-formation dimensional norms (:581-597)
+        sedov_norm = ud / 1e-24 * _AMPL_SN_CGS / uE
+        SFt_norm = (26.5 * _KYR_CGS / utime
+                    * (1.4 * _M_H_CGS / ud) ** (4.0 / 7)
+                    * (uE / _AMPL_SN_CGS) ** (3.0 / 14))
+        SFr_norm = (18.5 * _PC_CGS / ul * (uE / _AMPL_SN_CGS) ** (2.0 / 7)
+                    * (1.4 * _M_H_CGS / ud) ** (3.0 / 7))
+        kfrac_norm = (3.97e-6 * self.mu_ism / 1.4 / _M_H_CGS * ud
+                      * _AMPL_SN_CGS / uE * (ul / _PC_CGS) ** 5
+                      * (_KYR_CGS / utime) ** 2)
+
+        rho = np.array(fields["rho"] if "rho" in fields
+                       else np.exp(fields["lnrho"]), np.float64)
+        ss = np.array(fields["ss"], np.float64)
+        uu = np.array(fields["uu"], np.float64)
+        gam, cp = eos.gamma, eos.cp
+        cv = cp / gam
+        gm1 = gam - 1.0
+
+        def lnTT_of(lnrho_, ss_):
+            return (eos.lnTT0 + gam * ss_ / cp
+                    + gm1 * (lnrho_ - eos.lnrho0))
+
+        def ss_of(lnrho_, lnTT_):
+            return (cp / gam) * (lnTT_ - eos.lnTT0
+                                 - gm1 * (lnrho_ - eos.lnrho0))
+
+        rng = Ran0(self.seed0)
+        nx, ny, nz = gs.nx, gs.ny, gs.nz
+        nzskip = 10
+
+        def dr2_of(lc, mc, nc):
+            dx_ = x - x[lc]
+            if gs.periodic[0]:
+                dx_ = np.where(dx_ > gs.Lx / 2, dx_ - gs.Lx, dx_)
+                dx_ = np.where(dx_ < -gs.Lx / 2, dx_ + gs.Lx, dx_)
+            dy_ = y - y[mc]
+            if gs.periodic[1]:
+                dy_ = np.where(dy_ > gs.Ly / 2, dy_ - gs.Ly, dy_)
+                dy_ = np.where(dy_ < -gs.Ly / 2, dy_ + gs.Ly, dy_)
+            dz_ = z - z[nc]
+            if gs.periodic[2]:
+                dz_ = np.where(dz_ > gs.Lz / 2, dz_ - gs.Lz, dz_)
+                dz_ = np.where(dz_ < -gs.Lz / 2, dz_ + gs.Lz, dz_)
+            d2 = (dx_[:, None, None] ** 2 + dy_[None, :, None] ** 2
+                  + dz_[None, None, :] ** 2)
+            return d2, (dx_, dy_, dz_)
+
+        def props(dr2, radius):
+            """(rhom, ekintot) over the Nsigma·radius sphere
+            (get_properties :3807-3913)."""
+            radius2 = Nsig ** 2 * radius ** 2
+            mask = dr2 <= radius2
+            M = (rho * mask).sum() * dVol
+            rhom = M * 0.75 / math.pi / radius2 ** 1.5
+            ekin = 0.5 * (rho * (uu ** 2).sum(0)).sum() * dVol
+            return rhom, ekin
+
+        for _ in range(self.initial_SNI):
+            fran3 = rng.draw(3)
+            i = int(fran3[0] * nx) + 1
+            j = int(fran3[1] * ny) + 1
+            if i > nx:
+                i -= nx
+            if j > ny:
+                j -= ny
+            # z from the cumulative gaussian about zdisk=0 (:2820-2843)
+            cum = np.zeros(nz)
+            for k in range(1, nz + 1):
+                if k < nzskip:
+                    cum[k - 1] = 0.0
+                elif k > nz - nzskip:
+                    cum[k - 1] = cum[k - 2]
+                else:
+                    prev = cum[k - 2] if k > 1 else 0.0
+                    cum[k - 1] = prev + math.exp(
+                        -0.5 * ((k * gs.Lz / nz + gs.z0) / hSN) ** 2)
+            cum = cum / max(cum[nz - nzskip - 1], 1e-37)
+            cum[nz - nzskip:] = 1.0
+            kz = nzskip + 1
+            for k in range(nzskip + 1, nz - nzskip + 1):
+                lo = cum[k - 2] if k > 1 else 0.0
+                if lo <= fran3[2] < cum[k - 1]:
+                    kz = k
+                    break
+            lc, mc, nc = i - 1, j - 1, kz - 1
+            # local spacing from the ghosted coordinate vectors (:3125)
+            xg_ = np.asarray(model.grid.x, np.float64)
+            yg_ = np.asarray(model.grid.y, np.float64)
+            zg_ = np.asarray(model.grid.z, np.float64)
+            dr = max(xg_[ng + lc + 1] - xg_[ng + lc],
+                     yg_[ng + mc + 1] - yg_[ng + mc],
+                     zg_[ng + nc + 1] - zg_[ng + nc])
+            site_rho = rho[lc, mc, nc]
+            radius = self.width_SN if self.width_SN > 0 else max(
+                _WIDTH_SN_CGS / ul, self.rfactor_SN * dr)
+            if self.lSN_scale_rad:
+                radius = (0.75 * solar_mass / site_rho / math.pi
+                          * self.N_mass) ** (1.0 / 3.0)
+                radius = max(radius, self.rfactor_SN * dr)
+            dr2, deltas = dr2_of(lc, mc, nc)
+            rhom, ekintot = props(dr2, radius)
+            if self.lSN_scale_rad:
+                # bisect radius to enclose N_mass solar masses (:3233-3272)
+                sol_tot = solar_mass * self.N_mass
+                SNvol = 4.0 / 3.0 * math.pi / sol_tot
+                r_min = self.rfactor_SN * dr
+                r_max = 200 * _PC_CGS / ul
+                r_best = radius
+                ratio = SNvol * rhom * radius ** 3
+                best = abs(ratio - 1) if ratio > 0.99 else 1e6
+                for _i in range(25):
+                    if ratio < 1:
+                        r_min = radius
+                    else:
+                        r_max = radius
+                    radius = 0.5 * (r_min + r_max)
+                    rhom, ekintot = props(dr2, radius)
+                    ratio = SNvol * rhom * radius ** 3
+                    if ratio >= 0.99 and abs(ratio - 1) < best:
+                        best = ratio    # sic — reference stores the ratio
+                        r_best = radius
+                    if r_max - r_min < dr * 0.04:
+                        break
+                radius = r_best
+                rhom, ekintot = props(dr2, radius)
+            # shell-formation kinetic fraction (:3297-3330)
+            t_SF = SFt_norm / rhom ** (4.0 / 7) * ampl_SN ** (3.0 / 14)
+            RPDS = SFr_norm * ampl_SN ** (2.0 / 7) / rhom ** (3.0 / 7)
+            etmp, ktmp = (1.0 - self.frac_ecr) * ampl_SN, \
+                self.frac_kin * ampl_SN
+            if RPDS < radius and self.lSN_autofrackin:
+                if rhom > 0.8 * _M_H_CGS / ud and dr > _PC_CGS / ul:
+                    frackin = (kfrac_norm * rhom * RPDS ** 7 / ampl_SN
+                               / (t_SF * dr) ** 2)
+                    if frackin < 1e-3:
+                        frackin = 0.0
+                else:
+                    frackin = 0.0
+                frackin = min(self.kin_max, frackin)
+                etmp = (1.0 - frackin - self.frac_ecr) * ampl_SN
+                ktmp = frackin * ampl_SN
+            width_E = radius * self.energy_width_ratio
+            width_v = radius * self.velocity_width_ratio
+            c_SN = etmp / (cnorm * width_E ** 3)
+            c_SNmax = ampl_SN / (cnorm * self.rfactor_SN * dr ** 3)
+            cvel = 0.0
+            if ktmp > 0:
+                cvel = math.sqrt(2 * ktmp / (rhom * vnorm * width_v ** 3))
+
+            def prof(d2, w):
+                p = d2 / w ** 2
+                if self.thermal_profile == "gaussian3":
+                    p = p ** 3
+                elif self.thermal_profile == "gaussian2":
+                    p = p ** 2
+                return np.exp(-p)
+
+            dr_lin = np.sqrt(np.maximum(dr2, 1e-300))
+            normal = np.stack([
+                deltas[0][:, None, None] / dr_lin + 0.0 * dr2,
+                deltas[1][None, :, None] / dr_lin + 0.0 * dr2,
+                deltas[2][None, None, :] / dr_lin + 0.0 * dr2])
+            normal = np.where(dr2[None] == 0.0, 0.0, normal)
+
+            def deltauu_of(cv_):
+                scale = (cv_ * np.sqrt(rhom / rho) if self.lSN_momentum
+                         else cv_)
+                return scale * prof(dr2, width_v) * normal
+            # rescale kick so added kinetic energy ≈ ktmp (:3577-3593)
+            if cvel > 0:
+                du = deltauu_of(cvel)
+                ek_new = 0.5 * (rho * ((uu + du) ** 2).sum(0)).sum() * dVol
+                dek = ek_new - ekintot
+                if dek < ktmp:
+                    if self.lSN_eth:
+                        c_SN = (min(c_SNmax, c_SN * (ktmp + ekintot - ek_new
+                                                     + etmp) / (ktmp + etmp))
+                                if dek > 0 else c_SNmax)
+                else:
+                    cvel = cvel * math.sqrt(ktmp / dek)
+            # apply (:3595-3675): thermal energy, then momentum kick
+            if self.lSN_eth:
+                lnrho_ = np.log(rho)
+                TT_old = np.exp(lnTT_of(lnrho_, ss))
+                ee_old = cv * TT_old
+                dEE = c_SN * prof(dr2, width_E)
+                ee_new = (ee_old * rho + dEE) / rho
+                ss = ss_of(lnrho_, np.log(ee_new / cv))
+            if cvel > 0:
+                uu = uu + deltauu_of(cvel)
+
+        dtype = fields["ss"].dtype
+        out = dict(fields)
+        out["ss"] = jnp.asarray(ss, dtype)
+        out["uu"] = jnp.asarray(uu, dtype)
+        return out

@@ -96,29 +96,43 @@ class Pencils:
             # r²/sinθ/rcyl weights and their ½-edge factors exist only
             # for curvilinear coords, grid.f90:1138-1161)
             return None
-        # the weights depend only on STATIC grid geometry — build and
-        # normalize in float64 numpy at trace time (an f32 jnp.mean over
-        # ~32k elements carries O(1e-4) summation error, visible in
-        # format-precision golden columns)
+        # the weights depend only on STATIC grid geometry — rebuild the
+        # coordinate vectors from the GridSpec in float64 numpy (never
+        # from self.grid arrays, which ride traced through jit/shard_map;
+        # an f32 jnp.mean over ~32k elements also carries O(1e-4)
+        # summation error, visible in format-precision golden columns)
         import numpy as np
         g = self.grid
-        try:
-            x = np.asarray(g.x[self._g:-self._g], np.float64)
-            y = np.asarray(g.y[self._g:-self._g], np.float64)
-        except Exception:
-            # inside shard_map the grid rides as a traced operand — fall
-            # back to jnp weights (f32 normalization; the per-shard diag
-            # path is not used for format-precision golden comparisons)
+        nloc = tuple(s - 2 * self._g for s in self.fg.shape[1:])
+        if nloc == (gs.nx, gs.ny, gs.nz):
+            from ..core.grid import _axis_coords
+            sh = [0.5 * d if ls else 0.0 for ls, d in
+                  zip(gs.lshift_origin, (gs.dx, gs.dy, gs.dz))]
+            x, _, _ = _axis_coords(gs.nx, gs.x0 + sh[0], gs.Lx,
+                                   gs.periodic[0], gs.nghost,
+                                   gs.grid_func[0], gs.grid_coeff[0],
+                                   np.float64)
+            y, _, _ = _axis_coords(gs.ny, gs.y0 + sh[1], gs.Ly,
+                                   gs.periodic[1] or gs.lpole[1],
+                                   gs.nghost, gs.grid_func[1],
+                                   gs.grid_coeff[1], np.float64)
+            x = x[gs.nghost:-gs.nghost]
+            y = y[gs.nghost:-gs.nghost]
+        else:
+            # per-shard slab inside shard_map: local coordinates are
+            # traced — fall back to jnp weights with mean-normalization
+            # (the per-shard diag path is not used for format-precision
+            # golden comparisons)
             if gs.coords == "cylindrical":
                 w = g.xg + 0.0 * (g.yg + g.zg)
             elif gs.coords == "spherical":
                 w = g.xg ** 2 * jnp.sin(g.yg) + 0.0 * g.zg
             else:
                 w = jnp.ones((1, 1, 1), g.z.dtype)
-            w = w * jnp.ones(gs.shape, w.dtype)
-            for axis, (n, per) in enumerate(zip(gs.shape, gs.periodic)):
-                if per or n == 1:
-                    continue
+            w = w * jnp.ones(nloc, w.dtype)
+            for axis, (n, per) in enumerate(zip(nloc, gs.periodic)):
+                if per or n == 1 or n != gs.shape[axis]:
+                    continue    # edge halving only when axis is unsharded
                 e = jnp.ones((n,), w.dtype).at[0].set(0.5).at[-1].set(0.5)
                 shape = [1, 1, 1]
                 shape[axis] = n
@@ -173,24 +187,40 @@ class Pencils:
         return self.fg[self.reg.slice(name)]
 
     @_memo
+    def _gh_only(self, name, axis):
+        """Field slab ghosted ONLY along ``axis``: the other ghost axes are
+        cropped BEFORE the stencil pass.  On a fused-kernel tile the ghosted
+        area is ~2× the interior (e.g. 14×70 vs 8×64 at TX=8/TY=64), so
+        post-cropping wastes that fraction of VPU work on every derivative;
+        pre-cropping makes each stencil pass minimal."""
+        return interior(self._gh(name), self._crop(_OTHER_AXES[axis]),
+                        g=self._g)
+
+    @_memo
     def d(self, name, axis):
         """∂(field)/∂x_axis, interior, shape (ncomp, nx, ny, nz)."""
-        out = st.der(self._gh(name), axis, None, wrap=self._wr(axis),
-                     g=self._g)
-        return interior(out, self._crop(_OTHER_AXES[axis]),
-                        g=self._g) * self._inv(axis)
+        out = st.der(self._gh_only(name, axis), axis, None,
+                     wrap=self._wr(axis), g=self._g)
+        return out * self._inv(axis)
 
     @_memo
     def d2(self, name, axis):
-        out = st.der2(self._gh(name), axis, None, wrap=self._wr(axis),
-                      g=self._g)
-        out = interior(out, self._crop(_OTHER_AXES[axis]),
-                       g=self._g) * self._inv(axis) ** 2
+        out = st.der2(self._gh_only(name, axis), axis, None,
+                      wrap=self._wr(axis), g=self._g)
+        out = out * self._inv(axis) ** 2
         if (self.cfg is not None
                 and self.cfg.grid.grid_func[axis] != "uniform"):
-            if self.cfg.grid.coords != "cartesian":
+            # non-uniform-grid correction f'' → f''·ξ'² + f'·ξ'' uses the
+            # COORDINATE first derivative.  For axes with h = 1 (any
+            # cartesian axis; r and z in cylindrical; r in spherical)
+            # pen.d IS the coordinate derivative, so the correction is
+            # exact.  An angular stretched axis would need d/h removed
+            # first — no reference sample does that.
+            coords = self.cfg.grid.coords
+            if ((coords == "cylindrical" and axis == 1)
+                    or (coords == "spherical" and axis != 0)):
                 raise NotImplementedError(
-                    "stretched grid + curvilinear coordinates")
+                    "stretched ANGULAR axis in curvilinear coordinates")
             tilde = (self.grid.dxt, self.grid.dyt, self.grid.dzt)[axis]
             out = out + tilde * self.d(name, axis)
         return out
@@ -199,16 +229,15 @@ class Pencils:
     def d6_raw(self, name, axis):
         """Plain 6th difference Σc_k f_{i+k} (no Δ scaling) — hyperdiffusion
         'mesh' flavor (reference hyper3-mesh) and upwinding building block."""
-        out = st.der6(self._gh(name), axis, None, wrap=self._wr(axis),
-                      g=self._g)
-        return interior(out, self._crop(_OTHER_AXES[axis]), g=self._g)
+        return st.der6(self._gh_only(name, axis), axis, None,
+                       wrap=self._wr(axis), g=self._g)
 
     @_memo
     def d5_raw(self, name, axis):
         """Plain 5th difference (no Δ scaling) — the uij5 building block
         of the reference 'hyper3-nu-const' viscosity (uij5glnrho)."""
-        out = st.der5(self._gh(name), axis, None)
-        return interior(out, self._crop(_OTHER_AXES[axis]), g=self._g)
+        out = st.der5(self._gh_only(name, axis), axis, None)
+        return out
 
     @_memo
     def _d_partial(self, name, axis):
@@ -231,10 +260,11 @@ class Pencils:
             # one-pass 12-point bidiagonal scheme — the reference default
             # (lbidiagonal_derij, deriv.f90:1376); pointwise metric factors
             # make it exact on stretched grids too (no x'' term in d²/didj)
-            out = st.derij_bidiag(self._gh(name), a, b, wrap2=self._wr(b))
-        else:
-            out = st._der_n(self._d_partial(name, a), b, None, 1, 6,
-                            wrap=self._wr(b), g=self._g)
+            gh = interior(self._gh(name), self._crop(rest), g=self._g)
+            out = st.derij_bidiag(gh, a, b, wrap2=self._wr(b))
+            return out * self._inv(a) * self._inv(b)
+        out = st._der_n(self._d_partial(name, a), b, None, 1, 6,
+                        wrap=self._wr(b), g=self._g)
         return interior(out, self._crop(rest),
                         g=self._g) * self._inv(a) * self._inv(b)
 
@@ -291,13 +321,14 @@ class Pencils:
             for j_ in range(3):
                 if j_ == i_:
                     continue
-                t = st._der_n(uu_g[j_][None], i_, None, 5, 2,
+                rest = tuple(set((0, 1, 2)) - {i_, j_})
+                src = interior(uu_g[j_][None], self._crop(rest),
+                               g=self._g)
+                t = st._der_n(src, i_, None, 5, 2,
                               wrap=self._wr(i_), g=self._g)
                 t = st._der_n(t, j_, None, 1, 6, wrap=self._wr(j_),
                               g=self._g)
-                rest = tuple(set((0, 1, 2)) - {i_, j_})
-                acc = acc + interior(t, self._crop(rest), g=self._g)[0] \
-                    * self._inv(i_) ** 5 * self._inv(j_)
+                acc = acc + t[0] * self._inv(i_) ** 5 * self._inv(j_)
             out.append(acc)
         return jnp.stack(out)
 
@@ -419,7 +450,9 @@ class Pencils:
         gh = self._gh(name)[comp:comp + 1]
         if self._g == 3 and (self.cfg is None
                              or self.cfg.grid.coords == "cartesian"):
-            out = st.derij_bidiag(gh, a, b, wrap2=self._wr(b))
+            gh_c = interior(gh, self._crop(rest), g=self._g)
+            out = st.derij_bidiag(gh_c, a, b, wrap2=self._wr(b))
+            return (out * self._inv(a) * self._inv(b))[0]
         else:
             key = ("_dp1", name, comp, a)
             if key not in self._cache:

