@@ -243,6 +243,15 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
     noise_for(by_name.get("entropy"), "ss", 1)
     noise_for(by_name.get("magnetic"), "aa", 3)
 
+    # solid_cells gaunoise consumes the stream before particle draws
+    # (start.f90 init cascade: init_solid_cells precedes particles_init);
+    # the module replays its own identical draw from seed0 for the field
+    sc_mod = by_name.get("solid_cells")
+    if (sc_mod is not None
+            and getattr(sc_mod, "initsolid_cells", "nothing") != "nothing"
+            and float(getattr(sc_mod, "ampl_noise", 0.0)) != 0.0):
+        gaunoise_vect(rng, 1.0, mx, my, mz, 3)
+
     part = by_name.get("particles")
     if part is not None and getattr(part, "init", "") == "random":
         import numpy as np
@@ -251,6 +260,23 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
         lo = np.asarray([grid.x0, grid.y0, grid.z0], np.float32)
         L = np.asarray([grid.Lx, grid.Ly, grid.Lz], np.float32)
         overrides["particles_xp"] = lo + draws * L
+    elif part is not None and getattr(part, "init", "") == "random-box":
+        # per-particle draws for the ACTIVE dims only, in k-loop order
+        # (particles_dust.f90:1328-1352)
+        import numpy as np
+        npar = part.npar
+        active = [grid.nx > 1, grid.ny > 1, grid.nz > 1]
+        b0 = [part.xp0, part.yp0, part.zp0_box]
+        bL = [part.Lx0, part.Ly0, part.Lz0]
+        pos = np.zeros((npar, 3), np.float32)
+        for k in range(npar):
+            for a in range(3):
+                if active[a]:
+                    pos[k, a] = b0[a] + rng.next() * bL[a]
+                else:
+                    pos[k, a] = (grid.z0 + 0.5 * grid.Lz if a == 2
+                                 else b0[a])
+        overrides["particles_xp"] = pos
 
     ic = by_name.get("initial_condition")
     if ic is not None and ic.plugin == "baroclinic_init":
@@ -863,6 +889,83 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 ampl2_k=tuple(float(a) for a in ak2),
             ))
 
+    # ---- solid_cells: immersed bodies (SOLID_CELLS=solid_cells) ---------
+    if "solid_cells" in mkf.get("SOLID_CELLS", "") \
+            and "nosolid_cells" not in mkf.get("SOLID_CELLS", ""):
+        sc_p = grp("solid_cells")
+        known.update({"solid_cells_init_pars", "solid_cells_run_pars"})
+        sc_p.update(_g(start, "solid_cells_init_pars"))
+        sc_p.update(_g(run, "solid_cells_run_pars"))
+        from ..physics.solid_cells import SolidCells
+        from ..physics.solid_cells import _as_tuple as _sc_tuple
+        ncyl = int(sc_p.get("ncylinders", 0))
+        modules.append(SolidCells(
+            ncylinders=ncyl,
+            cylinder_radius=_sc_tuple(sc_p.get("cylinder_radius", ())),
+            cylinder_xpos=_sc_tuple(sc_p.get("cylinder_xpos", (0.0,) * ncyl)),
+            cylinder_ypos=_sc_tuple(sc_p.get("cylinder_ypos", (0.0,) * ncyl)),
+            cylinder_zpos=_sc_tuple(sc_p.get("cylinder_zpos", (0.0,) * ncyl)),
+            cylinder_temp=_sc_tuple(sc_p.get("cylinder_temp",
+                                             (703.0,) * ncyl)),
+            initsolid_cells=str(sc_p.get("initsolid_cells", "nothing")),
+            init_uu=float(sc_p.get("init_uu", 0.0)),
+            skin_depth=float(sc_p.get("skin_depth", 0.0)),
+            ampl_noise=float(sc_p.get("ampl_noise", 0.0)),
+            interpolation_method=str(sc_p.get("interpolation_method",
+                                              "staircase")),
+            nforcepoints=int(sc_p.get("nforcepoints", 200)),
+            close_interpolation_method=int(
+                sc_p.get("close_interpolation_method", 1)),
+            lclose_interpolation=bool(sc_p.get("lclose_interpolation",
+                                               False)),
+            lclose_linear=bool(sc_p.get("lclose_linear", False)),
+            limit_close_linear=float(sc_p.get("limit_close_linear", 0.5)),
+            seed0=int(init_pars.get("seed0", 1812)),
+            rng_kind=str(run_pars.get("random_gen",
+                                      init_pars.get("random_gen",
+                                                    "min_std"))),
+        ))
+
+    # ---- NSCBC outside the chemistry build (NSCBC=NSCBC, e.g. the
+    # solid-cells cylinder samples: y-axis part_ref_inlet/outlet) --------
+    if "NSCBC" in mkf.get("NSCBC", "") \
+            and not any(m.name == "nscbc" for m in modules):
+        nsc_p = grp("nscbc")
+        known.update({"NSCBC_init_pars", "NSCBC_run_pars"})
+        nsc_p.update(_g(start, "NSCBC_init_pars"))
+        nsc_p.update(_g(run, "NSCBC_run_pars"))
+        if nsc_p.get("nscbc_bc"):
+            from ..physics.nscbc import NSCBC
+            bcspec = nsc_p["nscbc_bc"]
+            bcspec = bcspec if isinstance(bcspec, list) else [bcspec]
+            while len(bcspec) < 3:
+                bcspec.append("")
+            sides = []
+            for a in range(3):
+                lo, _, hi = str(bcspec[a] or "").partition(":")
+                sides.append((lo, hi))
+            # u_t per axis from fbc<axis>(normal velocity component)
+            # (NSCBC.f90:287-296; component order ux,uy,uz,...)
+            uts = []
+            for a, ax in enumerate("xyz"):
+                lo_arr = init_pars.get(f"fbc{ax}",
+                                       init_pars.get(f"fbc{ax}1"))
+                hi_arr = init_pars.get(f"fbc{ax}2")
+                def _val(arr):
+                    if isinstance(arr, list) and len(arr) > a:
+                        return float(arr[a])
+                    return 0.0
+                uts.append((_val(lo_arr), _val(hi_arr)))
+            modules.append(NSCBC(
+                nscbc_bc_x=sides[0],
+                nscbc_bc_y=sides[1],
+                nscbc_sigma_out=float(nsc_p.get("nscbc_sigma_out", 1.0)),
+                nscbc_sigma_in=float(nsc_p.get("nscbc_sigma_in", 1.0)),
+                p_infty=float(nsc_p.get("p_infty", 1.013e6)),
+                u_t_x=uts[0],
+                u_t_y=uts[1],
+            ))
+
     mag_p = grp("magnetic")
     id_p = grp("implicit_diff")   # &implicit_diffusion_run_pars
     known.add("implicit_diffusion_run_pars")
@@ -1015,12 +1118,29 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ))
 
     par_p = grp("particles")
-    known.update({"particles_stalker_init_pars", "particles_stalker_run_pars"})
+    known.update({"particles_stalker_init_pars", "particles_stalker_run_pars",
+                  "particles_radius_init_pars", "particles_radius_run_pars"})
+    prad_p = grp("particles_radius")
+    prad_p.update(_g(start, "particles_radius_init_pars"))
+    prad_p.update(_g(run, "particles_radius_run_pars"))
     if par_p:
         from ..particles import ParticlesDust
         scheme = "tsc" if par_p.get("lparticlemesh_tsc") else (
-            "cic" if par_p.get("lparticlemesh_cic") else "tsc")
+            "cic" if par_p.get("lparticlemesh_cic")
+            or str(par_p.get("interp_pol_uu", "")) == "cic" else "tsc")
+        sc_mod = next((m for m in modules if m.name == "solid_cells"), None)
+        solid_cyl = ()
+        if sc_mod is not None and sc_mod.ncylinders:
+            solid_cyl = (sc_mod.cylinder_xpos[0], sc_mod.cylinder_ypos[0],
+                         sc_mod.cylinder_radius[0])
         modules.append(ParticlesDust(
+            draglaw=("steadystate"
+                     if par_p.get("ldraglaw_steadystate") else "epstein"),
+            ap0=float(prad_p.get("ap0", 0.0)),
+            rhopmat=float(prad_p.get("rhopmat", 0.0)),
+            mean_free_path_gas=float(par_p.get("mean_free_path_gas", 0.0)),
+            bcpy=str(_first(par_p.get("bcpy", "p"))),
+            solid_cyl=solid_cyl,
             npar=int(cpar.get("npar", 1024)),
             tausp=float(par_p.get("tausp", 0.0)),
             eps_dtog=float(par_p.get("eps_dtog", 0.0)),

@@ -192,6 +192,52 @@ def _ppm(pen, st):
     return _vmean(pen, pen.rho() * pen.cs2() / pen.eos.gamma)
 
 
+def _c_drag(pen, comp):
+    """Drag/lift coefficient on solid-cells object 1 (dsolid_dt,
+    solid_cells.f90:687-871 + dsolid_dt_integrate :873-965): pressure +
+    viscous stress sampled at the nearest outside grid point of each
+    surface force point, normalized by 2/(ρ̄_fluid·init_uu²)·1/(2r_obj)."""
+    sc = pen.cfg.module("solid_cells")
+    if sc is None:
+        return jnp.zeros(())
+    geom = sc._geometry(pen.cfg)
+    rho = pen.rho()
+    nx, ny, nz = rho.shape
+    pp = rho * pen.cs2() / pen.eos.gamma
+    visc = pen.cfg.module("viscosity")
+    nu = float(getattr(visc, "nu", 0.0)) if visc is not None else 0.0
+    sij = pen.sij()                                  # (3, 3, nx, ny, nz)
+    fp = geom["fp_idx"]                              # (nfp,) flat xy
+    nvec = geom["fp_nvec"]                           # (nfp, 2)
+    ppf = pp.reshape(nx * ny, nz)[fp]                # (nfp, nz)
+    rhof = rho.reshape(nx * ny, nz)[fp]
+    stress = sum((2.0 * nu) * rhof
+                 * sij[comp, d].reshape(nx * ny, nz)[fp] * nvec[:, d:d + 1]
+                 for d in range(2))
+    nv_c = nvec[:, comp:comp + 1] if comp < 2 else 0.0
+    force = (-ppf * nv_c + stress) * geom["surfel"]
+    total = jnp.sum(force) * geom["drag_norm"]
+    fluid = ~geom["solid"]
+    refrho0 = (jnp.sum(jnp.mean(rho, axis=2)
+                       * fluid) / jnp.sum(fluid))
+    return total * 2.0 / (refrho0 * sc.init_uu ** 2)
+
+
+@diag("c_dragx")
+def _c_dragx(pen, st):
+    return _c_drag(pen, 0)
+
+
+@diag("c_dragy")
+def _c_dragy(pen, st):
+    return _c_drag(pen, 1)
+
+
+@diag("c_dragz")
+def _c_dragz(pen, st):
+    return _c_drag(pen, 2)
+
+
 @diag("uxuym")
 def _uxuym(pen, st):
     return _vmean(pen, pen.uu()[0] * pen.uu()[1])
@@ -1208,19 +1254,29 @@ def _vpzmin(pen, st):
     return jnp.min(st["particles"]["vp"][:, 2])
 
 
+def _vp_masked(st, comp):
+    """Signed max over ACTIVE particles (removed particles are masked;
+    the reference compacts npar_loc instead)."""
+    vp = st["particles"]["vp"][:, comp]
+    act = st["particles"].get("active")
+    if act is not None:
+        vp = jnp.where(act > 0.5, vp, -jnp.inf)
+    return jnp.max(vp)
+
+
 @diag("vpxmax")
 def _vpxmax(pen, st):
-    return jnp.max(st["particles"]["vp"][:, 0])
+    return _vp_masked(st, 0)
 
 
 @diag("vpymax")
 def _vpymax(pen, st):
-    return jnp.max(st["particles"]["vp"][:, 1])
+    return _vp_masked(st, 1)
 
 
 @diag("vpzmax")
 def _vpzmax(pen, st):
-    return jnp.max(st["particles"]["vp"][:, 2])
+    return _vp_masked(st, 2)
 
 
 def _rhop(pen, st):

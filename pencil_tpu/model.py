@@ -219,6 +219,23 @@ class Model:
             # init_interstellar runs after init_uu/lnrho/ss)
             if hasattr(m, "post_init"):
                 state["fields"] = m.post_init(state["fields"], self)
+        if (self.particles is not None
+                and getattr(self.particles, "vinit", "")
+                in ("follow-gas", "gas")
+                and "uu" in self.reg.slots):
+            # initvvp='follow-gas': v_p = linear gas-velocity interpolation
+            # at the (possibly replay-overridden) particle positions
+            # (particles_dust.f90:1958-1965)
+            from .parallel.halo import fill_ghosts
+            from .particles.interp import interpolate
+            fa0 = self.reg.stack(state["fields"])
+            fg0 = fill_ghosts(fa0[: self.reg.ncom], self.cfg.grid,
+                              self.bc_axes, self.reg, self.grid, self.cfg,
+                              self.eos)
+            ug0 = interpolate(fg0[self.reg.slice("uu")],
+                              state["particles"]["xp"], self.cfg.grid,
+                              "cic").T
+            state["particles"]["vp"] = ug0.astype(self.dtype)
         if any(not self.cfg.grid.periodic[a] for a in range(3)):
             # value-setting BCs pin the boundary planes from the start
             # (reference: boundconds run before the it=0 diagnostics), so
@@ -581,6 +598,14 @@ class Model:
                 # deferred-update kernel — keep f0 and df1 as-is
                 continue
             fa = fa.at[:nvar].add(beta[isub] * dt * df)
+            for m in self.modules:
+                # per-substep interior surgery after the RK update — e.g.
+                # solid_cells mirror ghost zones (the reference applies
+                # update_solid_cells at the START of the next pde call,
+                # equ.f90:241; with df frozen inside the body the two
+                # orderings are identical)
+                if hasattr(m, "update_f"):
+                    fa = m.update_f(fa, grid, self)
             if safi:
                 # exact shear-advection shift of f (and the 2N-RK df
                 # carry on non-final substeps) — reference advance_shear

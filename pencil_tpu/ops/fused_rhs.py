@@ -105,6 +105,12 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         """Shared RHS evaluation on the DMA'd tile; returns (dfa, dt1max)."""
         tile = tile_fn()
         dt = tile.dtype
+        if os.environ.get("PC_FAKE_RHS"):
+            # perf instrumentation: skip the physics, keep the full memory
+            # pipeline (DMA in, block out) to measure the memory-bound floor
+            dfa = tile[:nvar, g:-g, g:-g, :] if not z_ghosted \
+                else tile[:nvar, g:-g, g:-g, g:-g]
+            return tile, dfa * 1.0000001, jnp.zeros((), dt)
         # broadcasted_iota: Mosaic rejects 1-D→3-D vector reshapes
         xi = (i * TX
               + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
@@ -146,11 +152,15 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         dt1 = cfl_dt1(ts, tgrid, cfg.time)
         return tile, dfa, jnp.max(dt1)
 
+    # DMA pipeline depth (slots of tile scratch): 2 = classic double
+    # buffering; 3 hides more of the HBM latency of the many-piece fetches
+    NSLOT = int(os.environ.get("PC_DMA_SLOTS", 0)) or 2
+
     def _dma_tile(fg_ref, scratch, sem, i, j):
-        """Double-buffered tile fetch: grid iterations run sequentially on
+        """Multi-buffered tile fetch: grid iterations run sequentially on
         the core and scratch persists across them, so each iteration waits
-        on the DMA its predecessor launched and prefetches the next tile
-        (Pallas double-buffering pattern)."""
+        on the DMA a predecessor launched and prefetches NSLOT-1 tiles
+        ahead (Pallas double-buffering pattern, generalized)."""
         it = i * gy + j
 
         def dma_for(step_idx, slot):
@@ -163,16 +173,17 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
                 sem.at[slot],
             )
 
-        slot = jax.lax.rem(it, 2)
-        nslot = jax.lax.rem(it + 1, 2)
+        slot = jax.lax.rem(it, NSLOT)
 
         @pl.when(it == 0)
         def _():
-            dma_for(it, slot).start()
+            for ahead in range(min(NSLOT - 1, gx * gy)):
+                dma_for(it + ahead, jax.lax.rem(it + ahead, NSLOT)).start()
 
-        @pl.when(it + 1 < gx * gy)
+        @pl.when(it + NSLOT - 1 < gx * gy)
         def _():
-            dma_for(it + 1, nslot).start()
+            dma_for(it + NSLOT - 1,
+                    jax.lax.rem(it + NSLOT - 1, NSLOT)).start()
 
         dma_for(it, slot).wait()
         # z is periodic and spans the full extent per tile: stencils along
@@ -223,17 +234,18 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
                     k += 1
             return out
 
-        slot = jax.lax.rem(it, 2)
-        nslot = jax.lax.rem(it + 1, 2)
+        slot = jax.lax.rem(it, NSLOT)
 
         @pl.when(it == 0)
         def _():
-            for c in dmas(it, slot):
-                c.start()
+            for ahead in range(min(NSLOT - 1, gx * gy)):
+                for c in dmas(it + ahead, jax.lax.rem(it + ahead, NSLOT)):
+                    c.start()
 
-        @pl.when(it + 1 < gx * gy)
+        @pl.when(it + NSLOT - 1 < gx * gy)
         def _():
-            for c in dmas(it + 1, nslot):
+            for c in dmas(it + NSLOT - 1,
+                          jax.lax.rem(it + NSLOT - 1, NSLOT)):
                 c.start()
 
         for c in dmas(it, slot):
@@ -403,7 +415,8 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
         raise NotImplementedError("wrap_ghosts and z_ghosted are exclusive")
 
     dtype = jnp.dtype(cfg.dtype)
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    vmem_mb = int(os.environ.get("PC_VMEM_MB", 0)) or 100
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
     blk = pl.BlockSpec((nvar, TX, TY, nz), lambda i, j: (0, i, j, 0),
                        memory_space=pltpu.VMEM)
     if wrap_ghosts:
@@ -411,14 +424,14 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             raise NotImplementedError("wrap_ghosts needs periodic x and y")
         fetch = _dma_tile_wrap
         scratch_shapes = [
-            pltpu.VMEM((2, nc, TX + 2 * g, YW, nz), dtype),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.VMEM((NSLOT, nc, TX + 2 * g, YW, nz), dtype),
+            pltpu.SemaphoreType.DMA((NSLOT, 9)),
         ]
     else:
         fetch = _dma_tile
         scratch_shapes = [
-            pltpu.VMEM((2, nc, TX + 2 * g, YS, nz), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSLOT, nc, TX + 2 * g, YS, nz), dtype),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
         ]
 
     # z-halo windowed blocks: (gx, gy, nc, TX+2g, 8, YS), z in sublane
@@ -484,13 +497,13 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             # an aliased write would have clobbered)
             aliases = {} if defer_prev else {2: 0}
         tail_scratch = [
-            pltpu.VMEM((2, nc, TX + 2 * g, YW, nz), dtype),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.VMEM((NSLOT, nc, TX + 2 * g, YW, nz), dtype),
+            pltpu.SemaphoreType.DMA((NSLOT, 9)),
         ]
         if defer_prev:
             tail_scratch += [
-                pltpu.VMEM((2, nvar, TX + 2 * g, YW, nz), dtype),
-                pltpu.SemaphoreType.DMA((2, 9)),
+                pltpu.VMEM((NSLOT, nvar, TX + 2 * g, YW, nz), dtype),
+                pltpu.SemaphoreType.DMA((NSLOT, 9)),
             ]
         call = pl.pallas_call(
             kernel_tail,

@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import ClassVar
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,21 @@ class ParticlesDust(ModuleBase):
     beta_glnrho_global: tuple = (0.0, 0.0, 0.0)
     Omega: float = 0.0
     cs0: float = 1.0
+    # particles_radius (src/particles_radius.f90 initap='constant') +
+    # steady-state drag law (calc_draglaw_steadystate,
+    # particles_dust.f90:6364-6432: 1/τ = 18·C_D·ν/((ρ_mat/ρ_g)·Cu·d²)
+    # with Schiller-Naumann C_D(Re_p) and Stokes-Cunningham slip Cu)
+    ap0: float = 0.0
+    rhopmat: float = 0.0
+    mean_free_path_gas: float = 0.0
+    draglaw: str = "epstein"      # 'epstein' (τ = tausp) | 'steadystate'
+    lstocunn1: bool = False
+    # bcpy='rmv': particles crossing a non-periodic y boundary are removed
+    # (particles_boundcond, particles_sub.f90); solid_cyl = (x0, y0, r)
+    # removes particles entering an immersed cylinder (in_solid_cell,
+    # solid_cells.f90:2388 — the 'deposition' in cylinder_deposition)
+    bcpy: str = "p"
+    solid_cyl: tuple = ()
 
     # -- state ----------------------------------------------------------
     def init_particles(self, grid, spec, key, dtype):
@@ -123,6 +140,13 @@ class ParticlesDust(ModuleBase):
         else:
             raise NotImplementedError(self.init)
         vp = jnp.zeros((self.npar, 3), dtype)
+        if self.bcpy == "rmv" or self.solid_cyl:
+            # removable particles carry an explicit active mask (the
+            # reference compacts npar_loc instead; a mask keeps shapes
+            # static for jit)
+            self_active = jnp.ones((self.npar,), dtype)
+        else:
+            self_active = None
         if self.vinit == "random":
             # vp += delta_vp0·(2U−1) (particles_dust.f90 initvvp 'random')
             vp = vp + self.delta_vp0 * (
@@ -140,7 +164,10 @@ class ParticlesDust(ModuleBase):
             bx = self.beta_glnrho_global[0]
             vp = vp.at[:, 0].add(bx * ot / den * self.cs0)
             vp = vp.at[:, 1].add(bx * (1.0 + eps) / (2.0 * den) * self.cs0)
-        return {"xp": xp, "vp": vp}
+        out = {"xp": xp, "vp": vp}
+        if self_active is not None:
+            out["active"] = self_active
+        return out
 
     # -- dynamics -------------------------------------------------------
     def rhs_particles(self, pstate, pen, spec, df, ts,
@@ -184,11 +211,42 @@ class ParticlesDust(ModuleBase):
                     ug = jax.lax.psum(ug, n)
         else:
             ug = jnp.zeros_like(vp)
-        tausp1 = 1.0 / self.tausp if self.tausp > 0.0 else 0.0
-        dvp = -(vp - ug) * tausp1
+        if self.draglaw == "steadystate":
+            # per-particle 1/τ (calc_draglaw_steadystate :6364): Re_p =
+            # 2a_p|u−v|/ν, Schiller-Naumann C_D, Stokes-Cunningham slip
+            visc = pen.cfg.module("viscosity") if pen.cfg else None
+            nu = float(visc.nu) if visc is not None else 0.0
+            rname = "rho" if "rho" in pen.reg.slots else "lnrho"
+            rg = interpolate(pen.fg[pen.reg.slice(rname)], xp, spec,
+                             "cic", origin=origin, mask=mask)[0]
+            if sharded:
+                for n in names:
+                    rg = jax.lax.psum(rg, n)
+            if rname == "lnrho":
+                rg = jnp.exp(rg)
+            dia = 2.0 * self.ap0
+            rep = dia * jnp.sqrt(jnp.sum((ug - vp) ** 2, axis=1)) / nu
+            cdrag = jnp.where(
+                rep < 1.0, 1.0,
+                jnp.where(rep > 1000.0, 0.44 * rep / 24.0,
+                          1.0 + 0.15 * rep ** 0.687))
+            lam = self.mean_free_path_gas
+            stocunn = 1.0 if (self.lstocunn1 or lam == 0.0) else \
+                1.0 + 2.0 * lam / dia * (1.257
+                                         + 0.4 * math.exp(-0.55 * dia / lam))
+            tausp1 = (18.0 * cdrag * nu
+                      / ((self.rhopmat / rg) * stocunn * dia ** 2))
+        else:
+            tausp1 = 1.0 / self.tausp if self.tausp > 0.0 else 0.0
+        act = pstate.get("active")
+        t1 = tausp1[:, None] if getattr(tausp1, "ndim", 0) == 1 else tausp1
+        dvp = -(vp - ug) * t1
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz)
         dxp = vp
+        if act is not None:
+            dvp = dvp * act[:, None]
+            dxp = dxp * act[:, None]
         shear = pen.cfg.module("shear") if pen.cfg is not None else None
         if shear is not None:
             # background-shear advection of particle positions:
@@ -202,7 +260,9 @@ class ParticlesDust(ModuleBase):
             mp = self.eps_dtog * jnp.exp(pen.eos.lnrho0 if pen.eos else 0.0) \
                 * spec.Lx * spec.Ly * spec.Lz / self.npar
             dV = spec.dx * spec.dy * spec.dz
-            mom = ((vp - ug) * tausp1 * (mp / dV)).T  # (3, npar) force dens.
+            mom = ((vp - ug) * t1 * (mp / dV)).T     # (3, npar) force dens.
+            if act is not None:
+                mom = mom * act[None]
             fdrag = deposit(mom, xp, spec, nloc, self.scheme,
                             dtype=vp.dtype, origin=origin, mask=mask,
                             mesh_axis_names=mesh_axis_names,
@@ -210,15 +270,39 @@ class ParticlesDust(ModuleBase):
             accumulate(df, "uu", fdrag * pen.rho1())
         # drag CFL: dt1_drag = max(1/τ_s)/cdtp_drag joins dt1_max by max
         # (reference particles_dust.f90:4839-4908, cdtp_drag=0.2)
-        if tausp1 > 0.0:
+        if getattr(tausp1, "ndim", 0) == 1:
+            tmax = jnp.max(tausp1 * act) if act is not None \
+                else jnp.max(tausp1)
+            ts.max_rate(tmax / 0.2)
+        elif tausp1 > 0.0:
             ts.max_rate(tausp1 / 0.2)
-        return {"xp": dxp, "vp": dvp}
+        out = {"xp": dxp, "vp": dvp}
+        if act is not None:
+            out["active"] = jnp.zeros_like(act)
+        return out
 
     def wrap_positions(self, pstate, spec):
         lo = jnp.asarray([spec.x0, spec.y0, spec.z0], pstate["xp"].dtype)
         L = jnp.asarray([spec.Lx, spec.Ly, spec.Lz], pstate["xp"].dtype)
-        xp = lo + jnp.mod(pstate["xp"] - lo, L)
-        return {**pstate, "xp": xp}
+        per = jnp.asarray([1.0 if p else 0.0 for p in spec.periodic],
+                          pstate["xp"].dtype)
+        wrapped = lo + jnp.mod(pstate["xp"] - lo, L)
+        xp = jnp.where(per > 0.5, wrapped, pstate["xp"])
+        out = {**pstate, "xp": xp}
+        act = pstate.get("active")
+        if act is not None:
+            # bcpy='rmv': deactivate on leaving a non-periodic y boundary;
+            # solid deposition: deactivate inside the cylinder
+            # (in_solid_cell, solid_cells.f90:2388)
+            if self.bcpy == "rmv" and not spec.periodic[1]:
+                act = jnp.where((xp[:, 1] < spec.y0)
+                                | (xp[:, 1] > spec.y0 + spec.Ly), 0.0, act)
+            if self.solid_cyl:
+                x0_, y0_, r_ = self.solid_cyl
+                r2 = (xp[:, 0] - x0_) ** 2 + (xp[:, 1] - y0_) ** 2
+                act = jnp.where(r2 < (r_ + self.ap0) ** 2, 0.0, act)
+            out["active"] = act
+        return out
 
     def rhop(self, pstate, pen, spec, shear_dy=None):
         """Particle mass density on the grid (reference rhop aux).

@@ -30,17 +30,19 @@ from .base import ModuleBase
 from .chemistry_chemkin import RGAS
 
 
-def _onesided_x(arr, side):
-    """4th-order one-sided ∂/∂x at the x-boundary plane of an interior
-    (nx, ny, nz) array (deriv.f90:5236-5242), WITHOUT the 1/dx factor."""
-    if side == 0:
-        c = arr[0:5]
-        sgn = 1.0
-    else:
-        c = arr[-1:-6:-1]
-        sgn = -1.0
+def _onesided(arr, side, axis=0):
+    """4th-order one-sided derivative at a boundary plane of an interior
+    (nx, ny, nz) array (deriv.f90:5236-5242 der_onesided_4_slice), WITHOUT
+    the 1/dx factor."""
+    idx = (0, 1, 2, 3, 4) if side == 0 else (-1, -2, -3, -4, -5)
+    c = [jnp.take(arr, i, axis=axis) for i in idx]
+    sgn = 1.0 if side == 0 else -1.0
     return sgn / 12.0 * (-25.0 * c[0] + 48.0 * c[1] - 36.0 * c[2]
                          + 16.0 * c[3] - 3.0 * c[4])
+
+
+def _onesided_x(arr, side):
+    return _onesided(arr, side, axis=0)
 
 
 @dataclass(frozen=True)
@@ -48,11 +50,129 @@ class NSCBC(ModuleBase):
     name: ClassVar[str] = "nscbc"
 
     nscbc_bc_x: Tuple[str, str] = ("", "")    # (bottom, top)
+    nscbc_bc_y: Tuple[str, str] = ("", "")
     nscbc_sigma_out: float = 1.0
+    nscbc_sigma_in: float = 1.0
+    transversal_damping: float = 0.2
     p_infty: float = 1.013e6
+    # target inlet normal velocity per axis (from fbcx/fbcy of the normal
+    # velocity component, NSCBC.f90:287-296)
+    u_t_x: Tuple[float, float] = (0.0, 0.0)
+    u_t_y: Tuple[float, float] = (0.0, 0.0)
+
+    def _part_ref(self, pen, df, axis, side, inlet, u_t):
+        """LODI partially-reflecting inlet/outlet on any axis
+        (bc_nscbc_prf, NSCBC.f90:361-822): the full df row of the boundary
+        plane is replaced by characteristic amplitudes L₁..L₅ plus the
+        Lodato transversal terms T₁..T₅ (:1750-1763).  Isothermal/noentropy
+        form (γ treated as 1, P = ρc², get_thermodynamics :1463,1521)."""
+        cfg = pen.cfg
+        gs = cfg.grid
+        if "lnTT" in pen.reg.slots or "TT" in pen.reg.slots \
+                or "ss" in pen.reg.slots:
+            raise NotImplementedError("part_ref_* with a temperature "
+                                      "equation is not ported")
+        a = axis
+        t1, t2 = {0: (1, 2), 1: (0, 2), 2: (0, 1)}[a]
+        sl = 0 if side == 0 else -1
+        sgn = 1.0 if side == 0 else -1.0
+        L_a = (gs.Lx, gs.Ly, gs.Lz)[a]
+        d_1 = (gs.shape[a] - 1) / L_a
+
+        def take(arr):
+            return jnp.take(arr, sl, axis=a)
+
+        rho = pen.rho()
+        uu = pen.uu()
+        rho0 = take(rho)
+        cs2 = take(pen.cs2() + 0.0 * rho)
+        cs = jnp.sqrt(cs2)
+        u_n = take(uu[a])
+        u_1 = take(uu[t1])
+        u_2 = take(uu[t2])
+        P0 = rho0 * cs2
+        # one-sided 4th normal derivatives (interior values only)
+        dun_dn = _onesided(uu[a], side, axis=a) * d_1
+        du1_dn = _onesided(uu[t1], side, axis=a) * d_1
+        du2_dn = _onesided(uu[t2], side, axis=a) * d_1
+        drho_dn = _onesided(rho, side, axis=a) * d_1
+        dP_dn = cs2 * drho_dn
+        # transverse centered derivatives on the plane (ghost-filled, the
+        # reference's der_pencil calls in derivate_boundary :1602-1616)
+        uij = pen.uij()
+        dun_d1 = take(uij[a, t1])
+        dun_d2 = take(uij[a, t2])
+        du1_d1 = take(uij[t1, t1])
+        du1_d2 = take(uij[t1, t2])
+        du2_d1 = take(uij[t2, t1])
+        du2_d2 = take(uij[t2, t2])
+        if "rho" in pen.reg.slots:
+            grho = pen.grad("rho")
+        else:
+            grho = pen.glnrho() * rho[None]
+        dP_d1 = cs2 * take(grho[t1])
+        dP_d2 = cs2 * take(grho[t2])
+        T1 = (rho0 * du1_d1 + u_1 * take(grho[t1])
+              + rho0 * du2_d2 + u_2 * take(grho[t2]))
+        T2 = u_1 * dun_d1 + u_2 * dun_d2
+        T3 = u_1 * du1_d1 + u_2 * du1_d2 + dP_d1 / rho0
+        T4 = u_1 * du2_d1 + u_2 * du2_d2 + dP_d2 / rho0
+        T5 = u_1 * dP_d1 + u_2 * dP_d2 + rho0 * cs2 * (du1_d1 + du2_d2)
+        Mach = jnp.mean(u_n / cs)
+        prefac1 = -1.0 / (2.0 * cs2)
+        prefac2 = -1.0 / (2.0 * rho0 * cs)
+        if inlet:
+            # part_ref_inlet: non-reflecting with σ_in relaxation
+            # (:582-632; u_in = (u_t, 0, 0), find_velocity_at_inlet)
+            L1 = (u_n - sgn * cs) * (dP_dn - sgn * rho0 * cs * dun_dn)
+            L3 = self.nscbc_sigma_in * u_1 * cs / L_a - T3
+            L4 = self.nscbc_sigma_in * u_2 * cs / L_a - T4
+            L5 = (self.nscbc_sigma_in * cs2 * rho0 * sgn * (u_n - u_t)
+                  * (1.0 - Mach ** 2) / L_a
+                  - (T5 + sgn * rho0 * cs * T2))
+        else:
+            # part_ref_outlet (:664-686)
+            KK = (self.nscbc_sigma_out * (1.0 - Mach ** 2) * jnp.mean(cs)
+                  / L_a)
+            L1 = (KK * (P0 - self.p_infty)
+                  - (T5 - sgn * rho0 * cs * T2)
+                  * (1.0 - self.transversal_damping))
+            L3 = u_n * du1_dn
+            L4 = u_n * du2_dn
+            L5 = (u_n - sgn * cs) * (dP_dn - sgn * rho0 * cs * dun_dn)
+        # L2 = 0 without a temperature equation (:610,673)
+        if (side == 0) == inlet:
+            dfn = prefac2 * (L5 - L1) - T2
+        else:
+            dfn = prefac2 * (L1 - L5) + T2
+        dfrho = prefac1 * (L1 + L5) - T1
+        df1 = -L3 - T3
+        df2 = -L4 - T4
+        rname = "rho" if "rho" in pen.reg.slots else "lnrho"
+        if rname == "lnrho":
+            dfrho = dfrho / rho0
+        idx = [slice(None)] * 3
+        idx[a] = sl
+        idx = tuple(idx)
+        df[rname] = df[rname].at[idx].set(dfrho)
+        df["uu"] = df["uu"].at[(a,) + idx].set(dfn)
+        df["uu"] = df["uu"].at[(t1,) + idx].set(df1)
+        df["uu"] = df["uu"].at[(t2,) + idx].set(df2)
 
     def adjust_df(self, pen, df, ts):
         cfg = pen.cfg
+        for axis, cases, uts in ((0, self.nscbc_bc_x, self.u_t_x),
+                                 (1, self.nscbc_bc_y, self.u_t_y)):
+            if cfg.grid.periodic[axis]:
+                continue
+            for side, case in enumerate(cases):
+                if case == "part_ref_inlet":
+                    self._part_ref(pen, df, axis, side, True, uts[side])
+                elif case == "part_ref_outlet":
+                    self._part_ref(pen, df, axis, side, False, uts[side])
+                elif case and axis != 0:
+                    raise NotImplementedError(
+                        f"NSCBC case {case!r} on axis {axis}")
         if cfg.grid.periodic[0]:
             return
         dx1 = cfg.grid.nx - 1
@@ -70,7 +190,7 @@ class NSCBC(ModuleBase):
             gamma = jnp.full_like(rho, pen.eos.gamma)
         pp = cs2 * rho / gamma
         for side, case in enumerate(self.nscbc_bc_x):
-            if not case:
+            if not case or case.startswith("part_ref"):
                 continue
             sl = 0 if side == 0 else -1
             c2 = cs2[sl]

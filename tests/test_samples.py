@@ -1913,3 +1913,57 @@ def test_interstellar_sn_golden(tmp_path):
     assert 0.5 * ref["dt"][0] < ours["dt"][0] < 2.0 * ref["dt"][0]
     # blast-driven velocity growth is linear in both; same order
     assert ours["umax"][1] > 0.5 and ours["urms"][1] > 0.03
+
+
+@needs_ref
+def test_cylinder_deposition_golden(tmp_path):
+    """samples/2d-tests/cylinder_deposition: flow past an immersed solid
+    cylinder (solid_cells.f90 'mirror' ghost points w/ quad-radial close
+    interpolation), y-axis NSCBC part_ref_inlet/outlet (NSCBC.f90
+    bc_nscbc_prf LODI), steady-state-drag particles with radius + removal
+    at the outlet and on deposition (in_solid_cell).
+
+    The gas columns reproduce the committed reference.out at format
+    precision at it=0 (min_std RNG-parity gaunoise; in-body velocity
+    zeroed — see solid_cells.py init_fields).  The particle columns agree
+    at physics level only: the reference's position draws sit at a
+    different (unidentified) offset of the shared ran0 stream, so the
+    20-particle max statistics differ by a few %."""
+    from pencil_tpu.compat.rundir import load_rundir
+    cfg, info = load_rundir(f"{REF}/2d-tests/cylinder_deposition")
+    sc = cfg.module("solid_cells")
+    assert sc.interpolation_method == "mirror"
+    assert cfg.module("nscbc").nscbc_bc_y == ("part_ref_inlet",
+                                              "part_ref_outlet")
+    model = Model(cfg)
+    cols = ("it", "t", "dt", "urms", "umax", "rhom", "ozm", "oz2m",
+            "vpxmax", "vpymax", "vpzmax", "c_dragx", "c_dragy")
+    run = Run(model, datadir=tmp_path,
+              params=RunParams(nt=40, it1=10, print_columns=cols),
+              quiet=True)
+    run.main_loop(model.init_state(0, overrides=info["init_overrides"]))
+    ours = _read_ref(tmp_path / "time_series.dat")
+    ref = _read_ref(f"{REF}/2d-tests/cylinder_deposition/reference.out")
+    # it=0: format precision on the gas state (row 0 prints dt0; the
+    # first computed dt is row 1)
+    np.testing.assert_allclose(ours["dt"][1], ref["dt"][0], rtol=1e-3)
+    # align on the it1-cadence rows (our series includes an extra it=1 row)
+    sel = np.asarray(ours["it"]) % 10 == 0
+    ours = {k: np.asarray(v)[sel] for k, v in ours.items()}
+    for c, tol in (("urms", 1e-3), ("umax", 1e-3), ("rhom", 1e-5),
+                   ("ozm", 2e-3), ("oz2m", 2e-3), ("c_dragy", 2e-3)):
+        np.testing.assert_allclose(ours[c][0], ref[c][0], rtol=tol,
+                                   err_msg=c)
+    np.testing.assert_allclose(ours["c_dragx"][0], ref["c_dragx"][0],
+                               rtol=5e-3, atol=1e-4)
+    # particle maxima: position-draw offset differs — amplitude level
+    for c, tol in (("vpxmax", 0.25), ("vpymax", 0.01), ("vpzmax", 0.15)):
+        np.testing.assert_allclose(ours[c][0], ref[c][0], rtol=tol,
+                                   err_msg=c)
+    # trajectory: vortex-shedding spin-up tracks the reference
+    n = min(len(ours["urms"]), len(ref["urms"]))
+    np.testing.assert_allclose(ours["urms"][:n], ref["urms"][:n], rtol=5e-3)
+    np.testing.assert_allclose(ours["dt"][1:n], ref["dt"][1:n], rtol=0.02)
+    np.testing.assert_allclose(ours["oz2m"][:n], ref["oz2m"][:n], rtol=0.02)
+    np.testing.assert_allclose(ours["c_dragy"][1:n], ref["c_dragy"][1:n],
+                               rtol=0.08)
