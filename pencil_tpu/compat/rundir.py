@@ -47,6 +47,10 @@ def parse_cparam_local(path) -> Dict[str, int]:
         return out
     with open(path) as f:
         for line in f:
+            # magic header comments (mkcparam contract): dust bin count
+            m_nd = re.match(r"\s*!\s*NDUSTSPEC CONTRIBUTION\s+(\d+)", line)
+            if m_nd:
+                out["ndustspec"] = int(m_nd.group(1))
             line = line.split("!")[0]
             if "::" in line:
                 line = line.split("::", 1)[1]
@@ -62,6 +66,21 @@ def parse_cparam_local(path) -> Dict[str, int]:
                 except Exception:
                     pass
     return out
+
+
+def _read_hcond_glhc(path):
+    """Radial conductivity table hcond_glhc.dat (entropy.f90 read_hcond:
+    nxgrid rows of K(x), dK/dx — used verbatim, no hcond0 scaling)."""
+    fn = os.path.join(path, "hcond_glhc.dat")
+    if not os.path.exists(fn):
+        return ()
+    rows = []
+    with open(fn) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                rows.append((float(parts[0]), float(parts[1])))
+    return tuple(rows)
 
 
 def _list_pars(p, init_names, amap):
@@ -199,6 +218,12 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
                 full[:, ipx * nxl:(ipx + 1) * nxl,
                      ipy * nyl:(ipy + 1) * nyl,
                      ipz * nzl:(ipz + 1) * nzl] = loc[:, 3:-3, 3:-3, 3:-3]
+            if field == "rho":
+                # ldensity_nolog: the init cascade works in LOG and exps
+                # at the end (density.f90:1650) — replayed noise is a
+                # log-density perturbation
+                import numpy as _np
+                full = _np.exp(full)
             overrides[field] = full if ncomp > 1 else full[0]
 
     by_name = {m.name: m for m in modules}
@@ -376,6 +401,21 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     if not isinstance(gc, list):
         gc = [gc]
     gc = tuple((list(gc) + [0.0, 0.0, 0.0])[:3])
+    # step-linear parameters: namelist arrays are (3,2) column-major —
+    # first 3 entries are step 1 per axis, next 3 step 2 (grid.f90:262)
+    gstep = [(), (), ()]
+    if "step-linear" in gf:
+        def _arr6(nm):
+            v = init_pars.get(nm, [0.0] * 6)
+            if not isinstance(v, list):
+                v = [v]
+            return [float(u) for u in (list(v) + [0.0] * 6)[:6]]
+        xs, fr, wd = (_arr6("xyz_step"), _arr6("xi_step_frac"),
+                      _arr6("xi_step_width"))
+        for a in range(3):
+            if gf[a] == "step-linear":
+                gstep[a] = (xs[a], xs[a + 3], fr[a], fr[a + 3],
+                            wd[a], wd[a + 3])
     grid = GridSpec(nx=nx, ny=ny, nz=nz,
                     x0=xyz0[0], y0=xyz0[1], z0=xyz0[2],
                     Lx=Lxyz[0], Ly=Lxyz[1], Lz=Lxyz[2],
@@ -384,6 +424,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                     lpole=tuple(bool(v) for v in lpole),
                     grid_func=gf,
                     grid_coeff=tuple(float(c) for c in gc),
+                    grid_step=tuple(gstep),
                     coords=coords)
 
     time = TimeSpec(
@@ -454,11 +495,19 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     # the incompressible projection module instead (appended after the
     # hydro/entropy groups are read; it needs Ra/Pr/beta_bouss from them)
     lbouss = "boussinesq" in mkf.get("DENSITY", "")
+    # DENSITY=density_anelastic / experimental/anelastic: no continuity
+    # equation — solenoidal projection + static lnrho auxiliary
+    lanel = "anelastic" in mkf.get("DENSITY", "")
+    if lanel:
+        lbouss = True
     if ("density_init_pars" in start or den_p) and not lbouss:
         modules.append(Density(
             lweno_transport=lweno,
-            # 'globaldisc' is provided by the centrifugal_balance IC path
-            init={"globaldisc": "zero"}.get(
+            # 'globaldisc' is provided by the centrifugal_balance IC
+            # path; the ISM profiles by joint IC plug-ins (see below)
+            init={"globaldisc": "zero", "Ferriere": "zero",
+                  "thermal-hs": "zero", "Galactic-hs": "zero",
+                  "Ferriere-hs": "zero", "isentropic-star": "zero"}.get(
                 _init_name(den_p.get("initlnrho")),
                 _init_name(den_p.get("initlnrho"))),
             ampl=float(_first(den_p.get("ampllnrho", 0.0))),
@@ -497,7 +546,22 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
 
     dd_p = grp("dustdensity")
     dv_p = grp("dustvelocity")
-    if "dustdensity" in mkf.get("DUSTDENSITY", "") or dd_p or dv_p:
+    if cpar.get("ndustspec", 1) > 1 and (dd_p or dv_p):
+        # multi-bin mass-binned dust with Smoluchowski coagulation
+        from ..physics.dustbins import DustBins
+        initnd = str(_first(dd_p.get("initnd", "kernel_cst")))
+        modules.append(DustBins(
+            ndustspec=int(cpar["ndustspec"]),
+            md0=float(dv_p.get("md0", 1.0)),
+            deltamd=float(dv_p.get("deltamd", 1.2)),
+            dkern_cst=float(dd_p.get("dkern_cst", 1.0)),
+            coag_kernel="lin" if initnd == "kernel_lin" else "cst",
+            nd0=float(dd_p.get("nd0", 1.0)),
+            mdave0=float(dd_p.get("mdave0", 1.0)),
+            lmdvar=bool(dd_p.get("lmdvar", False)),
+            ldustcoagulation=bool(dv_p.get("ldustcoagulation", True)),
+        ))
+    elif "dustdensity" in mkf.get("DUSTDENSITY", "") or dd_p or dv_p:
         from ..physics.dustfluid import DustFluid
         modules.append(DustFluid(
             tausd=float(_first(dv_p.get("tausd", 1.0))),
@@ -515,6 +579,17 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ampluud=float(_first(dv_p.get("ampluud", 0.0))),
             lshorttausd=bool(dv_p.get("ldustvelocity_shorttausd", False)),
             lnolog_nd=not bool(dd_p.get("ldustdensity_log", True)),
+        ))
+
+    pol_p = grp("polymer")
+    if "nopolymer" not in mkf.get("POLYMER", "nopolymer") or pol_p:
+        from ..physics.smallslots import Polymer
+        modules.append(Polymer(
+            tau_poly=float(pol_p.get("tau_poly", 1.0)),
+            mu_poly=float(pol_p.get("mu_poly", 0.0)),
+            diff_poly=float(pol_p.get("eta_poly", 1e-4)),
+            poly_model=str(pol_p.get("poly_model", "oldroyd-B")),
+            fenep_L=float(pol_p.get("fenep_l", 0.0)),
         ))
 
     cr_p = grp("cosmicray")
@@ -587,6 +662,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             kx=float(hyd_p.get("kx_uukin", 1.0)),
             ky=float(hyd_p.get("ky_uukin", 1.0)),
             kz=float(hyd_p.get("kz_uukin", 1.0)),
+            chi=float(hyd_p.get("chi_uukin", 45.0)),
+            delta=float(hyd_p.get("del_uukin", 0.0)),
         ))
     elif ("hydro_init_pars" in start or hyd_p) \
             and "nohydro" not in mkf.get("HYDRO", "hydro"):
@@ -606,7 +683,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 {"ampl": "ampluu", "kx": "kx_uu", "ky": "ky_uu",
                  "kz": "kz_uu", "width": "widthuu"}),
             ampl=float(_first(hyd_p.get(
-                "ampluu", hyd_p.get("max_uu", 0.0)))),
+                "ampluu", hyd_p.get("max_uu",
+                                    hyd_p.get("ampl_uy", 0.0)
+                                    if "anelastic" in str(
+                                        hyd_p.get("inituu", ""))
+                                    else 0.0)))),
             comp_pars=tuple(
                 (float(_first(hyd_p.get(f"ampl_u{c}", 0.0))),
                  float(_first(hyd_p.get(f"kx_u{c}", 0.0))),
@@ -736,9 +817,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         # the module — the Makefile default is ENERGY=noentropy
         # (reference src/Makefile.src:57)
         ihc = ent_p.get("iheatcond", "K-const")
+        _ss_joint = {"Ferriere": "zero", "thermal-hs": "zero",
+                     "Galactic-hs": "zero", "Ferriere-hs": "zero",
+                     "isentropic-star": "zero", "mixinglength": "zero"}
+        _ss_nm = _init_name(ent_p.get("initss"))
+        _ss_nm = (tuple(_ss_joint.get(n, n) for n in _ss_nm)
+                  if isinstance(_ss_nm, tuple)
+                  else _ss_joint.get(_ss_nm, _ss_nm))
         modules.append(Entropy(
             lweno_transport=lweno,
-            init=_init_name(ent_p.get("initss")),
+            init=_ss_nm,
             init_list_pars=_list_pars(
                 ent_p, _init_name(ent_p.get("initss")),
                 {"ampl": "ampl_ss", "radius": "radius_ss"}),
@@ -781,6 +869,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             Ftop=float(ent_p.get("ftop", 0.0)),
             hcond0_kramers=float(ent_p.get("hcond0_kramers", 0.0)),
             nkramers=float(ent_p.get("nkramers", 1.0)),
+            chimax_kramers=float(ent_p.get("chimax_kramers", 0.0)),
+            chimin_kramers=float(ent_p.get("chimin_kramers", 0.0)),
+            chi_t1=float(ent_p.get("chi_t1", 0.0))
+            if bool(ent_p.get("lchit_fluct", False)) else 0.0,
+            hcond_table=_read_hcond_glhc(path)
+            if bool(ent_p.get("lread_hcond", False)) else (),
             ss_left=float(ent_p.get("ss_left", 0.0)),
             ss_right=float(ent_p.get("ss_right", 0.0)),
         ))
@@ -792,6 +886,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             Pr=float(hyd_p.get("pr", 0.0)),
             beta_bouss=float(ent_p.get("beta_bouss", -1.0)),
         ))
+        if lanel:
+            from ..physics.boussinesq import DensityAnelastic
+            modules.append(DensityAnelastic(
+                init=_init_name(den_p.get("initlnrho", "")),
+                gravz=float(grp("grav").get("gravz", 0.0)),
+            ))
 
     vis_p = grp("viscosity")
     if vis_p:
@@ -848,6 +948,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 init_x2=float(chm_p.get("init_x2", 0.2)),
                 init_ux=float(chm_p.get("init_ux", 0.0)),
                 init_pressure=float(chm_p.get("init_pressure", 1.013e6)),
+                init_file=(os.path.join(path, str(chm_p.get("file_name")))
+                           if chm_p.get("file_name") else ""),
+                flame_pos=float(_first(chm_p.get("flame_pos", 0.0))),
             ))
             nsc_p = grp("nscbc")
             known.update({"NSCBC_init_pars", "NSCBC_run_pars"})
@@ -986,7 +1089,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
         mf_p = grp("magn_mf")   # MAGNETIC_MEANFIELD namelists
         modules.append(Magnetic(
-            init=_init_name(mag_p.get("initaa")),
+            # 'Ferriere-uniform-By' is density-dependent → provided by the
+            # ISM joint IC plug-in (initcond.f90:6772 ferriere_uniform_y)
+            init={"Ferriere-uniform-By": "zero",
+                  "Ferriere-uniform-Bx": "zero"}.get(
+                _init_name(mag_p.get("initaa")),
+                _init_name(mag_p.get("initaa"))),
             init_list_pars=_list_pars(
                 mag_p, _init_name(mag_p.get("initaa")),
                 {"ampl": "amplaa", "kx": "kx_aa", "ky": "ky_aa",
@@ -1005,6 +1113,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             center1=(float(mag_p.get("center1_x", 0.0)),
                      float(mag_p.get("center1_y", 0.0)),
                      float(mag_p.get("center1_z", 0.0))),
+            r_int=float(init_pars.get("r_int", 0.0)),
+            r_ext=float(init_pars.get("r_ext", 1.0)),
+            inclaa=float(mag_p.get("inclaa", 0.0)),
             lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
@@ -1039,6 +1150,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             iforcing_cont=str(_first(for_p.get("iforcing_cont", ""))),
             ampl_ff=float(_first(for_p.get("ampl_ff", 0.0))),
             k1_ff=float(for_p.get("k1_ff", 1.0)),
+            fcont_box=(grid.x0, grid.x0 + grid.Lx,
+                       grid.z0, grid.z0 + grid.Lz),
         ))
 
     shear_p = grp("shear")
@@ -1121,6 +1234,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     known.update({"particles_stalker_init_pars", "particles_stalker_run_pars",
                   "particles_radius_init_pars", "particles_radius_run_pars"})
     prad_p = grp("particles_radius")
+    pnum_p = grp("particles_number")
     prad_p.update(_g(start, "particles_radius_init_pars"))
     prad_p.update(_g(run, "particles_radius_run_pars"))
     if par_p:
@@ -1136,7 +1250,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(ParticlesDust(
             draglaw=("steadystate"
                      if par_p.get("ldraglaw_steadystate") else "epstein"),
-            ap0=float(prad_p.get("ap0", 0.0)),
+            ap0=float(_first(prad_p.get("ap0", 0.0))),
             rhopmat=float(prad_p.get("rhopmat", 0.0)),
             mean_free_path_gas=float(par_p.get("mean_free_path_gas", 0.0)),
             bcpy=str(_first(par_p.get("bcpy", "p"))),
@@ -1166,12 +1280,37 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 [0.0, 0.0, 0.0])),
             Omega=float(hyd_p.get("omega", 0.0)),
             cs0=float(eos_p.get("cs0", 1.0)),
+            initap=str(_first(prad_p.get("initap", ""))),
+            a0_initdist=float(prad_p.get("a0_initdist", 0.0)),
+            sigma_initdist=float(prad_p.get("sigma_initdist", 0.2)),
+            initnpswarm=str(pnum_p.get("initnpswarm", "")),
+            np_swarm0=float(pnum_p.get("np_swarm0", 0.0)),
+            rhop_swarm0=float(pnum_p.get("rhop_swarm0", 0.0)),
+            nu_draglaw=float(par_p.get("nu_draglaw", 0.0))
+            if par_p.get("lnu_draglaw") else 0.0,
         ))
+        if "particles_coagulation" in mkf.get("PARTICLES_COAGULATION", ""):
+            from ..particles.coagulation import ParticlesCoagulation
+            pcg_p = grp("particles_coag")
+            modules.append(ParticlesCoagulation(
+                rhopmat=float(prad_p.get("rhopmat", 1.0)),
+                kernel=("constant"
+                        if pcg_p.get("lconstant_kernel_test") else
+                        "linear" if pcg_p.get("llinear_kernel_test")
+                        else "physical"),
+                kernel_cst=float(pcg_p.get("kernel_cst", 1.0)),
+                kernel_lin=float(pcg_p.get("kernel_lin", 1.0)),
+                lcoag_simultaneous=bool(
+                    pcg_p.get("lcoag_simultaneous", True)),
+                lnoselfcollision=bool(
+                    pcg_p.get("lnoselfcollision", True)),
+            ))
 
     is_p = grp("interstellar")
     if "nointerstellar" not in mkf.get("INTERSTELLAR", "nointerstellar"):
         from ..physics.interstellar import Interstellar
         modules.append(Interstellar(
+            cdts=float(run_pars.get("cdts", 1.0)),
             cooling_select=str(is_p.get("cooling_select", "WSW")),
             heating_select=str(is_p.get("heating_select", "wolfire")),
             heating_rate=float(is_p.get("heating_rate", 0.015)),
@@ -1312,6 +1451,75 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(InitialCondition(
             plugin="centrifugal_balance",
             params=tuple(sorted((k, v) for k, v in merged.items()))))
+    elif str(den_p.get("initlnrho", "")) == "isentropic-star":
+        # joint lnrho+ss hydrostatic star init (density.f90:1250)
+        from ..physics.initial_condition import InitialCondition
+        merged = dict(ic_p)
+        merged.setdefault("r_ext", float(init_pars.get("r_ext", 1.0)))
+        merged.setdefault("cs2cool", float(
+            ent_p0.get("cs2cool", grp("entropy").get("cs2cool", 0.0))))
+        modules.append(InitialCondition(
+            plugin="isentropic_star",
+            params=tuple(sorted((k, v) for k, v in merged.items()))))
+    elif str(den_p.get("initlnrho", "")) in (
+            "Ferriere", "thermal-hs", "Galactic-hs", "Ferriere-hs"):
+        # ISM joint density+entropy equilibria (entropy.f90:2361 ferriere,
+        # interstellar(_old).f90 thermal_hs, entropy.f90:2457 ferriere_hs)
+        from ..physics.initial_condition import InitialCondition
+        ism_p = grp("interstellar")
+        merged = dict(ic_p)
+        for k, v in _units.items():
+            merged.setdefault(k, v)
+        nm = str(den_p.get("initlnrho"))
+        mag_p0 = grp("magnetic")
+        if str(_init_name(mag_p0.get("initaa"))) == "Ferriere-uniform-By":
+            merged["ferriere_uniform_by"] = float(
+                _first(mag_p0.get("amplaa", 0.0)))
+        if nm == "Ferriere":
+            plugin = "ferriere_ism"
+        else:
+            plugin = "hs_equilibrium_ism"
+            ut_ = float(merged.get("unit_temperature", 1.0))
+            ud_ = float(merged.get("unit_density", 1e-24))
+            merged.setdefault("t_init",
+                              float(ism_p.get("t0hs", 7.088e2 / ut_)))
+            merged.setdefault("rho0ts",
+                              float(ism_p.get("rho0ts", 3.5e-24 / ud_)))
+            merged.setdefault("lthermal_hse",
+                              bool(ism_p.get("lthermal_hse", False)))
+        modules.append(InitialCondition(
+            plugin=plugin,
+            params=tuple(sorted((k, v) for k, v in merged.items()))))
+
+    _ss_names = _init_name(_g(start, "entropy_init_pars").get("initss", ""))
+    if "mixinglength" in (_ss_names if isinstance(_ss_names, tuple)
+                          else (_ss_names,)):
+        # MLT stratification (entropy.f90:2108-2218 'mixinglength'):
+        # secant-iterate rhotop so rho(z1)=rho0, REDEFINE eos rho0 to
+        # rhotop (the reference mutates rho0/lnrho0 at :2195-2196), and
+        # install the (lnrho, T) columns through an IC plug-in
+        import dataclasses as _dc
+        from ..physics.initial_condition import mlt_iterate
+        e0 = _g(start, "entropy_init_pars")
+        gr0 = _g(start, "grav_init_pars")
+        eosm = next(m for m in modules if m.name == "eos")
+        dzz = grid.Lz / max(grid.nz - 1, 1)
+        rhotop, lnrhom, tempm = mlt_iterate(
+            flux=float(e0.get("mixinglength_flux", 0.0)),
+            nzgrid=grid.nz, dz=dzz, ztop=grid.z0 + grid.Lz,
+            z1=float(gr0.get("z1", 0.0)), z2=float(gr0.get("z2", 1.0)),
+            cs20=eosm.cs0 ** 2, gamma=eosm.gamma, rho0=eosm.rho0,
+            mpoly0=float(e0.get("mpoly0", 1.5)),
+            mpoly1=float(e0.get("mpoly1", 1.5)),
+            alpha_mlt=float(e0.get("alpha_mlt", 1.5)),
+            gravz=float(gr0.get("gravz", -1.0)))
+        modules = [_dc.replace(m, rho0=rhotop) if m.name == "eos" else m
+                   for m in modules]
+        from ..physics.initial_condition import InitialCondition
+        modules.append(InitialCondition(
+            plugin="mlt_profile",
+            params=(("lnrhom", tuple(float(v) for v in lnrhom)),
+                    ("tempm", tuple(float(v) for v in tempm)))))
 
     # llocal_iso: swap the eos for the locally-isothermal radial profile
     # (cs² static power law; cdata.f90 llocal_iso flag)

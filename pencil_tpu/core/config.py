@@ -42,6 +42,10 @@ class GridSpec:
     # mirroring reference src/grid.f90 grid_func.
     grid_func: Tuple[str, str, str] = ("uniform", "uniform", "uniform")
     grid_coeff: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # per-axis 'step-linear' parameters (grid.f90:262,579,737):
+    # (xyz_step1, xyz_step2, xi_step_frac1, xi_step_frac2, width1, width2)
+    # in the reference's namelist layout; () = unused axis
+    grid_step: Tuple[tuple, tuple, tuple] = ((), (), ())
     # shift coordinates by +Δ/2 per axis (reference lshift_origin): cell
     # centres instead of cell edges
     lshift_origin: Tuple[bool, bool, bool] = (False, False, False)

@@ -100,7 +100,7 @@ class Grid:
 
 
 def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
-                 func: str, coeff: float, dtype):
+                 func: str, coeff: float, dtype, step=()):
     """Ghosted coordinates + metrics for one axis.
 
     Non-equidistant functions follow the reference (src/grid.f90 grid_func
@@ -166,6 +166,46 @@ def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
         xp = coords * lr
         d1 = 1.0 / (xp * dxi)
         dt_ = -lr * lr * coords / (xp * xp)
+    elif func == "step-linear":
+        # three linear zones with tanh-smoothed transitions
+        # (src/grid.f90:262/579/737 + grid_profile :2131-2170): the grid
+        # index ξ̂ runs 0..n−1; spacing dxyz(k) in each zone chosen so the
+        # steps land at xyz_step with index fractions xi_step_frac
+        if not step:
+            raise ValueError("grid_func='step-linear' needs xyz_step/"
+                             "xi_step_frac/xi_step_width")
+        xs1, xs2, fr1, fr2, w1, w2 = step
+        nn = n - 1.0
+        xi1, xi2 = fr1 * nn, fr2 * nn
+        x1 = x0 + L
+        dz1_ = (xs1 - x0) / (xi1 - 0.0) if xi1 != 0.0 else 0.0
+        dz2_ = (xs2 - xs1) / (xi2 - xi1)
+        dz3_ = (x1 - xs2) / (nn - xi2)
+        xh = xi * (1.0 / dxi)            # back to index space ξ̂
+
+        def _g(xh):
+            lc1 = np.log(np.cosh((xh - xi1) / w1)) if xi1 != 0.0 else 0.0
+            lc2 = np.log(np.cosh((xh - xi2) / w2))
+            if xi1 != 0.0:
+                return (dz1_ * 0.5 * (xh - w1 * lc1)
+                        + dz2_ * 0.5 * (w1 * lc1 - w2 * lc2)
+                        + dz3_ * 0.5 * (xh + w2 * lc2))
+            return (dz2_ * 0.5 * (xh - w2 * lc2)
+                    + dz3_ * 0.5 * (xh + w2 * lc2))
+
+        t1 = np.tanh((xh - xi1) / w1) if xi1 != 0.0 else 0.0
+        t2 = np.tanh((xh - xi2) / w2)
+        if xi1 != 0.0:
+            gd1 = (dz1_ * 0.5 * (1.0 - t1) + dz2_ * 0.5 * (t1 - t2)
+                   + dz3_ * 0.5 * (1.0 + t2))
+            gd2 = (0.5 / w1 * (dz2_ - dz1_) / np.cosh((xh - xi1) / w1) ** 2
+                   + 0.5 / w2 * (dz3_ - dz2_) / np.cosh((xh - xi2) / w2) ** 2)
+        else:
+            gd1 = dz2_ * 0.5 * (1.0 - t2) + dz3_ * 0.5 * (1.0 + t2)
+            gd2 = 0.5 / w2 * (dz3_ - dz2_) / np.cosh((xh - xi2) / w2) ** 2
+        coords = x0 + _g(xh) - _g(np.array(0.0))
+        d1 = 1.0 / gd1                  # gder1 is already per grid index
+        dt_ = -gd2 / (gd1 * gd1)
     else:
         raise NotImplementedError(f"grid_func={func!r}")
     return (np.asarray(coords, dtype), np.asarray(d1, dtype),
@@ -177,12 +217,15 @@ def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:
     sh = [0.5 * d if ls else 0.0 for ls, d in
           zip(spec.lshift_origin, (spec.dx, spec.dy, spec.dz))]
     x, dx1, dxt = _axis_coords(spec.nx, spec.x0 + sh[0], spec.Lx, spec.periodic[0],
-                               spec.nghost, spec.grid_func[0], spec.grid_coeff[0], npdtype)
+                               spec.nghost, spec.grid_func[0], spec.grid_coeff[0], npdtype,
+                               spec.grid_step[0])
     y, dy1, dyt = _axis_coords(spec.ny, spec.y0 + sh[1], spec.Ly,
                                spec.periodic[1] or spec.lpole[1],
-                               spec.nghost, spec.grid_func[1], spec.grid_coeff[1], npdtype)
+                               spec.nghost, spec.grid_func[1], spec.grid_coeff[1], npdtype,
+                               spec.grid_step[1])
     z, dz1, dzt = _axis_coords(spec.nz, spec.z0 + sh[2], spec.Lz, spec.periodic[2],
-                               spec.nghost, spec.grid_func[2], spec.grid_coeff[2], npdtype)
+                               spec.nghost, spec.grid_func[2], spec.grid_coeff[2], npdtype,
+                               spec.grid_step[2])
     return Grid(
         x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),
         dx_1=jnp.asarray(dx1), dy_1=jnp.asarray(dy1), dz_1=jnp.asarray(dz1),

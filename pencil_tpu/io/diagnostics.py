@@ -433,6 +433,19 @@ def _polytrm(pen, st):
     return _vmean(pen, c[0] + c[3] + c[5])
 
 
+@diag("frmax")
+def _frmax(pen, st):
+    """max f(r) FENE-P extension factor (polymer.f90 idiag_frmax)."""
+    pm = pen.cfg.module("polymer")
+    if pm is None:
+        return jnp.zeros(())
+    c = pen.field("poly")
+    fr = pm.fr(c)
+    if fr is None:
+        return jnp.ones(())
+    return jnp.max(fr)
+
+
 @diag("yHm")
 def _yhm(pen, st):
     """<y_H> Saha ionization fraction (eos_ionization idiag_yHm)."""
@@ -1062,6 +1075,57 @@ def _udmax(pen, st):
     return jnp.sqrt(jnp.max(ud[0] ** 2 + ud[1] ** 2 + ud[2] ** 2))
 
 
+# ---- testfield_z transport coefficients (testfield_z.f90:1050-1077) -------
+def _tf_emf(pen):
+    """E^q = (u × b^q)/B0 for the four z-quartet test fields; b^q = ∇×a^q
+    is the fluctuating response (testfield_z.f90:915 Eipq = uxb·bamp1)."""
+    if "tf_emf" in pen._cache:
+        return pen._cache["tf_emf"]
+    tf = pen.cfg.module("testfield")
+    uu = pen.uu()
+    aij = jnp.stack([pen.d("aatest", j) for j in range(3)], axis=1)
+    emfs = []
+    for q in range(4):
+        aq = aij[3 * q:3 * q + 3]
+        b = (aq[2, 1] - aq[1, 2], aq[0, 2] - aq[2, 0], aq[1, 0] - aq[0, 1])
+        emfs.append(jnp.stack([
+            uu[1] * b[2] - uu[2] * b[1],
+            uu[2] * b[0] - uu[0] * b[2],
+            uu[0] * b[1] - uu[1] * b[0],
+        ]) / tf.B0)
+    pen._cache["tf_emf"] = emfs
+    return emfs
+
+
+def _tf_proj(pen, comp, pair, eta=False):
+    """alpXY = <cz·E_comp^(q1) + sz·E_comp^(q2)>; the eta row replaces
+    (cz,sz) with (−sz,cz)/k (testfield_z.f90:1065-1073 non-leta_rank2)."""
+    tf = pen.cfg.module("testfield")
+    if tf is None:
+        return jnp.zeros(())
+    e = _tf_emf(pen)
+    k = tf.ktestfield
+    z = pen.grid.zg
+    cz, sz = jnp.cos(k * z), jnp.sin(k * z)
+    q1, q2 = pair
+    if eta:
+        val = (-sz * e[q1][comp] + cz * e[q2][comp]) / k
+    else:
+        val = cz * e[q1][comp] + sz * e[q2][comp]
+    return _vmean(pen, val)
+
+
+for _nm, _c, _p, _e in (
+        ("alp11", 0, (0, 1), False), ("alp21", 1, (0, 1), False),
+        ("alp31", 2, (0, 1), False),
+        ("alp12", 0, (2, 3), False), ("alp22", 1, (2, 3), False),
+        ("alp32", 2, (2, 3), False),
+        ("eta11", 0, (0, 1), True), ("eta21", 1, (0, 1), True),
+        ("eta12", 0, (2, 3), True), ("eta22", 1, (2, 3), True)):
+    DIAG_REGISTRY[_nm] = (lambda c, p, e: lambda pen, st:
+                          _tf_proj(pen, c, p, e))(_c, _p, _e)
+
+
 # ---- particle-swarm statistics (particles_dust.f90:301-330) ----------------
 def _pp(st):
     return st.get("particles")
@@ -1123,6 +1187,39 @@ DIAG_REGISTRY["nparmin"] = _mk_pstat(
     lambda pen, p: jnp.asarray(float(p["xp"].shape[0])))
 
 
+def _mk_apstat(fn):
+    """particles_radius diagnostics (particles_radius.f90 idiag_ap*):
+    zeros when the run carries no per-particle radii."""
+    def g(pen, st):
+        p = _pp(st)
+        if p is None or "ap" not in p:
+            return jnp.zeros(())
+        return fn(pen, p)
+    return g
+
+
+DIAG_REGISTRY["apm"] = _mk_apstat(lambda pen, p: jnp.mean(p["ap"]))
+DIAG_REGISTRY["ap2m"] = _mk_apstat(lambda pen, p: jnp.mean(p["ap"] ** 2))
+DIAG_REGISTRY["apmin"] = _mk_apstat(lambda pen, p: jnp.min(p["ap"]))
+DIAG_REGISTRY["apmax"] = _mk_apstat(lambda pen, p: jnp.max(p["ap"]))
+DIAG_REGISTRY["npswarmm"] = _mk_apstat(
+    lambda pen, p: jnp.mean(p.get("npswarm", jnp.zeros(()))))
+# radius-distribution moments Σ n_swarm·a^k / nwgrid
+# (particles_number.f90:398-408; log10 for k ≥ 12)
+def _mk_admom(k):
+    def g(pen, p):
+        gs = pen.cfg.grid
+        nw = float(gs.nx * gs.ny * gs.nz)
+        nsw = p.get("npswarm", jnp.ones_like(p["ap"]))
+        val = jnp.sum(nsw * p["ap"] ** float(k)) / nw
+        return jnp.log10(jnp.maximum(val, 1e-300)) if k >= 12 else val
+    return _mk_apstat(g)
+
+
+for _k in (0, 1, 2, 3, 6, 12, 24):
+    DIAG_REGISTRY[f"admom{_k}"] = _mk_admom(_k)
+
+
 @diag("emag")
 def _emag(pen, st):
     return 0.5 * _vmean(pen, pen.b2())
@@ -1151,11 +1248,16 @@ def _vamax(pen, st):
 
 @diag("mass")
 def _mass(pen, st):
-    """Total mass: <ρ>·V_box (reference 'mass' diagnostic)."""
+    """Total mass: <ρ>·V_box (reference 'mass' diagnostic); degenerate
+    axes contribute dVol=1 (cparam nxgrid==1 → dx=1 in dVol)."""
     if not _has_density(pen):
         return jnp.zeros(())
     gs = pen.cfg.grid
-    return jnp.mean(pen.rho()) * gs.Lx * gs.Ly * gs.Lz
+    vol = 1.0
+    for L, n in ((gs.Lx, gs.nx), (gs.Ly, gs.ny), (gs.Lz, gs.nz)):
+        if n > 1:
+            vol *= L
+    return jnp.mean(pen.rho()) * vol
 
 
 @diag("ccmax")
@@ -1325,6 +1427,14 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
         return has_chem and (_re.fullmatch(r"Y\d+m", n) or n == "e_intm"
                              or n == "ppm")
 
+    dustbins = cfg.module("dustbins")
+
+    def _dust_diag(n):
+        # ndm<k-1>/ndmt/rhodmt — per-bin and total dust densities
+        # (dustdensity.f90:2102,2145-2153; sdust = itoa(k-1))
+        return dustbins is not None and (
+            _re.fullmatch(r"ndm\d+", n) or n in ("ndmt", "rhodmt"))
+
     has_pm = model.pointmasses is not None
     gwmod = cfg.module("gravitational_waves")
 
@@ -1343,7 +1453,7 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv",
                              "dtdiffus", "dtdragp", "dtb", "dteta")
                and not _chem_diag(n) and not _pm_diag(n)
-               and not _gw_diag(n)]
+               and not _gw_diag(n) and not _dust_diag(n)]
     if unknown:
         if not allow_unknown:
             raise KeyError(f"unknown diagnostics: {unknown}")
@@ -1517,6 +1627,19 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 else:
                     k = int(n[1:-1]) - 1
                     out[n] = _vmean(pen, pen.field("chem")[k])
+            elif _dust_diag(n):
+                nd = pen.field("nd")
+                if n == "ndmt":
+                    out[n] = _vmean(pen, jnp.sum(nd, axis=0))
+                elif n == "rhodmt":
+                    if dustbins.lmdvar:
+                        md = pen.field("md")
+                    else:
+                        md = jnp.asarray(dustbins._grid()[2],
+                                         nd.dtype)[:, None, None, None]
+                    out[n] = _vmean(pen, jnp.sum(md * nd, axis=0))
+                else:
+                    out[n] = _vmean(pen, nd[int(n[3:])])
             else:
                 out[n] = DIAG_REGISTRY[n](pen, state)
         return out

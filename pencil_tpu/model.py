@@ -468,6 +468,7 @@ class Model:
         gs = cfg.grid
         fa = reg.stack(state["fields"]) if reg.nf else \
             jnp.zeros((0, gs.nx, gs.ny, gs.nz), self.dtype)
+        fa_begin = fa
         nvar = reg.nvar
         df = jnp.zeros((nvar,) + fa.shape[1:], fa.dtype)
         t0 = state["t"]
@@ -657,6 +658,12 @@ class Model:
             # particles_collisions.f90 via particles_pde hooks)
             kcoll = jax.random.fold_in(state["key"], 17)
             pstate = pcoll.integrate(pstate, cfg.grid, dt, kcoll)
+        pcoag = cfg.module("particles_coagulation")
+        if pcoag is not None and pstate is not None and "ap" in pstate:
+            # superparticle MC coagulation sweep (reference
+            # particles_coagulation.f90 via particles_pde hooks)
+            kcoag = jax.random.fold_in(state["key"], 19)
+            pstate = pcoag.sweep(pstate, cfg.grid, dt, kcoag)
         for m in self.modules:
             # operator-split stiff terms (reference split_update,
             # timestep.f90:199-222 — e.g. LSODE chemistry)
@@ -668,7 +675,19 @@ class Model:
         if bsq is not None:
             # incompressible projection u ← u − ∇(∇⁻²∇·u), once per full
             # step after the substeps (reference run.f90:719)
-            fa = bsq.project(fa, self, grid, mesh_axis_names, mesh_shape)
+            pfa = bsq.project(fa, self, grid, mesh_axis_names, mesh_shape)
+            if cfg.module("density_anelastic") is not None:
+                # anelastic solves the pressure Poisson on the RHS
+                # (anelastic.f90 pde hook), so only the step INCREMENT is
+                # projected: u_{n+1} = u_n + P(u* − u_n) — a
+                # non-solenoidal initial state persists (the
+                # anelastic_decay contract)
+                pbeg = bsq.project(fa_begin, self, grid,
+                                   mesh_axis_names, mesh_shape)
+                sl = reg.slice("uu")
+                fa = pfa.at[sl].add(fa_begin[sl] - pbeg[sl])
+            else:
+                fa = pfa
         fields = reg.unstack(fa)
         t1 = t0 + dt
         key = state["key"]

@@ -850,15 +850,20 @@ def bc_ss_flux_turb(fgc, axis, side, val, ctx):
                  else getattr(ent, "chit_prof2", 1.0)) if ent else 1.0
     hcond = (getattr(ent, "hcondbot", 0.0) if side == 0
              else getattr(ent, "hcondtop", 0.0)) if ent else 0.0
+    # lread_hcond: boundary K from the hcond_glhc.dat radial table
+    # (entropy.f90:1174 read_hcond → hcondxbot/hcondxtop)
+    tab = getattr(ent, "hcond_table", ()) if ent else ()
+    if tab:
+        hcond = tab[0][0] if side == 0 else tab[-1][0]
     cv = eos.cp / eos.gamma
     if ent is not None and getattr(ent, "hcond0_kramers", 0.0) > 0.0:
+        # Kramers K ADDS to any profile/file conductivity
+        # (bc_ss_flux_turb_x top: hcond_total = hcondxtop + K_kramers)
         nk = getattr(ent, "nkramers", 1.0)
-        dsdn = -cv * ((sig / ent.hcond0_kramers)
-                      * TT ** (3.0 - 6.5 * nk) * rho ** (2.0 * nk)
-                      + (eos.gamma - 1.0) * dldn)
-    else:
-        dsdn = -(sig * TT ** 3 + hcond * (eos.gamma - 1.0) * dldn) \
-            / (chit_prof * chi_t * rho + hcond / cv + 1e-30)
+        hcond = hcond + ent.hcond0_kramers * TT ** (6.5 * nk) \
+            * rho ** (-2.0 * nk)
+    dsdn = -(sig * TT ** 3 + hcond * (eos.gamma - 1.0) * dldn) \
+        / (chit_prof * chi_t * rho + hcond / cv + 1e-30)
     m = fgc.shape[_ax(fgc, axis)]
     d = _spacing(ctx, axis)
     sgn = -1.0 if side == 0 else 1.0
@@ -885,11 +890,16 @@ def bc_ss_flux_condturb(fgc, axis, side, val, ctx):
     cv = eos.cp / eos.gamma
     cv1 = 1.0 / cv
     if ent is not None and getattr(ent, "hcond0_kramers", 0.0) > 0.0:
+        # Kramers REPLACES the profile value here
+        # (bc_ss_flux_condturb_x:2862-2866 Kxbot branch)
         nk = getattr(ent, "nkramers", 1.0)
         K = ent.hcond0_kramers * TT ** (6.5 * nk) / rho ** (2.0 * nk)
     else:
         K = (getattr(ent, "hcondbot", 0.0) if side == 0
              else getattr(ent, "hcondtop", 0.0)) if ent else 0.0
+        tab = getattr(ent, "hcond_table", ()) if ent else ()
+        if tab:
+            K = tab[0][0] if side == 0 else tab[-1][0]
     dsdn = (F / jnp.maximum(TT, 1e-30)) \
         / (chit_prof * chi_t * rho + K * cv1 + 1e-30)
     lnrho_f = _lnrho_comp(ctx)

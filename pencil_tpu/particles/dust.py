@@ -62,6 +62,17 @@ class ParticlesDust(ModuleBase):
     ap0: float = 0.0
     rhopmat: float = 0.0
     mean_free_path_gas: float = 0.0
+    # per-particle radius / swarm-number state (particles_radius.f90
+    # initap 'constant'/'lognormal', particles_number.f90 initnpswarm):
+    # emitted into pstate as 'ap'/'npswarm' when requested (coagulation &
+    # condensation physics operate on them)
+    initap: str = ""
+    a0_initdist: float = 0.0
+    sigma_initdist: float = 0.2
+    initnpswarm: str = ""
+    np_swarm0: float = 0.0
+    rhop_swarm0: float = 0.0
+    nu_draglaw: float = 0.0       # lnu_draglaw override viscosity
     draglaw: str = "epstein"      # 'epstein' (τ = tausp) | 'steadystate'
     lstocunn1: bool = False
     # bcpy='rmv': particles crossing a non-periodic y boundary are removed
@@ -78,6 +89,11 @@ class ParticlesDust(ModuleBase):
         L = jnp.asarray([spec.Lx, spec.Ly, spec.Lz], dtype)
         if self.init == "random":
             xp = lo + L * jax.random.uniform(kx, (self.npar, 3), dtype)
+        elif self.init in ("nothing", "origin"):
+            # 'nothing' leaves fp at its zero-initialised state (reference
+            # init_particles 'nothing'); place at the box centre so the
+            # particles are inside the domain on shifted boxes
+            xp = (lo + 0.5 * L) * jnp.ones((self.npar, 3), dtype)
         elif self.init == "equidistant":
             # even per-axis particle lattice over the ACTIVE dims only
             # (2-D runs put one particle column per cell — reference
@@ -167,6 +183,28 @@ class ParticlesDust(ModuleBase):
         out = {"xp": xp, "vp": vp}
         if self_active is not None:
             out["active"] = self_active
+        if self.initap:
+            ka = jax.random.fold_in(key, 3)
+            if self.initap == "lognormal":
+                # ln a ~ N(ln a0, σ) (particles_radius.f90 'lognormal')
+                ap = self.a0_initdist * jnp.exp(
+                    self.sigma_initdist
+                    * jax.random.normal(ka, (self.npar,), dtype))
+            else:                          # 'constant'
+                ap = jnp.full((self.npar,),
+                              self.a0_initdist or self.ap0, dtype)
+            out["ap"] = ap
+        if self.initnpswarm:
+            if self.initnpswarm == "constant_rhop" and self.rhopmat > 0.0:
+                # n_swarm = ρ_swarm0/(4π/3 ρ_mat a³)
+                # (particles_number.f90 'constant_rhop')
+                vol = 4.1887902047863905 * self.rhopmat \
+                    * out.get("ap", jnp.full((self.npar,), self.ap0,
+                                             dtype)) ** 3
+                out["npswarm"] = self.rhop_swarm0 / jnp.maximum(vol, 1e-300)
+            else:
+                out["npswarm"] = jnp.full((self.npar,),
+                                          self.np_swarm0, dtype)
         return out
 
     # -- dynamics -------------------------------------------------------
@@ -224,16 +262,25 @@ class ParticlesDust(ModuleBase):
                     rg = jax.lax.psum(rg, n)
             if rname == "lnrho":
                 rg = jnp.exp(rg)
-            dia = 2.0 * self.ap0
+            if "ap" in pstate:
+                dia = 2.0 * pstate["ap"]          # per-particle diameter
+            else:
+                dia = 2.0 * self.ap0
+            # lnu_draglaw: use nu_draglaw instead of the gas viscosity
+            # (particles_dust.f90 calc_draglaw_steadystate)
+            nu = max(self.nu_draglaw or nu, 1e-30)
             rep = dia * jnp.sqrt(jnp.sum((ug - vp) ** 2, axis=1)) / nu
             cdrag = jnp.where(
                 rep < 1.0, 1.0,
                 jnp.where(rep > 1000.0, 0.44 * rep / 24.0,
                           1.0 + 0.15 * rep ** 0.687))
             lam = self.mean_free_path_gas
-            stocunn = 1.0 if (self.lstocunn1 or lam == 0.0) else \
-                1.0 + 2.0 * lam / dia * (1.257
-                                         + 0.4 * math.exp(-0.55 * dia / lam))
+            if self.lstocunn1 or lam == 0.0:
+                stocunn = 1.0
+            else:
+                dias = jnp.maximum(dia, 1e-30)
+                stocunn = 1.0 + 2.0 * lam / dias * (
+                    1.257 + 0.4 * jnp.exp(-0.55 * dias / lam))
             tausp1 = (18.0 * cdrag * nu
                       / ((self.rhopmat / rg) * stocunn * dia ** 2))
         else:
@@ -279,6 +326,11 @@ class ParticlesDust(ModuleBase):
         out = {"xp": dxp, "vp": dvp}
         if act is not None:
             out["active"] = jnp.zeros_like(act)
+        for k, v in pstate.items():
+            # carried-but-not-advected state (ap, npswarm, ...): zero
+            # derivative so the RK tree combine has matching structure
+            if k not in out:
+                out[k] = jnp.zeros_like(v)
         return out
 
     def wrap_positions(self, pstate, spec):

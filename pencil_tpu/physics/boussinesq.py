@@ -107,3 +107,33 @@ class Boussinesq(ModuleBase):
         pen2 = Pencils(fg2, grid, reg, cfg, model.eos,
                        mesh_axis_names, mesh_shape)
         return fa.at[reg.slice("uu")].add(-pen2.grad("pp"))
+
+
+@dataclass(frozen=True)
+class DensityAnelastic(ModuleBase):
+    """Anelastic density slot (reference
+    ``src/experimental/anelastic.f90`` / obsolete density_anelastic):
+    lnrho is a static auxiliary diagnosed at start — the continuity
+    equation is replaced by the solenoidal projection (shared with
+    Boussinesq, anelastic.f90 pressure Poisson solve).  Inits ported:
+    '-ln(1+u2/2cs02)' (:344) and 'anelastic' base state
+    ρ_b = ρ0·exp(γ g z/cs²) (:349)."""
+    name: ClassVar[str] = "density_anelastic"
+
+    init: str = ""
+    gravz: float = 0.0
+
+    def register(self, reg):
+        reg.register("lnrho", 1, "comm_aux")
+
+    def init_fields(self, grid, spec, eos, key, cfg=None, fields=None):
+        zero = jnp.zeros(spec.shape, grid.z.dtype)
+        if self.init == "-ln(1+u2/2cs02)":
+            uu = (fields or {}).get("uu")
+            u2 = sum(uu[a] ** 2 for a in range(3)) if uu is not None \
+                else zero
+            return {"lnrho": -jnp.log(1.0 + u2 / (2.0 * eos.cs20)) + zero}
+        if self.init == "anelastic":
+            return {"lnrho": (jnp.log(eos.rho0) + eos.gamma * self.gravz
+                              * grid.zg / eos.cs20) + zero}
+        return {"lnrho": zero}

@@ -86,6 +86,10 @@ class ChemistryChemkin(ModuleBase):
     init_x2: float = 0.2
     init_ux: float = 0.0
     init_pressure: float = 1.013e6
+    # FlameMaster initial condition (chemistry.f90:5982 FlameMaster_ini):
+    # path to the solution file + target flame position (cc=0.7 point)
+    init_file: str = ""
+    flame_pos: float = 0.0
 
     def register(self, reg):
         reg.register("chem", self.mech.ns, "pde",
@@ -481,12 +485,76 @@ class ChemistryChemkin(ModuleBase):
                   for n, f in self.Y_init if n in m.species)
         if self.init == "flame_front":
             return self._flame_front(grid, spec, shape, Y)
+        if self.init == "FlameMaster":
+            return self._flamemaster(grid, spec, shape)
         rho0 = self.P_init / (RGAS * mu1 * self.T_init)
         out: Dict[str, np.ndarray] = {
             "chem": jnp.asarray(Y),
             "lnTT": jnp.full(shape, float(np.log(self.T_init))),
             "lnrho": jnp.full(shape, float(np.log(rho0))),
         }
+        return out
+
+    def _flamemaster(self, grid, spec, shape):
+        """Initialize from a FlameMaster premixed-flame solution file
+        (reference chemistry.f90:5982-6136 FlameMaster_ini): parse the
+        body sections (grid [m]→cm, massflowrate/ρ→u [cm/s], temperature,
+        density [kg/m³]→[g/cm³], massfraction-*), shift so the progress-
+        variable cc=0.7 point sits at flame_pos, linearly interpolate
+        onto x, renormalize ΣY=1."""
+        m = self.mech
+        secs: Dict[str, list] = {}
+        cur = None
+        with open(self.init_file) as fh:
+            in_body = False
+            for line in fh:
+                t = line.strip()
+                if t == "body":
+                    in_body = True
+                    continue
+                if not in_body:
+                    continue
+                if t == "trailer":
+                    break
+                parts = t.split()
+                if parts and not parts[0][0].isdigit() \
+                        and not parts[0][0] in "+-.":
+                    cur = parts[0]
+                    secs[cur] = []
+                elif cur is not None:
+                    secs[cur].extend(float(v) for v in parts)
+        xs = np.asarray(secs.get("y", []), float) * 100.0       # m → cm
+        Tp = np.asarray(secs["temperature"], float)
+        rhop = np.asarray(secs["density"], float) / 1000.0      # → g/cm³
+        up = np.asarray(secs["massflowrate"], float) / rhop * 100.0
+        cc = (Tp - Tp[0]) / (Tp[-1] - Tp[0])
+        imid = int(np.argmax(cc > 0.7))
+        ipos = int(np.argmax(xs > self.flame_pos))
+        shift = xs[imid] - xs[ipos]
+        x = np.asarray(grid.x)[spec.nghost:-spec.nghost]
+        xq = x + shift
+
+        def interp(vals):
+            return np.interp(xq, xs, vals)
+
+        Tg = interp(Tp)[:, None, None] + np.zeros(shape)
+        rg = interp(rhop)[:, None, None] + np.zeros(shape)
+        ug = interp(up)[:, None, None] + np.zeros(shape)
+        Y = np.zeros((m.ns,) + shape)
+        for key, vals in secs.items():
+            if key.startswith("massfraction-"):
+                sp = key[len("massfraction-"):]
+                if sp in m.species:
+                    Y[m.species.index(sp)] = \
+                        interp(np.asarray(vals, float))[:, None, None]
+        Y = Y / np.maximum(Y.sum(axis=0, keepdims=True), 1e-30)
+        zero = np.zeros(shape)
+        out = {
+            "chem": jnp.asarray(Y),
+            "lnrho": jnp.asarray(np.log(rg)),
+            "uu": jnp.asarray(np.stack([ug, zero, zero])),
+        }
+        out["lnTT"] = jnp.asarray(np.log(Tg))
         return out
 
     def _flame_front(self, grid, spec, shape, Y):

@@ -82,6 +82,11 @@ class Entropy(ModuleBase):
     Ftop: float = 0.0
     hcond0_kramers: float = 0.0
     nkramers: float = 1.0
+    chimax_kramers: float = 0.0
+    chimin_kramers: float = 0.0
+    chi_t1: float = 0.0        # iheatcond 'chit' fluctuation diffusion
+    # radial K(x), dK/dx table (lread_hcond + hcond_glhc.dat)
+    hcond_table: tuple = ()
 
     def register(self, reg):
         reg.register("ss", 1, "pde")
@@ -105,7 +110,18 @@ class Entropy(ModuleBase):
             out = out + self.hcond0 * pen.rho1() * (pen.del2lnTT() + glnTT2)
             # χ = K/(ρ cp) for the CFL; use max over the box via pencil value
             ts.diffus(self.hcond0 * pen.rho1() / eos.cp * eos.gamma)
-        if "K-profile" in self.iheatcond and self.hcond0 > 0.0:
+        if "K-profile" in self.iheatcond and self.hcond_table:
+            # radial conductivity profile READ FROM FILE (lread_hcond,
+            # entropy.f90:1172-1177 read_hcond of hcond_glhc.dat:
+            # per-x-point K and dK/dx, spherical/gravx runs)
+            tab = jnp.asarray(self.hcond_table)       # (nx, 2)
+            K = tab[:, 0][:, None, None]
+            dKdx = tab[:, 1][:, None, None]
+            # (1/ρT)∇·(K∇T) = (K/ρ)(∇²lnT+|∇lnT|²) + (K'/ρ)∂_x lnT
+            out = out + pen.rho1() * (
+                K * (pen.del2lnTT() + glnTT2) + dKdx * glnTT[0])
+            ts.diffus(K * pen.rho1() / eos.cp * eos.gamma)
+        elif "K-profile" in self.iheatcond and self.hcond0 > 0.0:
             # z-dependent conductivity, K ∝ (mpoly+1) per polytrope layer
             # (reference entropy.f90 iheatcond='K-profile')
             from .stratification import hcond_profile
@@ -120,6 +136,39 @@ class Entropy(ModuleBase):
             out = out + pen.rho1() * (
                 K * (pen.del2lnTT() + glnTT2) + dKdz * glnTT[2])
             ts.diffus(K * pen.rho1() / eos.cp * eos.gamma)
+        if "kramers" in self.iheatcond and self.hcond0_kramers > 0.0:
+            # Kramers-opacity conduction K = K0·(T^6.5/ρ²)^n
+            # (entropy.f90:5099-5133 calc_heatcond_kramers):
+            # K/ρ = K0·ρ^(−2n−1)·T^(6.5n), optionally clipped to
+            # [chimin, chimax]·cp
+            n_ = self.nkramers
+            Krho1 = self.hcond0_kramers * jnp.exp(
+                -(2.0 * n_ + 1.0) * pen.lnrho()
+                + (6.5 * n_) * pen.lnTT())
+            if self.chimax_kramers > 0.0:
+                Krho1 = jnp.clip(Krho1,
+                                 self.chimin_kramers * eos.cp,
+                                 self.chimax_kramers * eos.cp)
+            glnrho = pen.glnrho()
+            g2 = sum((-2.0 * n_ * glnrho[a]
+                      + (6.5 * n_ + 1.0) * glnTT[a]) * glnTT[a]
+                     for a in range(3))
+            out = out + Krho1 * (pen.del2lnTT() + g2)
+            ts.diffus(Krho1 / eos.cp * eos.gamma)
+        if "chit" in self.iheatcond and self.chi_t1 != 0.0:
+            # turbulent diffusion of ENTROPY FLUCTUATIONS around the
+            # yz-mean (entropy.f90:5735-5768 lchit_fluct +
+            # lcalc_ssmeanxy; chit_fluct_prof1/2 default 1 → constant
+            # χ_t1 profile): χ_t1·(∇²s′ + (∇lnρ+∇lnT)·∇s′)
+            gss = pen.gss()
+            d2ss = pen.del2s("ss")
+            gss1 = [gss[a] - jnp.mean(gss[a], axis=(1, 2), keepdims=True)
+                    for a in range(3)]
+            d2ss1 = d2ss - jnp.mean(d2ss, axis=(1, 2), keepdims=True)
+            glnrho = pen.glnrho()
+            g2 = sum((glnrho[a] + glnTT[a]) * gss1[a] for a in range(3))
+            out = out + self.chi_t1 * (d2ss1 + g2)
+            ts.diffus(self.chi_t1)
         if "chi-const" in self.iheatcond and self.chi > 0.0:
             glnrho = pen.glnrho()
             gdot = sum(glnTT[a] * (glnTT[a] + glnrho[a]) for a in range(3))

@@ -11,6 +11,37 @@ import jax.numpy as jnp
 
 from .base import ModuleBase, accumulate
 
+# Padé star potentials Φ(r) = −(a0 + a2·r² + a3·r³)/(1 + b2·r² + b3·r³
+# + a3·r⁴), cpot = (a0, a2, a3, b2, b3) (reference src/gravity_r.f90:
+# 205-250 cpot tables, potential at :745-747, g_r at :323-330)
+PADE_STARS = {
+    "zero": (0.0, 0.0, 0.0, 0.0, 0.0),
+    "solar": (5.088, -4.344, 61.36, 10.91, -13.93),
+    "M5-dwarf": (2.3401, 0.44219, 2.5952, 1.5986, 0.20851),
+    "M2-sgiant": (1.100, 0.660, 2.800, 1.400, 0.100),
+    "A7-star": (4.080, -3.444, 15.2000, 11.2000, -12.1000),
+    "A0-star": (4.3641, -1.5612, 0.4841, 4.0678, 1.2548),
+    "simple": (1.0, 0.0, 0.0, 1.0, 0.0),
+    "simple-2": (1.0, 1.0, 0.0, 1.0, 1.0),
+}
+
+
+def _pade_pot(cpot, r):
+    a0, a2, a3, b2, b3 = cpot
+    q = 1.0 + r * r * (b2 + r * (b3 + r * a3))
+    return -(a0 + r * r * (a2 + r * a3)) / q
+
+
+def _pade_gr(cpot, r):
+    a0, a2, a3, b2, b3 = cpot
+    p = (2.0 * (a0 * b2 - a2)
+         + r * (3.0 * (a0 * b3 - a3)
+                + r * (4.0 * a0 * a3
+                       + r * ((b3 * a2 - a3 * b2)
+                              + r * (2.0 * a2 * a3 + r * a3 * a3)))))
+    q = 1.0 + r * r * (b2 + r * (b3 + r * a3))
+    return -r * p / (q * q)
+
 
 @dataclass(frozen=True)
 class Gravity(ModuleBase):
@@ -50,13 +81,24 @@ class Gravity(ModuleBase):
                                           "newtonian") else self.r0_pot
 
     def potential(self, r):
-        """Φ(r) for 'smoothed-newton'/'newton' (used by disk ICs for the
-        vertical stratification, centrifugal_balance.f90:596)."""
+        """Φ(r) for 'smoothed-newton'/'newton'/Padé stars (used by disk
+        and star ICs, centrifugal_balance.f90:596, density.f90:1269)."""
+        if self.ipotential in PADE_STARS:
+            return _pade_pot(PADE_STARS[self.ipotential], r)
         n = float(self.n_pot)
         return -self.g0 * (r ** n + self._r0 ** n) ** (-1.0 / n)
 
+    @property
+    def pot0(self):
+        """Φ(r=0) (the reference's POT0 output)."""
+        if self.ipotential in PADE_STARS:
+            return -PADE_STARS[self.ipotential][0]
+        return -self.g0 / max(self._r0, 1e-30)
+
     def g_r(self, r):
         """Radial acceleration −dΦ/dr with the chosen softening."""
+        if self.ipotential in PADE_STARS:
+            return _pade_gr(PADE_STARS[self.ipotential], r)
         n = float(self.n_pot)
         return (-self.g0 * r ** (n - 1.0)
                 * (r ** n + self._r0 ** n) ** (-(n + 1.0) / n))
@@ -67,7 +109,7 @@ class Gravity(ModuleBase):
         broadcastable against (nx, ny, nz)."""
         z = grid.zg
         if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
-                               "no-smooth"):
+                               "no-smooth") or self.ipotential in PADE_STARS:
             x, y = grid.xg, grid.yg
             if getattr(spec, "coords", "cartesian") != "cartesian":
                 r = x
@@ -101,7 +143,7 @@ class Gravity(ModuleBase):
         zero = jnp.zeros(pen.cfg.grid.shape if pen.cfg is not None
                          else pen.lnrho().shape, g.z.dtype)
         if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
-                               "no-smooth"):
+                               "no-smooth") or self.ipotential in PADE_STARS:
             x, y, z = g.xg, g.yg, g.zg
             if pen.cfg is not None and pen.cfg.grid.coords != "cartesian":
                 # cylindrical/spherical: x is the radius, g along x̂

@@ -174,10 +174,13 @@ class Hydro(ModuleBase):
         else:
             ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
         if pen.eos is not None and ("lnrho" in pen.reg.slots
-                                    or "rho" in pen.reg.slots):
+                                    or "rho" in pen.reg.slots) \
+                and (pen.cfg is None
+                     or pen.cfg.module("density_anelastic") is None):
             # gated on ldensity like the reference (energy module
             # denergy_dt: `if (... ldensity.and.lhydro) advec_cs2=...`) —
-            # incompressible/Boussinesq runs carry no sound-speed CFL
+            # incompressible/Boussinesq/anelastic runs carry no
+            # sound-speed CFL (acoustics are filtered out)
             ts.advec2(pen.cs2() * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2))
 
     def init_fields(self, grid, spec, eos, key, cfg=None):

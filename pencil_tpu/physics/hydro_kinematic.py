@@ -28,6 +28,9 @@ class HydroKinematic(ModuleBase):
     A: float = 1.0
     B: float = 1.0
     C: float = 1.0
+    # poshel-roberts mixing angles, degrees (hydro_kinematic.f90:98)
+    chi: float = 45.0
+    delta: float = 0.0
 
     def rhs(self, pen, df, ts):
         # kinematic flow still sets the advective CFL class
@@ -55,6 +58,19 @@ class HydroKinematic(ModuleBase):
             ux = a * jnp.sin(kx * x) * jnp.cos(ky * y)
             uy = -a * jnp.cos(kx * x) * jnp.sin(ky * y)
             uz = a * jnp.sqrt(2.0) * jnp.sin(kx * x) * jnp.sin(ky * y)
+            one = jnp.ones(pen_shape(pen), x.dtype)
+            return jnp.stack([ux * one, uy * one, uz * one])
+        if self.profile == "poshel-roberts":
+            # positive-helicity Roberts flow with mixing angle chi_uukin
+            # (hydro_kinematic.f90:850-862): fac=A·cos(χ)·√2, fac2=A·sin(χ)·2
+            import math as _m
+            kx, ky = self.kx, self.ky
+            fac = a * _m.cos(_m.radians(self.chi)) * _m.sqrt(2.0)
+            fac2 = a * _m.sin(_m.radians(self.chi)) * 2.0
+            dl = _m.radians(self.delta)
+            ux = -fac * jnp.cos(kx * x) * jnp.sin(ky * y)
+            uy = fac * jnp.sin(kx * x) * jnp.cos(ky * y)
+            uz = fac2 * jnp.cos(kx * x + dl) * jnp.cos(ky * y + dl)
             one = jnp.ones(pen_shape(pen), x.dtype)
             return jnp.stack([ux * one, uy * one, uz * one])
         if self.profile == "rigid-x":
@@ -105,6 +121,23 @@ class HydroKinematic(ModuleBase):
                 [a * kx * cx * cy * one, -a * ky * sx * sy * one, zero],
                 [a * kx * sx * sy * one, -a * ky * cx * cy * one, zero],
                 [a * s2 * kx * cx * sy * one, a * s2 * ky * sx * cy * one,
+                 zero],
+            ]
+            return jnp.stack([jnp.stack(r) for r in rows])
+        if self.profile == "poshel-roberts":
+            import math as _m
+            kx, ky = self.kx, self.ky
+            fac = a * _m.cos(_m.radians(self.chi)) * _m.sqrt(2.0)
+            fac2 = a * _m.sin(_m.radians(self.chi)) * 2.0
+            dl = _m.radians(self.delta)
+            sx, cx = jnp.sin(kx * x), jnp.cos(kx * x)
+            sy, cy = jnp.sin(ky * y), jnp.cos(ky * y)
+            sxd, cxd = jnp.sin(kx * x + dl), jnp.cos(kx * x + dl)
+            syd, cyd = jnp.sin(ky * y + dl), jnp.cos(ky * y + dl)
+            rows = [
+                [fac * kx * sx * sy * one, -fac * ky * cx * cy * one, zero],
+                [fac * kx * cx * cy * one, -fac * ky * sx * sy * one, zero],
+                [-fac2 * kx * sxd * cyd * one, -fac2 * ky * cxd * syd * one,
                  zero],
             ]
             return jnp.stack([jnp.stack(r) for r in rows])

@@ -108,7 +108,8 @@ def init_scalar(name, grid, spec, eos, key, ampl=0.0, width=0.05,
 def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
                 kz=1.0, width=0.1, sigma=1.0, const3=(0.0, 0.0, 0.0),
                 rnoise_int=0.0, rnoise_ext=0.0, radius=1.0, eps_tube=0.0,
-                center1=(0.0, 0.0, 0.0), comp_pars=()):
+                center1=(0.0, 0.0, 0.0), comp_pars=(),
+                r_int=0.0, r_ext=1.0, inclaa=0.0):
     name = name.lower()
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
@@ -173,6 +174,32 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
             -fac * jnp.sin(kx * x) * jnp.cos(ky * y) + zero,
             fac * jnp.sqrt(2.0) * jnp.cos(kx * x) * jnp.cos(ky * y)
             + zero])
+    if name == "piecewise-dipole":
+        # neutron-star Meissner field: vertical-uniform core (r<r_int),
+        # potential shell, inclined dipole outside r_ext
+        # (magnetic.f90:8618-8678 piecew_dipole_aa)
+        import math as _m
+        r = jnp.sqrt(x * x + y * y + z * z) + zero
+        tini = 1e-30
+        r1 = 1.0 / jnp.maximum(r, tini)
+        r2i = 1.0 / jnp.maximum(r * r, tini)
+        beta0 = ampl * _m.cos(inclaa)
+        beta1 = -ampl * _m.sin(inclaa) / _m.sqrt(2.0)
+        a0 = (1.0 / r_ext ** 3 * beta0, 1.0 / r_ext ** 3 * beta0, 0.0)
+        a1 = (0.0, 1.0 / (r_ext ** 3 - r_int ** 3) * beta1, 0.0)
+        b0 = (0.0, 0.0, beta0)
+        b1 = (0.0, -r_int ** 3 / (r_ext ** 3 - r_int ** 3) * beta1, beta1)
+        sigma0 = a0[1] * r + b0[1] * r2i
+        sigma1 = a1[1] * r + b1[1] * r2i
+        sigma0 = jnp.where(r > r_ext, a0[2] * r + b0[2] * r2i, sigma0)
+        sigma1 = jnp.where(r > r_ext, a1[2] * r + b1[2] * r2i, sigma1)
+        sigma0 = jnp.where(r < r_int, a0[0] * r + b0[0] * r2i, sigma0)
+        sigma1 = jnp.where(r < r_int, a1[0] * r + b1[0] * r2i, sigma1)
+        sigma1 = sigma1 * _m.sqrt(2.0)
+        return jnp.stack([
+            -sigma0 * y * r1 + zero,
+            sigma0 * x * r1 + sigma1 * z * r1 + zero,
+            -sigma1 * y * r1 + zero])
     if name == "bessel-x":
         # A_y += A·J1(kx·x)/kx, A_z += A·(J0(kx·x)−J0(kx·x1))/kx — the
         # force-free reversed-field-pinch screw field (initcond.f90
@@ -186,6 +213,17 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         return jnp.stack([zero, ay, az])
     if name == "gaussian-noise":
         return ampl * jax.random.normal(key, (3,) + shape, dtype=grid.x.dtype)
+    if (len(name) == 13 and name.startswith("sinwave-u")
+            and name[10:12] == "-k"):
+        # 'sinwave-u<c>-k<a>': component c = A·sin(k_a·x_a)
+        # (hydro.f90:1767 sinwave(ampluu, f, iu<c>, k<a>=kx_uu))
+        comp = "xyz".index(name[9])
+        axis = "xyz".index(name[12])
+        k = (kx, ky, kz)[axis]
+        c = (x, y, z)[axis]
+        out = [zero, zero, zero]
+        out[comp] = ampl * jnp.sin(k * c) + zero
+        return jnp.stack(out)
     if name == "sinwave-x":  # u_y = A sin(kx x): transverse wave
         return jnp.stack([zero, ampl * jnp.sin(kx * x) + zero, zero])
     if name == "sinwave-z":
@@ -286,6 +324,13 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         dz_ = z - center1[2]
         tmp = modulate / (1.0 + (dy_ ** 2 + dz_ ** 2) / radius ** 2) + zero
         return jnp.stack([zero, -dz_ * tmp + zero, dy_ * tmp + zero])
+    if name == "anelastic-nlin":
+        # solenoidal 2-D (x,z) vortex from the gaussian streamfunction
+        # ψ = A·exp(−kx·x² − kz·z²): u = (−ψ_z, 0, ψ_x)/ρ with ρ=1 at
+        # init time (hydro.f90:2331-2344; ampl carries ampl_uy)
+        psi = ampl * jnp.exp(-kx * x ** 2 - kz * z ** 2)
+        return jnp.stack([2.0 * kz * z * psi + zero, zero,
+                          -2.0 * kx * x * psi + zero])
     if name == "anelastic-lin":
         # u_x = A·sin(x)·cos(z), u_y = 0, and u_z is zeroed after being
         # set (the `!!!` line, reference hydro.f90:2346-2354) — the ampl

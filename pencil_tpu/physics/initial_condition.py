@@ -296,14 +296,13 @@ def ic_baroclinic_init(grid, spec, eos, cfg, params):
     f = 1.0 + lump * fac
     std = jnp.sqrt(jnp.mean(f ** 2) - jnp.mean(f) ** 2)
     rho = 1.0 + rho_rms / std * (f - 1.0)
-    out = {}
-    den = cfg.module("density")
-    if den is not None and getattr(den, "lnolog", False):
-        out["rho"] = rho
-    else:
-        out["lnrho"] = jnp.log(rho)
+    # ADDITIVE in log space: the reference saves the pre-existing noise
+    # and sets lnρ = noise + ln(ρ_lump) (baroclinic_init.f90:100,202) —
+    # the model's "+lnrho" rule multiplies a nolog rho field accordingly
+    out = {"+lnrho": jnp.log(rho)}
     if cfg.module("entropy") is not None and eos is not None:
-        # isobaric start: s = −cv·γ·lnρ  (cv = cp/γ)
+        # isobaric start: s = −cv·γ·lnρ  (cv = cp/γ); the noise is NOT
+        # in the entropy (initial_condition_ss uses the saved lump only)
         out["ss"] = -eos.cp * jnp.log(rho)
     return out
 
@@ -728,6 +727,249 @@ def ic_mhs_equilibrium(grid, spec, eos, cfg, params, key=None):
         out["+aa"] = aa
     return out
 
+def strat_mlt(rhotop, flux, nzgrid, dz, ztop, z1, z2, cs20, gamma,
+              mpoly0, mpoly1, alpha_mlt, gravz=-1.0):
+    """One downward MLT integration (entropy.f90:7680-7770 strat_MLT):
+    temp/lnrho marched top→bottom with the zone-dependent gradient
+    del; returns (lnrhom, tempm) top-first and rho at z=z1."""
+    g1 = gamma - 1.0
+    lnrhom = np.empty(nzgrid)
+    tempm = np.empty(nzgrid)
+    lnrhom[0] = np.log(rhotop)
+    tempm[0] = cs20 / g1
+    polyad = 1.0 / g1
+    delad = 1.0 - 1.0 / gamma
+    fr_frac = delad * (mpoly0 + 1.0)
+    fc = (1.0 - fr_frac) * flux
+    zz = ztop
+    lnrhobot = lnrhom[0]
+    prev_z = zz
+    for iz in range(1, nzgrid):
+        zm = ztop - iz * dz
+        if zm < z1:
+            delta = 1.0 / (mpoly1 + 1.0)
+        elif zm <= z2:
+            delta = delad + alpha_mlt * (fc / (
+                np.exp(lnrhom[iz - 1])
+                * (g1 * tempm[iz - 1]) ** 1.5)) ** (2.0 / 3.0)
+        else:
+            delta = 0.0
+        dtemp = gamma * polyad * gravz * delta
+        dlnrho = gamma * polyad * gravz * (1.0 - delta) / tempm[iz - 1]
+        tempm[iz] = tempm[iz - 1] - dtemp * dz
+        lnrhom[iz] = lnrhom[iz - 1] - dlnrho * dz
+        # linear interpolation of lnrho at z=z1 (descending grid)
+        if prev_z >= z1 > zm:
+            w = (prev_z - z1) / dz
+            lnrhobot = (1 - w) * lnrhom[iz - 1] + w * lnrhom[iz]
+        prev_z = zm
+    return lnrhom, tempm, float(np.exp(lnrhobot))
+
+
+def mlt_iterate(flux, nzgrid, dz, ztop, z1, z2, cs20, gamma, rho0,
+                mpoly0, mpoly1, alpha_mlt, gravz=-1.0):
+    """Secant iteration on rhotop until rho(z1)=rho0
+    (entropy.f90:2107-2190 mixinglength)."""
+    args = (flux, nzgrid, dz, ztop, z1, z2, cs20, gamma, mpoly0, mpoly1,
+            alpha_mlt, gravz)
+    rt_old, rt_new = 0.1 * rho0, 0.12 * rho0
+    _, _, rb_old = strat_mlt(rt_old, *args)
+    lnr, tm, rb_new = strat_mlt(rt_new, *args)
+    rhotop = rt_new
+    for _ in range(10):
+        rhotop = rt_old + (rt_new - rt_old) / (rb_new - rb_old) \
+            * (rho0 - rb_old)
+        if abs(rhotop / rt_new - 1.0) <= 1e-4:
+            break
+        lnr, tm, rhobot = strat_mlt(rhotop, *args)
+        rt_old, rb_old, rt_new, rb_new = rt_new, rb_new, rhotop, rhobot
+    lnr, tm, _ = strat_mlt(rhotop, *args)
+    return rhotop, lnr, tm
+
+
+@register_ic("mlt_profile")
+def ic_mlt_profile(grid, spec, eos, cfg, params):
+    """Mixing-length stratification profile (entropy.f90:2108
+    'mixinglength'): the 1-D (lnrho, T) columns from mlt_iterate are
+    spread over the box; ss from the eos inversion with the REDEFINED
+    rho0=rhotop (handled by the run-dir loader)."""
+    lnrhom = np.asarray(params["lnrhom"])      # top-first
+    tempm = np.asarray(params["tempm"])
+    nzgrid = len(lnrhom)
+    # grid z index n=1..nz maps to profile entry nzgrid−iz (0-based flip)
+    idx = nzgrid - 1 - np.arange(spec.nz)
+    lnrho = lnrhom[idx]
+    lnTT = np.log(tempm[idx])
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    gamma = eos.gamma
+    ss = (eos.cp / gamma) * (lnTT - eos.lnTT0
+                             - (gamma - 1.0) * (lnrho - eos.lnrho0))
+    return {"+lnrho": jnp.asarray(lnrho)[None, None, :] + 0 * ones,
+            "+ss": jnp.asarray(ss)[None, None, :] + 0 * ones}
+
+
+@register_ic("fluxrings")
+def ic_fluxrings(grid, spec, eos, cfg, params):
+    """Interlocked magnetic flux rings (reference
+    src/initial_condition/fluxrings.f90:205-391 + manual §C.3):
+    each ring is the canonical x-y-plane ring A₀ rotated by the axis
+    direction and translated: A(x) = D·A₀(D⁻¹(x − disp)).  Profiles:
+    'tanh' (default), 'gaussian', 'const'."""
+    import math as _m
+    from jax.scipy.special import erf
+    x, y, z = grid.xg, grid.yg, grid.zg
+    dtype = grid.x.dtype
+    ones = jnp.ones(spec.shape, dtype)
+    ampl = float(params.get("amplaa", 1.0))
+    prof = str(params.get("fring_profile", "tanh"))
+    aa = jnp.zeros((3,) + spec.shape, dtype)
+    epsi = 1e-30
+    for i in ("1", "2", "3"):
+        fring = float(params.get(f"fring{i}", 0.0))
+        Iring = float(params.get(f"iring{i}", params.get(f"Iring{i}", 0.0)))
+        if fring == 0.0 and Iring == 0.0:
+            continue
+        R0 = float(params.get(f"rring{i}", params.get(f"Rring{i}", 1.0)))
+        w = float(params.get(f"wr{i}", 0.3))
+        axis = [float(v) for v in params.get(f"axisr{i}", [0, 0, 1])]
+        disp = [float(v) for v in params.get(f"dispr{i}", [0, 0, 0])]
+        phi0 = _m.atan2(axis[1], axis[0] + epsi)
+        th0 = _m.atan2(_m.sqrt(axis[0] ** 2 + axis[1] ** 2) + epsi,
+                       axis[2])
+        ct, st = _m.cos(th0), _m.sin(th0)
+        cp, sp = _m.cos(phi0), _m.sin(phi0)
+        dx_, dy_, dz_ = x - disp[0], y - disp[1], z - disp[2]
+        xx1 = ct * cp * dx_ + ct * sp * dy_ - st * dz_
+        yy1 = -sp * dx_ + cp * dy_
+        zz1 = st * cp * dx_ + st * sp * dy_ + ct * dz_
+        rr = jnp.sqrt(xx1 ** 2 + yy1 ** 2) - R0
+        if prof == "gaussian":
+            az = (-fring * 0.5 * (1.0 + erf(rr / (_m.sqrt(2.0) * w)))
+                  * jnp.exp(-0.5 * (zz1 / w) ** 2)
+                  / (_m.sqrt(2.0 * _m.pi) * w))
+        elif prof == "const":
+            az = (-fring * 0.5 * (1.0 + jnp.clip(rr / w, -1.0, 1.0))
+                  * 0.25 / w * (1.0 - jnp.sign(jnp.abs(zz1) - w)))
+        else:                                       # 'tanh'
+            az = (-fring * 0.5 * (1.0 + jnp.tanh(rr / w))
+                  * 0.5 / w / jnp.cosh(zz1 / w) ** 2)
+        tmp = Iring * 0.5 * (1.0 + jnp.tanh(
+            (w - jnp.sqrt(rr ** 2 + zz1 ** 2)) / w))
+        ph = jnp.arctan2(yy1, xx1)
+        ax_, ay_ = -tmp * jnp.sin(ph), tmp * jnp.cos(ph)
+        aa = aa + ampl * jnp.stack([
+            (ct * cp * ax_ - sp * ay_ + st * cp * az) * ones,
+            (ct * sp * ax_ + cp * ay_ + st * sp * az) * ones,
+            (-st * ax_ + ct * az) * ones])
+    return {"+aa": aa}
+
+
+@register_ic("isentropic_star")
+def ic_isentropic_star(grid, spec, eos, cfg, params):
+    """Isentropic hydrostatic sphere with isothermal atmosphere
+    (reference density.f90:1250-1312 + entropy.f90:1580-1625
+    'isentropic-star'): inside r_ext ss=0 and
+    lnρ = lnρ0 + ln(1−(γ−1)(Φ−Φ0)/cs20)/(γ−1); outside isothermal at
+    cs2cool with a pressure-continuous entropy jump."""
+    import math as _m
+    grav = cfg.module("gravity") if cfg else None
+    if grav is None:
+        raise ValueError("isentropic-star needs a gravity module")
+    gamma = eos.gamma
+    g1 = gamma - 1.0
+    cs20 = eos.cs20
+    r_ext = float(params.get("r_ext", 1.0))
+    cs2cool = float(params.get("cs2cool", 0.0))
+    x, y, z = grid.xg, grid.yg, grid.zg
+    r = jnp.sqrt(x * x + y * y + z * z)
+    pot = grav.potential(r)
+    pot0 = grav.pot0
+    pot_ext = float(grav.potential(jnp.asarray(r_ext)))
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    if gamma == 1.0:
+        lnrho = eos.lnrho0 - (pot - pot0) / cs20
+        return {"lnrho": lnrho + 0.0 * ones}
+    tmp1_ext = 1.0 - g1 * (pot_ext - pot0) / cs20
+    lnrho_ext = eos.lnrho0 + _m.log(tmp1_ext) / g1
+    cs2_ext = cs20 * tmp1_ext
+    if cs2cool != 0.0:
+        lnrho_ext -= _m.log(cs2cool / cs2_ext)
+    else:
+        cs2cool = cs2_ext
+    inside = pot <= pot_ext
+    lnrho = jnp.where(
+        inside,
+        eos.lnrho0 + jnp.log(jnp.maximum(
+            1.0 - g1 * (pot - pot0) / cs20, 1e-20)) / g1,
+        lnrho_ext - gamma * (pot - pot_ext) / cs2cool)
+    out = {"lnrho": lnrho + 0.0 * ones}
+    if cfg.module("entropy") is not None:
+        ss_ext = _m.log(cs2cool / cs2_ext)
+        ss = jnp.where(inside, 0.0,
+                       ss_ext + g1 * (pot - pot_ext) / cs2cool)
+        out["ss"] = ss + 0.0 * ones
+    return out
+
+
+def _ferriere_uniform_by(ampl, rho, grid, spec):
+    """A_x = A·dx·dz·Σ_{z'≤z}Σ_x ρ(x,y,z') → B_y ∝ column density
+    (reference initcond.f90:6772-6840 ferriere_uniform_y)."""
+    dx = spec.Lx / spec.nx if spec.periodic[0] else spec.Lx / max(spec.nx - 1, 1)
+    dz = spec.Lz / spec.nz if spec.periodic[2] else spec.Lz / max(spec.nz - 1, 1)
+    colsum = jnp.cumsum(jnp.sum(rho, axis=0, keepdims=True), axis=2)
+    ax = ampl * colsum * dx * dz
+    zero = jnp.zeros(spec.shape, grid.x.dtype)
+    return jnp.stack([ax + zero, zero, zero])
+
+
+@register_ic("ferriere_ism")
+def ic_ferriere_ism(grid, spec, eos, cfg, params):
+    """K. Ferriere ApJ 497, 759 (1998) multi-component ISM profile
+    (reference entropy.f90:2361-2455 ``ferriere``): ρ(z) from the cold/
+    warm/ionized/hot gas components (eqs 6,7,9,13), entropy from the
+    thermal pressure (eq 15) at fixed per-component temperatures."""
+    ul = float(params.get("unit_length", 3.086e21))
+    ud = float(params.get("unit_density", 1e-24))
+    uv = float(params.get("unit_velocity", 1e5))
+    ut = float(params.get("unit_temperature",
+                          1.6726e-24 * uv * uv / 1.380649e-16))
+    kpc = 3.086e21 / ul
+    m_p, k_B = 1.67262192e-24, 1.380649e-16
+    rhoscale = 1.36 * m_p / ud
+    T_c, T_w, T_i, T_h = (500.0 / ut, 8.0e3 / ut, 8.0e3 / ut, 1.0e6 / ut)
+    z = grid.zg
+    absz = jnp.abs(z)
+    n_c = 0.340 * (0.859 * jnp.exp(-(z / (0.127 * kpc)) ** 2)
+                   + 0.047 * jnp.exp(-(z / (0.318 * kpc)) ** 2)
+                   + 0.094 * jnp.exp(-absz / (0.403 * kpc)))
+    n_w = 0.226 * (0.456 * jnp.exp(-(z / (0.127 * kpc)) ** 2)
+                   + 0.403 * jnp.exp(-(z / (0.318 * kpc)) ** 2)
+                   + 0.141 * jnp.exp(-absz / (0.403 * kpc)))
+    n_i = 0.0237 * jnp.exp(-absz / kpc) \
+        + 0.0013 * jnp.exp(-absz / (0.150 * kpc))
+    n_h = 0.00048 * jnp.exp(-absz / (1.5 * kpc))
+    rho = (n_c + n_w + n_i + n_h) * rhoscale
+    lnrho = jnp.log(rho)
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    out = {"+lnrho": lnrho + 0.0 * ones}
+    if cfg is not None and cfg.module("entropy") is not None:
+        # k_B·unit_length³ in code units = k_B_cgs·T_unit/unit_pressure
+        kB_code = k_B * ut / (ud * uv * uv)
+        pp = kB_code * (1.09 * n_c * T_c + 1.09 * n_w * T_w
+                        + 2.09 * n_i * T_i + 2.27 * n_h * T_h)
+        # eosperturb(pp): ss from cs² = γp/ρ
+        gamma = eos.gamma
+        cs2 = gamma * pp / rho
+        ss = (eos.cp / gamma) * (jnp.log(cs2 / eos.cs0 ** 2)
+                                 - (gamma - 1.0) * (lnrho - eos.lnrho0))
+        out["+ss"] = ss + 0.0 * ones
+    bampl = float(params.get("ferriere_uniform_by", 0.0))
+    if bampl:
+        out["+aa"] = _ferriere_uniform_by(bampl, rho + 0.0 * ones,
+                                          grid, spec)
+    return out
+
+
 @register_ic("hs_equilibrium_ism")
 def ic_hs_equilibrium_ism(grid, spec, eos, cfg, params):
     """Galactic hydrostatic+thermal equilibrium (reference
@@ -748,16 +990,22 @@ def ic_hs_equilibrium_ism(grid, spec, eos, cfg, params):
                                                      7.088e2 / ut))) * ut
     mu = float(params.get("mu", 0.62))
     lthermal = bool(params.get("lthermal_hse", True))
-    z_cgs = grid.zg * ul
-    prof = (a_S * jnp.sqrt(z_S ** 2 + z_cgs ** 2)
-            + 0.5 * a_D * z_cgs ** 2 / z_D)
-    TT_K = T_init_K / (a_S * z_S) * prof
+    # dimensionless profile prof/(a_S·z_S) — cgs intermediates like z_S²
+    # (~4e41) overflow float32, so fold the ratios into python floats
+    zr = grid.zg * (ul / z_S)                      # z/z_S
+    prof_n = (jnp.sqrt(1.0 + zr ** 2)
+              + 0.5 * (a_D / a_S) * (ul * ul / (z_D * z_S)) * grid.zg ** 2)
+    TT_K = T_init_K * prof_n
     if lthermal:
         coef = a_S * z_S * m_u * mu / (k_B * T_init_K)
         logrho = _m.log(rho0ts) + coef * (jnp.log(T_init_K)
                                           - jnp.log(TT_K))
     else:
-        logrho = _m.log(rho0ts) - 0.015 * (-a_S * z_S + prof)
+        # interstellar(_old).f90 thermal_hs non-hse branch works in CODE
+        # units: g_A = a_S_cgs·unit_length/unit_velocity², z in code units
+        # — the cgs profile must be scaled by 1/uv² (erg/g → code energy)
+        logrho = _m.log(rho0ts) \
+            - 0.015 * (a_S * z_S / uv ** 2) * (prof_n - 1.0)
     logrho = jnp.maximum(logrho, -40.0)
     ones = jnp.ones(spec.shape, grid.x.dtype)
     out = {"+lnrho": logrho + 0.0 * ones}
@@ -767,4 +1015,8 @@ def ic_hs_equilibrium_ism(grid, spec, eos, cfg, params):
         ss = (eos.cp / gamma) * (lnTT - eos.lnTT0 - (gamma - 1.0)
                                  * (logrho - eos.lnrho0))
         out["+ss"] = ss + 0.0 * ones
+    bampl = float(params.get("ferriere_uniform_by", 0.0))
+    if bampl:
+        out["+aa"] = _ferriere_uniform_by(
+            bampl, jnp.exp(logrho) + 0.0 * ones, grid, spec)
     return out

@@ -108,6 +108,7 @@ class Interstellar(ModuleBase):
     cooling_select: str = "WSW"
     heating_select: str = "wolfire"
     heating_rate: float = 0.015           # cgs erg/g/s for 'cst'
+    cdts: float = 1.0                     # cooling-time CFL (cdata cdts)
     GammaUV: float = 0.0                  # code units; 0 → cgs default
     coolingfunction_scalefactor: float = 1.0
     heatingfunction_scalefactor: float = 1.0
@@ -218,6 +219,12 @@ class Interstellar(ModuleBase):
                                * self.heatingfunction_scalefactor)
         heatcool = jnp.exp(-lnTT) * (heat - cool)
         accumulate(df, "ss", heatcool)
+        # cooling-time dt constraint (entropy.f90:3444 via Hmax from
+        # calc_heat_cool_interstellar :1855): dt1 ≥ |heat−cool|/(ee·cdts)
+        eos = pen.eos
+        ee = pen.cs2() / (eos.gamma * (eos.gamma - 1.0)) \
+            if eos.gamma != 1.0 else pen.cs2()
+        ts.max_rate(jnp.abs(heat - cool) / (ee * self.cdts))
 
     # ---- discrete SN injection (explode_SN :3182-3805) -----------------
     def post_init(self, fields, model):

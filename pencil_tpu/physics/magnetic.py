@@ -55,6 +55,10 @@ class Magnetic(ModuleBase):
     radius: float = 1.0        # flux-tube inits ('hor-tube-x' etc.)
     epsilonaa: float = 0.0
     center1: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # 'piecewise-dipole' shell radii + inclination (magnetic.f90:8618)
+    r_int: float = 0.0
+    r_ext: float = 1.0
+    inclaa: float = 0.0
     lrelativistic_eos: bool = False
 
     def register(self, reg):
@@ -211,4 +215,6 @@ class Magnetic(ModuleBase):
                                   rnoise_ext=self.rnoise_ext,
                                   radius=self.radius,
                                   eps_tube=self.epsilonaa,
-                                  center1=self.center1)}
+                                  center1=self.center1,
+                                  r_int=self.r_int, r_ext=self.r_ext,
+                                  inclaa=self.inclaa)}

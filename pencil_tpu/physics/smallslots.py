@@ -109,6 +109,16 @@ class Polymer(ModuleBase):
     tau_poly: float = 1.0       # relaxation time
     mu_poly: float = 0.0        # elastic coupling to the flow
     diff_poly: float = 1e-4     # numerical diffusion of C
+    # FENE-P closure (polymer.f90:306-340): f(r) = (L²−3)/(L²−tr C),
+    # relaxation −(f·C − I)/τ, elastic force ∇·(f C); 'oldroyd-B' ⇒ f=1
+    poly_model: str = "oldroyd-B"
+    fenep_L: float = 0.0
+
+    def fr(self, C):
+        if self.poly_model != "FENE-P" or self.fenep_L <= 0.0:
+            return None
+        L2 = self.fenep_L ** 2
+        return (L2 - 3.0) / (L2 - (C[0] + C[3] + C[5]))
     _comps: ClassVar[tuple] = ("cxx", "cxy", "cxz", "cyy", "cyz", "czz")
     _idx: ClassVar[dict] = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (0, 2): 2,
                             (2, 0): 2, (1, 1): 3, (1, 2): 4, (2, 1): 4,
@@ -124,12 +134,16 @@ class Polymer(ModuleBase):
         def c(i, j):
             return C[self._idx[(i, j)]]
 
+        fr = self.fr(C)
         out = []
         for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
-            # upper-convected: dC/dt = C·∇u + (∇u)ᵀ·C − (C − I)/τ − u·∇C
+            # upper-convected: dC/dt = C·∇u + (∇u)ᵀ·C − (fC − I)/τ − u·∇C
+            # (FENE-P multiplies the relaxed conformation by f(r),
+            # polymer.f90:505)
             stretch = sum(c(i, m) * uij[j, m] + c(j, m) * uij[i, m]
                           for m in range(3))
-            relax = -(c(i, j) - (1.0 if i == j else 0.0)) / self.tau_poly
+            fc = c(i, j) if fr is None else fr * c(i, j)
+            relax = -(fc - (1.0 if i == j else 0.0)) / self.tau_poly
             out.append(stretch + relax)
         out = jnp.stack(out)
         # advection of all components
@@ -141,11 +155,20 @@ class Polymer(ModuleBase):
             ts.diffus(self.diff_poly)
         accumulate(df, "poly", out)
         if self.mu_poly != 0.0 and "uu" in pen.reg.slots:
-            # elastic force f_i = (μ/τ) ∂_j C_ij
+            # elastic force f_i = (μ/τ) ∂_j (f·C_ij); for FENE-P
+            # ∂_j f = f²/(L²−3)·∂_j tr C (chain rule on the closure)
+            dpoly = [pen.d("poly", j) for j in range(3)]
             force = []
             for i in range(3):
-                force.append(sum(
-                    pen.d("poly", j)[self._idx[(i, j)]] for j in range(3)))
+                divC = sum(dpoly[j][self._idx[(i, j)]] for j in range(3))
+                if fr is None:
+                    force.append(divC)
+                else:
+                    gfr = [fr * fr / (self.fenep_L ** 2 - 3.0)
+                           * (dpoly[j][0] + dpoly[j][3] + dpoly[j][5])
+                           for j in range(3)]
+                    force.append(fr * divC + sum(
+                        gfr[j] * c(i, j) for j in range(3)))
             accumulate(df, "uu",
                        (self.mu_poly / self.tau_poly) * jnp.stack(force))
 

@@ -63,6 +63,8 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
     model = Model(cfg)
     run = Run(model, datadir=tmpdir,
               params=RunParams(nt=nt, it1=it1,
+                               dtmin=float(
+                                   info["run_pars"].get("dtmin", 1e-10)),
                                print_columns=tuple(ref.keys())),
               quiet=True)
     run.main_loop(model.init_state(0,
