@@ -68,6 +68,22 @@ def parse_cparam_local(path) -> Dict[str, int]:
     return out
 
 
+def _complex_floats(v):
+    """Fortran complex namelist values '(re,im), (re,im)…' arrive from the
+    parser as string halves '(re' / 'im)' — rejoin into a flat float tuple
+    (re1, im1, re2, im2, ...)."""
+    if not isinstance(v, list):
+        v = [v]
+    out = []
+    for tok in v:
+        s = str(tok).strip().lstrip("(").rstrip(")")
+        try:
+            out.append(float(s))
+        except ValueError:
+            pass
+    return tuple(out)
+
+
 def _read_hcond_glhc(path):
     """Radial conductivity table hcond_glhc.dat (entropy.f90 read_hcond:
     nxgrid rows of K(x), dK/dx — used verbatim, no hcond0 scaling)."""
@@ -707,7 +723,17 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 "rnoise_int", init_pars.get("r_int", 0.0))),
             rnoise_ext=float(hyd_p.get(
                 "rnoise_ext", init_pars.get("r_ext", 0.0))),
-            Omega=float(hyd_p.get("omega", 0.0)),
+            # with PARTICLES_DRAG active the Coriolis force is handed
+            # over to the drag cell solve (hydro.f90:1122 lparticles_drag
+            # → Omega terms skipped in duu_dt)
+            Omega=(0.0 if "particles_drag" in mkf.get("PARTICLES_DRAG", "")
+                   else float(hyd_p.get("omega", 0.0))),
+            # run-time global pressure-gradient force (noentropy.f90:379):
+            # merged beta (run.in wins) with the PHYSICAL Omega
+            beta_glnrho_global=tuple(float(v) for v in _vec3(
+                den_p.get("beta_glnrho_global", [0.0, 0.0, 0.0]),
+                [0.0, 0.0, 0.0])),
+            Omega_pressure=float(hyd_p.get("omega", 0.0)),
             theta=float(hyd_p.get("theta", 0.0)),
             lupw_uu=bool(hyd_p.get("lupw_uu", False)),
             urand=float(hyd_p.get("urand", 0.0)),
@@ -1256,7 +1282,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             bcpy=str(_first(par_p.get("bcpy", "p"))),
             solid_cyl=solid_cyl,
             npar=int(cpar.get("npar", 1024)),
-            tausp=float(par_p.get("tausp", 0.0)),
+            ncpus_ref=int(cpar.get("ncpus", 1)),
+            # with PARTICLES_DRAG the particle drag + back-reaction are
+            # handled entirely by the operator-split PIC solve
+            # (ldragforce_dust_par defaults to F, particles_dust.f90)
+            tausp=(0.0 if "particles_drag" in mkf.get("PARTICLES_DRAG", "")
+                   else float(par_p.get("tausp", 0.0))),
             eps_dtog=float(par_p.get("eps_dtog", 0.0)),
             scheme=scheme,
             init=str(_first(par_p.get("initxxp", "random"))),
@@ -1275,8 +1306,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             Ly0=float(par_p.get("ly0", 0.0)),
             Lz0=float(par_p.get("lz0", 0.0)),
             delta_vp0=float(par_p.get("delta_vp0", 1.0)),
+            # init-time value: start.in wins (run.in may zero it and hand
+            # the pressure gradient to particles_drag gx_gas)
             beta_glnrho_global=tuple(float(v) for v in _vec3(
-                den_p.get("beta_glnrho_global", [0.0, 0.0, 0.0]),
+                _g(start, "density_init_pars").get(
+                    "beta_glnrho_global",
+                    den_p.get("beta_glnrho_global", [0.0, 0.0, 0.0])),
                 [0.0, 0.0, 0.0])),
             Omega=float(hyd_p.get("omega", 0.0)),
             cs0=float(eos_p.get("cs0", 1.0)),
@@ -1289,6 +1324,76 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             nu_draglaw=float(par_p.get("nu_draglaw", 0.0))
             if par_p.get("lnu_draglaw") else 0.0,
         ))
+        if "particles_drag" in mkf.get("PARTICLES_DRAG", ""):
+            # PIC mutual-drag operator splitting + optional NSH drag
+            # equilibrium init (particles_drag.f90)
+            from ..particles.drag import ParticlesDrag
+            pdr_p = grp("particles_drag")
+            Om_ = float(hyd_p.get("omega", 0.0))
+            taus_ = float(pdr_p.get("taus", 0.0))
+            modules.append(ParticlesDrag(
+                tdrag=float(pdr_p.get("tdrag", 0.0)),
+                taus=taus_,
+                Omega=Om_,
+                qshear=float(grp("shear").get("qshear", 1.5)),
+                ldrag_on_par=bool(pdr_p.get("ldrag_on_par", True)),
+                ldrag_on_gas=bool(pdr_p.get("ldrag_on_gas", False)),
+                eps_dtog=float(par_p.get("eps_dtog", 0.0)),
+                particle_mesh=str(par_p.get("particle_mesh", "tsc")),
+                gx_gas=float(pdr_p.get("gx_gas", 0.0)),
+            ))
+            if bool(pdr_p.get("lset_drag_equilibrium", False)) \
+                    and bool(pdr_p.get("ldrag_equilibrium_global", False)):
+                # NSH solution (particles_drag.f90:683-712): applied as
+                # vp0 on the particles + ux0/uy0 through the gas IC
+                gx_gas = float(pdr_p.get("gx_gas", 0.0))
+                dv_gas = gx_gas / (2.0 * Om_) if Om_ != 0.0 else 0.0
+                epsd = float(par_p.get("eps_dtog", 0.0))
+                a_ = 1.0 + epsd
+                b_ = dv_gas / (a_ * a_ + taus_ * taus_)
+                vx_ = -2.0 * taus_ * b_
+                vy_ = -a_ * b_
+                _nsh = {"ux0": -epsd * vx_,
+                        "uy0": -(a_ + taus_ * taus_) * b_,
+                        "vpx0": vx_, "vpy0": vy_}
+            else:
+                _nsh = None
+        else:
+            _nsh = None
+        if _nsh is not None or str(_first(par_p.get("initxxp", ""))) \
+                == "streaming_coldstart":
+            import dataclasses as _dcp
+            cf = _complex_floats(par_p.get("coeff", []))
+            # INIT-time beta (start.in): run.in often zeroes
+            # beta_glnrho_global for the dynamics (the pressure gradient
+            # is then carried by particles_drag gx_gas)
+            beta0_ = _vec3(_g(start, "density_init_pars").get(
+                "beta_glnrho_global",
+                den_p.get("beta_glnrho_global", [0, 0, 0])), [0, 0, 0])[0]
+            eta_vK_ = -0.5 * float(beta0_) * float(eos_p.get("cs0", 1.0))
+            modules = [
+                _dcp.replace(
+                    m,
+                    amplxxp=float(par_p.get("amplxxp", 0.0)),
+                    kx_xxp=float(par_p.get("kx_xxp", 0.0)),
+                    kz_xxp=float(par_p.get("kz_xxp", 0.0)),
+                    coeff=cf,
+                    vp0=((_nsh["vpx0"], _nsh["vpy0"], 0.0)
+                         if _nsh else (0.0, 0.0, 0.0)))
+                if m.name == "particles" else m for m in modules]
+            from ..physics.initial_condition import InitialCondition
+            gas_pars = {
+                "coeff": cf,
+                "amplxxp": float(par_p.get("amplxxp", 0.0)),
+                "kx_xxp": float(par_p.get("kx_xxp", 0.0)),
+                "kz_xxp": float(par_p.get("kz_xxp", 0.0)),
+                "eta_vk": eta_vK_,
+                "ux0": _nsh["ux0"] if _nsh else 0.0,
+                "uy0": _nsh["uy0"] if _nsh else 0.0,
+            }
+            modules.append(InitialCondition(
+                plugin="streaming_coldstart_gas",
+                params=tuple(sorted(gas_pars.items()))))
         if "particles_coagulation" in mkf.get("PARTICLES_COAGULATION", ""):
             from ..particles.coagulation import ParticlesCoagulation
             pcg_p = grp("particles_coag")
@@ -1408,6 +1513,40 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                             except ValueError:
                                 pass
                 ic_p["_init_ism_rows"] = tuple(rows)
+        if plugin == "streaming_instability":
+            # multi-species SI: hashable-ify the complex si_ev list and
+            # route the particle side through init='si_exact_mode'
+            import dataclasses as _dsi
+            from ..physics.initial_condition import nsh_multispecies
+            ic_p["si_ev"] = _complex_floats(ic_p.get("si_ev", []))
+            for k in ("taus", "eps"):
+                v = ic_p.get(k, [])
+                ic_p[k] = tuple(float(u) for u in
+                                (v if isinstance(v, list) else [v]))
+            eta_vK_si = -0.5 * float(ic_p.get("dlnrhodlnr", 0.0)) \
+                * float(eos_p.get("cs0", 1.0))
+            vpx_, vpy_, ux0_, uy0_ = nsh_multispecies(
+                ic_p["taus"], ic_p["eps"], eta_vK_si)
+            modules = [
+                _dsi.replace(m, ux0=ux0_, uy0=uy0_,
+                             eps_dtog=float(sum(ic_p["eps"])))
+                if m.name == "multisp_drag_eq" else m for m in modules]
+            modules = [
+                _dsi.replace(
+                    m, init="si_exact_mode",
+                    npar_species=int(cpar.get("npar_species", 1)),
+                    taus_species=ic_p["taus"],
+                    eps_species=ic_p["eps"],
+                    si_ev=ic_p["si_ev"],
+                    si_amp=float(ic_p.get("si_amp", 1e-6)),
+                    si_kx=float(ic_p.get("si_kx", 0.0)),
+                    si_kz=float(ic_p.get("si_kz", 0.0)),
+                    dlnrhodlnr=float(ic_p.get("dlnrhodlnr", 0.0)),
+                    vp0_species=tuple(
+                        (float(a), float(b)) for a, b in zip(vpx_, vpy_)),
+                    rho0=float(eos_p.get("rho0", 1.0)),
+                    ldragforce_gas_par=True)
+                if m.name == "particles" else m for m in modules]
         modules.append(InitialCondition(
             plugin=plugin,
             params=tuple(sorted((k, v) for k, v in ic_p.items()))))

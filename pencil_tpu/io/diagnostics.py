@@ -1126,6 +1126,77 @@ for _nm, _c, _p, _e in (
                           _tf_proj(pen, c, p, e))(_c, _p, _e)
 
 
+# ---- multisp_drag_eq deviation moments (special/multisp_drag_eq.f90) -------
+def _mde(pen):
+    return pen.cfg.module("multisp_drag_eq")
+
+
+def _mk_rdu(fn):
+    def g(pen, st):
+        sp = _mde(pen)
+        if sp is None:
+            return jnp.zeros(())
+        uu, rho = pen.uu(), pen.rho()
+        dux = uu[0] - sp.ux0
+        duy = uu[1] - sp.uy0
+        return _vmean(pen, fn(rho, dux, duy, uu))
+    return g
+
+
+DIAG_REGISTRY["rduxm"] = _mk_rdu(lambda r, dx, dy, u: r * dx)
+DIAG_REGISTRY["rduym"] = _mk_rdu(lambda r, dx, dy, u: r * dy)
+DIAG_REGISTRY["rdux2m"] = _mk_rdu(lambda r, dx, dy, u: r * dx * dx)
+DIAG_REGISTRY["rduy2m"] = _mk_rdu(lambda r, dx, dy, u: r * dy * dy)
+DIAG_REGISTRY["rduxduym"] = _mk_rdu(lambda r, dx, dy, u: r * dx * dy)
+DIAG_REGISTRY["ruz2m"] = _mk_rdu(lambda r, dx, dy, u: r * u[2] ** 2)
+DIAG_REGISTRY["ruzduxm"] = _mk_rdu(lambda r, dx, dy, u: r * u[2] * dx)
+DIAG_REGISTRY["ruzduym"] = _mk_rdu(lambda r, dx, dy, u: r * u[2] * dy)
+
+
+def _mk_rhopdvp(fn):
+    """Σ_par ρp_swarm·f(vp − vp_eq) / npar (sum_par_name semantics,
+    special_calc_particles multisp_drag_eq.f90:193-237)."""
+    def g(pen, st):
+        p = st.get("particles")
+        if p is None or "rhopswarm" not in p or "vp_eq" not in p:
+            return jnp.zeros(())
+        vp = p["vp"]
+        dvx = vp[:, 0] - p["vp_eq"][:, 0]
+        dvy = vp[:, 1] - p["vp_eq"][:, 1]
+        return jnp.mean(p["rhopswarm"] * fn(dvx, dvy, vp))
+    return g
+
+
+DIAG_REGISTRY["rhopdvpxm"] = _mk_rhopdvp(lambda dx, dy, vp: dx)
+DIAG_REGISTRY["rhopdvpym"] = _mk_rhopdvp(lambda dx, dy, vp: dy)
+DIAG_REGISTRY["rhopdvpx2m"] = _mk_rhopdvp(lambda dx, dy, vp: dx * dx)
+DIAG_REGISTRY["rhopdvpy2m"] = _mk_rhopdvp(lambda dx, dy, vp: dy * dy)
+DIAG_REGISTRY["rhopvpz2m"] = _mk_rhopdvp(lambda dx, dy, vp: vp[:, 2] ** 2)
+
+
+def _rhop_dev(pen, st):
+    sp = _mde(pen)
+    p = st.get("particles")
+    if sp is None or p is None:
+        return None
+    pmod = pen.cfg.module("particles")
+    rho0 = pen.eos.rho0 if pen.eos is not None else 1.0
+    rhop = pmod.rhop(p, pen, pen.cfg.grid)
+    return rhop - sp.eps_dtog * rho0
+
+
+@diag("drhopm")
+def _drhopm(pen, st):
+    d = _rhop_dev(pen, st)
+    return jnp.zeros(()) if d is None else _vmean(pen, d)
+
+
+@diag("drhop2m")
+def _drhop2m(pen, st):
+    d = _rhop_dev(pen, st)
+    return jnp.zeros(()) if d is None else _vmean(pen, d * d)
+
+
 # ---- particle-swarm statistics (particles_dust.f90:301-330) ----------------
 def _pp(st):
     return st.get("particles")
@@ -1181,10 +1252,16 @@ DIAG_REGISTRY["npm"] = _mk_pstat(
     lambda pen, p: jnp.mean(_np_cells(pen, p)))
 DIAG_REGISTRY["np2m"] = _mk_pstat(
     lambda pen, p: jnp.mean(_np_cells(pen, p) ** 2))
+# nparmax/min report the per-RANK npar_loc (diagnostics over the
+# reference's compile-time proc grid; uniform loading assumed)
 DIAG_REGISTRY["nparmax"] = _mk_pstat(
-    lambda pen, p: jnp.asarray(float(p["xp"].shape[0])))
+    lambda pen, p: jnp.asarray(float(
+        p["xp"].shape[0]
+        / max(getattr(pen.cfg.module("particles"), "ncpus_ref", 1), 1))))
 DIAG_REGISTRY["nparmin"] = _mk_pstat(
-    lambda pen, p: jnp.asarray(float(p["xp"].shape[0])))
+    lambda pen, p: jnp.asarray(float(
+        p["xp"].shape[0]
+        / max(getattr(pen.cfg.module("particles"), "ncpus_ref", 1), 1))))
 
 
 def _mk_apstat(fn):

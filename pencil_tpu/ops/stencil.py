@@ -142,6 +142,46 @@ def i(arr: jnp.ndarray, axes=(0, 1, 2), g: int = NGHOST) -> jnp.ndarray:
     return arr[tuple(idx)]
 
 
+def _stencil_axis_paired(fg, axis, weights, offsets, parity, wrap=False,
+                         g=NGHOST):
+    """Central stencil evaluated in PAIRED form so constants cancel
+    EXACTLY in floating point (the reference's
+    45*(f(+1)−f(−1)) − 9*(f(+2)−f(−2)) + ... arrangement,
+    src/deriv.f90:89-171):
+
+      odd  derivative:  Σ_{o>0} w_o·(f₊ₒ − f₋ₒ)
+      even derivative:  Σ_{o>0} w_o·(f₊ₒ + f₋ₒ − 2·f₀)
+
+    The naive per-tap sum leaves an O(eps)·|f| residue on constant fields
+    which, scaled by dx⁻ⁿ, becomes a spurious uniform force on small
+    boxes (dx_1 ~ 10³ broke the streaming-instability equilibrium)."""
+    ax = _axis_index(fg, axis)
+    m = fg.shape[ax]
+    if ax == fg.ndim - 1 and m >= 8 and _zmm_enabled():
+        D = _band_matrix(m, tuple(offsets), tuple(weights), wrap, g,
+                         str(fg.dtype))
+        return jnp.matmul(fg, D, precision=jax.lax.Precision.HIGHEST)
+    pos = [(o, w) for o, w in zip(offsets, weights) if o > 0 and w != 0.0]
+
+    def shift(o):
+        if wrap:
+            return jnp.roll(fg, -o, axis=ax)
+        n = m - 2 * g
+        return jax.lax.slice_in_dim(fg, g + o, g + o + n, axis=ax)
+
+    center = shift(0)
+    out = None
+    for o, w in pos:
+        if parity == 1:
+            term = w * (shift(o) - shift(-o))
+        else:
+            term = w * (shift(o) + shift(-o) - 2.0 * center)
+        out = term if out is None else out + term
+    if out is None:
+        out = jnp.zeros_like(center)
+    return out
+
+
 def _der_n(fg, axis, inv_d, deriv, accuracy, wrap=False, g=NGHOST):
     """Width-generic central derivative: the full (2g+1)-point stencil of
     the ghost zone is used, so accuracy follows the configured ghost width
@@ -152,7 +192,8 @@ def _der_n(fg, axis, inv_d, deriv, accuracy, wrap=False, g=NGHOST):
         raise ValueError(f"stencil halfwidth {hw} exceeds nghost={g}")
     offs = central_offsets(g)
     w = fd_weights(offs, deriv)
-    out = _stencil_axis(fg, axis, w, offs, wrap=wrap, g=g)
+    out = _stencil_axis_paired(fg, axis, w, offs, deriv % 2, wrap=wrap,
+                               g=g)
     if inv_d is not None:
         out = out * _pow_scale(inv_d, deriv)
     return out
@@ -212,7 +253,7 @@ def der6_upw(fg, axis, inv_d):
     offs = central_offsets(NGHOST)
     w6 = fd_weights(offs, 6)            # [1,-6,15,-20,15,-6,1]
     w = tuple(x / 60.0 for x in w6)
-    out = _stencil_axis(fg, axis, w, offs)
+    out = _stencil_axis_paired(fg, axis, w, offs, 0)
     return out * inv_d
 
 

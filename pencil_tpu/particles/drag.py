@@ -58,6 +58,23 @@ class ParticlesDrag(ModuleBase):
     ldrag_on_gas: bool = False
     eps_dtog: float = 0.0         # resets mp_swarm (find_mp_swarm)
     particle_mesh: str = "tsc"    # 'ngp' | 'tsc'
+    # background gas pressure-gradient acceleration: dv_gas = gx_gas/2Ω
+    # and the drag+epicycle solve acts on DEVIATIONS from the per-cell
+    # NSH solution (drag_mutual_omega, particles_drag.f90:559-575)
+    gx_gas: float = 0.0
+
+    def _nsh(self, epstot):
+        """Per-cell NSH solution (get_nsh_solution,
+        particles_drag.f90:683-712)."""
+        dvg = self.gx_gas / (2.0 * self.Omega)
+        taus = self.taus if self.taus > 0 else self.Omega * self._tdrag()
+        a = 1.0 + epstot
+        b = dvg / (a * a + taus * taus)
+        vx = -2.0 * taus * b
+        vy = -a * b
+        ux = -epstot * vx
+        uy = -(a + taus * taus) * b
+        return ux, uy, vx, vy
 
     def _tdrag(self):
         if self.tdrag > 0:
@@ -195,8 +212,17 @@ class ParticlesDrag(ModuleBase):
         a2 = _one_minus_exp(ts_) / a3
 
         if self.Omega != 0.0:
-            # epicyclic rotation coefficients (drag_mutual_omega; the NSH
-            # equilibrium is zero here — dv_gas=0, no pressure gradient)
+            # epicyclic rotation coefficients (drag_mutual_omega): the
+            # solve acts on deviations from the per-cell NSH equilibrium
+            # set by gx_gas (zero offsets when gx_gas = 0)
+            if self.gx_gas != 0.0:
+                uxn, uyn, vxn, vyn = self._nsh(epstot)
+            else:
+                uxn = uyn = vxn = vyn = jnp.zeros_like(epstot)
+            ux0_f = ux_f - uxn
+            uy0_f = uy_f - uyn
+            vxcm0 = vxcm - vxn
+            vycm0 = vycm - vyn
             efreq = (2.0 * (2.0 - self.qshear)) ** 0.5 * self.Omega
             eratio = (2.0 / (2.0 - self.qshear)) ** 0.5
             ot = efreq * dt
@@ -204,15 +230,15 @@ class ParticlesDrag(ModuleBase):
             s = jnp.sin(ot)
             sinot1 = s * eratio
             sinot2 = s / eratio
-            uxe = ux_f * cosot + uy_f * sinot1
-            uye = uy_f * cosot - ux_f * sinot2
-            vxe = vxcm * cosot + vycm * sinot1
-            vye = vycm * cosot - vxcm * sinot2
+            uxe = ux0_f * cosot + uy0_f * sinot1
+            uye = uy0_f * cosot - ux0_f * sinot2
+            vxe = vxcm0 * cosot + vycm0 * sinot1
+            vye = vycm0 * cosot - vxcm0 * sinot2
             # gas update (ldrag_pm_back_reaction = F branch)
             a1g = (1.0 + epstot * a4) / a3
             a2g = epstot * a2
-            dux_c = a1g * uxe + a2g * vxe - ux_f
-            duy_c = a1g * uye + a2g * vye - uy_f
+            dux_c = a1g * uxe + a2g * vxe - ux0_f
+            duy_c = a1g * uye + a2g * vye - uy0_f
         else:
             x1me = _one_minus_exp(t)
             y1me = _one_minus_exp(ts_)
@@ -240,12 +266,14 @@ class ParticlesDrag(ModuleBase):
         dvz = jnp.zeros((npar,), dtype)
         for (idx, w), eps_sub in zip(cells, eps_subs):
             if self.Omega != 0.0:
+                vpx0 = vp[:, 0] - vxn[idx]
+                vpy0 = vp[:, 1] - vyn[idx]
                 dvx_s = (a1[idx] * vxe[idx] + a2[idx] * uxe[idx]
-                         + a0 * (vp[:, 0] * cosot + vp[:, 1] * sinot1)
-                         - vp[:, 0])
+                         + a0 * (vpx0 * cosot + vpy0 * sinot1)
+                         - vpx0)
                 dvy_s = (a1[idx] * vye[idx] + a2[idx] * uye[idx]
-                         + a0 * (vp[:, 1] * cosot - vp[:, 0] * sinot2)
-                         - vp[:, 1])
+                         + a0 * (vpy0 * cosot - vpx0 * sinot2)
+                         - vpy0)
             else:
                 ucm_x = (ux_f[idx] + Svx[idx]) / a3[idx]
                 ucm_y = (uy_f[idx] + Svy[idx]) / a3[idx]

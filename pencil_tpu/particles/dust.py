@@ -73,6 +73,34 @@ class ParticlesDust(ModuleBase):
     np_swarm0: float = 0.0
     rhop_swarm0: float = 0.0
     nu_draglaw: float = 0.0       # lnu_draglaw override viscosity
+    # streaming_coldstart eigenmode (particles_dust.f90:2495-2608):
+    # amplxxp, kx_xxp, kz_xxp + 14 reals = Re/Im of coeff(1..7)
+    amplxxp: float = 0.0
+    kx_xxp: float = 0.0
+    kz_xxp: float = 0.0
+    coeff: tuple = ()
+    # constant velocity added to every particle at init (the NSH drag
+    # equilibrium baseline from particles_drag lset_drag_equilibrium)
+    vp0: tuple = (0.0, 0.0, 0.0)
+    # reference proc count (cparam ncpus) — nparmax/nparmin diagnostics
+    # report per-RANK particle counts (max over ranks of npar_loc)
+    ncpus_ref: int = 1
+    # multi-species streaming instability (initial_condition/
+    # streaming_instability.f90 + particles ldraglaw_simple): per-species
+    # stopping times/loadings, 4(nspec+1)·2 flat si_ev floats, NSH
+    # equilibria per species (vpx0, vpy0) from the Bai & Stone (2010)
+    # linear solve (particles_sub.f90:1390 dragforce_equi_multispecies)
+    npar_species: int = 1
+    taus_species: tuple = ()
+    eps_species: tuple = ()
+    si_ev: tuple = ()
+    si_amp: float = 1e-6
+    si_kx: float = 0.0
+    si_kz: float = 0.0
+    dlnrhodlnr: float = 0.0
+    vp0_species: tuple = ()       # ((vpx0, vpy0), ...) per species
+    rho0: float = 1.0
+    ldragforce_gas_par: bool = False
     draglaw: str = "epstein"      # 'epstein' (τ = tausp) | 'steadystate'
     lstocunn1: bool = False
     # bcpy='rmv': particles crossing a non-periodic y boundary are removed
@@ -85,10 +113,130 @@ class ParticlesDust(ModuleBase):
     # -- state ----------------------------------------------------------
     def init_particles(self, grid, spec, key, dtype):
         kx, kv = jax.random.split(key)
+        si_extra = None
         lo = jnp.asarray([spec.x0, spec.y0, spec.z0], dtype)
         L = jnp.asarray([spec.Lx, spec.Ly, spec.Lz], dtype)
         if self.init == "random":
             xp = lo + L * jax.random.uniform(kx, (self.npar, 3), dtype)
+        elif self.init == "streaming_coldstart":
+            # Youdin & Goodman (2005) streaming-instability eigenmode
+            # (particles_dust.f90:2495 streaming_coldstart): equidistant
+            # x-z lattice, positions shifted into the wanted mode, vp
+            # from the eigenvector coeff(1:3)
+            import numpy as np
+            npx = int(round(np.sqrt(self.npar / (spec.Lz / spec.Lx))))
+            npz = self.npar // npx
+            dxp = spec.Lx / npx
+            dzp = spec.Lz / npz
+            ix = np.repeat(np.arange(npx), npz)
+            iz = np.tile(np.arange(npz), npx)
+            xpv = spec.x0 + (ix + 0.5) * dxp
+            zpv = spec.z0 + (iz + 0.5) * dzp
+            kx, kz = self.kx_xxp, self.kz_xxp
+            A = self.amplxxp
+            k2 = 2.0 * (kx * kx + kz * kz)
+            # sequential shifts exactly as the reference loop
+            xpv = xpv - A / k2 * (kx * np.sin(kx * xpv + kz * zpv)
+                                  + kx * np.sin(kx * xpv - kz * zpv))
+            zpv = zpv - A / k2 * (kz * np.sin(kx * xpv + kz * zpv)
+                                  - kz * np.sin(kx * xpv - kz * zpv))
+            xpv = xpv + kx / k2 * A * A * np.sin(
+                2.0 * (kx * xpv + kz * zpv))
+            zpv = zpv + kz / k2 * A * A * np.sin(
+                2.0 * (kx * xpv + kz * zpv))
+            yc = spec.y0 + 0.5 * spec.Ly
+            xp = jnp.asarray(np.stack(
+                [xpv, np.full_like(xpv, yc), zpv], axis=1), dtype)
+            c = self.coeff
+            eta_vK = -0.5 * self.beta_glnrho_global[0] * self.cs0
+            cx, cz = np.cos(kx * xpv), np.cos(kz * zpv)
+            sx, sz = np.sin(kx * xpv), np.sin(kz * zpv)
+            vpx = eta_vK * A * (c[0] * cx - c[1] * sx) * cz
+            vpy = eta_vK * A * (c[2] * cx - c[3] * sx) * cz
+            vpz = -eta_vK * A * (c[5] * cx + c[4] * sx) * sz
+            vp_mode = jnp.asarray(np.stack([vpx, vpy, vpz], axis=1), dtype)
+        elif self.init == "si_exact_mode":
+            # multi-species streaming-instability exact wave mode
+            # (initial_condition/streaming_instability.f90:249-454): per-
+            # lattice-site per-species eigenmode position offsets from the
+            # ρp eigencomponents, velocities = NSH equilibrium + eigenmode
+            import numpy as np
+            ns = self.npar_species
+            npps = self.npar // ns
+            npx = int(round(np.sqrt(spec.Lx * npps / spec.Lz)))
+            npz = npps // npx
+            dxp = spec.Lx / npx
+            dzp = spec.Lz / npz
+            # site-major, species-inner ordering (the reference k loop)
+            iz_s = np.repeat(np.arange(npz), npx * ns)
+            ix_s = np.tile(np.repeat(np.arange(npx), ns), npz)
+            is_s = np.tile(np.arange(ns), npx * npz)
+            xs = spec.x0 + (ix_s + 0.5) * dxp
+            zs = spec.z0 + (iz_s + 0.5) * dzp
+            kx, kz = self.si_kx, self.si_kz
+            ev = np.asarray(self.si_ev, np.float64).reshape(-1, 2)
+            evc = ev[:, 0] + 1j * ev[:, 1]      # 4*(ns+1) complex
+            eps = np.asarray(self.eps_species, np.float64)
+            amp_scale = self.si_amp * eps.sum() \
+                / np.abs(evc[7::4]).sum()
+            eta_vK = -0.5 * self.dlnrhodlnr * self.cs0
+            c1 = kx * kx + kz * kz
+            c1x = 0.5 / c1 if c1 > 0 else 0.0
+            c2x = 1.0 / c1 ** 2 if c1 > 0 else 0.0
+            c1z = c1x * kz
+            c2z = c2x * kz ** 3
+            c1x = c1x * kx
+            c2x = c2x * kx ** 3
+            ar_s = (amp_scale * evc[7::4].real / eps)[is_s]
+            ai_s = (amp_scale * evc[7::4].imag / eps)[is_s]
+            a1_s = 0.25 * (ar_s ** 2 - ai_s ** 2)
+            a2_s = 0.5 * ar_s * ai_s
+            a3_s = 0.25 * (ar_s ** 2 + ai_s ** 2)
+            argx = kx * xs
+            argz = kz * zs
+            sinp, sinm = np.sin(argx + argz), np.sin(argx - argz)
+            cosp, cosm = np.cos(argx + argz), np.cos(argx - argz)
+            sinp2, sinm2 = np.sin(2 * (argx + argz)), np.sin(2 * (argx - argz))
+            cosp2, cosm2 = np.cos(2 * (argx + argz)), np.cos(2 * (argx - argz))
+            dxp1 = (-c1x * (ar_s * (sinp + sinm) + ai_s * (cosp + cosm)
+                            - a1_s * (sinp2 + sinm2) - a2_s * (cosp2 + cosm2))
+                    + c2x * (a2_s * np.cos(2 * argx)
+                             + a1_s * np.sin(2 * argx)))
+            dzp1 = (-c1z * (ar_s * (sinp - sinm) + ai_s * (cosp - cosm)
+                            - a1_s * (sinp2 - sinm2) - a2_s * (cosp2 - cosm2))
+                    + c2z * a3_s * np.sin(2 * argz))
+            xpv = xs + dxp1
+            zpv = zs + dzp1
+            yc = spec.y0 + 0.5 * spec.Ly
+            xp = jnp.asarray(np.stack(
+                [xpv, np.full_like(xpv, yc), zpv], axis=1), dtype)
+            # velocities: per-species NSH equilibrium + eigenmode
+            vp0 = np.asarray(self.vp0_species, np.float64)   # (ns, 2)
+            dv = amp_scale * eta_vK
+            ck = np.cos(kx * xpv)
+            sk = np.sin(kx * xpv)
+            ckz = np.cos(kz * zpv)
+            skz = np.sin(kz * zpv)
+            evp = evc[4:4 + 4 * ns].reshape(ns, 4)           # per species
+            e1, e2, e3 = (evp[is_s, 0], evp[is_s, 1], evp[is_s, 2])
+            vpx = vp0[is_s, 0] + dv * (e1.real * ck - e1.imag * sk) * ckz
+            vpy = vp0[is_s, 1] + dv * (e2.real * ck - e2.imag * sk) * ckz
+            vpz = -dv * (e3.real * sk + e3.imag * ck) * skz
+            vp_mode = jnp.asarray(np.stack([vpx, vpy, vpz], axis=1), dtype)
+            nwgrid = 1
+            for n_, L_ in ((spec.nx, 0), (spec.ny, 0), (spec.nz, 0)):
+                if n_ > 1:
+                    nwgrid *= n_
+            rhopj = self.rho0 / (self.npar / (ns * nwgrid)) * eps
+            si_extra = {
+                # namelist taus is DIMENSIONLESS (Ω·t_stop); the stopping
+                # TIME is taus/Ω (streaming_instability.f90:94
+                # tausp_species = taus/omega)
+                "taus": jnp.asarray(np.asarray(
+                    self.taus_species)[is_s] / self.Omega, dtype),
+                "rhopswarm": jnp.asarray(rhopj[is_s], dtype),
+                "vp_eq": jnp.asarray(vp0[is_s], dtype),
+            }
         elif self.init in ("nothing", "origin"):
             # 'nothing' leaves fp at its zero-initialised state (reference
             # init_particles 'nothing'); place at the box centre so the
@@ -156,6 +304,10 @@ class ParticlesDust(ModuleBase):
         else:
             raise NotImplementedError(self.init)
         vp = jnp.zeros((self.npar, 3), dtype)
+        if self.init in ("streaming_coldstart", "si_exact_mode"):
+            vp = vp + vp_mode
+        if any(v != 0.0 for v in self.vp0):
+            vp = vp + jnp.asarray(self.vp0, dtype)
         if self.bcpy == "rmv" or self.solid_cyl:
             # removable particles carry an explicit active mask (the
             # reference compacts npar_loc instead; a mask keeps shapes
@@ -181,6 +333,8 @@ class ParticlesDust(ModuleBase):
             vp = vp.at[:, 0].add(bx * ot / den * self.cs0)
             vp = vp.at[:, 1].add(bx * (1.0 + eps) / (2.0 * den) * self.cs0)
         out = {"xp": xp, "vp": vp}
+        if si_extra is not None:
+            out.update(si_extra)
         if self_active is not None:
             out["active"] = self_active
         if self.initap:
@@ -283,11 +437,27 @@ class ParticlesDust(ModuleBase):
                     1.257 + 0.4 * jnp.exp(-0.55 * dias / lam))
             tausp1 = (18.0 * cdrag * nu
                       / ((self.rhopmat / rg) * stocunn * dia ** 2))
+        elif "taus" in pstate:
+            # per-species stopping times (ldraglaw_simple with the
+            # multi-species SI init; particles_dust.f90 draglaw 'simple')
+            tausp1 = 1.0 / pstate["taus"]
         else:
             tausp1 = 1.0 / self.tausp if self.tausp > 0.0 else 0.0
         act = pstate.get("active")
         t1 = tausp1[:, None] if getattr(tausp1, "ndim", 0) == 1 else tausp1
         dvp = -(vp - ug) * t1
+        pdrag_mod = pen.cfg.module("particles_drag") \
+            if pen.cfg is not None else None
+        if self.Omega != 0.0 and pdrag_mod is None:
+            # Coriolis + shear epicycle on the particles
+            # (particles_dust.f90 dvvp_dt: −2Ω×vp, + qshear·Ω·vpx ŷ);
+            # handed over to the drag cell solve when PARTICLES_DRAG is
+            # active (like the gas side)
+            sh = pen.cfg.module("shear") if pen.cfg is not None else None
+            q = sh.qshear if sh is not None else 0.0
+            Om = self.Omega
+            dvp = dvp.at[:, 0].add(2.0 * Om * vp[:, 1])
+            dvp = dvp.at[:, 1].add(-(2.0 - q) * Om * vp[:, 0])
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz)
         dxp = vp
@@ -300,7 +470,19 @@ class ParticlesDust(ModuleBase):
             # dy_p/dt += S·x_p (reference dxxp_dt, particles_dust.f90:
             # "dfp(iyp) −= qshear·Omega·xp" — independent of SAFI)
             dxp = dxp.at[:, 1].add(shear.S * xp[:, 0])
-        if self.eps_dtog > 0.0 and uu_slots:
+        if self.ldragforce_gas_par and "rhopswarm" in pstate and uu_slots:
+            # back-reaction via per-particle swarm densities
+            # (particles_dust.f90 ldragforce_gas_par with
+            # lparticles_density: force density = Σ w·ρp_swarm·(v−u)/τ)
+            mom = ((vp - ug) * t1 * pstate["rhopswarm"][:, None]).T
+            if act is not None:
+                mom = mom * act[None]
+            fdrag = deposit(mom, xp, spec, nloc, self.scheme,
+                            dtype=vp.dtype, origin=origin, mask=mask,
+                            mesh_axis_names=mesh_axis_names,
+                            mesh_shape=mesh_shape)
+            accumulate(df, "uu", fdrag * pen.rho1())
+        elif self.eps_dtog > 0.0 and uu_slots:
             # back-reaction: gas feels +ε ρ_p/ρ_g (v_p − u)/τ_s; deposit the
             # per-particle momentum-exchange then normalize by gas density.
             # Each particle carries mass m_p = ε·ρ₀·V_box/npar.
@@ -360,6 +542,12 @@ class ParticlesDust(ModuleBase):
         """Particle mass density on the grid (reference rhop aux).
         ``shear_dy``: shear-periodic x-boundary offset for the deposit
         ghost fold."""
+        if "rhopswarm" in pstate:
+            # lparticles_density: each superparticle carries its own
+            # swarm density (particles_density.f90 irhopswarm)
+            return deposit(pstate["rhopswarm"], pstate["xp"], spec,
+                           spec.shape, self.scheme,
+                           dtype=pstate["xp"].dtype, shear_dy=shear_dy)
         mp = self.eps_dtog if self.eps_dtog > 0 else 1.0
         mp = mp * spec.Lx * spec.Ly * spec.Lz / self.npar
         dV = spec.dx * spec.dy * spec.dz
@@ -451,7 +639,19 @@ class ParticlesDustSharded(ParticlesDust):
         shear = pen.cfg.module("shear") if pen.cfg is not None else None
         if shear is not None:
             dxp = dxp.at[:, 1].add(shear.S * xp[:, 0] * active)
-        if self.eps_dtog > 0.0 and uu_slots:
+        if self.ldragforce_gas_par and "rhopswarm" in pstate and uu_slots:
+            # back-reaction via per-particle swarm densities
+            # (particles_dust.f90 ldragforce_gas_par with
+            # lparticles_density: force density = Σ w·ρp_swarm·(v−u)/τ)
+            mom = ((vp - ug) * t1 * pstate["rhopswarm"][:, None]).T
+            if act is not None:
+                mom = mom * act[None]
+            fdrag = deposit(mom, xp, spec, nloc, self.scheme,
+                            dtype=vp.dtype, origin=origin, mask=mask,
+                            mesh_axis_names=mesh_axis_names,
+                            mesh_shape=mesh_shape)
+            accumulate(df, "uu", fdrag * pen.rho1())
+        elif self.eps_dtog > 0.0 and uu_slots:
             mp = self.eps_dtog * jnp.exp(pen.eos.lnrho0 if pen.eos else 0.0) \
                 * spec.Lx * spec.Ly * spec.Lz / self.npar
             dV = spec.dx * spec.dy * spec.dz

@@ -46,8 +46,12 @@ class Hydro(ModuleBase):
     # ((field, value), ...) per init name
     init_list_pars: tuple = ()
     # global radial pressure-gradient parameter (density namelist
-    # beta_glnrho_global) for 'sub-Keplerian' (hydro.f90:2231)
+    # beta_glnrho_global) for 'sub-Keplerian' (hydro.f90:2231) and the
+    # run-time global pressure-gradient force (noentropy.f90:379);
+    # Omega_pressure = the rotation rate for beta scaling (kept separate
+    # from Omega, which is zeroed when particles_drag takes the Coriolis)
     beta_glnrho_global: tuple = (0.0, 0.0, 0.0)
+    Omega_pressure: float = 0.0
     # constant velocity ADDED after any init (run-dir loader hook for the
     # NSH drag-equilibrium gas flow, particles_dust.f90:1999-2004)
     uu_add_const: tuple = (0.0, 0.0, 0.0)
@@ -107,6 +111,16 @@ class Hydro(ModuleBase):
             out = -pen.ugu()
         if self.lpressuregradient_gas:
             out = out + pen.fpres()
+        if any(b != 0.0 for b in self.beta_glnrho_global):
+            # global pressure-gradient force from the imposed radial
+            # density gradient: du_j/dt −= cs²·β_j·Ω/cs0
+            # (noentropy.f90:379-386 with beta_glnrho_scaled = β·Ω/cs0)
+            cs2 = pen.cs2()
+            cs0 = pen.eos.cs0 if pen.eos is not None else 1.0
+            fac = self.Omega_pressure / cs0
+            out = out - jnp.stack([
+                cs2 * (self.beta_glnrho_global[a] * fac)
+                for a in range(3)])
         if self.lupw_uu:
             # upwind dissipation per component: +|u_a|·δ⁶u/(60Δ)
             upw = sum(

@@ -696,6 +696,14 @@ def ic_mhs_equilibrium(grid, spec, eos, cfg, params, key=None):
         uu = uu + fac * jnp.sqrt(cs2) * jax.random.normal(
             key, (3,) + spec.shape, grid.x.dtype)
     out = {"+lnrho": lnrho + 0.0 * ones, "+uu": uu}
+    if cfg is not None and cfg.module("entropy") is not None:
+        # entropy runs carry the cs²(R) power-law profile through ss
+        # (mhs_equilibrium.f90:588-625 initial_condition_ss:
+        # ss = (1/(γ·cp1))·(ln(cs²/cs₀²) − (γ−1)(lnρ−lnρ₀)))
+        gamma = eos.gamma
+        ss = (eos.cp / gamma) * (jnp.log(cs2 / eos.cs20)
+                                 - (gamma - 1.0) * (lnrho - eos.lnrho0))
+        out["ss"] = ss + 0.0 * ones
     if lmag and bool(params.get("ladd_field", True)):
         # azimuthal constant-β field: B_φ = √(2ρcs²/β) capped radially by
         # step functions of width 5Δx, then A_θ(r) = (1/r)∫₀^r B_φ r' dr'
@@ -806,6 +814,111 @@ def ic_mlt_profile(grid, spec, eos, cfg, params):
                              - (gamma - 1.0) * (lnrho - eos.lnrho0))
     return {"+lnrho": jnp.asarray(lnrho)[None, None, :] + 0 * ones,
             "+ss": jnp.asarray(ss)[None, None, :] + 0 * ones}
+
+
+@register_ic("ice_shell")
+def ic_ice_shell(grid, spec, eos, cfg, params):
+    """Ice-shell Stokes convection temperature seed (reference
+    src/initial_condition/ice_shell.f90:120-186): a single (kx, kz) mode
+    on TT plus, unless lsplit_temperature, the conductive Tbot→Tupp
+    linear gradient (the split base state lives in the streamfunction
+    special instead)."""
+    Tupp = float(params.get("tupp", params.get("Tupp", 0.0)))
+    Tbot = float(params.get("tbot", params.get("Tbot", 1.0)))
+    ampl = float(params.get("ampltt", 0.0))
+    kx = float(params.get("kx_tt", 1.0))
+    kz = float(params.get("kz_tt", params.get("kz_TT", 1.0)))
+    mode = str(params.get("inittt", params.get("initTT", "single-mode")))
+    lsplit = bool(params.get("lsplit_temperature", False))
+    x, z = grid.xg, grid.zg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    if mode == "single-mode":
+        TT = ampl * jnp.cos(kx * x / spec.Lx) * jnp.sin(kz * z / spec.Lz)
+    elif mode == "single-mode-periodic":
+        TT = ampl * jnp.sin(kx * x / spec.Lx) * jnp.sin(kz * z / spec.Lz)
+    else:
+        TT = 0.0 * x
+    if not lsplit:
+        nn1 = jnp.arange(spec.nz, dtype=grid.x.dtype)[None, None, :]
+        TT = TT + Tbot + nn1 * ((Tupp - Tbot) / max(spec.nz - 1, 1))
+    return {"+TT": TT * ones}
+
+
+def nsh_multispecies(taus, eps, eta_vK):
+    """Multi-species NSH drag equilibrium (particles_sub.f90:1390
+    dragforce_equi_multispecies; Bai & Stone 2010 App. A): solve the
+    2n×2n linear system for (vpx_j, vpy_j), gas from momentum
+    conservation."""
+    taus = np.asarray(taus, np.float64)
+    eps = np.asarray(eps, np.float64)
+    n = len(taus)
+    Lam = np.diag(taus)
+    OPE = np.tile(eps, (n, 1)) + np.eye(n)
+    M = np.block([[OPE, -2.0 * Lam], [0.5 * Lam, OPE]])
+    B = np.concatenate([np.zeros(n), -eta_vK * np.ones(n)])
+    sol = np.linalg.solve(M, B)
+    vpx, vpy = sol[:n], sol[n:]
+    ux = -float(eps @ vpx)
+    uy = -float(eps @ vpy) - eta_vK
+    return vpx, vpy, ux, uy
+
+
+@register_ic("streaming_instability")
+def ic_streaming_instability(grid, spec, eos, cfg, params):
+    """Gas side of the multi-species streaming-instability exact wave
+    mode (initial_condition/streaming_instability.f90:166-247): NSH
+    equilibrium background (ux0, uy0) + eigenmode perturbations from
+    si_ev(1:3) and the density mode from si_ev(4)."""
+    taus = tuple(float(v) for v in params.get("taus", ()))
+    eps = tuple(float(v) for v in params.get("eps", ()))
+    dlnr = float(params.get("dlnrhodlnr", 0.0))
+    kx = float(params.get("si_kx", 0.0))
+    kz = float(params.get("si_kz", 0.0))
+    si_amp = float(params.get("si_amp", 1e-6))
+    ev = np.asarray(params.get("si_ev", ()), np.float64).reshape(-1, 2)
+    evc = ev[:, 0] + 1j * ev[:, 1]
+    eta_vK = -0.5 * dlnr * eos.cs0
+    vpx, vpy, ux0, uy0 = nsh_multispecies(taus, eps, eta_vK)
+    amp_scale = si_amp * np.sum(eps) / np.abs(evc[7::4]).sum()
+    x, z = grid.xg, grid.zg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    ck, sk = jnp.cos(kx * x), jnp.sin(kx * x)
+    cz, sz = jnp.cos(kz * z), jnp.sin(kz * z)
+    du = amp_scale * eta_vK
+    ux = ux0 + du * (evc[0].real * ck - evc[0].imag * sk) * cz
+    uy = uy0 + du * (evc[1].real * ck - evc[1].imag * sk) * cz
+    uz = -du * (evc[2].real * sk + evc[2].imag * ck) * sz
+    drho = amp_scale * eos.rho0 * (evc[3].real * ck
+                                   - evc[3].imag * sk) * cz
+    lnrho = jnp.log(eos.rho0 + drho)
+    return {"+uu": jnp.stack([ux * ones, uy * ones, uz * ones]),
+            "+lnrho": lnrho * ones}
+
+
+@register_ic("streaming_coldstart_gas")
+def ic_streaming_coldstart_gas(grid, spec, eos, cfg, params):
+    """Gas side of the streaming-instability eigenmode + NSH drag
+    equilibrium (particles_dust.f90:2580-2606 streaming_coldstart fluid
+    fields; particles_drag.f90:152-160 global equilibrium): additive
+    δu from coeff(4:6), δlnρ from coeff(7), background (ux0, uy0)."""
+    c = tuple(float(v) for v in params.get("coeff", ()))
+    A = float(params.get("amplxxp", 0.0))
+    kx = float(params.get("kx_xxp", 0.0))
+    kz = float(params.get("kz_xxp", 0.0))
+    eta_vK = float(params.get("eta_vk", 0.0))
+    ux0 = float(params.get("ux0", 0.0))
+    uy0 = float(params.get("uy0", 0.0))
+    x, z = grid.xg, grid.zg
+    ones = jnp.ones(spec.shape, grid.x.dtype)
+    cx, sx = jnp.cos(kx * x), jnp.sin(kx * x)
+    cz, sz = jnp.cos(kz * z), jnp.sin(kz * z)
+    du = eta_vK * A
+    ux = ux0 + du * (c[6] * cx - c[7] * sx) * cz
+    uy = uy0 + du * (c[8] * cx - c[9] * sx) * cz
+    uz = -du * (c[11] * cx + c[10] * sx) * sz
+    lnrho = A * (c[12] * cx - c[13] * sx) * cz
+    return {"+uu": jnp.stack([ux * ones, uy * ones, uz * ones]),
+            "+lnrho": lnrho * ones}
 
 
 @register_ic("fluxrings")

@@ -74,3 +74,4 @@ from . import stubs  # noqa: E402,F401
 from . import set_gravity  # noqa: E402,F401
 from . import newton_cooling  # noqa: E402,F401
 from . import streamfunction  # noqa: E402,F401
+from . import multisp_drag_eq  # noqa: E402,F401
