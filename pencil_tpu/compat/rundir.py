@@ -538,6 +538,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             # multi-select); samples only set a diffrho_* coefficient when
             # the matching idiff label is chosen, so presence == selection
             diffrho_hyper3=float(den_p.get("diffrho_hyper3", 0.0)),
+            lhyper3_polar=any("sph" in str(v) or "cyl" in str(v)
+                              for v in _as_tuple(den_p.get("idiff", ""))),
             diffrho_hyper3_mesh=float(den_p.get("diffrho_hyper3_mesh", 0.0)),
             diffrho_hyper3_aniso=_aniso3(den_p.get("diffrho_hyper3_aniso", 0.0)),
             rho_left=float(den_p.get("rho_left", 1.0)),
@@ -1315,6 +1317,29 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 [0.0, 0.0, 0.0])),
             Omega=float(hyd_p.get("omega", 0.0)),
             cs0=float(eos_p.get("cs0", 1.0)),
+            lcharged="particles_charged" in mkf.get("PARTICLES", ""),
+            lsweepup_par=bool(prad_p.get("lsweepup_par", False)),
+            lfragmentation_par=bool(pnum_p.get("lfragmentation_par",
+                                               False)),
+            lcondensation_simplified=bool(
+                prad_p.get("lcondensation_simplified", False)),
+            GS_condensation=float(prad_p.get("gs_condensation", 0.0)),
+            vthresh_sweepup=float(prad_p.get("vthresh_sweepup", -1.0)),
+            vthresh_coagulation=float(
+                pnum_p.get("vthresh_coagulation", 0.0)),
+            deltavp12_floor=float(prad_p.get("deltavp12_floor", 0.0)),
+            deltavp22_floor=float(pnum_p.get("deltavp22_floor", 0.0)),
+            cdtps=float(prad_p.get("cdtps", 0.2)),
+            cdtpf=float(pnum_p.get("cdtpf", 0.2)),
+            dust_charge=float(par_p.get("dust_charge", 0.0)),
+            rhodust=float(par_p.get("rhodust", 1.0)),
+            lonly_eforce=bool(par_p.get("lonly_eforce", False)),
+            lstokes_drag=bool(par_p.get("lstokes_drag", False)),
+            fluid_mu=float(par_p.get("fluid_mu", 0.0)),
+            ap0_list=tuple(
+                float(v) for v in (prad_p.get("ap0", [])
+                                   if isinstance(prad_p.get("ap0", []),
+                                                 list) else [])),
             initap=str(_first(prad_p.get("initap", ""))),
             a0_initdist=float(prad_p.get("a0_initdist", 0.0)),
             sigma_initdist=float(prad_p.get("sigma_initdist", 0.2)),

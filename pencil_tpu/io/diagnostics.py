@@ -1281,6 +1281,38 @@ DIAG_REGISTRY["apmin"] = _mk_apstat(lambda pen, p: jnp.min(p["ap"]))
 DIAG_REGISTRY["apmax"] = _mk_apstat(lambda pen, p: jnp.max(p["ap"]))
 DIAG_REGISTRY["npswarmm"] = _mk_apstat(
     lambda pen, p: jnp.mean(p.get("npswarm", jnp.zeros(()))))
+
+
+def _mpt(pen, p):
+    """Total particle mass Σ (4π/3)ρ_mat·a³·n_swarm·dV
+    (particles_dust.f90:3490-3496 integrate_par_name)."""
+    pmod = pen.cfg.module("particles")
+    gs = pen.cfg.grid
+    dV = 1.0
+    for L, n in ((gs.Lx, gs.nx), (gs.Ly, gs.ny), (gs.Lz, gs.nz)):
+        if n > 1:
+            dV *= L / n
+    if "rhopswarm" in p:
+        return jnp.sum(p["rhopswarm"]) * dV
+    nsw = p.get("npswarm", jnp.ones_like(p["ap"]))
+    return jnp.sum(4.1887902047863905 * pmod.rhopmat
+                   * p["ap"] ** 3 * nsw) * dV
+
+
+DIAG_REGISTRY["mpt"] = _mk_apstat(_mpt)
+
+
+@diag("mcct")
+def _mcct(pen, st):
+    """∫ρ·cc dV (pscalar_nolog.f90:726 idiag_mcct)."""
+    if "cc" not in pen.reg.slots:
+        return jnp.zeros(())
+    gs = pen.cfg.grid
+    vol = 1.0
+    for L, n in ((gs.Lx, gs.nx), (gs.Ly, gs.ny), (gs.Lz, gs.nz)):
+        if n > 1:
+            vol *= L
+    return _vmean(pen, pen.rho() * pen.field("cc")) * vol
 # radius-distribution moments Σ n_swarm·a^k / nwgrid
 # (particles_number.f90:398-408; log10 for k ≥ 12)
 def _mk_admom(k):

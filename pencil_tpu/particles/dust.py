@@ -109,6 +109,30 @@ class ParticlesDust(ModuleBase):
     # solid_cells.f90:2388 — the 'deposition' in cylinder_deposition)
     bcpy: str = "p"
     solid_cyl: tuple = ()
+    # charged grains (reference src/particles_charged.f90): Lorentz
+    # acceleration (q/m)(E + v×B) with E = −dA/dt = −(u×B − ηJ)
+    # (magnetic.f90:5506 lee_as_aux) interpolated at the particles;
+    # m = rhodust·(4π/3)a³ per particle
+    lcharged: bool = False
+    dust_charge: float = 0.0
+    rhodust: float = 1.0
+    lonly_eforce: bool = False
+    lstokes_drag: bool = False
+    fluid_mu: float = 0.0
+    ap0_list: tuple = ()          # initap='constant' multi-radius draw
+    # radius growth + swarm-number physics (particles_radius.f90
+    # sweep-up :660-707 and lcondensation_simplified :814;
+    # particles_number.f90 coagulation/fragmentation :192-320)
+    lsweepup_par: bool = False
+    lfragmentation_par: bool = False
+    lcondensation_simplified: bool = False
+    GS_condensation: float = 0.0
+    vthresh_sweepup: float = -1.0
+    vthresh_coagulation: float = 0.0
+    deltavp12_floor: float = 0.0
+    deltavp22_floor: float = 0.0
+    cdtps: float = 0.2
+    cdtpf: float = 0.2
 
     # -- state ----------------------------------------------------------
     def init_particles(self, grid, spec, key, dtype):
@@ -344,6 +368,12 @@ class ParticlesDust(ModuleBase):
                 ap = self.a0_initdist * jnp.exp(
                     self.sigma_initdist
                     * jax.random.normal(ka, (self.npar,), dtype))
+            elif len(self.ap0_list) > 1:
+                # multiple radii: each particle draws one uniformly
+                # (particles_radius.f90:146-152)
+                idx = jax.random.randint(ka, (self.npar,), 0,
+                                         len(self.ap0_list))
+                ap = jnp.asarray(self.ap0_list, dtype)[idx]
             else:                          # 'constant'
                 ap = jnp.full((self.npar,),
                               self.a0_initdist or self.ap0, dtype)
@@ -460,6 +490,49 @@ class ParticlesDust(ModuleBase):
             dvp = dvp.at[:, 1].add(-(2.0 - q) * Om * vp[:, 0])
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz)
+        if self.lcharged and "aa" in pen.reg.slots and "ap" in pstate:
+            # Lorentz force (particles_charged.f90:1689-1716):
+            # a = (q/m)(E + v×B), E = −(u×B) + ηJ, m = ρ_d·(4π/3)a³
+            mag = pen.cfg.module("magnetic") if pen.cfg else None
+            eta_ = float(getattr(mag, "eta", 0.0)) if mag else 0.0
+            bb = pen.bb()
+            uu_g = pen.uu()
+            jj = pen.jj()
+            EE = jnp.stack([
+                -(uu_g[1] * bb[2] - uu_g[2] * bb[1]) + eta_ * jj[0],
+                -(uu_g[2] * bb[0] - uu_g[0] * bb[2]) + eta_ * jj[1],
+                -(uu_g[0] * bb[1] - uu_g[1] * bb[0]) + eta_ * jj[2],
+            ])
+            gpad = 3
+            stack = jnp.concatenate([bb, EE], axis=0)
+            stack_g = jnp.pad(stack, ((0, 0), (gpad, gpad), (gpad, gpad),
+                                      (gpad, gpad)), mode="wrap")
+            vals = interpolate(stack_g, xp, spec, self.scheme,
+                               origin=origin, mask=mask)
+            if sharded:
+                for n_ in names:
+                    vals = jax.lax.psum(vals, n_)
+            bbp = vals[0:3].T
+            eep = vals[3:6].T
+            mass = self.rhodust * 4.1887902047863905 * pstate["ap"] ** 3
+            qbym = (self.dust_charge / mass)[:, None]
+            if self.lonly_eforce:
+                dvp = dvp + qbym * eep
+            else:
+                vxb = jnp.stack([
+                    vp[:, 1] * bbp[:, 2] - vp[:, 2] * bbp[:, 1],
+                    vp[:, 2] * bbp[:, 0] - vp[:, 0] * bbp[:, 2],
+                    vp[:, 0] * bbp[:, 1] - vp[:, 1] * bbp[:, 0],
+                ], axis=1)
+                dvp = dvp + qbym * (eep + vxb)
+            if self.lstokes_drag and self.fluid_mu > 0.0:
+                one_by_tau = 4.5 * self.fluid_mu / (
+                    pstate["ap"] ** 2 * self.rhodust)
+                dvp = dvp + one_by_tau[:, None] * (ug - vp)
+            # gyration CFL: dt1 ≥ |q/m|·|B| (cyclotron frequency)
+            ts.max_rate(jnp.max(jnp.abs(qbym[:, 0])
+                                * jnp.sqrt(jnp.sum(bbp ** 2, axis=1)))
+                        / 0.2)
         dxp = vp
         if act is not None:
             dvp = dvp * act[:, None]
@@ -506,6 +579,96 @@ class ParticlesDust(ModuleBase):
         elif tausp1 > 0.0:
             ts.max_rate(tausp1 / 0.2)
         out = {"xp": dxp, "vp": dvp}
+        if "ap" in pstate and (self.lsweepup_par or self.lfragmentation_par
+                               or self.lcondensation_simplified):
+            ap = pstate["ap"]
+            nsw = pstate.get("npswarm", jnp.ones_like(ap))
+            dap = jnp.zeros_like(ap)
+            dnsw = jnp.zeros_like(ap)
+            pi = 3.141592653589793
+            if self.lcondensation_simplified and self.GS_condensation != 0.0:
+                # dapdt = GS/ap (particles_radius.f90:814)
+                dap = dap + self.GS_condensation / ap
+                ts.max_rate(jnp.max(jnp.abs(self.GS_condensation)
+                                    / ap ** 2) / self.cdtps)
+            if self.lsweepup_par and "cc" in pen.reg.slots:
+                # grain growth by sweeping up the passive-scalar grains
+                # (particles_radius.f90:660-707): da/dt =
+                # 0.25·Δv·cc·ρ/ρ_mat; the cc field is depleted and the
+                # sweep rate joins dt1 via cdtps
+                ccg = interpolate(pen.fg[pen.reg.slice("cc")], xp, spec,
+                                  "ngp", origin=origin, mask=mask)[0]
+                rhog = interpolate(
+                    pen.fg[pen.reg.slice(
+                        "rho" if "rho" in pen.reg.slots else "lnrho")],
+                    xp, spec, "ngp", origin=origin, mask=mask)[0]
+                if "lnrho" in pen.reg.slots:
+                    rhog = jnp.exp(rhog)
+                dv12 = jnp.sqrt(jnp.sum((vp - ug) ** 2, axis=1)
+                                + self.deltavp12_floor ** 2)
+                okv = (dv12 <= self.vthresh_sweepup) \
+                    | (self.vthresh_sweepup < 0.0)
+                rate = jnp.where(okv, dv12, 0.0)
+                dap = dap + 0.25 * rate * ccg * rhog / max(self.rhopmat,
+                                                           1e-30)
+                sweep = nsw * pi * ap ** 2 * rate      # per particle
+                dep = deposit(sweep, xp, spec, nloc, "ngp",
+                              dtype=vp.dtype, origin=origin, mask=mask,
+                              mesh_axis_names=mesh_axis_names,
+                              mesh_shape=mesh_shape)
+                cc = pen.field("cc")
+                accumulate(df, "cc", -dep * cc)
+                ts.max_rate(jnp.max(dep) / self.cdtps)
+            if self.lfragmentation_par:
+                # same-cell pairwise collisions (particles_number.f90):
+                # cdot = π(a_j+a_k)²·n_j·n_k·Δv; below
+                # vthresh_coagulation the pair coagulates (n down, a up),
+                # above it fragments (n down, mass → cc scalar)
+                lo_ = jnp.asarray([spec.x0, spec.y0, spec.z0], xp.dtype)
+                dx_ = jnp.asarray([max(spec.Lx, 1e-30) / spec.nx,
+                                   max(spec.Ly, 1e-30) / spec.ny,
+                                   max(spec.Lz, 1e-30) / spec.nz],
+                                  xp.dtype)
+                cell = jnp.floor((xp - lo_) / dx_).astype(jnp.int32)
+                cid = (cell[:, 0] * spec.ny + cell[:, 1]) * spec.nz \
+                    + cell[:, 2]
+                same = (cid[:, None] == cid[None, :]) \
+                    & ~jnp.eye(ap.shape[0], dtype=bool)
+                dvjk = jnp.sqrt(jnp.sum(
+                    (vp[:, None, :] - vp[None, :, :]) ** 2, axis=-1)
+                    + self.deltavp22_floor ** 2)
+                sig = pi * (ap[:, None] + ap[None, :]) ** 2
+                cdot = jnp.where(same,
+                                 sig * nsw[:, None] * nsw[None, :] * dvjk,
+                                 0.0)
+                iscoag = dvjk <= self.vthresh_coagulation
+                # coagulation: each UNORDERED pair contributes −½cdot to
+                # both members → ordered-sum row gives −½Σ_j cdot_kj
+                coag_k = jnp.sum(jnp.where(iscoag, cdot, 0.0), axis=1)
+                frag_k = jnp.sum(jnp.where(~iscoag, cdot, 0.0), axis=1)
+                dnsw = dnsw - 0.5 * coag_k - frag_k
+                dap = dap + (1.0 / 3.0) * (0.5 * coag_k) * ap \
+                    / jnp.maximum(nsw, 1e-30)
+                if "cc" in pen.reg.slots:
+                    # fragmented mass returns to the scalar:
+                    # dcc += ρ⁻¹·(4π/3)ρ_mat·Σ(a_j³+a_k³)cdot (nolog)
+                    mflux = jnp.sum(jnp.where(
+                        same & ~iscoag,
+                        sig * nsw[:, None] * nsw[None, :] * dvjk
+                        * (ap[:, None] ** 3 + ap[None, :] ** 3), 0.0),
+                        axis=1) * 0.5
+                    depm = deposit((4.0 / 3.0) * pi * self.rhopmat
+                                   * mflux, xp, spec, nloc, "ngp",
+                                   dtype=vp.dtype, origin=origin,
+                                   mask=mask,
+                                   mesh_axis_names=mesh_axis_names,
+                                   mesh_shape=mesh_shape)
+                    accumulate(df, "cc", depm * pen.rho1())
+                ts.max_rate(jnp.max((0.5 * coag_k + frag_k)
+                                    / jnp.maximum(nsw, 1e-30))
+                            / self.cdtpf)
+            out["ap"] = dap
+            out["npswarm"] = dnsw
         if act is not None:
             out["active"] = jnp.zeros_like(act)
         for k, v in pstate.items():

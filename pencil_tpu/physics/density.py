@@ -23,6 +23,9 @@ class Density(ModuleBase):
     diffrho: float = 0.0           # Fickian mass diffusion
     diffrho_shock: float = 0.0     # idiff='shock' (density.f90:2668)
     diffrho_hyper3: float = 0.0    # del6 hyperdiffusion (simplified flavor)
+    # idiff='hyper3-sph'/'hyper3-cyl': D₃/π⁴·δ⁶·dline_1² polar form
+    # (density.f90:2751-2768 ldiff_hyper3_polar)
+    lhyper3_polar: bool = False
     diffrho_hyper3_mesh: float = 0.0  # resolution-independent mesh flavor
     diffrho_hyper3_aniso: tuple = (0.0, 0.0, 0.0)  # per-axis flavor
     init: str = "zero"             # initial condition name
@@ -75,8 +78,19 @@ class Density(ModuleBase):
                 out = out + self.diffrho * pen.del2s("rho")
                 ts.diffus(self.diffrho)
             if self.diffrho_hyper3 > 0.0:
-                out = out + self.diffrho_hyper3 * pen.del6s_scaled("rho")
-                ts.diffus3(self.diffrho_hyper3)
+                if self.lhyper3_polar:
+                    d1 = pen.dline_1()
+                    pi4_1 = 1.0 / 97.40909103400243
+                    out = out + self.diffrho_hyper3 * pi4_1 * sum(
+                        pen.d6_raw("rho", a)[0] * d1[a] ** 2
+                        for a in range(3))
+                    dxmin = 1.0 / jnp.maximum(jnp.maximum(
+                        jnp.max(d1[0]), jnp.max(d1[1])), jnp.max(d1[2]))
+                    ts.diffus3(self.diffrho_hyper3 * pi4_1 * dxmin ** 4)
+                else:
+                    out = out + self.diffrho_hyper3 \
+                        * pen.del6s_scaled("rho")
+                    ts.diffus3(self.diffrho_hyper3)
             if any(c != 0.0 for c in self.diffrho_hyper3_aniso):
                 # idiff='hyper3-aniso': Σ_j D₃ⱼ ∂⁶ρ/∂x_j⁶ (density.f90
                 # ldiff_hyper3_aniso del6fj)
@@ -121,8 +135,18 @@ class Density(ModuleBase):
                 shock * (pen.del2lnrho() + g2) + gsgl)
             ts.diffus(self.diffrho_shock * shock)
         if self.diffrho_hyper3 > 0.0:
-            out = out + self.diffrho_hyper3 * pen.del6s_scaled("lnrho")
-            ts.diffus3(self.diffrho_hyper3)
+            if self.lhyper3_polar:
+                d1 = pen.dline_1()
+                pi4_1 = 1.0 / 97.40909103400243
+                out = out + self.diffrho_hyper3 * pi4_1 * sum(
+                    pen.d6_raw("lnrho", a)[0] * d1[a] ** 2
+                    for a in range(3))
+                dxmin = 1.0 / jnp.maximum(jnp.maximum(
+                    jnp.max(d1[0]), jnp.max(d1[1])), jnp.max(d1[2]))
+                ts.diffus3(self.diffrho_hyper3 * pi4_1 * dxmin ** 4)
+            else:
+                out = out + self.diffrho_hyper3 * pen.del6s_scaled("lnrho")
+                ts.diffus3(self.diffrho_hyper3)
         if self.diffrho_hyper3_mesh > 0.0:
             d1 = pen.dline_1()
             pi5_1 = 1.0 / 306.0196847852814

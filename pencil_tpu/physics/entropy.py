@@ -187,8 +187,20 @@ class Entropy(ModuleBase):
                 shock * (pen.del2lnTT() + g2) + gsglnTT)
             ts.diffus(eos.gamma * self.chi_shock * shock)
         if self.chi_hyper3 > 0.0:
-            out = out + self.chi_hyper3 * pen.del6s_scaled("ss")
-            ts.diffus3(self.chi_hyper3)
+            if {"hyper3-sph", "hyper3_sph", "hyper3-cyl",
+                    "hyper3_cyl"} & set(self.iheatcond):
+                # polar form χ₃/π⁴·δ⁶s·dline_1² (entropy.f90:4596
+                # calc_heatcond_hyper3_polar); CFL χ₃/π⁴·dxmin⁴
+                d1 = pen.dline_1()
+                pi4_1 = 1.0 / 97.40909103400243
+                out = out + self.chi_hyper3 * pi4_1 * sum(
+                    pen.d6_raw("ss", a)[0] * d1[a] ** 2 for a in range(3))
+                dxmin = 1.0 / jnp.maximum(jnp.maximum(
+                    jnp.max(d1[0]), jnp.max(d1[1])), jnp.max(d1[2]))
+                ts.diffus3(self.chi_hyper3 * pi4_1 * dxmin ** 4)
+            else:
+                out = out + self.chi_hyper3 * pen.del6s_scaled("ss")
+                ts.diffus3(self.chi_hyper3)
         if any(c != 0.0 for c in self.chi_hyper3_aniso):
             # anisotropic hyperdiffusion Σ_j χ₃ⱼ ∂⁶s/∂x_j⁶
             # (entropy.f90 iheatcond 'hyper3-aniso')

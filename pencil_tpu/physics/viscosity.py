@@ -165,6 +165,21 @@ class Viscosity(ModuleBase):
             fvisc = fvisc + murho1 * (pen.del6v_scaled("uu")
                                       + pen.grad5divu())
             ts.diffus3(self.nu_hyper3)   # ×rho1 in the reference; bound
+        if ({"hyper3-sph", "hyper3_sph", "hyper3-cyl", "hyper3_cyl"}
+                & set(self.ivisc)) and self.nu_hyper3 > 0.0:
+            # polar-coordinate hyperdiffusion (viscosity.f90:445,1827-1843
+            # lvisc_hyper3_polar): ν₃/π⁴ · δ⁶u · dline_1² per axis — RAW
+            # mesh differences with only a d1² scale, so curvilinear
+            # metric factors never blow it up near axes; CFL adds
+            # ν₃/π⁴·dxmin⁴ (scaled by dxyz_6 in the integrator)
+            d1 = pen.dline_1()
+            pi4_1 = 1.0 / 97.40909103400243
+            fvisc = fvisc + self.nu_hyper3 * pi4_1 * sum(
+                pen.d6_raw("uu", a) * d1[a] ** 2 for a in range(3))
+            dxmin = 1.0 / jnp.maximum(
+                jnp.maximum(jnp.max(d1[0]), jnp.max(d1[1])),
+                jnp.max(d1[2]))
+            ts.diffus3(self.nu_hyper3 * pi4_1 * dxmin ** 4)
         if "hyper3-mesh" in self.ivisc and self.nu_hyper3_mesh > 0.0:
             d1 = pen.dline_1()
             # reference normalization: ν₃ᵐ/π⁵ · δ⁶u/60 · dline_1

@@ -1975,3 +1975,72 @@ def test_cylinder_deposition_golden(tmp_path):
     np.testing.assert_allclose(ours["oz2m"][:n], ref["oz2m"][:n], rtol=0.02)
     np.testing.assert_allclose(ours["c_dragy"][1:n], ref["c_dragy"][1:n],
                                rtol=0.08)
+
+
+@needs_ref
+def test_streaming_instability_goldens(tmp_path):
+    """samples/2d-tests/streaming_instability: the Youdin & Goodman
+    (2005) linear streaming-instability tests.
+
+    single-species: streaming_coldstart lattice eigenmode
+    (particles_dust.f90:2495) + PIC mutual drag around the gx_gas NSH
+    equilibrium (particles_drag.f90 drag_mutual_omega) — the init row
+    must match the committed reference to format precision, and the
+    equilibrium must hold over the compared rows.
+
+    multi-species: si_exact_mode eigenmode (initial_condition/
+    streaming_instability.f90) with the Bai & Stone (2010) multispecies
+    NSH solve, per-species taus drag and rhopswarm back-reaction."""
+    import numpy as np
+
+    from pencil_tpu.compat.rundir import load_rundir
+    from pencil_tpu.model import Model
+    from pencil_tpu.run import Run, RunParams
+
+    # --- single species ------------------------------------------------
+    d = f"{REF}/2d-tests/streaming_instability/single-species"
+    cfg, info = load_rundir(d)
+    assert cfg.module("particles_drag") is not None
+    assert cfg.module("hydro").Omega == 0.0          # Coriolis handover
+    ref = _read_ref(f"{d}/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path / "ss",
+              params=RunParams(nt=101, it1=100,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = _read_ours(tmp_path / "ss" / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    # init row at format precision for the NSH + eigenmode columns
+    for col in ("uxmin", "uxmax", "uymin", "uymax", "vpxmin", "vpxmax",
+                "vpymin", "vpymax", "rhopm"):
+        o, r = ours[col][0], ref[col][rows[0]]
+        # our writer's default e10.3 column format caps the comparison
+        # resolution at ~5e-4 relative
+        assert abs(o - r) <= 6e-4 * abs(r) + 1e-9, (col, o, r)
+    # equilibrium holds: uz stays at the eigenmode amplitude scale
+    n100 = [n for n, it in enumerate(ours["it"]) if int(it) == 100][0]
+    assert abs(ours["uzmax"][n100]) < 5e-7
+
+    # --- multi species -------------------------------------------------
+    d = f"{REF}/2d-tests/streaming_instability/multi-species"
+    cfg, info = load_rundir(d)
+    pd = cfg.module("particles")
+    assert pd.npar_species == 2 and pd.init == "si_exact_mode"
+    ref = _read_ref(f"{d}/reference.out")
+    model = Model(cfg)
+    run = Run(model, datadir=tmp_path / "ms",
+              params=RunParams(nt=31, it1=10,
+                               print_columns=tuple(ref.keys())),
+              quiet=True)
+    run.main_loop(model.init_state(0))
+    ours = _read_ours(tmp_path / "ms" / "time_series.dat")
+    rows = {int(i): n for n, i in enumerate(ref["it"])}
+    for col in ("uxm", "uym", "vpxm", "vpym", "rhopmax"):
+        o, r = ours[col][0], ref[col][rows[0]]
+        assert abs(o - r) <= 6e-4 * abs(r) + 1e-9, (col, o, r)
+    # the deviation moments start at the eigenmode energy scale
+    assert ours["rdux2m"][0] < 5e-15
+    # and the drag equilibrium does not blow up over 30 steps
+    last = len(ours["rdux2m"]) - 1
+    assert ours["rdux2m"][last] < 1e-8
