@@ -9,6 +9,7 @@ pscalar).  Unknown namelist groups are reported, unknown parameters within
 known groups are ignored with a warning list returned alongside."""
 from __future__ import annotations
 
+import math
 import os
 import re
 from typing import Dict, Tuple
@@ -479,9 +480,42 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
     # (eos_idealgas.f90:172-183: Rgas=µ/γ, cp=1/(γ−1), unit_T=uv²Rgas/R*)
     _units = {k: float(init_pars[k]) for k in
               ("unit_length", "unit_velocity", "unit_density",
-               "unit_temperature") if k in init_pars}
+               "unit_temperature", "unit_magnetic") if k in init_pars}
+    _unit_system = str(init_pars.get("unit_system", "cgs"))
+    # unit_magnetic default √4π, or the µ0=1-consistent value under
+    # lfix_unit_std (register.f90:496-516); µ0 in code units follows as
+    # µ0_sys·ρ_u·(u_u/B_u)² (:275,:295) — ≠ 1 when B_u is inconsistent
+    _mu0_sys = 4.0 * math.pi * (1e-7 if _unit_system == "SI" else 1.0)
+    if "unit_magnetic" not in _units:
+        if init_pars.get("lfix_unit_std"):
+            _units["unit_magnetic"] = (
+                3.5449077018110318
+                * math.sqrt((1e-7 if _unit_system == "SI" else 1.0)
+                            * _units.get("unit_density", 1.0))
+                * _units.get("unit_velocity", 1.0))
+        else:
+            _units["unit_magnetic"] = 3.5449077018110318
+    _mu0_code = (_mu0_sys * _units.get("unit_density", 1.0)
+                 * (_units.get("unit_velocity", 1.0)
+                    / _units["unit_magnetic"]) ** 2) \
+        if ("unit_density" in _units or "unit_velocity" in _units
+            or "unit_magnetic" in init_pars) else 1.0
     _gamma_eos = float(eos_p.get("gamma", 5.0 / 3.0))
     _cp_eos = float(eos_p.get("cp", 1.0))
+    if ("unit_temperature" in _units and "cp" not in eos_p
+            and "mu" in eos_p):
+        # explicit unit_temperature + mu: cp FOLLOWS from the unit system
+        # (eos_idealgas.f90:192-198: Rgas = R_sys·uT/uv², cp =
+        # Rgas·γ/(µ(γ−1)); R_sys = k_B/m_u, ×1e-4 for SI :160-163)
+        _Rsys = 1.3806505e-16 / 1.66053886e-24
+        if str(init_pars.get("unit_system", "cgs")) == "SI":
+            _Rsys *= 1e-4
+        _Rgas_code = (_Rsys * _units["unit_temperature"]
+                      / _units.get("unit_velocity", 1.0) ** 2)
+        _mu_eos0 = float(eos_p["mu"])
+        _cp_eos = (_Rgas_code / _mu_eos0 if _gamma_eos == 1.0 else
+                   _Rgas_code * _gamma_eos
+                   / (_mu_eos0 * (_gamma_eos - 1.0)))
     if init_pars.get("lfix_unit_std") and _gamma_eos != 1.0:
         _mu_eos = float(eos_p.get("mu", 0.62))
         _cp_eos = 1.0 / (_gamma_eos - 1.0)
@@ -689,6 +723,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lweno_transport=lweno,
             lisotropic_advection=bool(
                 run_pars.get("lisotropic_advection", False)),
+            lcdt_tauf=bool(hyd_p.get("lcdt_tauf", False)),
+            cdt_tauf=float(hyd_p.get("cdt_tauf", 1.0)),
+            ulev=float(hyd_p.get("ulev", 1.0)),
             # pressure gradient only when density is computed
             # (hydro.f90:915: .not.ldensity → lpressuregradient_gas=F)
             lpressuregradient_gas=bool(
@@ -901,6 +938,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             chimin_kramers=float(ent_p.get("chimin_kramers", 0.0)),
             chi_t1=float(ent_p.get("chi_t1", 0.0))
             if bool(ent_p.get("lchit_fluct", False)) else 0.0,
+            chi_cspeed=float(ent_p.get("chi_cspeed", 0.5)),
             hcond_table=_read_hcond_glhc(path)
             if bool(ent_p.get("lread_hcond", False)) else (),
             ss_left=float(ent_p.get("ss_left", 0.0)),
@@ -928,6 +966,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             nu=float(vis_p.get("nu", 0.0)),
             nu_hyper3=float(vis_p.get("nu_hyper3", 0.0)),
             nu_shock=float(vis_p.get("nu_shock", 0.0)),
+            nu_cspeed=float(vis_p.get("nu_cspeed", 0.5)),
             zeta=float(vis_p.get("zeta", 0.0)),
             nu_aniso_hyper3=_aniso3(vis_p.get("nu_aniso_hyper3", 0.0)),
             limplicit_viscosity=bool(
@@ -990,11 +1029,30 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 bcspec = bcspec if isinstance(bcspec, list) else [bcspec]
                 xbc = str(bcspec[0] or "")
                 lo, _, hi = xbc.partition(":")
+                # inlet targets from the 'set' boundary values: slot
+                # order uu(3), lnrho, lnTT, species (NSCBC.f90 u_t/T_t/YYk
+                # are the fbcx values of those components)
+                import math as _math
+
+                def _fbc_targets(key):
+                    fb = init_pars.get(key) or run_pars.get(key) or []
+                    fb = [float(v) for v in
+                          (fb if isinstance(fb, list) else [fb])]
+                    if len(fb) < 5:
+                        return 0.0, 0.0, ()
+                    return fb[0], _math.exp(fb[4]), tuple(fb[5:])
+                u_lo, T_lo, Y_lo = _fbc_targets("fbcx1")
+                u_hi, T_hi, Y_hi = _fbc_targets("fbcx2")
                 modules.append(NSCBC(
                     nscbc_bc_x=(lo, hi),
                     nscbc_sigma_out=float(nsc_p.get("nscbc_sigma_out",
                                                     1.0)),
+                    nscbc_sigma_in=float(nsc_p.get("nscbc_sigma_in",
+                                                   1.0)),
                     p_infty=float(nsc_p.get("p_infty", 1.013e6)),
+                    u_t_x=(u_lo, u_hi),
+                    T_t_x=(T_lo, T_hi),
+                    Y_in_x=(Y_lo, Y_hi),
                 ))
         elif os.path.exists(mdat) and os.path.exists(pdat):
             # kreactions tables ('Axel case', e.g. chemistry_GrayScott)
@@ -1147,6 +1205,25 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lrelativistic_eos=bool(den_p.get("lrelativistic_eos", False)),
             eta=float(mag_p.get("eta", 0.0)),
             eta_hyper3=float(mag_p.get("eta_hyper3", 0.0)),
+            eta_shock=float(mag_p.get("eta_shock", 0.0))
+            if ({"eta-shock", "eta_shock", "shock"}
+                & set(str(v) for v in
+                      _as_tuple(mag_p.get("iresistivity", "")))) else 0.0,
+            zdep_profile=str(mag_p.get("zdep_profile", "fs"))
+            if ({"zdep", "eta-zdep"}
+                & set(str(v) for v in
+                      _as_tuple(mag_p.get("iresistivity", "")))) else "",
+            eta_z0=float(mag_p.get("eta_z0", 1.0)),
+            eta_zwidth=float(mag_p.get("eta_zwidth", 0.0)),
+            eta_jump=float(mag_p.get("eta_jump", 0.0)),
+            lweyl_gauge=bool(mag_p.get("lweyl_gauge", False)),
+            lohmic_heat=bool(mag_p.get("lohmic_heat", True)),
+            lboris_correction=bool(
+                mag_p.get("lboris_correction", False)),
+            va2max_boris=float(mag_p.get("va2max_boris", 0.0)),
+            magnetogram_file=os.path.join(path, "driver", "mag_field.dat"),
+            unit_magnetic=_units.get("unit_magnetic", 1.0),
+            mu0=_mu0_code,
             battery_term=float(mag_p.get("battery_term", 0.0)),
             hall_term=float(mag_p.get("hall_term", 0.0)),
             llorentzforce=bool(mag_p.get("llorentzforce", True)),
@@ -1470,11 +1547,54 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             thermal_profile=str(is_p.get("thermal_profile", "gaussian")),
             velocity_profile=str(is_p.get("velocity_profile", "gaussian")),
             width_SN=float(is_p.get("width_sn", 0.0)),
+            t_next_SNI=float(is_p.get("t_next_sni", 0.0)),
+            t_next_SNII=float(is_p.get("t_next_snii", 0.0)),
+            ampl_SN=float(is_p.get("ampl_sn", 0.0)),
+            mass_SN=float(is_p.get("mass_sn", 0.0)),
+            lSN_mass=bool(is_p.get("lsn_mass", False)),
+            lSN_eth=bool(is_p.get("lsn_eth", True)),
+            lSN_momentum=bool(is_p.get("lsn_momentum", True)),
+            lSN_autofrackin=bool(is_p.get("lsn_autofrackin", True)),
+            mass_profile=str(is_p.get("mass_profile", "gaussian")),
+            mass_width_ratio=float(is_p.get("mass_width_ratio", 1.0)),
+            energy_width_ratio=float(is_p.get("energy_width_ratio", 1.0)),
+            velocity_width_ratio=float(
+                is_p.get("velocity_width_ratio", 1.0)),
+            rho_SN_min=float(is_p.get("rho_sn_min", 0.0)),
+            rho_SN_max=float(is_p.get("rho_sn_max", 0.0)),
+            TT_SN_min=float(is_p.get("tt_sn_min", -1.0)),
+            TT_SN_max=float(is_p.get("tt_sn_max", 0.0)),
+            SN_TT_ratio=float(is_p.get("sn_tt_ratio", 20.0)),
+            SNI_factor=float(is_p.get("sni_factor", 1.0)),
+            SNII_factor=float(is_p.get("snii_factor", 1.0)),
+            SNI_area_rate=float(is_p.get("sni_area_rate", 0.0)),
+            SNII_area_rate=float(is_p.get("snii_area_rate", 0.0)),
+            center_SN=(float(is_p.get("center_sn_x", 0.0)),
+                       float(is_p.get("center_sn_y", 0.0)),
+                       float(is_p.get("center_sn_z", 0.0))),
             seed0=int(init_pars.get("seed0", run_pars.get("seed0", 1812))),
             mu_ism=float(eos_p.get("mu", 0.62)),
             unit_length=_units.get("unit_length", 1.0),
             unit_velocity=_units.get("unit_velocity", 1.0),
             unit_density=_units.get("unit_density", 1.0),
+            unit_temperature=_units.get("unit_temperature", 1.0),
+        ))
+
+    hf_p = grp("heatflux")
+    if "noheatflux" not in mkf.get("HEATFLUX", "noheatflux"):
+        from ..physics.heatflux import HeatFlux
+        modules.append(HeatFlux(
+            iheatflux=_first(hf_p.get("iheatflux", "nothing")),
+            tau_inv_spitzer=float(hf_p.get("tau_inv_spitzer", 0.0)),
+            Kspitzer_para=float(hf_p.get("kspitzer_para", 0.0)),
+            saturation_flux=float(hf_p.get("saturation_flux", 0.0)),
+            Kc=float(hf_p.get("kc", 0.0)),
+            lnfs2=bool(hf_p.get("lnfs2", False)),
+            ltau_spitzer_va=bool(hf_p.get("ltau_spitzer_va", False)),
+            va2max_tau_boris=float(hf_p.get("va2max_tau_boris", 0.0)),
+            lreset_heatflux=bool(hf_p.get("lreset_heatflux", False)),
+            cdts=float(run_pars.get("cdts", 1.0)),
+            unit_velocity=_units.get("unit_velocity", 1.0),
             unit_temperature=_units.get("unit_temperature", 1.0),
         ))
 
@@ -1501,6 +1621,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 v = init_pars.get(k)
                 if v is not None:
                     sp_all[k] = float(v)
+        sp_all.setdefault("cdts", float(run_pars.get("cdts", 1.0)))
         for slot in sp_slot.split():
             if slot.split("/")[-1] == "nospecial":
                 continue
@@ -1524,6 +1645,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         # unit system for IC plug-ins with cgs-constant profiles
         for k, v in _units.items():
             ic_p.setdefault(k, v)
+        # hydrostatic IC plug-ins need the constant vertical gravity
+        ic_p.setdefault("gravz", float(grp("grav").get("gravz", 0.0)))
         if plugin == "ths_equilibrium_ism":
             ism_fn = os.path.join(path, "init_ism.in")
             if os.path.exists(ism_fn):

@@ -1683,13 +1683,106 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 dxyz2 = jnp.max(grid.dx1 ** 2 + 0.0 * grid.dx1) \
                     + jnp.max(grid.dy1 ** 2) + jnp.max(grid.dz1 ** 2)
                 out[n] = dt * eta * dxyz2 / cfg.time.cdtv
+            elif n in ("qmax", "qrms", "dtq", "dtq2", "dtspitzer",
+                       "qsatmin", "qsatrms", "tauqmax") \
+                    and cfg.module("heatflux") is not None:
+                # non-Fourier heat-flux diagnostics (heatflux.f90
+                # idiag_qmax/qrms :313-314, dtq/dtq2/dtspitzer/tauqmax
+                # :646-700, qsatmin/qsatrms :544-548)
+                hfm = cfg.module("heatflux")
+                sv, tau_inv, diffspitz, qsr, c_sp, c_sp0 = \
+                    hfm._spitzer(pen)
+                d1h = pen.dline_1()
+                if n == "qmax":
+                    q2 = sum(pen.field("qq")[a] ** 2 for a in range(3))
+                    out[n] = jnp.sqrt(jnp.max(q2))
+                elif n == "qrms":
+                    q2 = sum(pen.field("qq")[a] ** 2 for a in range(3))
+                    out[n] = jnp.sqrt(jnp.mean(q2))
+                elif n == "tauqmax":
+                    out[n] = jnp.max(tau_inv + 0.0 * pen.lnTT())
+                elif n == "dtq2":
+                    out[n] = dt * jnp.max(tau_inv + 0.0 * pen.lnTT()) \
+                        / hfm.cdts
+                elif n == "dtq" and c_sp is not None:
+                    dxm1 = jnp.maximum(jnp.maximum(
+                        jnp.max(d1h[0]), jnp.max(d1h[1])),
+                        jnp.max(d1h[2]))
+                    out[n] = dt * jnp.max(c_sp) * dxm1 / cfg.time.cdt
+                elif n == "dtspitzer" and diffspitz is not None:
+                    dxyz2h = d1h[0] ** 2 + d1h[1] ** 2 + d1h[2] ** 2
+                    out[n] = dt * jnp.max(diffspitz * dxyz2h) \
+                        / cfg.time.cdtv
+                elif n == "qsatmin":
+                    out[n] = jnp.min(jnp.minimum(qsr, 1e50)
+                                     + 0.0 * pen.lnTT())
+                elif n == "qsatrms":
+                    out[n] = jnp.sqrt(jnp.mean(
+                        jnp.minimum(qsr, 1e50) ** 2 + 0.0 * pen.lnTT()))
+                else:
+                    out[n] = jnp.zeros(())
+            elif n == "dtchi2" and cfg.module("coronae") is not None:
+                # dt·max(χ_grad·Σ Δ⁻²)/cdtv from the gradient-dependent
+                # conduction (coronae.f90 calc_heatcond_glnTT_iso :1785)
+                sp = cfg.module("coronae")
+                glnTTd = pen.glnTT()
+                K_grad = sp.hcond_grad_iso * sum(g ** 2 for g in glnTTd)
+                d1h = pen.dline_1()
+                dxyz2h = d1h[0] ** 2 + d1h[1] ** 2 + d1h[2] ** 2
+                out[n] = dt * jnp.max(K_grad * eos.gamma / eos.cp
+                                      * dxyz2h) / cfg.time.cdtv
+            elif n == "dtrad" and cfg.module("coronae") is not None:
+                from ..physics.special.coronae import _INTLNT, _INTLNQ
+                sp = cfg.module("coronae")
+                ul, uv, ud, ut = (sp.unit_length, sp.unit_velocity,
+                                  sp.unit_density, sp.unit_temperature)
+                unit_lnQ = (3.0 * jnp.log(uv) + 5.0 * jnp.log(ul)
+                            + jnp.log(ud))
+                lnQ = jnp.interp(pen.lnTT() + jnp.log(ut),
+                                 jnp.asarray(_INTLNT),
+                                 jnp.asarray(_INTLNQ),
+                                 left=-200.0, right=-200.0)
+                lnneni = 2.0 * (pen.lnrho() + 61.4412
+                                + jnp.log(ud * ul ** 3))
+                rtv = jnp.exp(lnQ - unit_lnQ + lnneni) * sp.cool_RTV
+                rate = rtv * eos.gamma / eos.cp * jnp.exp(
+                    -pen.lnrho() - pen.lnTT())
+                out[n] = dt * jnp.max(rate) / sp.cdts
+            elif n in ("dtF", "taufmin") \
+                    and getattr(cfg.module("hydro"), "lcdt_tauf", False):
+                # force-limited dt diagnostics (hydro.f90:3955-3957):
+                # dtF = dt·max|du/dt|/(cdt_tauf·ulev) — needs the full
+                # assembled RHS, recomputed here at diagnostic cadence
+                hydm = cfg.module("hydro")
+                dfa_, _dt1, _dp = model.rhs(fa, grid, state["t"])
+                off_ = 0
+                for nm_, slot_ in reg.slots.items():
+                    if slot_.kind != "pde":
+                        continue
+                    if nm_ == "uu":
+                        break
+                    off_ += slot_.ncomp
+                Fmax = jnp.max(jnp.abs(dfa_[off_:off_ + 3])) / hydm.ulev
+                if n == "dtF":
+                    out[n] = dt * Fmax / hydm.cdt_tauf
+                else:
+                    out[n] = 1.0 / jnp.maximum(Fmax, 1e-30)
             elif n == "dtnu":
+                # dt·max(diffus_nu·Σ Δ⁻²)/cdtv with the same ν accumulation
+                # the rhs registers: T-scaled ν for 'nu-cspeed'
+                # (viscosity.f90:1396) plus the shock viscosity
                 visc = cfg.module("viscosity")
                 nu = visc.nu if visc else 0.0
                 d1 = pen.dline_1()
                 dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
-                out[n] = dt * nu * jnp.max(dxyz2 + 0.0 * pen.lnrho()) \
-                    / cfg.time.cdtv
+                nu_eff = nu + 0.0 * pen.lnrho()
+                if visc is not None and ({"nu-cspeed", "nu-therm"} & set(visc.ivisc)):
+                    nu_eff = nu * jnp.exp(visc.nu_cspeed * pen.lnTT())
+                if visc is not None and visc.nu_shock > 0.0 \
+                        and "shock" in pen.reg.slots \
+                        and ({"nu-shock", "shock"} & set(visc.ivisc)):
+                    nu_eff = nu_eff + visc.nu_shock * pen.field("shock")
+                out[n] = dt * jnp.max(nu_eff * dxyz2) / cfg.time.cdtv
             elif n == "dtchi":
                 ent = cfg.module("entropy")
                 e = eos
@@ -1705,6 +1798,14 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                     chi = K * pen.rho1() / e.cp
                 elif ent is not None:
                     chi = ent.chi
+                    if {"chi-cspeed", "chi-therm"} & set(ent.iheatcond):
+                        # T-scaled conduction (entropy.f90:4429 diffus_chi
+                        # accumulation of gamma·thchi)
+                        chi = chi * jnp.exp(ent.chi_cspeed * pen.lnTT())
+                if ent is not None and ent.chi_shock > 0.0 \
+                        and "shock" in pen.reg.slots \
+                        and "shock" in ent.iheatcond:
+                    chi = chi + ent.chi_shock * pen.field("shock") / e.gamma
                 dxyz2 = grid.dx1 ** 2 + grid.dy1 ** 2 + grid.dz1 ** 2
                 out[n] = dt * e.gamma * jnp.max(chi * dxyz2) / cfg.time.cdtv
             elif _gw_diag(n):

@@ -999,7 +999,12 @@ BC_REGISTRY: Dict[str, Callable] = {
     "c3": bc_ADI_flux,
     # census batch (see docstrings for reference routines)
     "0": bc_zero,
-    "nil": lambda f, a, s, v, c: f,
+    # 'nil' in the reference leaves the STORED ghost zones untouched (they
+    # keep whatever start.x wrote — e.g. mag_init's potential extrapolation
+    # into the ghost heights).  Our ghosts are recomputed statelessly each
+    # fill, so the closest faithful choice is zero-gradient (symmetric)
+    # continuation rather than the periodic wrap the halo pre-pass leaves.
+    "nil": bc_sym,
     "": lambda f, a, s, v, c: f,
     # 'p' periodic is realized by the halo exchange; accepted here as a
     # marker so run.in files with explicit bcx='p' (e.g. conv-slab) load.

@@ -85,6 +85,7 @@ class Entropy(ModuleBase):
     chimax_kramers: float = 0.0
     chimin_kramers: float = 0.0
     chi_t1: float = 0.0        # iheatcond 'chit' fluctuation diffusion
+    chi_cspeed: float = 0.5    # 'chi-cspeed' exponent (χ ∝ T^c)
     # radial K(x), dK/dx table (lread_hcond + hcond_glhc.dat)
     hcond_table: tuple = ()
 
@@ -169,6 +170,18 @@ class Entropy(ModuleBase):
             g2 = sum((glnrho[a] + glnTT[a]) * gss1[a] for a in range(3))
             out = out + self.chi_t1 * (d2ss1 + g2)
             ts.diffus(self.chi_t1)
+        if ({"chi-cspeed", "chi-therm"} & set(self.iheatcond)) \
+                and self.chi > 0.0:
+            # temperature-sensitive conduction χ_eff = χ·T^chi_cspeed
+            # (entropy.f90:4351-4441 calc_heatcond_cspeed_chi — caps SN
+            # remnant core temperatures): ds/dt += cp·χ_eff·(∇²lnT +
+            # (∇lnρ + (1+c)∇lnT)·∇lnT), CFL γ·χ_eff
+            thchi = self.chi * jnp.exp(self.chi_cspeed * pen.lnTT())
+            glnrho = pen.glnrho()
+            g2 = sum((glnrho[a] + (1.0 + self.chi_cspeed) * glnTT[a])
+                     * glnTT[a] for a in range(3))
+            out = out + thchi * (pen.del2lnTT() + g2) * eos.cp
+            ts.diffus(eos.gamma * thchi)
         if "chi-const" in self.iheatcond and self.chi > 0.0:
             glnrho = pen.glnrho()
             gdot = sum(glnTT[a] * (glnTT[a] + glnrho[a]) for a in range(3))

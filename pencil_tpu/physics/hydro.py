@@ -64,6 +64,11 @@ class Hydro(ModuleBase):
     dampuext: float = 0.0
     dampuint: float = 0.0
     wdamp: float = 0.0
+    # force-limited timestep (hydro.f90:3910-3916 lcdt_tauf): dt1_max ≥
+    # |du/dt|_total/(cdt_tauf·ulev), applied to the ASSEMBLED df
+    lcdt_tauf: bool = False
+    cdt_tauf: float = 1.0
+    ulev: float = 1.0
     lOmega_int: bool = False
     Omega_int: float = 0.0
     rdampint: float = 0.0     # defaults to r_int/r_ext from the run dir
@@ -92,6 +97,14 @@ class Hydro(ModuleBase):
         state = dict(state)
         state["uu"] = uu - (rum / rm)[:, None, None, None]
         return state
+
+    def adjust_df(self, pen, df, ts):
+        # runs after every module's rhs (model post-pass): constrain dt by
+        # the total specific force (hydro.f90:3910-3916)
+        if self.lcdt_tauf and "uu" in df:
+            import jax.numpy as jnp
+            ftot = jnp.max(jnp.abs(df["uu"]), axis=0)
+            ts.max_rate(ftot / (self.cdt_tauf * self.ulev))
 
     def rhs(self, pen, df, ts):
         uu = pen.uu()

@@ -1133,3 +1133,51 @@ def ic_hs_equilibrium_ism(grid, spec, eos, cfg, params):
         out["+aa"] = _ferriere_uniform_by(
             bampl, jnp.exp(logrho) + 0.0 * ones, grid, spec)
     return out
+
+
+@register_ic("coronae_init")
+def ic_coronae_init(grid, spec, eos, cfg, params):
+    """Solar-corona stratification (reference
+    ``src/initial_condition/coronae_init.f90``): lnTT_init='tanh' — a
+    chromosphere→corona temperature jump in PHYSICAL (SI) height
+    (setup_tanh :740-767), and lnrho_init='hydrostatic' — trapezoid
+    integration of dlnρ/dz = −lnT' − γ/(cp(γ−1))·g/T upward from
+    ρ(z0)=rho_init (hydrostatic_lnTT :500-562)."""
+    import numpy as np
+    ng = spec.nghost
+    z = np.asarray(grid.z, np.float64)             # ghosted coordinate
+    ul = float(params.get("unit_length", 1.0))
+    ut = float(params.get("unit_temperature", 1.0))
+    T0 = float(params.get("t0", 6000.0))
+    T1 = float(params.get("t1", 1e6))
+    z0t = float(params.get("z0_tanh", 4e6))
+    wt = float(params.get("width_tanh", 1e6))
+    rho_init = float(params.get("rho_init", 1.0))
+    gravz = float(params.get("gravz", 0.0))
+    z_SI = z * ul
+    TT = (T1 - T0) * (0.5 * np.tanh((z_SI - z0t) / wt) + 0.5) + T0
+    lnTT = np.log(TT / ut)                        # code units, ghosted
+    out = {}
+    if str(params.get("lntt_init", "")) == "tanh":
+        prof = jnp.asarray(lnTT[None, None, ng:-ng])
+        out["lnTT"] = jnp.broadcast_to(
+            prof, (spec.nx, spec.ny, spec.nz)) + 0.0
+    if str(params.get("lnrho_init", "")) == "hydrostatic":
+        # konst = γ·cp1/(γ−1); trapezoid ∫ g/T dz (:517-536)
+        cp1 = 1.0 / eos.cp
+        konst = eos.gamma * cp1 / (eos.gamma - 1.0)
+        TTc = TT / ut
+        lnrho = np.empty_like(z)
+        lnrho[ng] = np.log(rho_init)
+        for i in range(ng + 1, len(z)):
+            intg = 0.5 * (z[i] - z[i - 1]) * gravz \
+                * (1.0 / TTc[i - 1] + 1.0 / TTc[i])
+            lnrho[i] = lnrho[i - 1] - lnTT[i] + lnTT[i - 1] + konst * intg
+        for i in range(ng - 1, -1, -1):
+            intg = 0.5 * (z[i] - z[i + 1]) * gravz \
+                * (1.0 / TTc[i + 1] + 1.0 / TTc[i])
+            lnrho[i] = lnrho[i + 1] - lnTT[i] + lnTT[i + 1] + konst * intg
+        prof = jnp.asarray(lnrho[None, None, ng:-ng])
+        out["lnrho"] = jnp.broadcast_to(
+            prof, (spec.nx, spec.ny, spec.nz)) + 0.0
+    return out

@@ -125,6 +125,28 @@ class Interstellar(ModuleBase):
     # remnants into the initial state with the reference's seeded RNG.
     initinterstellar: str = "nothing"
     initial_SNI: int = 0
+    # runtime stochastic SN scheduling (check_SN :1934-2195).  t_next_* < 0
+    # disables a channel (the namelist default `impossible`); >= 0 arms it
+    # and the runner fires discrete explosions host-side between device
+    # steps, rescheduling each channel as a Poisson process with rate
+    # 1/t_interval = SN*_factor * SN*_area_rate * Lx * Ly (:699-700).
+    t_next_SNI: float = -1.0
+    t_next_SNII: float = -1.0
+    ampl_SN: float = 0.0          # code units; 0 → 1e51 erg/unit_energy
+    mass_SN: float = 0.0          # ejecta mass; 0 → 10 M_sun (:272)
+    lSN_mass: bool = False
+    mass_profile: str = "gaussian"
+    mass_width_ratio: float = 1.0
+    rho_SN_min: float = 0.0       # site floor; 0 → 1e-28 g/cc (:203)
+    rho_SN_max: float = 0.0       # site cap;   0 → 2.364e-23 g/cc
+    TT_SN_min: float = -1.0       # site floor; <0 → 1 K (:207)
+    TT_SN_max: float = 0.0        # remnant cap; 0 → 2.5e6 K
+    SN_TT_ratio: float = 20.0     # diffuse-remnant TT headroom (:210)
+    SNI_factor: float = 1.0
+    SNII_factor: float = 1.0
+    SNI_area_rate: float = 0.0    # 0 → 1.330982784e-56 /s/cm² (:214)
+    SNII_area_rate: float = 0.0   # 0 → 7.5× the SNI rate (:566)
+    center_SN: tuple = (0.0, 0.0, 0.0)   # 'single' test position
     lSN_scale_rad: bool = False
     N_mass: float = 250.0
     rfactor_SN: float = 5.0
@@ -233,6 +255,34 @@ class Interstellar(ModuleBase):
         reference's seeded RNG (position_SN_gaussianz :2601-2872), radius
         bisected to enclose N_mass solar masses (:3233-3272), thermal
         energy + momentum kick injection (:3595-3675)."""
+        if self.initinterstellar in ("single", "sedov", "kompaneets",
+                                     "courant-friedricks"):
+            # fixed-position initial remnant(s) through the runtime
+            # explode path (init_interstellar :1503-1553 — explode_SN is
+            # called WITHOUT ierr at init, so validation is bypassed)
+            import numpy as np
+            sched = SNScheduler(self, model)
+            centers = {"single": [self.center_SN],
+                       "sedov": [(0.0, 0.0, 0.0)],
+                       "kompaneets": [(0.0, 0.0, 0.0)],
+                       "courant-friedricks": [(0.0, 0.0, -0.015),
+                                              (0.0, 0.0, 0.015)],
+                       }[self.initinterstellar]
+            out = {k: np.asarray(v) for k, v in fields.items()}
+            for (cx, cy, cz) in centers:
+                lc = int(np.argmin(np.abs(sched.x - cx)))
+                mc = int(np.argmin(np.abs(sched.y - cy)))
+                nc = int(np.argmin(np.abs(sched.z - cz)))
+                rho = sched._rho_of(out)
+                ss = np.array(out["ss"], np.float64)
+                res = sched._explode(out, rho, ss, lc, mc, nc,
+                                     check=False)
+                if res is not None:
+                    out.update({k: np.asarray(v) for k, v in res.items()})
+            dtype = jnp.asarray(fields["ss"]).dtype
+            return {k: jnp.asarray(v, dtype) if k in
+                    ("ss", "uu", "rho", "lnrho") else fields[k]
+                    for k, v in out.items()}
         if self.initinterstellar != "multiple" or self.initial_SNI < 1:
             return fields
         import numpy as np
@@ -451,4 +501,352 @@ class Interstellar(ModuleBase):
         out = dict(fields)
         out["ss"] = jnp.asarray(ss, dtype)
         out["uu"] = jnp.asarray(uu, dtype)
+        return out
+
+
+class SNScheduler:
+    """Runtime stochastic supernova driver (reference check_SN at
+    interstellar.f90:1934-1998, check_SNI :2000-2104, check_SNIIb
+    :2106-2195, set_next_SNI/II :2197-2312, explode_SN :3182-3805).
+
+    Runs HOST-SIDE between jitted device steps: discrete SN events are
+    rare (t_interval ≫ dt), data-dependent, and mutate the state in one
+    shot, so they live outside the traced step — the runner syncs the
+    fields after each step while a channel is armed and calls this.
+    Mutable: carries the Park-Miller RNG stream (`random_number_wrapper`
+    with the 'min_std' default generator), the firing times, and zdisk.
+    """
+
+    def __init__(self, ism: Interstellar, model):
+        import numpy as np
+        self.ism = ism
+        self.model = model
+        from ..compat.pencil_rng import Ran0
+        self.rng = Ran0(ism.seed0)
+        ul, uv, ud, ut, utime, uL, uG = ism._units
+        uE = ud * ul ** 3 * uv ** 2
+        gs = model.cfg.grid
+        self.ampl = ism.ampl_SN if ism.ampl_SN > 0 else _AMPL_SN_CGS / uE
+        self.mass = (ism.mass_SN if ism.mass_SN > 0
+                     else 10.0 * _SOLAR_MASS_CGS / (ud * ul ** 3))
+        rate_I = (ism.SNI_area_rate if ism.SNI_area_rate > 0
+                  else 1.330982784e-56 * ul ** 2 * utime)
+        rate_II = (ism.SNII_area_rate if ism.SNII_area_rate > 0
+                   else 7.5 * 1.330982784e-56 * ul ** 2 * utime)
+        area = gs.Lx * gs.Ly
+        self.t_interval_SNI = 1.0 / (ism.SNI_factor * rate_I * area)
+        self.t_interval_SNII = 1.0 / (ism.SNII_factor * rate_II * area)
+        self.t_next_SNI = float(ism.t_next_SNI)
+        self.t_next_SNII = float(ism.t_next_SNII)
+        self.rho_SN_min = (ism.rho_SN_min if ism.rho_SN_min > 0
+                           else 1e-28 / ud)
+        self.rho_SN_max = (ism.rho_SN_max if ism.rho_SN_max > 0
+                           else 2.364e-23 / ud)
+        self.TT_SN_min = ism.TT_SN_min if ism.TT_SN_min >= 0 else 1.0 / ut
+        self.TT_SN_max = ism.TT_SN_max if ism.TT_SN_max > 0 else 2.5e6 / ut
+        self.h_SNI = ism.h_SNI if ism.h_SNI > 0 else _H_SNI_CGS / ul
+        self.h_SNII = ism.h_SNII if ism.h_SNII > 0 else _H_SNII_CGS / ul
+        self.solar_mass = _SOLAR_MASS_CGS / (ud * ul ** 3)
+        # Sedov / shell-formation dimensional norms (:581-597)
+        self.sedov_norm = ud / 1e-24 * _AMPL_SN_CGS / uE
+        self.SFt_norm = (26.5 * _KYR_CGS / utime
+                         * (1.4 * _M_H_CGS / ud) ** (4.0 / 7)
+                         * (uE / _AMPL_SN_CGS) ** (3.0 / 14))
+        self.SFr_norm = (18.5 * _PC_CGS / ul
+                         * (uE / _AMPL_SN_CGS) ** (2.0 / 7)
+                         * (1.4 * _M_H_CGS / ud) ** (3.0 / 7))
+        self.kfrac_norm = (3.97e-6 * ism.mu_ism / 1.4 / _M_H_CGS * ud
+                           * _AMPL_SN_CGS / uE * (ul / _PC_CGS) ** 5
+                           * (_KYR_CGS / utime) ** 2)
+        self.Nsig = {"gaussian3": 1.25, "gaussian2": 1.75,
+                     "gaussian": 2.25}.get(ism.thermal_profile, 1.5)
+        self.cnorm = _CNORM[ism.thermal_profile][2]
+        self.cnorm_mass = _CNORM.get(ism.mass_profile,
+                                     _CNORM["gaussian"])[2]
+        self.vnorm = _VNORM[ism.velocity_profile][2]
+        ng = gs.nghost
+        self.x = np.asarray(model.grid.x, np.float64)[ng:-ng]
+        self.y = np.asarray(model.grid.y, np.float64)[ng:-ng]
+        self.z = np.asarray(model.grid.z, np.float64)[ng:-ng]
+        self.dVol = gs.dx * gs.dy * gs.dz
+        self.zdisk = 0.0
+        self.nfired = 0
+
+    @property
+    def active(self) -> bool:
+        return ((self.ism.lSNI and self.t_next_SNI >= 0)
+                or (self.ism.lSNII and self.t_next_SNII >= 0))
+
+    # ---- geometry helpers -------------------------------------------
+    def _dr2(self, lc, mc, nc):
+        import numpy as np
+        gs = self.model.cfg.grid
+        ds = []
+        for dq, L, per, q, c in ((None, gs.Lx, gs.periodic[0], self.x, lc),
+                                 (None, gs.Ly, gs.periodic[1], self.y, mc),
+                                 (None, gs.Lz, gs.periodic[2], self.z, nc)):
+            d = q - q[c]
+            if per:
+                d = np.where(d > L / 2, d - L, d)
+                d = np.where(d < -L / 2, d + L, d)
+            ds.append(d)
+        dr2 = (ds[0][:, None, None] ** 2 + ds[1][None, :, None] ** 2
+               + ds[2][None, None, :] ** 2)
+        return dr2, ds
+
+    def _prof(self, dr2, w, profile):
+        import numpy as np
+        p = dr2 / w ** 2
+        if profile == "gaussian3":
+            p = p ** 3
+        elif profile == "gaussian2":
+            p = p ** 2
+        return np.exp(-p)
+
+    def _props(self, rho, uu, dr2, radius):
+        """Mean density in the energy_Nsigma sphere + TOTAL box kinetic
+        energy (get_properties :3807-3913)."""
+        import math
+        radius2 = self.Nsig ** 2 * radius ** 2
+        M = (rho * (dr2 <= radius2)).sum() * self.dVol
+        rhom = M * 0.75 / math.pi / radius2 ** 1.5
+        ekin = 0.5 * (rho * (uu ** 2).sum(0)).sum() * self.dVol
+        return rhom, ekin
+
+    # ---- scheduling -------------------------------------------------
+    def __call__(self, fields, t, it):
+        """Check both channels at time t; returns updated field dict or
+        None.  Mirrors check_SN ordering: SNI first, then SNIIb with the
+        zdisk recomputed from the vertical mass profile (:2128-2144)."""
+        import math
+        upd = None
+        if self.ism.lSNI and 0 <= self.t_next_SNI <= t:
+            self.zdisk = 0.0              # check_SNI: zdisk=0 (:2112)
+            out = self._try_fire(fields, 1, it)
+            if out is not None:
+                fields = upd = out
+                # set_next_SNI (:2197-2231): Poisson interarrival
+                self.t_next_SNI = t - math.log(
+                    self.rng.draw(1)[0]) * self.t_interval_SNI
+        if self.ism.lSNII and 0 <= self.t_next_SNII <= t:
+            self._set_zdisk(fields, it)
+            out = self._try_fire(fields, 2, it)
+            if out is not None:
+                fields = upd = out
+                self.t_next_SNII = t - math.log(
+                    self.rng.draw(1)[0]) * self.t_interval_SNII
+        return upd
+
+    def _rho_of(self, fields):
+        import numpy as np
+        return np.array(fields["rho"] if "rho" in fields
+                        else np.exp(fields["lnrho"]), np.float64)
+
+    def _set_zdisk(self, fields, it):
+        """zdisk = z of the peak horizontally-summed density, scan
+        direction alternating with it parity to avoid N-S tie bias
+        (position_SN_gaussianz Get_zdisk :2655-2745)."""
+        import numpy as np
+        rho = self._rho_of(fields)
+        rhoz = rho.sum(axis=(0, 1))
+        order = range(len(rhoz)) if it % 2 == 0 else \
+            range(len(rhoz) - 1, -1, -1)
+        rhomax = rhoz.max()
+        for n in order:
+            if rhoz[n] == rhomax:
+                self.zdisk = self.z[n]
+        return self.zdisk
+
+    def _try_fire(self, fields, sn_type, it):
+        """Position attempts with site-property rejection (check_SNI
+        :2100-2160): 10 tries, each drawing fran3 for (x, y, cum-z)."""
+        import numpy as np
+        ism = self.ism
+        gs = self.model.cfg.grid
+        eos = self.model.eos
+        hSN = self.h_SNI if sn_type == 1 else self.h_SNII
+        nx, ny, nz = gs.nx, gs.ny, gs.nz
+        nzskip = 10
+        for _try in range(10):
+            fran3 = self.rng.draw(3)
+            i = int(fran3[0] * nx) + 1
+            j = int(fran3[1] * ny) + 1
+            if i > nx:
+                i -= nx
+            if j > ny:
+                j -= ny
+            # cumulative gaussian about zdisk (:2820-2843)
+            cum = np.zeros(nz)
+            for k in range(1, nz + 1):
+                if k < nzskip:
+                    cum[k - 1] = 0.0
+                elif k > nz - nzskip:
+                    cum[k - 1] = cum[k - 2]
+                else:
+                    prev = cum[k - 2] if k > 1 else 0.0
+                    cum[k - 1] = prev + np.exp(
+                        -0.5 * ((k * gs.Lz / nz + gs.z0 - self.zdisk)
+                                / hSN) ** 2)
+            cum = cum / max(cum[nz - nzskip - 1], 1e-37)
+            cum[nz - nzskip:] = 1.0
+            kz = nzskip + 1
+            for k in range(nzskip + 1, nz - nzskip + 1):
+                lo = cum[k - 2] if k > 1 else 0.0
+                if lo <= fran3[2] < cum[k - 1]:
+                    kz = k
+                    break
+            lc, mc, nc = i - 1, j - 1, kz - 1
+            rho = self._rho_of(fields)
+            ss = np.array(fields["ss"], np.float64)
+            gam, cp = eos.gamma, eos.cp
+            site_rho = rho[lc, mc, nc]
+            site_lnTT = (eos.lnTT0 + gam * ss[lc, mc, nc] / cp
+                         + (gam - 1.0) * (np.log(site_rho) - eos.lnrho0))
+            site_TT = np.exp(site_lnTT)
+            if not ism.lSN_scale_rad:
+                if site_rho < self.rho_SN_min or site_TT > self.TT_SN_max:
+                    continue
+            else:
+                if site_rho > self.rho_SN_max or \
+                        (sn_type == 2 and site_TT < self.TT_SN_min):
+                    continue
+            out = self._explode(fields, rho, ss, lc, mc, nc)
+            if out is not None:
+                self.nfired += 1
+                return out
+        return None
+
+    def _explode(self, fields, rho, ss, lc, mc, nc, check=True):
+        """Inject one remnant at (lc,mc,nc): ejecta mass, thermal energy,
+        radial velocity kick with the shell-formation kinetic fraction
+        (explode_SN :3182-3675).  Returns the new field dict, or None if
+        the remnant fails the max-temperature validation."""
+        import math
+        import numpy as np
+        ism = self.ism
+        gs = self.model.cfg.grid
+        eos = self.model.eos
+        gam, cp = eos.gamma, eos.cp
+        cv = cp / gam
+        gm1 = gam - 1.0
+        uu = np.array(fields["uu"], np.float64)
+        dr = max(gs.dx, gs.dy, gs.dz)
+        radius = ism.width_SN if ism.width_SN > 0 else max(
+            _WIDTH_SN_CGS / ism.unit_length, ism.rfactor_SN * dr)
+        dr2, deltas = self._dr2(lc, mc, nc)
+        rhom, ekintot = self._props(rho, uu, dr2, radius)
+        if ism.lSN_scale_rad:
+            # bisect radius to enclose N_mass solar masses (:3233-3272)
+            sol_tot = self.solar_mass * ism.N_mass
+            SNvol = 4.0 / 3.0 * math.pi / sol_tot
+            r_min, r_max = ism.rfactor_SN * dr, \
+                200 * _PC_CGS / ism.unit_length
+            r_best = radius
+            ratio = SNvol * rhom * radius ** 3
+            best = abs(ratio - 1) if ratio > 0.99 else 1e6
+            for _i in range(25):
+                if ratio < 1:
+                    r_min = radius
+                else:
+                    r_max = radius
+                radius = 0.5 * (r_min + r_max)
+                rhom, ekintot = self._props(rho, uu, dr2, radius)
+                ratio = SNvol * rhom * radius ** 3
+                if ratio >= 0.99 and abs(ratio - 1) < best:
+                    best = ratio
+                    r_best = radius
+                if r_max - r_min < dr * 0.04:
+                    break
+            radius = r_best
+            rhom, ekintot = self._props(rho, uu, dr2, radius)
+        ampl = self.ampl
+        # shell-formation kinetic fraction (:3297-3330)
+        t_SF = self.SFt_norm / rhom ** (4.0 / 7) * ampl ** (3.0 / 14)
+        RPDS = self.SFr_norm * ampl ** (2.0 / 7) / rhom ** (3.0 / 7)
+        frac_eth = 1.0 - ism.frac_ecr - ism.frac_kin
+        etmp = frac_eth * ampl
+        ktmp = ism.frac_kin * ampl
+        if RPDS < radius and ism.lSN_autofrackin:
+            ud, ul = ism.unit_density, ism.unit_length
+            if rhom > 0.8 * _M_H_CGS / ud and dr > _PC_CGS / ul:
+                frackin = (self.kfrac_norm * rhom * RPDS ** 7 / ampl
+                           / (t_SF * dr) ** 2)
+                if frackin < 1e-3:
+                    frackin = 0.0
+            else:
+                frackin = 0.0
+            frackin = min(ism.kin_max, frackin)
+            etmp = (1.0 - frackin - ism.frac_ecr) * ampl
+            ktmp = frackin * ampl
+        width_E = radius * ism.energy_width_ratio
+        width_m = radius * ism.mass_width_ratio
+        width_v = radius * ism.velocity_width_ratio
+        c_SN = etmp / (self.cnorm * width_E ** 3)
+        c_SNmax = ampl / (self.cnorm * ism.rfactor_SN * dr ** 3)
+        cmass = (self.mass / (self.cnorm_mass * width_m ** 3)
+                 if ism.lSN_mass else 0.0)
+        cvel = (math.sqrt(2 * ktmp / (rhom * self.vnorm * width_v ** 3))
+                if ktmp > 0 else 0.0)
+        # --- validate: max post-injection TT within Nsigma (:3440-3500)
+        rho_new = rho + (cmass * self._prof(dr2, width_m, ism.mass_profile)
+                         if cmass > 0 else 0.0)
+        lnrho_old = np.log(rho)
+        lnTT_old = (eos.lnTT0 + gam * ss / cp
+                    + gm1 * (lnrho_old - eos.lnrho0))
+        ee_old = cv * np.exp(lnTT_old)
+        dEE = c_SN * self._prof(dr2, width_E, ism.thermal_profile)
+        if ism.lSN_eth and check:
+            ee_new = (ee_old * rho + dEE * frac_eth) / rho_new
+            TTmask = np.where(dr2 <= self.Nsig ** 2 * radius ** 2,
+                              ee_new / cv, 0.0)
+            maxTT = TTmask.max()
+            if radius <= 1.1 * ism.rfactor_SN * dr:
+                if maxTT > self.TT_SN_max:
+                    return None           # iEXPLOSION_TOO_HOT
+            else:
+                if maxTT > ism.SN_TT_ratio * self.TT_SN_max:
+                    return None
+        # --- velocity normalisation check (:3577-3593)
+        dr_lin = np.sqrt(np.maximum(dr2, 1e-300))
+        normal = np.stack([deltas[0][:, None, None] / dr_lin + 0.0 * dr2,
+                           deltas[1][None, :, None] / dr_lin + 0.0 * dr2,
+                           deltas[2][None, None, :] / dr_lin + 0.0 * dr2])
+        normal = np.where(dr2[None] == 0.0, 0.0, normal)
+
+        def deltauu_of(cv_):
+            scale = (cv_ * np.sqrt(rhom / rho_new) if ism.lSN_momentum
+                     else cv_)
+            return (scale * self._prof(dr2, width_v, ism.velocity_profile)
+                    * normal)
+
+        if cvel > 0:
+            du = deltauu_of(cvel)
+            ek_new = 0.5 * (rho_new * ((uu + du) ** 2).sum(0)).sum() \
+                * self.dVol
+            dek = ek_new - ekintot
+            if dek < ktmp:
+                if ism.lSN_eth:
+                    c_SN = (min(c_SNmax, c_SN * (ktmp + ekintot - ek_new
+                                                 + etmp) / (ktmp + etmp))
+                            if dek > 0 else c_SNmax)
+                    dEE = c_SN * self._prof(dr2, width_E,
+                                            ism.thermal_profile)
+            else:
+                cvel = cvel * math.sqrt(ktmp / dek)
+        # --- apply (:3595-3675)
+        out = dict(fields)
+        dtype = np.asarray(fields["ss"]).dtype
+        if cmass > 0:
+            if "rho" in fields:
+                out["rho"] = rho_new.astype(dtype)
+            else:
+                out["lnrho"] = np.log(rho_new).astype(dtype)
+        if ism.lSN_eth:
+            ee_new = (ee_old * rho + dEE * frac_eth) / rho_new
+            lnTT_new = np.log(ee_new / cv)
+            ss = (cp / gam) * (lnTT_new - eos.lnTT0
+                               - gm1 * (np.log(rho_new) - eos.lnrho0))
+            out["ss"] = ss.astype(dtype)
+        if cvel > 0:
+            out["uu"] = (uu + deltauu_of(cvel)).astype(dtype)
         return out

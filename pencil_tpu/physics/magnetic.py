@@ -60,16 +60,50 @@ class Magnetic(ModuleBase):
     r_ext: float = 1.0
     inclaa: float = 0.0
     lrelativistic_eos: bool = False
+    # semirelativistic Boris correction (Gombosi et al. 2002 Eq. 34;
+    # magnetic.f90:3494-3554 lboris_correction): reduced speed of light
+    # c² = va2max_boris caps the effective Alfvén speed
+    lboris_correction: bool = False
+    va2max_boris: float = 0.0
+    # z-dependent resistivity (iresistivity='zdep', eta_zdep :8846-9010);
+    # only the 'cubic_step' profile is implemented:
+    # η(z) = η·(1 + (η_jump−1)·cubic_step(z, η_z0, −η_zwidth))
+    zdep_profile: str = ""
+    eta_z0: float = 1.0
+    eta_zwidth: float = 0.0
+    eta_jump: float = 0.0
+    # initaa='magnetogram' potential-field extrapolation inputs
+    magnetogram_file: str = ""
+    unit_magnetic: float = 1.0
+    # µ₀ in code units (cdata: µ0_unit_sys·ρ_u·u_u²/B_u²; 1 for the
+    # consistent default unit_magnetic)
+    mu0: float = 1.0
 
     def register(self, reg):
         reg.register("aa", 3, "pde", comps=("ax", "ay", "az"))
 
     def rhs(self, pen, df, ts):
         out = pen.uxb()
-        if self.eta > 0.0:
+        if self.zdep_profile:
+            if self.zdep_profile != "cubic_step":
+                raise NotImplementedError(
+                    f"zdep_profile={self.zdep_profile!r}")
+            # η(z) cubic-step profile + gradient term on the z-component
+            # (magnetic.f90:4438-4453: fres_z += ∂_zη·∇·A)
+            zg = pen.grid.zg
+            w = -self.eta_zwidth
+            x = jnp.clip((zg - self.eta_z0) / w, -1.0, 1.0)
+            cstep = 0.5 + 0.75 * x - 0.25 * x ** 3
+            eta_z = self.eta * (1.0 + (self.eta_jump - 1.0) * cstep)
+            geta_z = (self.eta * (self.eta_jump - 1.0)
+                      * (0.75 - 0.75 * x ** 2) / w)
+            out = out + eta_z[None] * pen.del2a()
+            out = out.at[2].add(geta_z * pen.diva())
+            ts.diffus(eta_z)
+        elif self.eta > 0.0:
             if self.lweyl_gauge:
                 # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A); pen.jj metric-aware
-                out = out - self.eta * pen.jj()
+                out = out - self.eta * self.mu0 * pen.jj()
             else:
                 # resistive gauge η∇²A — the reference default
                 # (magnetic.f90:4399)
@@ -80,7 +114,7 @@ class Magnetic(ModuleBase):
             ts.diffus3(self.eta_hyper3)
         if self.eta_shock > 0.0 and "shock" in pen.reg.slots:
             shock = pen.field("shock")
-            out = out - self.eta_shock * shock[None] * pen.jj()
+            out = out - self.eta_shock * self.mu0 * shock[None] * pen.jj()
             ts.diffus(self.eta_shock * shock)
         if self.meanfield_alpha != 0.0 or "alpm" in pen.reg.slots:
             # dynamical quenching: the magnetic alpha evolved by the
@@ -94,7 +128,7 @@ class Magnetic(ModuleBase):
             # resistive-gauge turbulent diffusion η_t∇²A — the reference
             # default; lweyl_gauge uses −η_t µ0 J (meanfield.f90:1276)
             if self.lweyl_gauge:
-                out = out - self.meanfield_etat * pen.jj()
+                out = out - self.meanfield_etat * self.mu0 * pen.jj()
             else:
                 out = out + self.meanfield_etat * pen.del2a()
             ts.diffus(self.meanfield_etat)
@@ -128,7 +162,7 @@ class Magnetic(ModuleBase):
         if self.battery_term != 0.0:
             out = out - self.battery_term * pen.fpres()
         if self.hall_term != 0.0:
-            out = out - self.hall_term * pen.jxb()
+            out = out - self.hall_term * self.mu0 * pen.jxb()
             if "uu" in pen.reg.slots:
                 uu = pen.uu()
                 jj = pen.jj()
@@ -143,8 +177,13 @@ class Magnetic(ModuleBase):
             # impose no constraint
             bb = pen.bb()
             d1 = pen.dline_1()
-            ts.advec2(sum((bb[a] * d1[a]) ** 2 for a in range(3))
-                      * pen.rho1())
+            adv_va2 = sum((bb[a] * d1[a]) ** 2 for a in range(3)) \
+                * pen.rho1()
+            if self.lboris_correction and self.va2max_boris > 0:
+                # Boris reduction of the Alfvén CFL (magnetic.f90:5431-5438)
+                adv_va2 = adv_va2 * (1.0 + (pen.va2()
+                                            / self.va2max_boris) ** 2) ** -0.5
+            ts.advec2(adv_va2)
 
         if self.llorentzforce and "uu" in pen.reg.slots:
             if self.lrelativistic_eos:
@@ -156,13 +195,71 @@ class Magnetic(ModuleBase):
                     uu = pen.uu()
                     accumulate(df, "lnrho",
                                sum(uu[a] * jxbr[a] for a in range(3)))
+            elif self.lboris_correction and self.va2max_boris > 0:
+                # semirelativistic momentum equation (magnetic.f90
+                # :3498-3530): du += γ_A²·J×B/ρ + (1−γ_A²)·Q −
+                # γ_A⁴·(ρc²)⁻¹·B(B·Q) with Q = u·∇u + ∇p/ρ − g and
+                # γ_A² = c²/(c²+v_A²); works with constant gravity only
+                # (upstream restriction)
+                va2 = pen.va2()
+                cl2 = self.va2max_boris
+                gA2 = cl2 / (cl2 + va2 + 1e-30)
+                Q = pen.ugu() - pen.fpres()
+                grav = pen.cfg.module("gravity")
+                if grav is not None and getattr(grav, "gravz", 0.0) != 0.0:
+                    Q = Q.at[2].add(-grav.gravz)
+                bb = pen.bb()
+                bQ = sum(bb[a] * Q[a] for a in range(3))
+                accumulate(df, "uu",
+                           gA2[None] * pen.jxbr() + (1.0 - gA2)[None] * Q
+                           - (gA2 ** 2 * pen.rho1() / cl2)[None] * bb
+                           * bQ[None])
             else:
                 accumulate(df, "uu", pen.jxbr())
         if self.lohmic_heat and self.eta > 0.0 and "ss" in pen.reg.slots:
-            pen._cache["ohmic_heat"] = self.eta * pen.j2()
+            # η µ0 J² (reference entropy coupling uses etatotal·mu0·j2)
+            pen._cache["ohmic_heat"] = self.eta * self.mu0 * pen.j2()
+
+    def _magnetogram(self, grid, spec):
+        """Potential-field extrapolation of an observed Bz magnetogram
+        (initcond.f90:6321-6442 mag_init + fourier_fftpack.f90:3632-3690
+        setup_extrapol_fact, :3824-3960 field_extrapol_z_parallel):
+        Ãx = i·ky·B̃z·e^{|k|Δz}/k², Ãy = −i·kx·B̃z·e^{|k|Δz}/k², Az = 0,
+        with Δz = z0 − z (sub-photospheric enhancement reduced ×0.25)
+        and the file holding nxgrid×nygrid float64 Gauss values."""
+        import numpy as np
+        Bz = np.fromfile(self.magnetogram_file, "<f8")
+        nx, ny = spec.nx, spec.ny
+        if Bz.size < nx * ny:
+            raise ValueError(
+                f"magnetogram {self.magnetogram_file}: {Bz.size} values "
+                f"for a {nx}x{ny} grid")
+        # the file may hold several time frames (lmag_time_bound driver);
+        # mag_init reads frame 1 (initcond.f90:6370-6382)
+        Bz = Bz[:nx * ny].reshape(ny, nx).T * 1e-4 / self.unit_magnetic
+        kx = 2 * np.pi * np.fft.fftfreq(nx, d=spec.Lx / nx)
+        ky = 2 * np.pi * np.fft.fftfreq(ny, d=spec.Ly / ny)
+        k2 = kx[:, None] ** 2 + ky[None, :] ** 2
+        k2[0, 0] = 1.0
+        kk = np.sqrt(k2)
+        Bzk = np.fft.fft2(Bz)
+        ng = spec.nghost
+        z = np.asarray(grid.z, np.float64)[ng:-ng]
+        dz_ = spec.z0 - z
+        dz_ = np.where(dz_ > 0.0, 0.25 * dz_, dz_)     # reduce_factor
+        fact = np.exp(kk[:, :, None] * dz_[None, None, :]) \
+            / k2[:, :, None]
+        Axk = 1j * ky[None, :, None] * Bzk[:, :, None] * fact
+        Ayk = -1j * kx[:, None, None] * Bzk[:, :, None] * fact
+        Ax = np.real(np.fft.ifft2(Axk, axes=(0, 1)))
+        Ay = np.real(np.fft.ifft2(Ayk, axes=(0, 1)))
+        zero = np.zeros_like(Ax)
+        return {"aa": jnp.asarray(np.stack([Ax, Ay, zero]))}
 
     def init_fields(self, grid, spec, eos, key, cfg=None):
         from .initcond import init_vector
+        if self.init == "magnetogram":
+            return self._magnetogram(grid, spec)
         if isinstance(self.init, (list, tuple)):
             # ninit cascade — each entry ADDS (magnetic.f90 init loop)
             import dataclasses

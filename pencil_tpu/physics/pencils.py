@@ -702,14 +702,25 @@ class Pencils:
     def graddiva(self):
         return self._graddiv("aa")
 
-    @_memo
+    @property
+    def mu0(self):
+        """µ₀ in code units — 1 unless the run sets an inconsistent
+        unit_magnetic (cdata: mu0 = mu0_SI·ρ_u·u_u²/B_u², e.g. the
+        coronae SI samples run with µ₀ = 10⁹)."""
+        mag = self.cfg.module("magnetic") if self.cfg is not None else None
+        return getattr(mag, "mu0", 1.0) if mag is not None else 1.0
+
     def jj(self):
-        """µ₀J = ∇×B = ∇(∇·A) − ∇²A (µ₀ = 1 code units; metric-aware
-        expansions off-cartesian)."""
+        """J = (∇×B)/µ₀ = (∇(∇·A) − ∇²A)/µ₀ (metric-aware expansions
+        off-cartesian)."""
         if self.cfg.grid.coords != "cartesian":
             from .curvilinear import del2v_curv, graddiv_curv
-            return graddiv_curv(self, "aa") - del2v_curv(self, "aa")
-        return self.graddiva() - self.del2a()
+            curlb = graddiv_curv(self, "aa") - del2v_curv(self, "aa")
+        else:
+            curlb = self.graddiva() - self.del2a()
+        m = self.mu0
+        return curlb if m == 1.0 else curlb / m
+    jj = _memo(jj)
 
     @_memo
     def j2(self):
@@ -740,4 +751,4 @@ class Pencils:
 
     @_memo
     def va2(self):
-        return self.b2() * self.rho1()
+        return self.b2() * self.rho1() / self.mu0

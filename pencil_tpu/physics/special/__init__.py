@@ -75,3 +75,4 @@ from . import set_gravity  # noqa: E402,F401
 from . import newton_cooling  # noqa: E402,F401
 from . import streamfunction  # noqa: E402,F401
 from . import multisp_drag_eq  # noqa: E402,F401
+from . import coronae  # noqa: E402,F401

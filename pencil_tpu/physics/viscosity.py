@@ -26,6 +26,7 @@ class Viscosity(ModuleBase):
     nu: float = 0.0
     nu_hyper3: float = 0.0
     nu_hyper3_mesh: float = 5.0
+    nu_cspeed: float = 0.5     # 'nu-cspeed' exponent (ν ∝ T^c)
     nu_shock: float = 0.0
     zeta: float = 0.0      # dynamic bulk viscosity ('rho-nu-const-bulk')
     nu_aniso_hyper3: tuple = (0.0, 0.0, 0.0)  # 'hyper3_nu-const_aniso'
@@ -165,6 +166,26 @@ class Viscosity(ModuleBase):
             fvisc = fvisc + murho1 * (pen.del6v_scaled("uu")
                                       + pen.grad5divu())
             ts.diffus3(self.nu_hyper3)   # ×rho1 in the reference; bound
+        if ({"nu-cspeed", "nu-therm"} & set(self.ivisc)) \
+                and self.nu > 0.0:
+            # temperature-sensitive viscosity μ_TT = ν·T^nu_cspeed
+            # (viscosity.f90:1382-1398 lvisc_nu_cspeed): f = 2μS·∇lnρ +
+            # μ(∇²u + ⅓∇∇·u + 2c·S·∇lnT), heat = 2μS², CFL μ_TT
+            muTT = self.nu * jnp.exp(self.nu_cspeed * pen.lnTT())
+            sij = pen.sij()
+            glnrho = pen.glnrho()
+            glnTT = pen.glnTT()
+            sglnrho = jnp.stack([
+                sum(sij[a, b] * glnrho[b] for b in range(3))
+                for a in range(3)])
+            sglnTT = jnp.stack([
+                sum(sij[a, b] * glnTT[b] for b in range(3))
+                for a in range(3)])
+            fvisc = fvisc + muTT[None] * (
+                pen.del2u() + (1.0 / 3.0) * pen.graddivu()
+                + 2.0 * sglnrho + 2.0 * self.nu_cspeed * sglnTT)
+            heat = heat + 2.0 * muTT * pen.sij2()
+            ts.diffus(muTT)
         if ({"hyper3-sph", "hyper3_sph", "hyper3-cyl", "hyper3_cyl"}
                 & set(self.ivisc)) and self.nu_hyper3 > 0.0:
             # polar-coordinate hyperdiffusion (viscosity.f90:445,1827-1843

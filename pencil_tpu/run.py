@@ -115,6 +115,16 @@ class Run:
             for pf in self.params.power_fields:
                 self._spec_writers[pf] = SpectrumWriter(
                     os.path.join(self.datadir, f"power_{pf}.dat"))
+        # runtime stochastic supernova driver (interstellar check_SN):
+        # host-side, fires between device steps — forces chunk=1
+        self._sn = None
+        ism = next((m for m in model.cfg.modules
+                    if getattr(m, "name", "") == "interstellar"), None)
+        if ism is not None and "ss" in model.reg.slots:
+            from .physics.interstellar import SNScheduler
+            sched = SNScheduler(ism, model)
+            if sched.active:
+                self._sn = sched
 
     # ------------------------------------------------------------------
     def _control(self, name: str) -> bool:
@@ -257,6 +267,8 @@ class Run:
         import math
         if p.tavg > 0 or p.sound_points or p.it_timing:
             return 1
+        if self._sn is not None:
+            return 1      # SN firing checked against t after every step
         chunk = max(1, p.it1)
         for cad in (p.isave, p.it1d):
             if cad:
@@ -293,6 +305,15 @@ class Run:
             it = it0 + i
             dt = float(np.asarray(state["dt"]))
             t = float(np.asarray(state["t"]))
+            if self._sn is not None:
+                upd = self._sn({fk: np.asarray(fv) for fk, fv
+                                in state["fields"].items()}, t, it)
+                if upd is not None:
+                    import jax.numpy as _jnp
+                    fields = dict(state["fields"])
+                    for fk, fv in upd.items():
+                        fields[fk] = _jnp.asarray(fv, fields[fk].dtype)
+                    state = dict(state, fields=fields)
             # per-step guard, independent of the diagnostics cadence: a
             # blow-up poisons dt through the CFL (reference checks dt and
             # NaN every step, src/run.f90:843; round-1 only checked at it1)
