@@ -149,8 +149,12 @@ class ChemistryChemkin(ModuleBase):
                      + m.low[:, 1, None, None, None] * lnTT[None]
                      - (m.low[:, 2] * RCAL1)[:, None, None, None]
                      * TT1[None])
-            Pr = jnp.exp(lnkf0 - lnkf) * mix_conc
-            lnkf_fall = lnkf + jnp.log(Pr / (1.0 + Pr))
+            # work in log space: ln k0/k∞ reaches ~170 at T=300 for CH4
+            # falloff reactions and exp() overflows f32 → Pr=inf → NaN;
+            # ln(Pr/(1+Pr)) = log_sigmoid(ln Pr) is overflow-safe
+            lnPr = (lnkf0 - lnkf
+                    + jnp.log(jnp.maximum(mix_conc, 1e-300)))
+            lnkf_fall = lnkf + jax.nn.log_sigmoid(lnPr)
             lnkf = jnp.where(m.has_low[:, None, None, None],
                              lnkf_fall, lnkf)
             if m.has_troe.any():
@@ -162,7 +166,7 @@ class ChemistryChemkin(ModuleBase):
                 l10Fc = jnp.log10(jnp.maximum(Fcent, 1e-300))
                 ccc = -0.4 - 0.67 * l10Fc
                 nnn = 0.75 - 1.27 * l10Fc
-                l10Pr = jnp.log10(jnp.maximum(Pr, 1e-300))
+                l10Pr = lnPr / float(np.log(10.0))
                 tmpF = ((l10Pr + ccc) / (nnn - 0.14 * (l10Pr + ccc))) ** 2
                 FF = l10Fc / (1.0 + tmpF) * float(np.log(10.0))
                 lnkf = jnp.where(m.has_troe[:, None, None, None],
@@ -526,7 +530,10 @@ class ChemistryChemkin(ModuleBase):
         xs = np.asarray(secs.get("y", []), float) * 100.0       # m → cm
         Tp = np.asarray(secs["temperature"], float)
         rhop = np.asarray(secs["density"], float) / 1000.0      # → g/cm³
-        up = np.asarray(secs["massflowrate"], float) / rhop * 100.0
+        # u = ṁ/ρ with BOTH still SI (chemistry.f90:6041 divides before
+        # the ×100 m/s→cm/s and BEFORE the density /1000)
+        up = (np.asarray(secs["massflowrate"], float)
+              / (rhop * 1000.0) * 100.0)
         cc = (Tp - Tp[0]) / (Tp[-1] - Tp[0])
         imid = int(np.argmax(cc > 0.7))
         ipos = int(np.argmax(xs > self.flame_pos))

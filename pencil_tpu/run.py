@@ -278,6 +278,19 @@ class Run:
     def main_loop(self, state: Dict) -> Dict:
         p = self.params
         t_wall0 = time.time()
+        # POSIX signal trap → graceful checkpoint+exit (reference
+        # signal_handling.f90 emergency_stop, polled run.f90:524-536):
+        # SIGTERM/SIGUSR1 behave like a STOP control file
+        self._sigstop = False
+
+        def _emergency(_sig, _frm):
+            self._sigstop = True
+        import signal as _signal
+        try:
+            _signal.signal(_signal.SIGTERM, _emergency)
+            _signal.signal(_signal.SIGUSR1, _emergency)
+        except ValueError:
+            pass    # not in the main thread — skip the trap
         it0 = int(np.asarray(state["it"]))
         if not self.quiet:
             print(self.ts_writer.header(), flush=True)
@@ -388,7 +401,7 @@ class Run:
             if self._spec_writers and t - self._tspec_last >= p.dspec:
                 self._write_spectra(state, t)
                 self._tspec_last = t
-            if self._control("STOP"):
+            if self._sigstop or self._control("STOP"):
                 break
             if self._control("SAVE"):
                 self._checkpoint(state)
@@ -402,7 +415,19 @@ class Run:
                 completed = True
                 break
             if p.max_walltime and time.time() - t_wall0 > p.max_walltime:
+                # reference walltime limit (run.f90:853): checkpoint and
+                # drop a RESUBMIT marker for the queue wrapper (:533)
+                with open(os.path.join(self.datadir, "RESUBMIT"),
+                          "w") as fh:
+                    fh.write(f"{it}\n")
                 break
+            if i == 1 or i % p.it1 == 0:
+                # per-rank heartbeat (reference run.f90:760-763
+                # alive.info — lets external monitors detect hangs)
+                with open(os.path.join(self.datadir, "alive.info"),
+                          "w") as fh:
+                    fh.write(f"it={it} t={t:.6e} wall="
+                             f"{time.time() - t_wall0:.1f}\n")
         else:
             completed = True
         if self.slices:
