@@ -1596,6 +1596,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             cdts=float(run_pars.get("cdts", 1.0)),
             unit_velocity=_units.get("unit_velocity", 1.0),
             unit_temperature=_units.get("unit_temperature", 1.0),
+            clight_code=(2.99792458e8 if _unit_system == "SI"
+                         else 2.99792458e10)
+            / _units.get("unit_velocity", 1.0),
         ))
 
     sp_p = grp("special")

@@ -94,6 +94,13 @@ class Chemistry(ModuleBase):
         import jax
         nsp = len(self.species)
         shape = (nsp,) + spec.shape
+        if self.init == "constant":
+            # per-species uniform values amplchemk(k) (reference
+            # chemistry.f90 init_chemistry 'constant')
+            out = [jnp.full(spec.shape,
+                            self.ampl_k[k] if k < len(self.ampl_k) else 0.0,
+                            grid.x.dtype) for k in range(nsp)]
+            return {"chem": jnp.stack(out)}
         if self.init == "innerbox":
             # reference sub innerbox: value ampl outside, ampl2 inside the
             # |x|,|y|,|z| <= width box (degenerate axes always inside)

@@ -43,6 +43,7 @@ class HeatFlux(ModuleBase):
     # code units for Ksaturation = 7e7 W/m²/K^1.5 (SI)
     unit_velocity: float = 1.0
     unit_temperature: float = 1.0
+    clight_code: float = 0.0        # c in code units (for the Kc limiter)
 
     def register(self, reg):
         reg.register("qq", 3, "pde", comps=("qx", "qy", "qz"))
@@ -121,9 +122,45 @@ class HeatFlux(ModuleBase):
         return spitzer_vec, tau_inv, diffspitz, qsat_ratio, \
             c_spitzer, c_spitzer0
 
+    def _rhs_noadvection(self, pen, df, ts):
+        """iheatflux='noadvection-spitzer' (heatflux.f90:793-910): q in
+        physical units, no compression/advection coupling, fixed τ;
+        dlnT/dt −= cv1·∇·q/(ρT) with the |rhs|/cdts and τ⁻¹/cdts dt
+        limits.  For the ionization-EOS solar-atmosphere samples."""
+        eos = pen.eos
+        cv1 = eos.gamma / eos.cp
+        tini = 1e-30
+        lnTT = pen.lnTT()
+        lnrho = pen.lnrho()
+        glnTT = pen.glnTT()
+        bb = pen.bb()
+        b2_1 = 1.0 / (pen.b2() + tini)
+        qq = pen.field("qq")
+        d1 = pen.dline_1()
+        chi = self.Kspitzer_para * jnp.exp(2.5 * lnTT - lnrho) * cv1
+        if self.Kc != 0.0 and self.clight_code > 0.0:
+            dmax = jnp.maximum(d1[0], d1[2])
+            chi = jnp.minimum(chi, self.Kc * self.clight_code / dmax)
+        # K∇T projected on b̂ (the ×T·ρ/cv1 restores K·T^2.5·∇T)
+        coef = chi * pen.TT() * pen.rho() / cv1
+        KdotB = sum(coef * glnTT[a] * bb[a] for a in range(3))
+        spitzer_vec = (b2_1 * KdotB)[None] * bb
+        accumulate(df, "qq",
+                   -self.tau_inv_spitzer * (qq + spitzer_vec))
+        divq = sum(pen.d("qq", a)[a] for a in range(3))
+        rhs = cv1 * divq * pen.TT1() * pen.rho1()
+        if "lnTT" in pen.reg.slots:
+            accumulate(df, "lnTT", -rhs)
+        ts.max_rate(jnp.abs(rhs) / self.cdts)
+        ts.max_rate(self.tau_inv_spitzer / self.cdts + 0.0 * lnTT)
+        ts.diffus(chi)
+
     def rhs(self, pen, df, ts):
         if self.iheatflux in ("nothing", ""):
             return
+        if self.iheatflux in ("noadvection-spitzer",
+                              "noadvection_spitzer"):
+            return self._rhs_noadvection(pen, df, ts)
         if self.iheatflux != "spitzer" or not self.lnfs2:
             raise NotImplementedError(
                 f"iheatflux={self.iheatflux!r} lnfs2={self.lnfs2} "

@@ -85,18 +85,27 @@ class Magnetic(ModuleBase):
     def rhs(self, pen, df, ts):
         out = pen.uxb()
         if self.zdep_profile:
-            if self.zdep_profile != "cubic_step":
-                raise NotImplementedError(
-                    f"zdep_profile={self.zdep_profile!r}")
-            # η(z) cubic-step profile + gradient term on the z-component
-            # (magnetic.f90:4438-4453: fres_z += ∂_zη·∇·A)
+            # η(z) profile + gradient term on the z-component
+            # (magnetic.f90:4438-4453: fres_z += ∂_zη·∇·A); profiles
+            # 'cubic_step' and tanh 'step' (eta_zdep :8846-8905)
             zg = pen.grid.zg
             w = -self.eta_zwidth
-            x = jnp.clip((zg - self.eta_z0) / w, -1.0, 1.0)
-            cstep = 0.5 + 0.75 * x - 0.25 * x ** 3
-            eta_z = self.eta * (1.0 + (self.eta_jump - 1.0) * cstep)
-            geta_z = (self.eta * (self.eta_jump - 1.0)
-                      * (0.75 - 0.75 * x ** 2) / w)
+            if self.zdep_profile == "cubic_step":
+                x = jnp.clip((zg - self.eta_z0) / w, -1.0, 1.0)
+                cstep = 0.5 + 0.75 * x - 0.25 * x ** 3
+                eta_z = self.eta * (1.0 + (self.eta_jump - 1.0) * cstep)
+                geta_z = (self.eta * (self.eta_jump - 1.0)
+                          * (0.75 - 0.75 * x ** 2) / w)
+            elif self.zdep_profile == "step":
+                x = (zg - self.eta_z0) / w
+                eta_z = self.eta * (1.0 + (self.eta_jump - 1.0)
+                                    * 0.5 * (1.0 + jnp.tanh(x)))
+                geta_z = (self.eta * (self.eta_jump - 1.0)
+                          * 0.5 / (w * jnp.cosh(jnp.clip(x, -20, 20))
+                                   ** 2))
+            else:
+                raise NotImplementedError(
+                    f"zdep_profile={self.zdep_profile!r}")
             out = out + eta_z[None] * pen.del2a()
             out = out.at[2].add(geta_z * pen.diva())
             ts.diffus(eta_z)

@@ -30,6 +30,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# honor REAL_PRECISION=double (122 of 205 samples): the rundir loader
+# picks float64 per-run only when x64 mode is on; f32 samples keep f32
+# (JAX weak-typing keeps python-float scalars from upcasting them)
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 
