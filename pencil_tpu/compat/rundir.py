@@ -502,8 +502,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             or "unit_magnetic" in init_pars) else 1.0
     _gamma_eos = float(eos_p.get("gamma", 5.0 / 3.0))
     _cp_eos = float(eos_p.get("cp", 1.0))
+    _mu_from_xHe = None
+    if ("ionization" in mkf.get("EOS", "") and "mu" not in eos_p):
+        # eos_ionization: neutral-gas mean molecular weight from the He
+        # fraction, µ = (1+4x_He)/(1+x_He) (eos_ionization.f90 getmu)
+        _xHe = float(eos_p.get("xhe", 0.1))
+        _mu_from_xHe = (1.0 + 4.0 * _xHe) / (1.0 + _xHe)
     if ("unit_temperature" in _units and "cp" not in eos_p
-            and "mu" in eos_p):
+            and ("mu" in eos_p or _mu_from_xHe is not None)):
         # explicit unit_temperature + mu: cp FOLLOWS from the unit system
         # (eos_idealgas.f90:192-198: Rgas = R_sys·uT/uv², cp =
         # Rgas·γ/(µ(γ−1)); R_sys = k_B/m_u, ×1e-4 for SI :160-163)
@@ -512,7 +518,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             _Rsys *= 1e-4
         _Rgas_code = (_Rsys * _units["unit_temperature"]
                       / _units.get("unit_velocity", 1.0) ** 2)
-        _mu_eos0 = float(eos_p["mu"])
+        _mu_eos0 = (float(eos_p["mu"]) if "mu" in eos_p
+                    else _mu_from_xHe)
         _cp_eos = (_Rgas_code / _mu_eos0 if _gamma_eos == 1.0 else
                    _Rgas_code * _gamma_eos
                    / (_mu_eos0 * (_gamma_eos - 1.0)))
@@ -526,6 +533,20 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 * (_mu_eos / _gamma_eos) / _Rgas_cgs)
     if "noeos" in mkf.get("EOS", ""):
         pass   # EOS=noeos: no thermodynamics, no sound-speed CFL
+    elif ("eos_ionization" in mkf.get("EOS", "")
+          and "temperature" not in mkf.get("EOS", "")):
+        # EOS=eos_ionization: exact Saha + Sackur-Tetrode (lnρ, s) → T
+        from ..physics.eos import EosIonizationFull
+        modules.append(EosIonizationFull(
+            gamma=_gamma_eos,
+            cs0=float(eos_p.get("cs0", 1.0)),
+            rho0=float(eos_p.get("rho0", 1.0)),
+            xHe=float(eos_p.get("xhe", 0.1)),
+            unit_length=_units.get("unit_length", 1.0),
+            unit_velocity=_units.get("unit_velocity", 1.0),
+            unit_density=_units.get("unit_density", 1.0),
+            unit_temperature=_units.get("unit_temperature", 1.0),
+        ))
     elif eos_p or "eos_init_pars" in start or "density_init_pars" in start:
         modules.append(EosIdealGas(
             gamma=_gamma_eos,
@@ -895,7 +916,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             init_list_pars=_list_pars(
                 ent_p, _init_name(ent_p.get("initss")),
                 {"ampl": "ampl_ss", "radius": "radius_ss"}),
-            ampl=float(_first(ent_p.get("ampl_ss", 0.0))),
+            ampl=float(_first(ent_p.get(
+                "ampl_ss", ent_p.get("ss_const", 0.0)))),
             radius=float(_first(ent_p.get("radius_ss", 1.0))),
             center1=(float(ent_p.get("center1_x", 0.0)),
                      float(ent_p.get("center1_y", 0.0)),
@@ -939,6 +961,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             chi_t1=float(ent_p.get("chi_t1", 0.0))
             if bool(ent_p.get("lchit_fluct", False)) else 0.0,
             chi_cspeed=float(ent_p.get("chi_cspeed", 0.5)),
+            heat_uniform=float(ent_p.get("heat_uniform", 0.0)),
+            cool_uniform=float(ent_p.get("cool_uniform", 0.0)),
             hcond_table=_read_hcond_glhc(path)
             if bool(ent_p.get("lread_hcond", False)) else (),
             ss_left=float(ent_p.get("ss_left", 0.0)),
@@ -1547,8 +1571,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             thermal_profile=str(is_p.get("thermal_profile", "gaussian")),
             velocity_profile=str(is_p.get("velocity_profile", "gaussian")),
             width_SN=float(is_p.get("width_sn", 0.0)),
-            t_next_SNI=float(is_p.get("t_next_sni", 0.0)),
-            t_next_SNII=float(is_p.get("t_next_snii", 0.0)),
+            t_next_SNI=float(is_p.get("t_next_sni", -2.0)),
+            t_next_SNII=float(is_p.get("t_next_snii", -2.0)),
             ampl_SN=float(is_p.get("ampl_sn", 0.0)),
             mass_SN=float(is_p.get("mass_sn", 0.0)),
             lSN_mass=bool(is_p.get("lsn_mass", False)),
@@ -1565,6 +1589,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             TT_SN_min=float(is_p.get("tt_sn_min", -1.0)),
             TT_SN_max=float(is_p.get("tt_sn_max", 0.0)),
             SN_TT_ratio=float(is_p.get("sn_tt_ratio", 20.0)),
+            SN_rho_ratio=float(is_p.get("sn_rho_ratio", 1e4)),
+            eps_mass=float(is_p.get("eps_mass", 0.05)),
             SNI_factor=float(is_p.get("sni_factor", 1.0)),
             SNII_factor=float(is_p.get("snii_factor", 1.0)),
             SNI_area_rate=float(is_p.get("sni_area_rate", 0.0)),

@@ -600,7 +600,31 @@ def _ethm(pen, st):
     if "eth" in pen.reg.slots:
         return _vmean(pen, pen.field("eth"))
     e = pen.eos
+    if hasattr(e, "yH"):
+        # ionization EOS: e = 1.5(1+y+x_He)·s_ion·T + y·e_ion per MASS
+        # (eos_ionization.f90:586 getdensity) → ethm = <ρ·e>
+        c = e._c
+        y = e.yH(pen)
+        ee = (1.5 * (1.0 + y + e.xHe) * c["ss_ion"] * pen.TT()
+              + y * c["ss_ion"] * c["TT_ion"])
+        return _vmean(pen, pen.rho() * ee)
     return _vmean(pen, pen.rho() * e.cv * pen.TT())
+
+
+@diag("yHm")
+def _yhm(pen, st):
+    e = pen.eos
+    if hasattr(e, "yH"):
+        return _vmean(pen, e.yH(pen))
+    return jnp.zeros(())
+
+
+@diag("yHmax")
+def _yhmax(pen, st):
+    e = pen.eos
+    if hasattr(e, "yH"):
+        return jnp.max(e.yH(pen))
+    return jnp.zeros(())
 
 
 def _visc_heat(pen):

@@ -86,6 +86,10 @@ class Entropy(ModuleBase):
     chimin_kramers: float = 0.0
     chi_t1: float = 0.0        # iheatcond 'chit' fluctuation diffusion
     chi_cspeed: float = 0.5    # 'chi-cspeed' exponent (χ ∝ T^c)
+    # spatially uniform volumetric heating/cooling (entropy.f90:5913-5926:
+    # heat += heat_uniform; heat −= cool_uniform·ρ·cp·T; ds/dt += heat/ρT)
+    heat_uniform: float = 0.0
+    cool_uniform: float = 0.0
     # radial K(x), dK/dx table (lread_hcond + hcond_glhc.dat)
     hcond_table: tuple = ()
 
@@ -103,6 +107,11 @@ class Entropy(ModuleBase):
                    - pen.ss() * weno_div_flux_3d(pen, "rho")) * rho1
         else:
             out = -pen.ugrad("ss", upwind=self.lupw_ss)
+
+        if self.heat_uniform != 0.0 or self.cool_uniform != 0.0:
+            heat_u = (self.heat_uniform
+                      - self.cool_uniform * pen.rho() * eos.cp * pen.TT())
+            out = out + heat_u * pen.rho1() * pen.TT1()
 
         glnTT = pen.glnTT()
         glnTT2 = glnTT[0] ** 2 + glnTT[1] ** 2 + glnTT[2] ** 2

@@ -127,6 +127,144 @@ class EosIonization(EosIdealGas):
 
 
 @dataclass(frozen=True)
+class EosIonizationFull(EosIdealGas):
+    """Exact hydrogen-ionization EOS (reference ``src/eos_ionization.f90``):
+    the evolved pair is (lnρ, s); the ionization fraction y_H follows from
+    the Saha equation coupled to the Sackur-Tetrode entropy,
+
+      R(y) = lnρ_e − lnρ + 1.5(lnT − lnT_ion) − T_ion/T
+             + ln(1−y) − 2 ln y = 0                       (:670)
+      lnT  = (2/3)[(s/s_ion + (1−y)(ln(1−y)−lnρ_H)
+             + y(2 ln y − lnρ_e − lnρ_H) + x_He-term)/(1+y+x_He)
+             + lnρ − 2.5] + lnT_ion                        (:569-571)
+
+    solved per point by bisection (the reference uses rtsafe Newton,
+    :640+); sound speed and the pressure-gradient factor cp1tilde from
+    pressure_gradient_farray (:652-680), so
+    −∇p/ρ = −cs²(∇lnρ + cp1tilde·∇s).  All constants derive from cgs
+    physical constants in the run's unit system (initialize_eos
+    :120-160)."""
+
+    name: ClassVar[str] = "eos"
+    xHe: float = 0.1
+    unit_length: float = 1.0
+    unit_velocity: float = 1.0
+    unit_density: float = 1.0
+    unit_temperature: float = 1.0
+
+    @property
+    def _c(self):
+        import math
+        ul, uv, ud, ut = (self.unit_length, self.unit_velocity,
+                          self.unit_density, self.unit_temperature)
+        umass = ud * ul ** 3
+        uenergy = umass * uv ** 2
+        utime = ul / uv
+        k_B = 1.3806505e-16 / (uenergy / ut)
+        m_e = 9.10938188e-28 / umass
+        m_p = 1.67262158e-24 / umass
+        m_H = m_e + m_p
+        hbar = 1.054571596e-27 / (uenergy * utime)
+        chiH = 13.6 * 1.602176462e-12 / uenergy
+        mu1yHxHe = 1.0 + 3.97153 * self.xHe
+        TT_ion = chiH / k_B
+        lnrho_e = (1.5 * math.log((m_e / hbar) * (chiH / hbar)
+                                  / 2.0 / math.pi)
+                   + math.log(m_H) + math.log(mu1yHxHe))
+        lnrho_H = (1.5 * math.log((m_H / hbar) * (chiH / hbar)
+                                  / 2.0 / math.pi)
+                   + math.log(m_H) + math.log(mu1yHxHe))
+        m_He = 3.97153 * m_H
+        lnrho_He = (1.5 * math.log((m_He / hbar) * (chiH / hbar)
+                                   / 2.0 / math.pi)
+                    + math.log(m_H) + math.log(mu1yHxHe))
+        ss_ion = k_B / m_H / mu1yHxHe
+        xHe_term = (self.xHe * (math.log(self.xHe) - lnrho_He)
+                    if self.xHe > 0 else 0.0)
+        return dict(TT_ion=TT_ion, lnTT_ion=math.log(TT_ion),
+                    lnrho_e=lnrho_e, lnrho_H=lnrho_H, ss_ion=ss_ion,
+                    xHe_term=xHe_term)
+
+    def _lnTT_of(self, yH, lnrho, ss, c):
+        import jax.numpy as jnp
+        epsi = 1e-10
+        lnTT = ((ss / c["ss_ion"]
+                 + (1.0 - yH) * (jnp.log(1.0 - yH + epsi) - c["lnrho_H"])
+                 + yH * (2.0 * jnp.log(yH + epsi) - c["lnrho_e"]
+                         - c["lnrho_H"])
+                 + c["xHe_term"]) / (1.0 + yH + self.xHe))
+        return (2.0 / 3.0) * (lnTT + lnrho - 2.5) + c["lnTT_ion"]
+
+    def _solve(self, pen):
+        """(yH, lnTT) by 48-step bisection on the Saha residual."""
+        import jax.numpy as jnp
+        c = self._c
+        lnrho = pen.lnrho()
+        ss = pen.ss()
+        epsi = 1e-10
+
+        def R(yH):
+            lnTT = self._lnTT_of(yH, lnrho, ss, c)
+            return (c["lnrho_e"] - lnrho
+                    + 1.5 * (lnTT - c["lnTT_ion"])
+                    - c["TT_ion"] * jnp.exp(-lnTT)
+                    + jnp.log(1.0 - yH + epsi) - 2.0 * jnp.log(yH + epsi))
+
+        lo = jnp.full_like(lnrho, 1e-8)
+        hi = jnp.full_like(lnrho, 1.0 - 1e-8)
+        # R is decreasing in y (more ionization needs higher T); keep the
+        # bracket where R changes sign
+        for _ in range(48):
+            mid = 0.5 * (lo + hi)
+            pos = R(mid) > 0.0
+            lo = jnp.where(pos, mid, lo)
+            hi = jnp.where(pos, hi, mid)
+        yH = 0.5 * (lo + hi)
+        return yH, self._lnTT_of(yH, lnrho, ss, c)
+
+    def _ion(self, pen):
+        return pen.get_cached("eos_ion", lambda: self._solve(pen))
+
+    def yH(self, pen):
+        return self._ion(pen)[0]
+
+    def lnTT(self, pen):
+        return self._ion(pen)[1]
+
+    def _derivs(self, pen):
+        """(cs2, cp1tilde) from pressure_gradient_farray (:652-680)."""
+        import jax.numpy as jnp
+        c = self._c
+        epsi = 1e-10
+        yH, lnTT = self._ion(pen)
+        lnrho = pen.lnrho()
+        TT1 = jnp.exp(-lnTT)
+        fractions = 1.0 + yH + self.xHe
+        fractions1 = 1.0 / fractions
+        Rv = (c["lnrho_e"] - lnrho + 1.5 * (lnTT - c["lnTT_ion"])
+              - c["TT_ion"] * TT1 + jnp.log(1.0 - yH + epsi)
+              - 2.0 * jnp.log(yH + epsi))
+        dlnTTdy = (2.0 * (-Rv - c["TT_ion"] * TT1) - 3.0) / 3.0 * fractions1
+        dRdy = (dlnTTdy * (1.5 + c["TT_ion"] * TT1)
+                - 1.0 / (1.0 - yH + epsi) - 2.0 / (yH + epsi))
+        temp = (dlnTTdy + fractions1) / dRdy
+        dlnPPdlnrho = (5.0 - 2.0 * c["TT_ion"] * TT1 * temp) / 3.0
+        dlnPPdss = (1.0 / c["ss_ion"]) * fractions1 * (dlnPPdlnrho
+                                                       - temp - 1.0)
+        cs2 = fractions * c["ss_ion"] * dlnPPdlnrho / TT1
+        cp1tilde = dlnPPdss / dlnPPdlnrho
+        return cs2, cp1tilde
+
+    def cs2(self, pen):
+        return pen.get_cached("eos_ion_cs2",
+                              lambda: self._derivs(pen))[0]
+
+    def cp1tilde(self, pen):
+        return pen.get_cached("eos_ion_cs2",
+                              lambda: self._derivs(pen))[1]
+
+
+@dataclass(frozen=True)
 class EosLocalIso(EosIdealGas):
     """Locally isothermal disk thermodynamics (reference ``llocal_iso``:
     cdata.f90 flag + initial_condition/centrifugal_balance.f90

@@ -142,6 +142,8 @@ class Interstellar(ModuleBase):
     TT_SN_min: float = -1.0       # site floor; <0 → 1 K (:207)
     TT_SN_max: float = 0.0        # remnant cap; 0 → 2.5e6 K
     SN_TT_ratio: float = 20.0     # diffuse-remnant TT headroom (:210)
+    SN_rho_ratio: float = 1e4     # remnant rarification cap (:210)
+    eps_mass: float = 0.05        # min ambient mass fraction (:390)
     SNI_factor: float = 1.0
     SNII_factor: float = 1.0
     SNI_area_rate: float = 0.0    # 0 → 1.330982784e-56 /s/cm² (:214)
@@ -536,8 +538,36 @@ class SNScheduler:
         area = gs.Lx * gs.Ly
         self.t_interval_SNI = 1.0 / (ism.SNI_factor * rate_I * area)
         self.t_interval_SNII = 1.0 / (ism.SNII_factor * rate_II * area)
-        self.t_next_SNI = float(ism.t_next_SNI)
-        self.t_next_SNII = float(ism.t_next_SNII)
+        # -2.0 is the loader's "namelist did not set it" sentinel: the
+        # reference default is 0 (fire at once), EXCEPT that start-time
+        # seeded explosions already called set_next_SNI — consuming RNG
+        # draws (3 position + 1 interval per remnant) and pushing
+        # t_next_SNI one Poisson interarrival into the future, a state
+        # persisted into var.dat (explode_SN :3704-3710)
+        import math as _math
+        tI = float(ism.t_next_SNI)
+        tII = float(ism.t_next_SNII)
+        if tI == -2.0:
+            tI = 0.0
+        if tII == -2.0:
+            tII = 0.0
+        if ism.initinterstellar == "multiple" and ism.initial_SNI > 0:
+            for _ in range(ism.initial_SNI):
+                self.rng.draw(3)
+                u = float(self.rng.draw(1)[0])
+                if float(ism.t_next_SNI) == -2.0:
+                    tI = -_math.log(u) * self.t_interval_SNI
+        elif ism.initinterstellar in ("single", "sedov", "kompaneets"):
+            u = float(self.rng.draw(1)[0])
+            if float(ism.t_next_SNI) == -2.0:
+                tI = -_math.log(u) * self.t_interval_SNI
+        elif ism.initinterstellar == "courant-friedricks":
+            for _ in range(2):
+                u = float(self.rng.draw(1)[0])
+            if float(ism.t_next_SNI) == -2.0:
+                tI = -_math.log(u) * self.t_interval_SNI
+        self.t_next_SNI = tI
+        self.t_next_SNII = tII
         self.rho_SN_min = (ism.rho_SN_min if ism.rho_SN_min > 0
                            else 1e-28 / ud)
         self.rho_SN_max = (ism.rho_SN_max if ism.rho_SN_max > 0
@@ -605,13 +635,19 @@ class SNScheduler:
 
     def _props(self, rho, uu, dr2, radius):
         """Mean density in the energy_Nsigma sphere + TOTAL box kinetic
-        energy (get_properties :3807-3913)."""
+        energy + remnant ρ extremes (get_properties :3807-3913)."""
         import math
         radius2 = self.Nsig ** 2 * radius ** 2
-        M = (rho * (dr2 <= radius2)).sum() * self.dVol
+        mask = dr2 <= radius2
+        M = (rho * mask).sum() * self.dVol
         rhom = M * 0.75 / math.pi / radius2 ** 1.5
         ekin = 0.5 * (rho * (uu ** 2).sum(0)).sum() * self.dVol
-        return rhom, ekin
+        if mask.any():
+            rin = rho[mask]
+            rmin, rmax = float(rin.min()), float(rin.max())
+        else:
+            rmin, rmax = 1e20, 0.0
+        return rhom, ekin, rmin, rmax
 
     # ---- scheduling -------------------------------------------------
     def __call__(self, fields, t, it):
@@ -734,7 +770,7 @@ class SNScheduler:
         radius = ism.width_SN if ism.width_SN > 0 else max(
             _WIDTH_SN_CGS / ism.unit_length, ism.rfactor_SN * dr)
         dr2, deltas = self._dr2(lc, mc, nc)
-        rhom, ekintot = self._props(rho, uu, dr2, radius)
+        rhom, ekintot, rmin, rmax = self._props(rho, uu, dr2, radius)
         if ism.lSN_scale_rad:
             # bisect radius to enclose N_mass solar masses (:3233-3272)
             sol_tot = self.solar_mass * ism.N_mass
@@ -750,7 +786,8 @@ class SNScheduler:
                 else:
                     r_max = radius
                 radius = 0.5 * (r_min + r_max)
-                rhom, ekintot = self._props(rho, uu, dr2, radius)
+                rhom, ekintot, rmin, rmax = self._props(rho, uu, dr2,
+                                                        radius)
                 ratio = SNvol * rhom * radius ** 3
                 if ratio >= 0.99 and abs(ratio - 1) < best:
                     best = ratio
@@ -758,7 +795,15 @@ class SNScheduler:
                 if r_max - r_min < dr * 0.04:
                     break
             radius = r_best
-            rhom, ekintot = self._props(rho, uu, dr2, radius)
+            rhom, ekintot, rmin, rmax = self._props(rho, uu, dr2, radius)
+            if check:
+                # remnant-quality rejections (get_properties :3900-3906 +
+                # explode_SN :3276-3286): excessive density contrast
+                # inside the remnant, or too little ambient mass
+                if rmax / max(rmin, 1e-30) > ism.SN_rho_ratio:
+                    return None       # iEXPLOSION_TOO_UNEVEN
+                if SNvol * rhom * radius ** 3 < ism.eps_mass:
+                    return None       # iEXPLOSION_TOO_RARIFIED
         ampl = self.ampl
         # shell-formation kinetic fraction (:3297-3330)
         t_SF = self.SFt_norm / rhom ** (4.0 / 7) * ampl ** (3.0 / 14)

@@ -637,7 +637,12 @@ class Pencils:
             return -cs2 * (self.glnrho() + self.eos.glnTT_profile(self))
         gl = self.glnrho()
         if "ss" in self.reg.slots:
-            gl = gl + self.gss() / self.eos.cp
+            if hasattr(self.eos, "cp1tilde"):
+                # ionization EOS: ∇p/ρ = cs²(∇lnρ + cp1tilde·∇s)
+                # (eos_ionization.f90 pressure_gradient)
+                gl = gl + self.eos.cp1tilde(self)[None] * self.gss()
+            else:
+                gl = gl + self.gss() / self.eos.cp
         den = self.cfg.module("density") if self.cfg is not None else None
         if den is not None and getattr(den, "lrelativistic_eos", False):
             # p = ρ/3 fluid: −∇p/(ρ+p) = −(3/4)cs²∇lnρ (noentropy.f90:287)
