@@ -533,6 +533,21 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 * (_mu_eos / _gamma_eos) / _Rgas_cgs)
     if "noeos" in mkf.get("EOS", ""):
         pass   # EOS=noeos: no thermodynamics, no sound-speed CFL
+    elif "eos_fixed_ionization" in mkf.get("EOS", ""):
+        # fixed-fraction plasma ≡ ideal gas with the Sackur-Tetrode zero
+        # point (eos_fixed_ionization.f90) — cp/cs0 derived, γ = 5/3
+        from ..physics.eos import fixed_ionization_pars
+        _cpf, _cs0f = fixed_ionization_pars(
+            float(eos_p.get("yh0", 0.0)), float(eos_p.get("xhe", 0.1)),
+            _units.get("unit_length", 1.0),
+            _units.get("unit_velocity", 1.0),
+            _units.get("unit_density", 1.0),
+            _units.get("unit_temperature", 1.0),
+            float(eos_p.get("xh2", 0.0)))
+        modules.append(EosIdealGas(
+            gamma=5.0 / 3.0, cs0=_cs0f, cp=_cpf,
+            rho0=float(eos_p.get("rho0", 1.0)),
+        ))
     elif ("eos_ionization" in mkf.get("EOS", "")
           and "temperature" not in mkf.get("EOS", "")):
         # EOS=eos_ionization: exact Saha + Sackur-Tetrode (lnρ, s) → T

@@ -270,12 +270,17 @@ class Density(ModuleBase):
             if col2 is not None and cfg is not None:
                 if self.strati_type in ("lnrho_lnTT", "lnrho_lnTT_acc") \
                         and cfg.module("entropy") is not None:
-                    # eoscalc(ilnrho_lnTT → ss): invert
-                    # lnTT = lnTT0 + (γ/cp)·ss + (γ−1)(lnρ−lnρ0)
-                    g = eos.gamma
-                    ss = (eos.cp / g) * (jnp.asarray(col2, grid.z.dtype)
-                                         - eos.lnTT0
-                                         - (g - 1.0) * (lnrho - eos.lnrho0))
+                    lnTTcol = jnp.asarray(col2, grid.z.dtype)
+                    if hasattr(eos, "ss_from_lnTT"):
+                        # ionization EOS: exact Saha inversion
+                        ss = eos.ss_from_lnTT(lnrho, lnTTcol)
+                    else:
+                        # eoscalc(ilnrho_lnTT → ss): invert
+                        # lnTT = lnTT0 + (γ/cp)·ss + (γ−1)(lnρ−lnρ0)
+                        g = eos.gamma
+                        ss = (eos.cp / g) * (lnTTcol - eos.lnTT0
+                                             - (g - 1.0)
+                                             * (lnrho - eos.lnrho0))
                     out["+ss"] = ss[None, None, :] * ones
                 elif self.strati_type in ("lnrho_lnTT", "lnrho_lnTT_acc") \
                         and cfg.module("temperature") is not None:

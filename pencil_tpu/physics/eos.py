@@ -126,6 +126,49 @@ class EosIonization(EosIdealGas):
         return (1.0 + y) * super().cs2(pen)
 
 
+def fixed_ionization_pars(yH0, xHe, unit_length, unit_velocity,
+                          unit_density, unit_temperature, xH2=0.0):
+    """(cp, cs0) reproducing eos_fixed_ionization.f90:140-196: the fixed-
+    fraction plasma is an ideal gas with cp = 2.5(1+yH0+xHe−xH2)·s_ion
+    and the Sackur-Tetrode zero point lnTT0; cs0 is chosen so the
+    EosIdealGas lnTT0 property lands exactly there."""
+    import math
+    ul, uv, ud, ut = unit_length, unit_velocity, unit_density, \
+        unit_temperature
+    umass = ud * ul ** 3
+    uenergy = umass * uv ** 2
+    utime = ul / uv
+    k_B = 1.3806505e-16 / (uenergy / ut)
+    m_e = 9.10938188e-28 / umass
+    m_p = 1.67262158e-24 / umass
+    m_H = m_e + m_p
+    hbar = 1.054571596e-27 / (uenergy * utime)
+    chiH = 13.6 * 1.602176462e-12 / uenergy
+    mu1yHxHe = 1.0 + 3.97153 * xHe
+    TT_ion = chiH / k_B
+
+    def lnrho_x(m):
+        return (1.5 * math.log((m / hbar) * (chiH / hbar) / 2.0 / math.pi)
+                + math.log(m_H) + math.log(mu1yHxHe))
+    lnrho_e = lnrho_x(m_e)
+    lnrho_H = lnrho_x(m_H)
+    lnrho_p = lnrho_x(m_p)
+    lnrho_He = lnrho_x(3.97153 * m_H)
+    ss_ion = k_B / m_H / mu1yHxHe
+    yH_term = (yH0 * (2 * math.log(yH0) - lnrho_e - lnrho_p)
+               if yH0 > 0 else 0.0)
+    one_yH_term = ((1.0 - yH0) * (math.log(1.0 - yH0) - lnrho_H)
+                   if yH0 < 1 else 0.0)
+    xHe_term = xHe * (math.log(xHe) - lnrho_He) if xHe > 0 else 0.0
+    f = 1.0 + yH0 + xHe - xH2
+    lnTT0 = (math.log(TT_ion)
+             + (2.0 / 3.0) * ((yH_term + one_yH_term + xHe_term) / f
+                              - 2.5))
+    cp = 2.5 * f * ss_ion
+    cs0 = math.sqrt(cp * (2.0 / 3.0) * math.exp(lnTT0))
+    return cp, cs0
+
+
 @dataclass(frozen=True)
 class EosIonizationFull(EosIdealGas):
     """Exact hydrogen-ionization EOS (reference ``src/eos_ionization.f90``):
@@ -196,18 +239,22 @@ class EosIonizationFull(EosIdealGas):
         return (2.0 / 3.0) * (lnTT + lnrho - 2.5) + c["lnTT_ion"]
 
     def _solve(self, pen):
-        """(yH, lnTT) by 48-step bisection on the Saha residual."""
+        """(yH, lnTT) by 48-step bisection on the Saha residual.  The
+        residual spans e^±T_ion/T — run the solve in float64 (cold layers
+        overflow float32) and cast back to the field dtype."""
         import jax.numpy as jnp
         c = self._c
-        lnrho = pen.lnrho()
-        ss = pen.ss()
+        dtype = pen.lnrho().dtype
+        lnrho = pen.lnrho().astype(jnp.float64) \
+            if jnp.float64 != dtype else pen.lnrho()
+        ss = pen.ss().astype(lnrho.dtype)
         epsi = 1e-10
 
         def R(yH):
             lnTT = self._lnTT_of(yH, lnrho, ss, c)
             return (c["lnrho_e"] - lnrho
                     + 1.5 * (lnTT - c["lnTT_ion"])
-                    - c["TT_ion"] * jnp.exp(-lnTT)
+                    - c["TT_ion"] * jnp.exp(-jnp.clip(lnTT, -600.0, 600.0))
                     + jnp.log(1.0 - yH + epsi) - 2.0 * jnp.log(yH + epsi))
 
         lo = jnp.full_like(lnrho, 1e-8)
@@ -220,7 +267,8 @@ class EosIonizationFull(EosIdealGas):
             lo = jnp.where(pos, mid, lo)
             hi = jnp.where(pos, hi, mid)
         yH = 0.5 * (lo + hi)
-        return yH, self._lnTT_of(yH, lnrho, ss, c)
+        lnTT = self._lnTT_of(yH, lnrho, ss, c)
+        return yH.astype(dtype), lnTT.astype(dtype)
 
     def _ion(self, pen):
         return pen.get_cached("eos_ion", lambda: self._solve(pen))
@@ -262,6 +310,25 @@ class EosIonizationFull(EosIdealGas):
     def cp1tilde(self, pen):
         return pen.get_cached("eos_ion_cs2",
                               lambda: self._derivs(pen))[1]
+
+    def ss_from_lnTT(self, lnrho, lnTT):
+        """Invert (lnρ, lnT) → s: explicit Saha for y, then the
+        Sackur-Tetrode relation (eoscalc ilnrho_lnTT; used by
+        'stratification' inits with strati_type='lnrho_lnTT')."""
+        import jax.numpy as jnp
+        c = self._c
+        epsi = 1e-10
+        lnK = (c["lnrho_e"] - lnrho + 1.5 * (lnTT - c["lnTT_ion"])
+               - c["TT_ion"] * jnp.exp(-jnp.clip(lnTT, -600.0, 600.0)))
+        K = jnp.exp(jnp.clip(lnK, -80.0, 80.0))
+        y = jnp.clip(0.5 * (-K + jnp.sqrt(K * K + 4.0 * K)),
+                     0.0, 1.0 - 1e-8)
+        X = 1.5 * (lnTT - c["lnTT_ion"]) - lnrho + 2.5
+        A = X * (1.0 + y + self.xHe)
+        return c["ss_ion"] * (
+            A - (1.0 - y) * (jnp.log(1.0 - y + epsi) - c["lnrho_H"])
+            - y * (2.0 * jnp.log(y + epsi) - c["lnrho_e"] - c["lnrho_H"])
+            - c["xHe_term"])
 
 
 @dataclass(frozen=True)
