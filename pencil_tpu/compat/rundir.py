@@ -509,6 +509,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         _xHe = float(eos_p.get("xhe", 0.1))
         _mu_from_xHe = (1.0 + 4.0 * _xHe) / (1.0 + _xHe)
     if ("unit_temperature" in _units and "cp" not in eos_p
+            and _unit_system == "SI"
             and ("mu" in eos_p or _mu_from_xHe is not None)):
         # explicit unit_temperature + mu: cp FOLLOWS from the unit system
         # (eos_idealgas.f90:192-198: Rgas = R_sys·uT/uv², cp =

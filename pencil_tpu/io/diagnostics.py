@@ -1820,12 +1820,27 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                     else:
                         K = ent.hcond0
                     chi = K * pen.rho1() / e.cp
+                elif ent is not None and "kramers" in ent.iheatcond \
+                        and ent.hcond0_kramers > 0.0:
+                    # Kramers χ = K0·ρ^(−2n−1)·T^{6.5n}/cp (entropy.f90
+                    # calc_heatcond_kramers diffus_chi accumulation)
+                    n_ = ent.nkramers
+                    chi = ent.hcond0_kramers * jnp.exp(
+                        -(2.0 * n_ + 1.0) * pen.lnrho()
+                        + (6.5 * n_) * pen.lnTT()) / e.cp
+                    if ent.chimax_kramers > 0.0:
+                        chi = jnp.clip(chi, ent.chimin_kramers,
+                                       ent.chimax_kramers)
                 elif ent is not None:
                     chi = ent.chi
                     if {"chi-cspeed", "chi-therm"} & set(ent.iheatcond):
                         # T-scaled conduction (entropy.f90:4429 diffus_chi
                         # accumulation of gamma·thchi)
                         chi = chi * jnp.exp(ent.chi_cspeed * pen.lnTT())
+                if ent is not None and "chit" in ent.iheatcond \
+                        and ent.chi_t1 != 0.0:
+                    # χ_t joins diffus_chi linearly (entropy.f90:5762)
+                    chi = chi + ent.chi_t1 / e.gamma
                 if ent is not None and ent.chi_shock > 0.0 \
                         and "shock" in pen.reg.slots \
                         and "shock" in ent.iheatcond:
