@@ -160,7 +160,13 @@ def _reg_phiavg_diags():
     def make(nme, fn):
         @diag(nme)
         def _d(pen, st, fn=fn):
-            fl = pen.cfg.module("rtime_phiavg").fluctuations(pen)
+            sp = pen.cfg.module("rtime_phiavg")
+            if sp is None:
+                # reference semantics: these names only parse when the
+                # special is compiled in — otherwise the column prints 0
+                import jax.numpy as jnp
+                return jnp.zeros(())
+            fl = sp.fluctuations(pen)
             return _sum_lim(pen, fn(pen, fl))
         return _d
 
