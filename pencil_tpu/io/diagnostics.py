@@ -1474,6 +1474,42 @@ def _vprms(pen, st):
     return jnp.sqrt(jnp.mean(jnp.sum(vp * vp, axis=1)))
 
 
+def _vp_cell_var(pen, st):
+    """Per-cell particle-velocity variance summed over components
+    (particles_dust.f90:6158-6208: dvpm = sqrt(<(vp − <vp>_cell)²>),
+    nearest-grid-point binning)."""
+    gs = pen.cfg.grid
+    xp = st["particles"]["xp"]
+    vp = st["particles"]["vp"]
+    idx = []
+    for a, (q0, L, n) in enumerate(((gs.x0, gs.Lx, gs.nx),
+                                    (gs.y0, gs.Ly, gs.ny),
+                                    (gs.z0, gs.Lz, gs.nz))):
+        i = jnp.clip(jnp.floor((xp[:, a] - q0) / (L / n)).astype(int),
+                     0, n - 1)
+        idx.append(i)
+    flat = (idx[0] * gs.ny + idx[1]) * gs.nz + idx[2]
+    ncell = gs.nx * gs.ny * gs.nz
+    cnt = jnp.zeros(ncell).at[flat].add(1.0)
+    var = 0.0
+    for a in range(3):
+        s1 = jnp.zeros(ncell).at[flat].add(vp[:, a])
+        s2 = jnp.zeros(ncell).at[flat].add(vp[:, a] ** 2)
+        c = jnp.maximum(cnt, 1.0)
+        var = var + s2 / c - (s1 / c) ** 2
+    return jnp.where(cnt > 0, var, 0.0)
+
+
+@diag("dvpm")
+def _dvpm(pen, st):
+    return jnp.sqrt(jnp.mean(_vp_cell_var(pen, st)))
+
+
+@diag("dvpmax")
+def _dvpmax(pen, st):
+    return jnp.sqrt(jnp.max(_vp_cell_var(pen, st)))
+
+
 @diag("vpxmin")
 def _vpxmin(pen, st):
     return jnp.min(st["particles"]["vp"][:, 0])
