@@ -1349,7 +1349,7 @@ def _mk_admom(k):
     return _mk_apstat(g)
 
 
-for _k in (0, 1, 2, 3, 6, 12, 24):
+for _k in (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 24):
     DIAG_REGISTRY[f"admom{_k}"] = _mk_admom(_k)
 
 
