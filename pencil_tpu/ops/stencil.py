@@ -165,20 +165,22 @@ def _stencil_axis_paired(fg, axis, weights, offsets, parity, wrap=False,
 
     def shift(o):
         if wrap:
-            return jnp.roll(fg, -o, axis=ax)
+            # o == 0 must NOT go through jnp.roll: Pallas/mosaic lowers a
+            # zero-shift roll to a concat with a zero-size slice, which is
+            # invalid MLIR ("vector types must have positive sizes").
+            return fg if o == 0 else jnp.roll(fg, -o, axis=ax)
         n = m - 2 * g
         return jax.lax.slice_in_dim(fg, g + o, g + o + n, axis=ax)
 
-    center = shift(0)
     out = None
     for o, w in pos:
         if parity == 1:
             term = w * (shift(o) - shift(-o))
         else:
-            term = w * (shift(o) + shift(-o) - 2.0 * center)
+            term = w * (shift(o) + shift(-o) - 2.0 * shift(0))
         out = term if out is None else out + term
     if out is None:
-        out = jnp.zeros_like(center)
+        out = jnp.zeros_like(shift(0))
     return out
 
 
