@@ -82,6 +82,12 @@ def main():
     from pencil_tpu import Model
 
     cfg = _flagship_cfg(n=n)
+    if os.environ.get("PC_FAKE_RHS"):
+        # memory-floor instrumentation: the fake RHS produces no CFL
+        # signal, so pin dt tiny to keep the state finite
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, time=dataclasses.replace(cfg.time, dt=1e-9))
     model = Model(cfg)
     state = model.init_state(0)
     step = model.make_step()
@@ -90,7 +96,7 @@ def main():
     # driver's between-diagnostics pattern) so per-step dispatch amortizes
     import jax.numpy as jnp
 
-    chunk = int(os.environ.get("BENCH_CHUNK", 5))
+    chunk = int(os.environ.get("BENCH_CHUNK", 10))
 
     @jax.jit
     def steps(state):

@@ -101,8 +101,22 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     x0_eff = gs.x0 + (0.5 * gs.dx if gs.periodic[0] else 0.0)
     y0_eff = gs.y0 + (0.5 * gs.dy if gs.periodic[1] else 0.0)
 
-    def body(i, j, tile_fn, z_ref, want_dt1=True):
-        """Shared RHS evaluation on the DMA'd tile; returns (dfa, dt1max)."""
+    # In-kernel x chunking: the DMA tile spans TX rows but the RHS is
+    # evaluated CX rows at a time.  x is the OUTER (unpadded, vreg-major)
+    # dim of every VMEM temporary, so an x-slice is a free vreg subset and
+    # chunk temporaries cost (CX+2g)/(TX+2g) of the full-tile ones — the
+    # VMEM register pressure that caps TX stays fixed while the DMA tile
+    # (and with it the halo read amplification, (TX+2g)(TY+2g)/TX·TY)
+    # shrinks toward 1.  Chunks overlap by 2g rows *in VMEM*, not HBM.
+    CX = int(os.environ.get("PC_CX", 0)) or min(4, TX)
+
+    def body(i, j, tile_fn, z_ref, emit, want_dt1=True):
+        """Shared RHS evaluation on the DMA'd tile, x-chunked.  For each
+        chunk calls ``emit(xs, dfa_c, tile_c)`` with the chunk's df block
+        (nvar, cx, TY, nz) and its ghosted input slab
+        (nc, cx+2g, TY+2g, zext) so the caller stores straight into the
+        output refs — no full-tile df temporary ever materializes.
+        Returns (tile, dt1max)."""
         tile = tile_fn()
         dt = tile.dtype
         if os.environ.get("PC_FAKE_RHS"):
@@ -110,51 +124,66 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
             # pipeline (DMA in, block out) to measure the memory-bound floor
             dfa = tile[:nvar, g:-g, g:-g, :] if not z_ghosted \
                 else tile[:nvar, g:-g, g:-g, g:-g]
-            return tile, dfa * 1.0000001, jnp.zeros((), dt)
-        # broadcasted_iota: Mosaic rejects 1-D→3-D vector reshapes
-        xi = (i * TX
-              + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
-              ).astype(dt)
-        yj = (j * TY
-              + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
-              ).astype(dt)
-        tgrid = TileGrid(
-            dx1=jnp.asarray(dx1, dt), dy1=jnp.asarray(dy1, dt),
-            dz1=jnp.asarray(dz1, dt),
-            dx_1=jnp.full((TX + 2 * g,), dx1, dt),
-            dy_1=jnp.full((TY + 2 * g,), dy1, dt),
-            dz_1=jnp.full((zext,), dz1, dt),
-            xg=x0_eff + gs.dx * xi,
-            yg=y0_eff + gs.dy * yj,
-            zg=z_ref[0, g:-g][None, None, :],
-            z=z_ref[0],
-        )
-        pen = Pencils(tile, tgrid, reg, cfg, eos, wrap_z=not z_ghosted)
-        df = {}
-        ts = TimestepAccum()
-        for m in model.modules:
-            m.rhs(pen, df, ts)
-        parts = []
-        for name, slot in reg.slots.items():
-            if slot.kind != "pde":
-                continue
-            d = df.get(name)
-            if d is None:
-                d = jnp.zeros((slot.ncomp, TX, TY, nz), dt)
-            elif d.ndim == 3:
-                d = d[None]
-            parts.append(d)
-        dfa = jnp.concatenate(parts, axis=0)
-        if not want_dt1:
-            # 2N-RK substeps 2+ reuse substep 1's dt — skip the pointwise
-            # CFL field (exp/sqrt per point) and its reduction entirely
-            return tile, dfa, jnp.zeros((), dt)
-        dt1 = cfl_dt1(ts, tgrid, cfg.time)
-        return tile, dfa, jnp.max(dt1)
+            emit(0, dfa * 1.0000001, tile)
+            return tile, jnp.zeros((), dt)
+
+        def eval_rhs(tile_c, x_lo):
+            """RHS on one x-chunk (extent cx+2g rows, interior cx)."""
+            cx = tile_c.shape[1] - 2 * g
+            # broadcasted_iota: Mosaic rejects 1-D→3-D vector reshapes
+            xi = (x_lo
+                  + jax.lax.broadcasted_iota(jnp.int32, (cx, 1, 1), 0)
+                  ).astype(dt)
+            yj = (j * TY
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+                  ).astype(dt)
+            tgrid = TileGrid(
+                dx1=jnp.asarray(dx1, dt), dy1=jnp.asarray(dy1, dt),
+                dz1=jnp.asarray(dz1, dt),
+                dx_1=jnp.full((cx + 2 * g,), dx1, dt),
+                dy_1=jnp.full((TY + 2 * g,), dy1, dt),
+                dz_1=jnp.full((zext,), dz1, dt),
+                xg=x0_eff + gs.dx * xi,
+                yg=y0_eff + gs.dy * yj,
+                zg=z_ref[0, g:-g][None, None, :],
+                z=z_ref[0],
+            )
+            pen = Pencils(tile_c, tgrid, reg, cfg, eos,
+                          wrap_z=not z_ghosted)
+            df = {}
+            ts = TimestepAccum()
+            for m in model.modules:
+                m.rhs(pen, df, ts)
+            parts = []
+            for name, slot in reg.slots.items():
+                if slot.kind != "pde":
+                    continue
+                d = df.get(name)
+                if d is None:
+                    d = jnp.zeros((slot.ncomp, cx, TY, nz), dt)
+                elif d.ndim == 3:
+                    d = d[None]
+                parts.append(d)
+            dfa = jnp.concatenate(parts, axis=0)
+            if not want_dt1:
+                # 2N-RK substeps 2+ reuse substep 1's dt — skip the
+                # pointwise CFL field (exp/sqrt per point) and its
+                # reduction entirely
+                return dfa, jnp.zeros((), dt)
+            dt1 = cfl_dt1(ts, tgrid, cfg.time)
+            return dfa, jnp.max(dt1)
+
+        dt1m = jnp.zeros((), dt)
+        for xs in range(0, TX, CX):
+            tile_c = tile[:, xs:xs + CX + 2 * g]
+            dfa_c, d1 = eval_rhs(tile_c, i * TX + xs)
+            emit(xs, dfa_c, tile_c)
+            dt1m = jnp.maximum(dt1m, d1)
+        return tile, dt1m
 
     # DMA pipeline depth (slots of tile scratch): 2 = classic double
     # buffering; 3 hides more of the HBM latency of the many-piece fetches
-    NSLOT = int(os.environ.get("PC_DMA_SLOTS", 0)) or 2
+    NSLOT = int(os.environ.get("PC_DMA_SLOTS", 0)) or 3
 
     def _dma_tile(fg_ref, scratch, sem, i, j):
         """Multi-buffered tile fetch: grid iterations run sequentially on
@@ -272,49 +301,64 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     def kernel(fg_ref, z_ref, df_ref, dt1_ref, scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        _, dfa, dt1m = body(i, j, lambda: fetch(fg_ref, scratch, sem, i, j),
-                            z_ref)
-        df_ref[:] = dfa
+
+        def emit(xs, dfa_c, _tile_c):
+            df_ref[:, xs:xs + dfa_c.shape[1]] = dfa_c
+
+        _, dt1m = body(i, j, lambda: fetch(fg_ref, scratch, sem, i, j),
+                       z_ref, emit)
         dt1_ref[i, j] = dt1m
 
     def kernel_zg(fg_ref, zlo_ref, zhi_ref, z_ref, df_ref, dt1_ref,
                   scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        _, dfa, dt1m = body(
+
+        def emit(xs, dfa_c, _tile_c):
+            df_ref[:, xs:xs + dfa_c.shape[1]] = dfa_c
+
+        _, dt1m = body(
             i, j,
             lambda: _fetch_zg(fg_ref, zlo_ref, zhi_ref, scratch, sem, i, j),
-            z_ref)
-        df_ref[:] = dfa
+            z_ref, emit)
         dt1_ref[i, j] = dt1m
 
     def kernel_upd(fg_ref, z_ref, dfp_ref, ab_ref, df_ref, fa_ref, dt1_ref,
                    scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        tile, dfa, dt1m = body(
-            i, j, lambda: fetch(fg_ref, scratch, sem, i, j), z_ref,
-            want_dt1=False)
         alpha = ab_ref[0, 0]
         beta_dt = ab_ref[0, 1]
-        dfn = alpha * dfp_ref[:] + dfa
-        df_ref[:] = dfn
-        fa_ref[:] = tile[:nvar, g:-g, g:-g, :] + beta_dt * dfn
+
+        def emit(xs, dfa_c, tile_c):
+            cx = dfa_c.shape[1]
+            dfn = alpha * dfp_ref[:, xs:xs + cx] + dfa_c
+            df_ref[:, xs:xs + cx] = dfn
+            fa_ref[:, xs:xs + cx] = (tile_c[:nvar, g:-g, g:-g, :]
+                                     + beta_dt * dfn)
+
+        _, dt1m = body(i, j, lambda: fetch(fg_ref, scratch, sem, i, j),
+                       z_ref, emit, want_dt1=False)
         dt1_ref[i, j] = dt1m
 
     def kernel_zg_upd(fg_ref, zlo_ref, zhi_ref, z_ref, dfp_ref, ab_ref,
                       df_ref, fa_ref, dt1_ref, scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        tile, dfa, dt1m = body(
-            i, j,
-            lambda: _fetch_zg(fg_ref, zlo_ref, zhi_ref, scratch, sem, i, j),
-            z_ref, want_dt1=False)
         alpha = ab_ref[0, 0]
         beta_dt = ab_ref[0, 1]
-        dfn = alpha * dfp_ref[:] + dfa
-        df_ref[:] = dfn
-        fa_ref[:] = tile[:nvar, g:-g, g:-g, g:-g] + beta_dt * dfn
+
+        def emit(xs, dfa_c, tile_c):
+            cx = dfa_c.shape[1]
+            dfn = alpha * dfp_ref[:, xs:xs + cx] + dfa_c
+            df_ref[:, xs:xs + cx] = dfn
+            fa_ref[:, xs:xs + cx] = (tile_c[:nvar, g:-g, g:-g, g:-g]
+                                     + beta_dt * dfn)
+
+        _, dt1m = body(
+            i, j,
+            lambda: _fetch_zg(fg_ref, zlo_ref, zhi_ref, scratch, sem, i, j),
+            z_ref, emit, want_dt1=False)
         dt1_ref[i, j] = dt1m
 
     # ---- wrap-mode tail kernels (substeps 2..n of the 2N-RK chain) ------
@@ -365,46 +409,49 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
                 if nc > nvar:
                     return jnp.concatenate([upd, tA[nvar:]], axis=0)
                 return upd
-
-            dfp_int = tileD[:, g:-g, g:-g, :]
         else:
             def tile_fn():
                 return _dma_tile_wrap(fa_ref, scrA, semA, i, j)
 
-            dfp_int = dfp_ref[:]
+        def emit(xs, dfa_c, tile_c):
+            cx = dfa_c.shape[1]
+            if defer_prev:
+                dfp_c = tileD[:, g + xs:g + xs + cx, g:-g, :]
+            else:
+                dfp_c = dfp_ref[:, xs:xs + cx]
+            dfn = alpha * dfp_c + dfa_c
+            fa_new = tile_c[:nvar, g:-g, g:-g, :] + beta_dt * dfn
+            if with_kick:
+                dtp = fa_new.dtype
+                iuu = model.reg.slice("uu").start
+                xi = (i * TX + xs
+                      + jax.lax.broadcasted_iota(jnp.int32, (cx, 1, 1), 0)
+                      ).astype(dtp)
+                yj = (j * TY
+                      + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+                      ).astype(dtp)
+                xg = x0_eff + gs.dx * xi
+                yg = y0_eff + gs.dy * yj
+                zg = z_ref[0, g:-g][None, None, :]
+                th = (kick_ref[0, 0] * xg + kick_ref[0, 1] * yg
+                      + kick_ref[0, 2] * zg + kick_ref[0, 3])
+                cth = jnp.cos(th)
+                sth = jnp.sin(th)
+                amp = kick_ref[0, 10]
+                kicked = []
+                for c_ in range(3):
+                    duu = amp * (kick_ref[0, 4 + c_] * cth
+                                 - kick_ref[0, 7 + c_] * sth)
+                    kicked.append(fa_new[iuu + c_] + duu)
+                fa_new = jnp.concatenate(
+                    [fa_new[:iuu]] + [k[None] for k in kicked]
+                    + [fa_new[iuu + 3:]], axis=0)
+            if not last:
+                df_ref[:, xs:xs + cx] = dfn
+            fao_ref[:, xs:xs + cx] = fa_new
 
-        tile, dfa, _ = body(i, j, tile_fn, z_ref, want_dt1=False)
-        dfn = alpha * dfp_int + dfa
-        fa_new = tile[:nvar, g:-g, g:-g, :] + beta_dt * dfn
-        if with_kick:
-            dtp = fa_new.dtype
-            iuu = model.reg.slice("uu").start
-            xi = (i * TX
-                  + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
-                  ).astype(dtp)
-            yj = (j * TY
-                  + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
-                  ).astype(dtp)
-            xg = x0_eff + gs.dx * xi
-            yg = y0_eff + gs.dy * yj
-            zg = z_ref[0, g:-g][None, None, :]
-            th = (kick_ref[0, 0] * xg + kick_ref[0, 1] * yg
-                  + kick_ref[0, 2] * zg + kick_ref[0, 3])
-            cth = jnp.cos(th)
-            sth = jnp.sin(th)
-            amp = kick_ref[0, 10]
-            kicked = []
-            for c_ in range(3):
-                duu = amp * (kick_ref[0, 4 + c_] * cth
-                             - kick_ref[0, 7 + c_] * sth)
-                kicked.append(fa_new[iuu + c_] + duu)
-            fa_new = jnp.concatenate(
-                [fa_new[:iuu]] + [k[None] for k in kicked]
-                + [fa_new[iuu + 3:]], axis=0)
-        if not last:
-            df_ref[:] = dfn
-        fao_ref[:] = fa_new
-        dt1_ref[i, j] = jnp.zeros((), fa_new.dtype)
+        body(i, j, tile_fn, z_ref, emit, want_dt1=False)
+        dt1_ref[i, j] = jnp.zeros_like(alpha)
 
     interpret = jax.devices()[0].platform != "tpu"
 

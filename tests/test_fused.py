@@ -47,10 +47,12 @@ def test_fused_wrap_tail_matches_jnp():
     """The wrap-mode tail chain (deferred substep-1 axpy, dead-df-write
     elision on the last substep, in-kernel forcing kick) must reproduce
     the jnp path bit-for-bit-in-f32 — this IS the benchmarked flagship
-    configuration.  CPU interpreter, 16³."""
+    configuration.  CPU interpreter at 16³, or 16×16×128 compiled on the
+    real chip (the z lane extent must be 128-aligned on hardware)."""
     from pencil_tpu import Forcing
+    nz = 128 if jax.default_backend() == "tpu" else 16
     base = dict(
-        grid=GridSpec(nx=16, ny=16, nz=16),
+        grid=GridSpec(nx=16, ny=16, nz=nz),
         time=TimeSpec(itorder=3),
         modules=(EosIdealGas(gamma=1.0, cs0=1.0),
                  Density(),
@@ -63,7 +65,7 @@ def test_fused_wrap_tail_matches_jnp():
     for fused in (True, False):
         model = Model(Config(fused=fused, **base))
         if fused:
-            assert model._fused_mode(None, None, 16) == "wrap"
+            assert model._fused_mode(None, None, nz) == "wrap"
         state = model.init_state(11)
         step = model.make_step()
         for _ in range(4):
