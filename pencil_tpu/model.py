@@ -136,6 +136,64 @@ class Model:
         return "zroll" if z_roll_ok else "zghost"
 
     # ------------------------------------------------------------------
+    def _pack_ok(self) -> bool:
+        """Whether the hot loop may carry the STACKED state (see
+        pack_state): every step-boundary consumer of the per-field dict
+        must be provably absent — any before_timestep hook, any
+        after_timestep hook other than a forcing kick that is guaranteed
+        to land inside the last-substep kernel, particles, point masses,
+        RKF45 — so a packed step never silently skips physics."""
+        cfg = self.cfg
+        if (not self._fused_ok or cfg.time.itorder == 5
+                or self.particles is not None
+                or self.pointmasses is not None
+                or cfg.module("shear") is not None):
+            return False
+        if any(type(m).before_timestep is not ModuleBase.before_timestep
+               for m in self.modules):
+            return False
+        alpha = self.rk[0]
+        # mirrors _local_step's wrap_tail + kick_ok predicates exactly
+        wrap_tail = (len(alpha) >= 2 and not self._aux_modules
+                     and self._fused_mode(None, None, cfg.grid.nz)
+                     == "wrap")
+        forcing = cfg.module("forcing")
+        kick_ok = (forcing is not None and forcing.sequence is None
+                   and forcing.force != 0.0 and "uu" in self.reg.slots
+                   and all(m.name == "forcing" or
+                           not m.after_timestep_active()
+                           for m in self.modules))
+        for m in self.modules:
+            if not m.after_timestep_active():
+                continue
+            if m.name == "forcing" and wrap_tail and kick_ok:
+                continue    # applied in-kernel every step
+            return False
+        return True
+
+    def pack_state(self, state: Dict) -> Dict:
+        """Swap the per-field dict for the stacked ``_fa`` array so a
+        scan-chunked hot loop (bench.py, Run.main_loop between
+        diagnostics) carries ONE array instead of unstack/stack-ing every
+        field each step — the stack concatenate + split fusions cost
+        ~17% of a 256³ fused MHD step.  No-op (returns ``state``
+        unchanged) whenever any hook needs the dict (single-device fused
+        configurations only); unpack_state is always safe to call."""
+        if "_fa" in state or not self._pack_ok():
+            return state
+        st = dict(state)
+        st["_fa"] = self.reg.stack(st.pop("fields"))
+        return st
+
+    def unpack_state(self, state: Dict) -> Dict:
+        """Inverse of pack_state (no-op on an unpacked state)."""
+        if "_fa" not in state:
+            return state
+        st = dict(state)
+        st["fields"] = self.reg.unstack(st.pop("_fa"))
+        return st
+
+    # ------------------------------------------------------------------
     def init_state(self, seed: int = 0, overrides: Dict = None) -> Dict:
         """``overrides``: field name → array (and 'particles_xp') replacing
         the module-generated initial condition — used by the run-dir parity
@@ -456,18 +514,22 @@ class Model:
             return self._rkf_step(state, grid, mesh_axis_names, mesh_shape)
         alpha, beta, cstage = self.rk
         reg = self.reg
-        pre = state["fields"]
-        key0 = state["key"]
-        for m in self.modules:
-            if type(m).before_timestep is not ModuleBase.before_timestep:
-                key0, sub = jax.random.split(key0)
-                pre = m.before_timestep(pre, grid, cfg, reg, self.eos,
-                                        state["dt"], state["t"], sub,
-                                        it=state["it"])
-        state = {**state, "fields": pre, "key": key0}
+        packed = "_fa" in state   # see pack_state: no dict-needing hooks
         gs = cfg.grid
-        fa = reg.stack(state["fields"]) if reg.nf else \
-            jnp.zeros((0, gs.nx, gs.ny, gs.nz), self.dtype)
+        if packed:
+            fa = state["_fa"]
+        else:
+            pre = state["fields"]
+            key0 = state["key"]
+            for m in self.modules:
+                if type(m).before_timestep is not ModuleBase.before_timestep:
+                    key0, sub = jax.random.split(key0)
+                    pre = m.before_timestep(pre, grid, cfg, reg, self.eos,
+                                            state["dt"], state["t"], sub,
+                                            it=state["it"])
+            state = {**state, "fields": pre, "key": key0}
+            fa = reg.stack(state["fields"]) if reg.nf else \
+                jnp.zeros((0, gs.nx, gs.ny, gs.nz), self.dtype)
         fa_begin = fa
         nvar = reg.nvar
         df = jnp.zeros((nvar,) + fa.shape[1:], fa.dtype)
@@ -503,8 +565,7 @@ class Model:
         kick_ok = (forcing is not None and forcing.sequence is None
                    and forcing.force != 0.0 and "uu" in reg.slots
                    and all(m.name == "forcing" or
-                           type(m).after_timestep is
-                           ModuleBase.after_timestep
+                           not m.after_timestep_active()
                            for m in self.modules))
         wrap_tail = (use_fused_update and len(alpha) >= 2
                      and not self._aux_modules
@@ -688,8 +749,21 @@ class Model:
                 fa = pfa.at[sl].add(fa_begin[sl] - pbeg[sl])
             else:
                 fa = pfa
-        fields = reg.unstack(fa)
         t1 = t0 + dt
+        if packed:
+            # pack_state guaranteed no dict-needing hooks fire; consume
+            # the same RNG splits so packed/unpacked streams are identical
+            key = state["key"]
+            for m in self.modules:
+                key, _sub = jax.random.split(key)
+            return {
+                "_fa": fa,
+                "t": t1,
+                "dt": dt,
+                "it": state["it"] + 1,
+                "key": key,
+            }
+        fields = reg.unstack(fa)
         key = state["key"]
         for m in self.modules:
             key, sub = jax.random.split(key)

@@ -223,3 +223,6 @@ class Viscosity(ModuleBase):
             state = dict(state)
             state["uu"] = diffuse_fft(state["uu"], cfg.grid, self.nu, dt)
         return state
+
+    def after_timestep_active(self) -> bool:
+        return self.limplicit_viscosity and self.nu > 0.0

@@ -77,7 +77,11 @@ def test_fused_wrap_tail_matches_jnp():
     for k in out[True]:
         a = np.asarray(out[True][k], np.float64)
         b = np.asarray(out[False][k], np.float64)
-        assert np.abs(a - b).max() < 5e-6 * max(np.abs(b).max(), 1e-3), k
+        # the fused path applies the forcing kick INSIDE the last-substep
+        # kernel (same sub-key, different f32 op order), so allow a few
+        # ulps more than pure-roundoff: 2e-5 relative, the same bound as
+        # test_fused_matches_jnp_path
+        assert np.abs(a - b).max() < 2e-5 * max(np.abs(b).max(), 1e-3), k
 
 
 def test_fused_zsharded_matches_jnp():
@@ -183,3 +187,54 @@ def test_fused_shear_shock_matches_jnp_small():
         b = np.asarray(sj["fields"][k], np.float64)
         scale = np.abs(b).max()
         assert np.abs(a - b).max() < 5e-6 * max(scale, 1e-3), k
+
+
+def test_packed_state_matches_dict_state():
+    """pack_state swaps the fields dict for the stacked _fa in the hot
+    loop (bench.py / Run chunked scans).  The packed step must be
+    BIT-identical to the dict step — same kernels, same RNG stream
+    (including the in-kernel forcing kick's sub-key)."""
+    from pencil_tpu import Forcing
+    base = dict(
+        grid=GridSpec(nx=16, ny=16, nz=16),
+        time=TimeSpec(itorder=3),
+        fused=True,
+        modules=(EosIdealGas(gamma=1.0, cs0=1.0),
+                 Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-3),
+                 Viscosity(ivisc=("nu-const",), nu=5e-3),
+                 Magnetic(init="gaussian-noise", ampl=1e-4, eta=5e-3),
+                 Forcing(force=0.07, kf=3.0)),
+    )
+    model = Model(Config(**base))
+    s_dict = model.init_state(7)
+    s_pack = model.pack_state(s_dict)
+    assert "_fa" in s_pack, "flagship configuration must be packable"
+    step = model.make_step()
+    for _ in range(3):
+        s_dict = step(s_dict)
+        s_pack = step(s_pack)
+    out = model.unpack_state(s_pack)
+    assert float(out["t"]) == float(s_dict["t"])
+    assert float(out["dt"]) == float(s_dict["dt"])
+    assert np.array_equal(np.asarray(out["key"]), np.asarray(s_dict["key"]))
+    for k in s_dict["fields"]:
+        np.testing.assert_array_equal(np.asarray(out["fields"][k]),
+                                      np.asarray(s_dict["fields"][k]), k)
+
+
+def test_pack_state_refuses_dict_needing_hooks():
+    """A configuration whose forcing cannot ride the in-kernel kick (jnp
+    path) must NOT pack — otherwise the after_timestep hook would be
+    silently skipped."""
+    from pencil_tpu import Forcing
+    model = Model(Config(
+        grid=GridSpec(nx=16, ny=16, nz=16),
+        fused=False,
+        modules=(EosIdealGas(gamma=1.0, cs0=1.0), Density(),
+                 Hydro(init="gaussian-noise", ampl=1e-3),
+                 Viscosity(ivisc=("nu-const",), nu=5e-3),
+                 Forcing(force=0.07, kf=3.0)),
+    ))
+    s = model.init_state(1)
+    assert "_fa" not in model.pack_state(s)
