@@ -983,10 +983,14 @@ class Model:
 
             @jax.jit
             def stepk(state):
+                # carry the stacked fa across the scan (one stack/unstack
+                # per CHUNK instead of per step) — no-op when ineligible
+                state = self.pack_state(state)
+
                 def body(s, _):
                     return self._local_step(s, grid), ()
                 s, _ = jax.lax.scan(body, state, None, length=k)
-                return s
+                return self.unpack_state(s)
 
             return stepk
 

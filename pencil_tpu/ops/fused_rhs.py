@@ -108,7 +108,12 @@ def make_fused_rhs(model, tx=None, ty=None, local_shape=None,
     # VMEM register pressure that caps TX stays fixed while the DMA tile
     # (and with it the halo read amplification, (TX+2g)(TY+2g)/TX·TY)
     # shrinks toward 1.  Chunks overlap by 2g rows *in VMEM*, not HBM.
-    CX = int(os.environ.get("PC_CX", 0)) or min(4, TX)
+    # CX=1 wins on hardware (v5e, 256³ MHD: 0.93/0.99/1.01 of the 1e9
+    # updates/s target at CX=8/2/1 — Mosaic keeps the single-row chunk
+    # entirely in vregs); the interpreter pays per-chunk Python overhead
+    # instead, so tests keep CX=4 (equivalence is shape-generic)
+    _cx_default = 1 if jax.devices()[0].platform == "tpu" else 4
+    CX = int(os.environ.get("PC_CX", 0)) or min(_cx_default, TX)
 
     def body(i, j, tile_fn, z_ref, emit, want_dt1=True):
         """Shared RHS evaluation on the DMA'd tile, x-chunked.  For each

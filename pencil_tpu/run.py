@@ -135,7 +135,12 @@ class Run:
         return False
 
     def _write_diag(self, state):
-        vals = {k: float(np.asarray(v)) for k, v in self.diag(state).items()}
+        # ONE device→host transfer for the whole row (each float() on a
+        # device scalar is a separate sync; on a remote-attached TPU that
+        # dominates the diagnostics boundary)
+        import jax
+        raw = jax.device_get(self.diag(state))
+        vals = {k: float(v) for k, v in raw.items()}
         vals["it"] = int(np.asarray(state["it"]))
         self.ts_writer.append(vals)
         if not self.quiet:
@@ -316,8 +321,8 @@ class Run:
             state = self._advance(state, k)
             i += k
             it = it0 + i
-            dt = float(np.asarray(state["dt"]))
-            t = float(np.asarray(state["t"]))
+            import jax as _jax
+            dt, t = map(float, _jax.device_get((state["dt"], state["t"])))
             if self._sn is not None:
                 upd = self._sn({fk: np.asarray(fv) for fk, fv
                                 in state["fields"].items()}, t, it)

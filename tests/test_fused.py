@@ -195,8 +195,9 @@ def test_packed_state_matches_dict_state():
     BIT-identical to the dict step — same kernels, same RNG stream
     (including the in-kernel forcing kick's sub-key)."""
     from pencil_tpu import Forcing
+    nz = 128 if jax.default_backend() == "tpu" else 16
     base = dict(
-        grid=GridSpec(nx=16, ny=16, nz=16),
+        grid=GridSpec(nx=16, ny=16, nz=nz),
         time=TimeSpec(itorder=3),
         fused=True,
         modules=(EosIdealGas(gamma=1.0, cs0=1.0),
