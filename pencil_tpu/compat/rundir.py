@@ -809,6 +809,13 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             beta_glnrho_global=tuple(float(v) for v in _vec3(
                 den_p.get("beta_glnrho_global", [0.0, 0.0, 0.0]),
                 [0.0, 0.0, 0.0])),
+            # IC-only value: the reference also reads beta_glnrho_global
+            # from entropy_init_pars (entropy.f90:199 via use Density) —
+            # start.in-only settings must reach the sub-Keplerian IC
+            # without switching on the runtime pressure-gradient force
+            beta_glnrho_init=(tuple(float(v) for v in _vec3(
+                ent_p0["beta_glnrho_global"], [0.0, 0.0, 0.0]))
+                if "beta_glnrho_global" in ent_p0 else None),
             Omega_pressure=float(hyd_p.get("omega", 0.0)),
             theta=float(hyd_p.get("theta", 0.0)),
             lupw_uu=bool(hyd_p.get("lupw_uu", False)),

@@ -51,6 +51,12 @@ class Hydro(ModuleBase):
     # Omega_pressure = the rotation rate for beta scaling (kept separate
     # from Omega, which is zeroed when particles_drag takes the Coriolis)
     beta_glnrho_global: tuple = (0.0, 0.0, 0.0)
+    # init-time override: samples may set beta_glnrho_global in
+    # entropy_init_pars only (so the sub-Keplerian IC sees it) while the
+    # run namelists leave it at 0 (no runtime pressure-gradient force) —
+    # e.g. samples/2d-tests/Kelvin-Helmholtz-disc.  None → use
+    # beta_glnrho_global for the IC too.
+    beta_glnrho_init: tuple = None
     Omega_pressure: float = 0.0
     # constant velocity ADDED after any init (run-dir loader hook for the
     # NSH drag-equilibrium gas flow, particles_dust.f90:1999-2004)
@@ -238,7 +244,9 @@ class Hydro(ModuleBase):
             # → ux = −cs0·β_y/2, uy = +cs0·β_x/2
             cs0 = eos.cs20 ** 0.5 if eos is not None else 1.0
             shape = (spec.nx, spec.ny, spec.nz)
-            b = self.beta_glnrho_global
+            b = (self.beta_glnrho_init
+                 if self.beta_glnrho_init is not None
+                 else self.beta_glnrho_global)
             ux = jnp.full(shape, -0.5 * cs0 * b[1], grid.x.dtype)
             uy = jnp.full(shape, 0.5 * cs0 * b[0], grid.x.dtype)
             uu = jnp.stack([ux, uy, jnp.zeros_like(ux)])
