@@ -1674,6 +1674,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 if v is not None:
                     sp_all[k] = float(v)
         sp_all.setdefault("cdts", float(run_pars.get("cdts", 1.0)))
+        # specials that read run-dir data files (meanfield_e_tensor's
+        # emftensors.h5) pick the directory up from this field
+        sp_all.setdefault("rundir", path)
         for slot in sp_slot.split():
             if slot.split("/")[-1] == "nospecial":
                 continue

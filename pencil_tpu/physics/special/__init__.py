@@ -76,3 +76,4 @@ from . import newton_cooling  # noqa: E402,F401
 from . import streamfunction  # noqa: E402,F401
 from . import multisp_drag_eq  # noqa: E402,F401
 from . import coronae  # noqa: E402,F401
+from . import meanfield_e_tensor  # noqa: E402,F401

@@ -88,3 +88,39 @@ def test_interstellar_heating_raises_entropy():
     ss = np.asarray(state["fields"]["ss"])
     assert np.isfinite(ss).all()
     assert float(ss.mean()) > ss0
+
+
+def test_meanfield_e_tensor_alpha2_dynamo():
+    """Isotropic-alpha EMF tensor drives an alpha^2 dynamo: a Beltrami-z
+    mode with k=1 grows at lambda = alpha*k - eta*k^2 (reference
+    special/meanfield_e_tensor.f90 E = alpha.B with alpha = a*I)."""
+    import jax.numpy as jnp
+    from pencil_tpu import GridSpec, TimeSpec, Config, Model
+    from pencil_tpu.physics.special.meanfield_e_tensor import MeanfieldETensor
+    from pencil_tpu import EosIdealGas, Density, Magnetic
+
+    alpha, eta = 0.5, 0.1
+    cfg = Config(
+        grid=GridSpec(nx=4, ny=4, nz=16),
+        time=TimeSpec(itorder=3, dt=5e-3),
+        modules=(EosIdealGas(gamma=1.0), Density(),
+                 Magnetic(init="beltrami-z", ampl=1e-4, eta=eta),
+                 MeanfieldETensor(lalpha=True, alpha_name="isotropic",
+                                  alpha_scale=alpha)),
+    )
+    model = Model(cfg)
+    state = model.init_state(0)
+    step = model.make_step()
+
+    def arms(st):
+        return float(np.sqrt(np.mean(np.square(
+            np.asarray(st["fields"]["aa"])))))
+
+    a0 = arms(state)
+    nsteps = 40
+    for _ in range(nsteps):
+        state = step(state)
+    a1 = arms(state)
+    lam = np.log(a1 / a0) / (nsteps * 5e-3)
+    # for a k=1 Beltrami mode E=alpha*B gives dA/dt = alpha*kA - eta*k^2 A
+    np.testing.assert_allclose(lam, alpha - eta, rtol=0.05)
