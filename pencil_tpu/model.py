@@ -152,6 +152,8 @@ class Model:
         if any(type(m).before_timestep is not ModuleBase.before_timestep
                for m in self.modules):
             return False
+        if any(hasattr(m, "step_module_state") for m in self.modules):
+            return False
         alpha = self.rk[0]
         # mirrors _local_step's wrap_tail + kick_ok predicates exactly
         wrap_tail = (len(alpha) >= 2 and not self._aux_modules
@@ -250,6 +252,17 @@ class Model:
             except TypeError:
                 state["particles"] = self.particles.init_particles(
                     self.grid, self.cfg.grid, sub, self.dtype)
+        mstate = {}
+        for m in self.modules:
+            if hasattr(m, "init_module_state"):
+                key, sub = jax.random.split(key)
+                state["key"] = key
+                ms = m.init_module_state(self.grid, self.cfg, sub,
+                                         self.dtype)
+                if ms is not None:
+                    mstate[m.name] = ms
+        if mstate:
+            state["mstate"] = mstate
         if overrides:
             for name, arr in overrides.items():
                 if name == "particles_xp":
@@ -527,7 +540,19 @@ class Model:
                     pre = m.before_timestep(pre, grid, cfg, reg, self.eos,
                                             state["dt"], state["t"], sub,
                                             it=state["it"])
+            # module-private runtime state (the analog of the reference's
+            # module-level saved variables, e.g. turbpotential's mode
+            # list): stepped once per full step, carried in state["mstate"]
+            mst = dict(state.get("mstate", {}))
+            for m in self.modules:
+                if hasattr(m, "step_module_state") and m.name in mst:
+                    key0, sub = jax.random.split(key0)
+                    mst[m.name], pre = m.step_module_state(
+                        mst[m.name], pre, grid, cfg, reg, self.eos,
+                        state["dt"], state["t"], sub, it=state["it"])
             state = {**state, "fields": pre, "key": key0}
+            if mst:
+                state["mstate"] = mst
             fa = reg.stack(state["fields"]) if reg.nf else \
                 jnp.zeros((0, gs.nx, gs.ny, gs.nz), self.dtype)
         fa_begin = fa
@@ -780,6 +805,8 @@ class Model:
             "it": state["it"] + 1,
             "key": key,
         }
+        if "mstate" in state:
+            out["mstate"] = state["mstate"]
         if pm is not None:
             xq, vq = cart_to_polar(xc, vc, cfg.grid.coords)
             if cfg.grid.coords == "cylindrical":

@@ -77,3 +77,5 @@ from . import streamfunction  # noqa: E402,F401
 from . import multisp_drag_eq  # noqa: E402,F401
 from . import coronae  # noqa: E402,F401
 from . import meanfield_e_tensor  # noqa: E402,F401
+from . import pressure_bump  # noqa: E402,F401
+from . import turbpotential  # noqa: E402,F401
