@@ -295,13 +295,59 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
         gaunoise_vect(rng, 1.0, mx, my, mz, 3)
 
     part = by_name.get("particles")
-    if part is not None and getattr(part, "init", "") == "random":
+    if part is not None and getattr(part, "init", "") in ("random",
+                                                          "gaussian-z"):
+        # Per-rank particle init: each proc draws npar/ncpus particles on
+        # ITS stream inside ITS local box (particles_dust.f90:1010-1040
+        # xyz0_par=xyz0_loc default, particles_mpicomm.f90:110 npar_loc).
+        # 'random': per-particle uniform draws, inactive dims skipped
+        # (f90:1117-1135).  'gaussian-z': x,y uniform + z Box-Muller with
+        # a rejection loop that redraws EVERYTHING while z is outside the
+        # GLOBAL box (f90:1635-1660; r0gaussz=1,qgaussz=0 defaults drop
+        # the x-dependence).
         import numpy as np
+        init = part.init
         npar = part.npar
-        draws = rng.draw(3 * npar).reshape(npar, 3)
-        lo = np.asarray([grid.x0, grid.y0, grid.z0], np.float32)
-        L = np.asarray([grid.Lx, grid.Ly, grid.Lz], np.float32)
-        overrides["particles_xp"] = lo + draws * L
+        zp0 = float(getattr(part, "zp0", 1.0))
+        ax, ay, az = grid.nx > 1, grid.ny > 1, grid.nz > 1
+        z0g, z1g = grid.z0, grid.z0 + grid.Lz
+        nploc = int(round(npar / nproc))
+        pos = np.zeros((npar, 3), np.float32)
+        k0 = 0
+        for ip in range(nproc):
+            ipx = ip % npx
+            ipy = (ip // npx) % npy
+            ipz = ip // (npx * npy)
+            rl = rngs[ip]
+            lo = np.asarray([grid.x0 + ipx * grid.Lx / npx,
+                             grid.y0 + ipy * grid.Ly / npy,
+                             grid.z0 + ipz * grid.Lz / npz], np.float32)
+            L = np.asarray([grid.Lx / npx, grid.Ly / npy, grid.Lz / npz],
+                           np.float32)
+            n_ip = nploc if ip < nproc - 1 else npar - k0
+            if init == "random":
+                for k in range(k0, k0 + n_ip):
+                    for a, act in enumerate((ax, ay, az)):
+                        if act:
+                            pos[k, a] = lo[a] + rl.next() * L[a]
+                        elif a == 2:
+                            pos[k, a] = grid.z0 + 0.5 * grid.Lz
+            else:  # gaussian-z
+                for k in range(k0, k0 + n_ip):
+                    while True:
+                        xk = (lo[0] + rl.next() * L[0]) if ax \
+                            else np.float32(grid.x0 + 0.5 * grid.Lx)
+                        yk = (lo[1] + rl.next() * L[1]) if ay \
+                            else np.float32(grid.y0 + 0.5 * grid.Ly)
+                        r = rl.next()
+                        p = rl.next()
+                        zk = (zp0 * np.sqrt(-2.0 * np.log(np.float32(r)))
+                              * np.cos(2.0 * np.pi * np.float32(p)))
+                        if z0g <= zk <= z1g:
+                            break
+                    pos[k] = (xk, yk, zk)
+            k0 += n_ip
+        overrides["particles_xp"] = pos
     elif part is not None and getattr(part, "init", "") == "random-box":
         # per-particle draws for the ACTIVE dims only, in k-loop order
         # (particles_dust.f90:1328-1352)

@@ -1,0 +1,50 @@
+"""Census-style golden acceptance: drive reference sample run-dirs through
+the SAME loader/driver/compare path as tools/run_census.py and require
+MATCH/CLOSE.  These complement the hand-written goldens in
+test_samples.py with end-to-end coverage of the multi-rank RNG-parity
+particle placement (reference per-proc init_particles streams,
+particles_dust.f90:1010-1040,1100-1660).
+
+Runs in a subprocess because run_census flips jax_enable_x64 globally."""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/samples"
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference tree not mounted")
+
+
+def _run_one(rel, timeout=900):
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "census.json")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "run_census.py"),
+             "--only", rel, "--out", out],
+            cwd=REPO, env=env, timeout=timeout, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        res = json.load(open(out))["results"][rel]
+    return res["status"], res.get("detail", "")
+
+
+@needs_ref
+def test_sedimentation_golden():
+    """4-proc gaussian-z particle placement parity: zpm/zp2m/vpzm columns
+    of samples/sedimentation track the reference (multi-species Epstein
+    drag sedimentation in a stratified box)."""
+    status, detail = _run_one("sedimentation")
+    assert status in ("MATCH", "CLOSE"), (status, detail)
+
+
+@needs_ref
+def test_coag_kernel_cst_golden():
+    """0d constant-kernel coagulation: mean particle number density decay
+    follows the Smoluchowski solution the reference integrates."""
+    status, detail = _run_one("0d-tests/coag_kernel_cst")
+    assert status in ("MATCH", "CLOSE"), (status, detail)
