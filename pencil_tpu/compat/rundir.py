@@ -1445,9 +1445,55 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         if sc_mod is not None and sc_mod.ncylinders:
             solid_cyl = (sc_mod.cylinder_xpos[0], sc_mod.cylinder_ypos[0],
                          sc_mod.cylinder_radius[0])
+        # mass density per superparticle (particles_dust.f90:640-665):
+        # rhop_swarm = eps_dtog·rhom/(npar/nwgrid), where for a vertically
+        # stratified box (lgravz_gas or particle gravz_profile='linear')
+        # rhom = √(2π)/Lz·(rho0·cs0/nu_epicycle) accounts for gas outside
+        # the box
+        _epsd = float(par_p.get("eps_dtog", 0.0))
+        _rhop_swarm = float(par_p.get("rhop_swarm", 0.0))
+        _npar_tot = int(cpar.get("npar", 1024))
+        _gp_par = str(_first(par_p.get("gravz_profile", "")))
+        _nuepi_par = float(par_p.get("nu_epicycle", 0.0))
+        if _rhop_swarm == 0.0 and _epsd > 0.0 \
+                and bool(par_p.get("ldragforce_gas_par", False)):
+            _rho0p = float(eos_p.get("rho0", 1.0))
+            _cs0p = float(eos_p.get("cs0", 1.0))
+            _strat = bool(par_p.get("lreassign_strat_rhom", True)) and (
+                bool(grp("grav").get("lgravz_gas", False))
+                or _gp_par == "linear")
+            if _strat and grid.Lz > 0.0:
+                _rhom = _math.sqrt(2.0 * _math.pi) / grid.Lz
+                if _nuepi_par > 0.0:
+                    _rhom *= _rho0p * _cs0p / _nuepi_par
+            else:
+                _rhom = _rho0p
+            _nw = 1
+            for _n in (nx, ny, nz):
+                if _n > 1:
+                    _nw *= _n
+            _rhop_swarm = _epsd * _rhom / (float(_npar_tot) / _nw)
         modules.append(ParticlesDust(
             draglaw=("steadystate"
                      if par_p.get("ldraglaw_steadystate") else "epstein"),
+            npar_species=int(cpar.get("npar_species", 1)),
+            tausp_species=tuple(
+                float(v) for v in _as_tuple(
+                    par_p.get("tausp_species", []))),
+            ldragforce_equi_global_eps=bool(
+                par_p.get("ldragforce_equi_global_eps", False)),
+            ldragforce_gas_par=bool(
+                par_p.get("ldragforce_gas_par", False)),
+            rhop_swarm=_rhop_swarm,
+            gravz_profile=_gp_par,
+            nu_epicycle=_nuepi_par,
+            procgrid=(
+                int(cpar.get("nprocx",
+                             max(1, int(cpar.get("ncpus", 1))
+                                 // (int(cpar.get("nprocy", 1))
+                                     * int(cpar.get("nprocz", 1)))))),
+                int(cpar.get("nprocy", 1)),
+                int(cpar.get("nprocz", 1))),
             ap0=float(_first(prad_p.get("ap0", 0.0))),
             rhopmat=float(prad_p.get("rhopmat", 0.0)),
             mean_free_path_gas=float(par_p.get("mean_free_path_gas", 0.0)),
@@ -1494,6 +1540,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lcondensation_simplified=bool(
                 prad_p.get("lcondensation_simplified", False)),
             GS_condensation=float(prad_p.get("gs_condensation", 0.0)),
+            ldust_accretion=bool(prad_p.get("ldust_accretion", False)),
+            xi_accretion=float(prad_p.get("xi_accretion", 0.0)),
+            tstart_condensation=float(
+                prad_p.get("tstart_condensation_par", 0.0)),
             vthresh_sweepup=float(prad_p.get("vthresh_sweepup", -1.0)),
             vthresh_coagulation=float(
                 pnum_p.get("vthresh_coagulation", 0.0)),

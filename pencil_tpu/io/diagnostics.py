@@ -1259,6 +1259,54 @@ def _ekinp(pen, st):
     return 0.5 * mp * jnp.sum(p["vp"] ** 2)
 
 
+@diag("nmigmax")
+def _nmigmax(pen, st):
+    """Max over (virtual) ranks of migrating particles
+    (particles_mpicomm.f90:523-524)."""
+    p = _pp(st)
+    if p is None or "nmig" not in p:
+        return jnp.zeros(())
+    return p["nmig"]
+
+
+@diag("dedragp")
+def _dedragp(pen, st):
+    """Volume-mean gas heating by particle drag (particles_dust.f90:
+    4824-4835): drag_heat = Σ_k m_p/V_cell·τ_s,k⁻¹·|v_p−u|², averaged by
+    sum_mn_name → Σ_k ρp_swarm,k·τ⁻¹·up2_k / nwgrid."""
+    p = _pp(st)
+    if p is None:
+        return jnp.zeros(())
+    pmod = pen.cfg.module("particles")
+    gs = pen.cfg.grid
+    xp, vp = p["xp"], p["vp"]
+    if "uu" in pen.reg.slots:
+        from ..particles.interp import interpolate
+        ug = interpolate(pen.fg[pen.reg.slice("uu")], xp, gs,
+                         pmod.scheme).T
+    else:
+        ug = jnp.zeros_like(vp)
+    if "taus" in p:
+        t1 = 1.0 / p["taus"]
+    else:
+        t1 = 1.0 / pmod.tausp if pmod.tausp > 0.0 else 0.0
+    if "rhopswarm" in p:
+        mpv = p["rhopswarm"]
+    else:
+        eps = pmod.eps_dtog if pmod.eps_dtog > 0 else 1.0
+        dV = gs.dx * gs.dy * gs.dz
+        mpv = eps * gs.Lx * gs.Ly * gs.Lz / pmod.npar / dV
+    if getattr(pmod, "ldragforce_gas_par", False):
+        up2 = jnp.sum((vp - ug) ** 2, axis=1)
+    else:
+        up2 = jnp.sum(vp * (vp - ug), axis=1)
+    nw = 1
+    for n_ in gs.shape:
+        if n_ > 1:
+            nw *= n_
+    return jnp.sum(mpv * t1 * up2) / nw
+
+
 def _np_cells(pen, p):
     """NGP particle count per cell (the reference's np aux)."""
     from ..particles.interp import deposit
@@ -1723,13 +1771,49 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                                         + jnp.zeros((1,))) / cfg.time.cdtv3
                 out[n] = dt * val
             elif n == "dtdragp":
-                # dt·(1/τ_s)/cdtp_drag (particles_dust.f90 idiag_dtdragp,
-                # ilabel_max_dt printing: dt·rate)
+                # dt·max(dt1_drag), dt1_drag = (max_cell τ⁻¹ +
+                # [ldragforce_gas_par] ρ⁻¹·Σ_cell ρp_swarm·τ⁻¹)/cdtp_drag
+                # (particles_dust.f90:4840-4908, NGP cell accumulation)
                 pmod = cfg.module("particles")
-                if pmod is not None and pmod.tausp > 0:
-                    out[n] = dt / pmod.tausp / 0.2
-                else:
+                p = state.get("particles")
+                if pmod is None or p is None:
                     out[n] = jnp.zeros(())
+                else:
+                    gs = cfg.grid
+                    xp = p["xp"]
+                    if "taus" in p:
+                        t1 = 1.0 / p["taus"]
+                    elif pmod.tausp > 0:
+                        t1 = jnp.full((xp.shape[0],), 1.0 / pmod.tausp,
+                                      xp.dtype)
+                    else:
+                        t1 = jnp.zeros((xp.shape[0],), xp.dtype)
+                    idx = []
+                    for a, (q0, L, nn) in enumerate(
+                            ((gs.x0, gs.Lx, gs.nx), (gs.y0, gs.Ly, gs.ny),
+                             (gs.z0, gs.Lz, gs.nz))):
+                        i = jnp.clip(jnp.floor(
+                            (xp[:, a] - q0) / (L / nn)).astype(int),
+                            0, nn - 1)
+                        idx.append(i)
+                    flat = (idx[0] * gs.ny + idx[1]) * gs.nz + idx[2]
+                    ncell = gs.nx * gs.ny * gs.nz
+                    val = jnp.zeros((ncell,), xp.dtype).at[flat].max(t1)
+                    if getattr(pmod, "ldragforce_gas_par", False):
+                        if "rhopswarm" in p:
+                            mpv = p["rhopswarm"]
+                        else:
+                            eps_ = pmod.eps_dtog if pmod.eps_dtog > 0 \
+                                else 1.0
+                            dV = gs.dx * gs.dy * gs.dz
+                            mpv = jnp.full(
+                                (xp.shape[0],),
+                                eps_ * gs.Lx * gs.Ly * gs.Lz
+                                / pmod.npar / dV, xp.dtype)
+                        gast = jnp.zeros((ncell,), xp.dtype) \
+                            .at[flat].add(mpv * t1)
+                        val = val + gast * pen.rho1().reshape(-1)
+                    out[n] = dt * jnp.max(val) / 0.2
             elif n == "dtb":
                 # Alfvén advective fraction dt·max(√(vA²·Σ Δ⁻²))/cdt
                 # (idiag_dtb, magnetic.f90:557)

@@ -292,6 +292,17 @@ class Model:
                 state["fields"] = m.post_init(state["fields"], self)
         if (self.particles is not None
                 and getattr(self.particles, "vinit", "")
+                in ("dragforce_equilibrium", "dragforce-equilibrium")
+                and hasattr(self.particles, "nsh_equilibrium_init")):
+            # NSH drag equilibrium with the reference-default LOCAL
+            # dust-to-gas ratio (particles_dust.f90:1975-2032) — needs the
+            # assembled gas fields, so it runs post-assembly
+            state["fields"], state["particles"] = \
+                self.particles.nsh_equilibrium_init(
+                    state["fields"], state["particles"], self.reg,
+                    self.cfg.grid)
+        if (self.particles is not None
+                and getattr(self.particles, "vinit", "")
                 in ("follow-gas", "gas")
                 and "uu" in self.reg.slots):
             # initvvp='follow-gas': v_p = linear gas-velocity interpolation
@@ -713,9 +724,16 @@ class Model:
                 else:
                     dfp = jax.tree_util.tree_map(
                         lambda o, n, a=alpha[isub]: a * o + n, dfp, dp)
+                xp_pre = pstate.get("xp") if isub == 0 else None
                 pstate = jax.tree_util.tree_map(
                     lambda s_, d_, b=beta[isub]: s_ + b * dt * d_,
                     pstate, dfp)
+                if isub == 0 and "nmig" in pstate:
+                    # first-substep migration count (the reference counts
+                    # nmig_leave in the migration call of the diagnostic
+                    # substep, particles_mpicomm.f90:471-524)
+                    pstate["nmig"] = self.particles.mig_count(
+                        xp_pre, pstate["xp"], cfg.grid)
             if pm is not None:
                 # point masses ride the same 2N-RK, integrated in
                 # CARTESIAN (reference advance_particles_in_cartesian,

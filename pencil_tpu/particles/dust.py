@@ -20,6 +20,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ..ops.stencil import NGHOST
 from ..physics.base import ModuleBase, accumulate
 from .interp import deposit, interpolate
 
@@ -34,6 +35,10 @@ class ParticlesDust(ModuleBase):
     scheme: str = "tsc"           # 'ngp' | 'cic' | 'tsc'
     lgravz: bool = False
     gravz: float = 0.0
+    # particle gravity profile (particles_dust.f90:3526 particle_gravity;
+    # 'linear' → dvpz −= ν_epi²·z_p, :3607-3610)
+    gravz_profile: str = ""
+    nu_epicycle: float = 0.0
     init: str = "random"   # 'random' | 'equidistant' | 'random-cylindrical'
     vinit: str = "zero"           # 'zero' | 'gas' (match local gas velocity)
     # 'random-cylindrical' annulus (reference rp_int/rp_ext +
@@ -85,6 +90,11 @@ class ParticlesDust(ModuleBase):
     # reference proc count (cparam ncpus) — nparmax/nparmin diagnostics
     # report per-RANK particle counts (max over ranks of npar_loc)
     ncpus_ref: int = 1
+    # reference proc grid (cparam nprocx/y/z) — the nmigmax diagnostic
+    # (particles_mpicomm.f90:523 max over ranks of nmig_leave) is emulated
+    # by counting particles whose virtual-rank assignment changes during
+    # the first RK substep
+    procgrid: tuple = (1, 1, 1)
     # multi-species streaming instability (initial_condition/
     # streaming_instability.f90 + particles ldraglaw_simple): per-species
     # stopping times/loadings, 4(nspec+1)·2 flat si_ev floats, NSH
@@ -92,6 +102,17 @@ class ParticlesDust(ModuleBase):
     # linear solve (particles_sub.f90:1390 dragforce_equi_multispecies)
     npar_species: int = 1
     taus_species: tuple = ()
+    # absolute per-species stopping times (particles_dust.f90:44
+    # tausp_species; species from the global index by
+    # jspec = ns·(ipar−1)/npar + 1, particles_sub.f90:39-54)
+    tausp_species: tuple = ()
+    # NSH init eps choice (particles_dust.f90:109
+    # ldragforce_equi_global_eps, default .false. → LOCAL rhop/rho)
+    ldragforce_equi_global_eps: bool = False
+    # mass density per superparticle (particles_dust.f90:665:
+    # rhop_swarm = eps_dtog·rhom/(npar/nwgrid) with the stratification-
+    # aware rhom of :640-656)
+    rhop_swarm: float = 0.0
     eps_species: tuple = ()
     si_ev: tuple = ()
     si_amp: float = 1e-6
@@ -127,6 +148,12 @@ class ParticlesDust(ModuleBase):
     lfragmentation_par: bool = False
     lcondensation_simplified: bool = False
     GS_condensation: float = 0.0
+    # dust accretion growth da/dt = ξ·ρ/ρ₀ after t ≥ tstart
+    # (particles_radius.f90:807-812 ldust_accretion,
+    # tstart_condensation_par gate)
+    ldust_accretion: bool = False
+    xi_accretion: float = 0.0
+    tstart_condensation: float = 0.0
     vthresh_sweepup: float = -1.0
     vthresh_coagulation: float = 0.0
     deltavp12_floor: float = 0.0
@@ -345,17 +372,11 @@ class ParticlesDust(ModuleBase):
                 2.0 * jax.random.uniform(kv, (self.npar, 3), dtype) - 1.0)
         elif self.vinit in ("dragforce_equilibrium",
                             "dragforce-equilibrium"):
-            # NSH (1986) drag equilibrium with global dust-to-gas ratio ε
-            # (particles_dust.f90:1975-2032): vpx += βx·Ωτ/((1+ε)²+(Ωτ)²)·cs
-            # vpy += βx·(1+ε)/(2((1+ε)²+(Ωτ)²))·cs; the matching gas
-            # velocity is installed by the hydro 'nsh-equilibrium' hook in
-            # the run-dir loader
-            eps = self.eps_dtog
-            ot = self.Omega * self.tausp
-            den = (1.0 + eps) ** 2 + ot ** 2
-            bx = self.beta_glnrho_global[0]
-            vp = vp.at[:, 0].add(bx * ot / den * self.cs0)
-            vp = vp.at[:, 1].add(bx * (1.0 + eps) / (2.0 * den) * self.cs0)
+            # NSH (1986) drag equilibrium (particles_dust.f90:1975-2032)
+            # is applied post-assembly by ``nsh_equilibrium_init`` once the
+            # gas fields exist (the reference default samples the LOCAL
+            # dust-to-gas ratio from the deposited rhop field)
+            pass
         out = {"xp": xp, "vp": vp}
         if si_extra is not None:
             out.update(si_extra)
@@ -389,7 +410,95 @@ class ParticlesDust(ModuleBase):
             else:
                 out["npswarm"] = jnp.full((self.npar,),
                                           self.np_swarm0, dtype)
+        if (self.npar_species > 1 and "taus" not in out
+                and len(self.tausp_species) >= self.npar_species):
+            # per-species stopping times from the global particle index
+            # (particles_sub.f90:39-54 assign_species; tausp_species
+            # namelist particles_dust.f90:44)
+            import numpy as np
+            jsp = (np.arange(self.npar, dtype=np.int64)
+                   * self.npar_species) // self.npar
+            out["taus"] = jnp.asarray(
+                np.asarray(self.tausp_species, np.float64)[jsp], dtype)
+        if self.rhop_swarm > 0.0 and "rhopswarm" not in out:
+            # uniform mass density per superparticle (particles_dust.f90
+            # :665) — carried per particle so the back-reaction deposit and
+            # rhop diagnostics see the stratification-aware normalisation
+            out["rhopswarm"] = jnp.full((self.npar,), self.rhop_swarm,
+                                        dtype)
+        if self.procgrid[0] * self.procgrid[1] * self.procgrid[2] > 1:
+            out["nmig"] = jnp.zeros((), dtype)
         return out
+
+    def mig_count(self, xp_old, xp_new, spec):
+        """Max over virtual ranks of particles leaving that rank between
+        two position snapshots (particles_mpicomm.f90:471-524 nmig_leave →
+        max_name(idiag_nmigmax)); rank layout iproc = ipx + nprocx·(ipy +
+        nprocy·ipz) like the reference's proc grid."""
+        pg = self.procgrid
+        ncpu = pg[0] * pg[1] * pg[2]
+        lo = jnp.asarray([spec.x0, spec.y0, spec.z0], xp_old.dtype)
+        L = jnp.asarray([spec.Lx, spec.Ly, spec.Lz], xp_old.dtype)
+        pgf = jnp.asarray(pg, xp_old.dtype)
+        pgc = jnp.asarray([p - 1 for p in pg], jnp.int32)
+
+        def rank(x):
+            f = jnp.mod(x - lo, L) / L
+            r = jnp.clip(jnp.floor(f * pgf).astype(jnp.int32), 0, pgc)
+            return r[:, 0] + pg[0] * (r[:, 1] + pg[1] * r[:, 2])
+
+        r0, r1 = rank(xp_old), rank(xp_new)
+        moved = (r0 != r1).astype(jnp.int32)
+        cnt = jnp.zeros((ncpu,), jnp.int32).at[r0].add(moved)
+        return jnp.max(cnt).astype(xp_old.dtype)
+
+    def nsh_equilibrium_init(self, fields, pstate, reg, spec):
+        """initvvp='dragforce_equilibrium' (particles_dust.f90:1975-2032):
+        Nakagawa-Sekiya-Hayashi drag equilibrium between gas and dust.
+
+        By default (ldragforce_equi_global_eps=F) the dust-to-gas ratio is
+        LOCAL: eps(x) = rhop/rho with rhop the deposited particle density;
+        the gas gets  ux −= βx·ε·Ωτ/D·cs,  uy += βx·(1+ε+(Ωτ)²)/(2D)·cs
+        per grid point and each particle  vpx += βx·Ωτ/D·cs,
+        vpy += βx·(1+ε)/(2D)·cs  with ε sampled at its nearest grid point
+        (D = (1+ε)²+(Ωτ)²; τ is the GLOBAL tausp even with species).
+        Returns (fields, pstate) updated."""
+        dtype = pstate["xp"].dtype
+        bx = self.beta_glnrho_global[0]
+        cs = self.cs0
+        ot = self.Omega * self.tausp
+        if self.ldragforce_equi_global_eps:
+            eps3 = jnp.full(spec.shape, self.eps_dtog, dtype)
+        else:
+            rhop = self.rhop(pstate, None, spec)
+            if "rho" in fields:
+                rho = fields["rho"]
+            elif "lnrho" in fields:
+                rho = jnp.exp(fields["lnrho"])
+            else:
+                rho = jnp.ones(spec.shape, dtype)
+            eps3 = rhop / rho
+        den = (1.0 + eps3) ** 2 + ot ** 2
+        if "uu" in fields:
+            uu = fields["uu"]
+            uu = uu.at[0].add(-bx * eps3 * ot / den * cs)
+            uu = uu.at[1].add(bx * (1.0 + eps3 + ot ** 2) / (2.0 * den)
+                              * cs)
+            fields = dict(fields)
+            fields["uu"] = uu
+        # particle velocities: eps at the nearest grid point (the
+        # reference's ineargrid sample, :2016-2022)
+        g = NGHOST
+        epsg = jnp.pad(eps3[None], ((0, 0), (g, g), (g, g), (g, g)),
+                       mode="wrap")
+        epsk = interpolate(epsg, pstate["xp"], spec, "ngp")[0]
+        denk = (1.0 + epsk) ** 2 + ot ** 2
+        vp = pstate["vp"]
+        vp = vp.at[:, 0].add(bx * ot / denk * cs)
+        vp = vp.at[:, 1].add(bx * (1.0 + epsk) / (2.0 * denk) * cs)
+        pstate = dict(pstate)
+        pstate["vp"] = vp.astype(dtype)
+        return fields, pstate
 
     # -- dynamics -------------------------------------------------------
     def rhs_particles(self, pstate, pen, spec, df, ts,
@@ -490,6 +599,10 @@ class ParticlesDust(ModuleBase):
             dvp = dvp.at[:, 1].add(-(2.0 - q) * Om * vp[:, 0])
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz)
+        if self.gravz_profile == "linear" and self.nu_epicycle != 0.0:
+            # linear vertical gravity g_z = −ν_epi²·z_p
+            # (particles_dust.f90:3607-3610)
+            dvp = dvp.at[:, 2].add(-self.nu_epicycle ** 2 * xp[:, 2])
         if self.lcharged and "aa" in pen.reg.slots and "ap" in pstate:
             # Lorentz force (particles_charged.f90:1689-1716):
             # a = (q/m)(E + v×B), E = −(u×B) + ηJ, m = ρ_d·(4π/3)a³
@@ -580,7 +693,8 @@ class ParticlesDust(ModuleBase):
             ts.max_rate(tausp1 / 0.2)
         out = {"xp": dxp, "vp": dvp}
         if "ap" in pstate and (self.lsweepup_par or self.lfragmentation_par
-                               or self.lcondensation_simplified):
+                               or self.lcondensation_simplified
+                               or self.ldust_accretion):
             ap = pstate["ap"]
             nsw = pstate.get("npswarm", jnp.ones_like(ap))
             dap = jnp.zeros_like(ap)
@@ -591,6 +705,24 @@ class ParticlesDust(ModuleBase):
                 dap = dap + self.GS_condensation / ap
                 ts.max_rate(jnp.max(jnp.abs(self.GS_condensation)
                                     / ap ** 2) / self.cdtps)
+            if self.ldust_accretion and self.xi_accretion != 0.0:
+                # da/dt = ξ_accretion·ρ(x_p)/ρ₀ once t ≥ tstart
+                # (particles_radius.f90:807-812)
+                rname = "rho" if "rho" in pen.reg.slots else "lnrho"
+                rg_ = interpolate(pen.fg[pen.reg.slice(rname)], xp, spec,
+                                  "ngp", origin=origin, mask=mask)[0]
+                if sharded:
+                    for n_ in names:
+                        rg_ = jax.lax.psum(rg_, n_)
+                if rname == "lnrho":
+                    rg_ = jnp.exp(rg_)
+                rho0_ = pen.eos.rho0 if pen.eos is not None else 1.0
+                rate_ = self.xi_accretion * rg_ / rho0_
+                if self.tstart_condensation > 0.0:
+                    t_ = pen._cache.get("_t", 0.0)
+                    rate_ = jnp.where(t_ >= self.tstart_condensation,
+                                      rate_, 0.0)
+                dap = dap + rate_
             if self.lsweepup_par and "cc" in pen.reg.slots:
                 # grain growth by sweeping up the passive-scalar grains
                 # (particles_radius.f90:660-707): da/dt =
@@ -668,7 +800,8 @@ class ParticlesDust(ModuleBase):
                                     / jnp.maximum(nsw, 1e-30))
                             / self.cdtpf)
             out["ap"] = dap
-            out["npswarm"] = dnsw
+            if "npswarm" in pstate:
+                out["npswarm"] = dnsw
         if act is not None:
             out["active"] = jnp.zeros_like(act)
         for k, v in pstate.items():
@@ -798,6 +931,9 @@ class ParticlesDustSharded(ParticlesDust):
         dvp = -(vp - ug) * tausp1 * active[:, None]
         if self.lgravz and self.gravz != 0.0:
             dvp = dvp.at[:, 2].add(self.gravz * active)
+        if self.gravz_profile == "linear" and self.nu_epicycle != 0.0:
+            dvp = dvp.at[:, 2].add(-self.nu_epicycle ** 2 * xp[:, 2]
+                                   * active)
         dxp = vp * active[:, None]
         shear = pen.cfg.module("shear") if pen.cfg is not None else None
         if shear is not None:
