@@ -71,6 +71,19 @@ def parse_namelists(text: str) -> Dict[str, Dict[str, Any]]:
                          re.DOTALL | re.MULTILINE):
         gname = m.group(1).lower()
         body = m.group(2)
+        # mask quoted strings so '=' or key-lookalikes inside them cannot
+        # fool the assignment splitter (e.g. initaa='Ax=cosysinz')
+        _strings: List[str] = []
+
+        def _mask(sm, _s=_strings):
+            _s.append(sm.group(0))
+            return "\x00%d\x00" % (len(_s) - 1)
+
+        body = re.sub(r"'[^']*'|\"[^\"]*\"", _mask, body)
+
+        def _unmask(raw, _s=_strings):
+            return re.sub(r"\x00(\d+)\x00",
+                          lambda mm: _s[int(mm.group(1))], raw)
         params: Dict[str, Any] = {}
         # split into key=value chunks: find assignments; keys may be
         # array-indexed like initlnTT(2) (reference ninit-style arrays)
@@ -79,7 +92,7 @@ def parse_namelists(text: str) -> Dict[str, Dict[str, Any]]:
                 r"(?=(?:,\s*)?[A-Za-z]\w*(?:\(\d+\))?\s*=|\Z)",
                 body, re.DOTALL):
             key = am.group(1).lower()
-            raw = am.group(2).strip().rstrip(",")
+            raw = _unmask(am.group(2).strip().rstrip(","))
             toks = _split_values(raw)
             vals: List[Any] = []
             for t in toks:

@@ -785,7 +785,14 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             G = float(sg_p.get("gravitational_const"))
         else:
             G = float(sg_p.get("rhs_poisson_const", 1.0)) / (4.0 * _math.pi)
-        modules.append(SelfGravity(gravitational_const=G))
+        modules.append(SelfGravity(
+            gravitational_const=G,
+            lselfgravity_gas=bool(sg_p.get("lselfgravity_gas", True)),
+            lselfgravity_dust=bool(sg_p.get("lselfgravity_dust", False)),
+            lparticles_selfgravity=(
+                "particles_selfgravity"
+                in mkf.get("PARTICLES_SELFGRAVITY", "")),
+        ))
 
     hyd_p = grp("hydro")
     if "hydro_kinematic" in mkf.get("HYDRO", ""):
@@ -1484,6 +1491,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 par_p.get("ldragforce_equi_global_eps", False)),
             ldragforce_gas_par=bool(
                 par_p.get("ldragforce_gas_par", False)),
+            lselfgrav_par=("particles_selfgravity"
+                           in mkf.get("PARTICLES_SELFGRAVITY", "")),
             rhop_swarm=_rhop_swarm,
             gravz_profile=_gp_par,
             nu_epicycle=_nuepi_par,
@@ -1509,7 +1518,13 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eps_dtog=float(par_p.get("eps_dtog", 0.0)),
             scheme=scheme,
             init=str(_first(par_p.get("initxxp", "random"))),
+            init_list=tuple(
+                str(v) for v in _as_tuple(par_p.get("initxxp", "random"))),
             vinit=str(_first(par_p.get("initvvp", "zero"))),
+            amplxxp=float(par_p.get("amplxxp", 0.0)),
+            kx_xxp=float(par_p.get("kx_xxp", 0.0)),
+            ky_xxp=float(par_p.get("ky_xxp", 0.0)),
+            kz_xxp=float(par_p.get("kz_xxp", 0.0)),
             rp_int=float(run_pars.get("rp_int",
                                       init_pars.get("rp_int", 0.0))),
             rp_ext=float(run_pars.get("rp_ext",

@@ -1079,6 +1079,87 @@ def _shockmax(pen, st):
     return jnp.max(pen.field("shock"))
 
 
+def _beta1(pen):
+    """inverse plasma beta B²/(2µ₀p), p = ρcs²/γ (magnetic.f90:582-586
+    idiag_beta1m/beta1max/betam via the p%beta1 pencil)."""
+    mag = pen.cfg.module("magnetic")
+    mu0 = getattr(mag, "mu0", 1.0) if mag is not None else 1.0
+    gam = pen.eos.gamma if pen.eos is not None else 1.0
+    pp = pen.rho() * pen.cs2() / gam
+    return 0.5 * pen.b2() / (mu0 * jnp.maximum(pp, 1e-300))
+
+
+@diag("beta1m")
+def _beta1m(pen, st):
+    return _vmean(pen, _beta1(pen))
+
+
+@diag("beta1max")
+def _beta1max(pen, st):
+    return jnp.max(_beta1(pen))
+
+
+@diag("betam")
+def _betam(pen, st):
+    return _vmean(pen, 1.0 / jnp.maximum(_beta1(pen), 1e-300))
+
+
+@diag("dtgh")
+def _dtgh(pen, st):
+    """dt·max√advec_cg2/cdt: shallow-water gravity-wave timestep fraction
+    (special/shallow_water.f90:315-316 with advec_cg2 = (gη+gh₀)²·Σ Δ⁻²
+    at :472)."""
+    sw = pen.cfg.module("shallow_water")
+    if sw is None:
+        return jnp.zeros(())
+    rho = pen.field("rho")
+    x, y = pen.grid.xg, pen.grid.yg
+    h0 = sw._h0(x, y)
+    d1 = pen.dline_1()
+    dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+    cg2 = (rho + h0) ** 2 * dxyz2
+    return st["dt"] * jnp.sqrt(jnp.max(cg2)) / pen.cfg.time.cdt
+
+
+def _frad_surf(pen, zidx):
+    """Σ_plane −K(T)·T·∂_z lnT·dx·dy at a z boundary plane
+    (temperature_idealgas.f90:1673-1691 idiag_fradtop/fradbot via
+    surf_mn_name)."""
+    tm = pen.cfg.module("temperature")
+    if tm is None:
+        return jnp.zeros(())
+    TT = pen.TT()
+    gz = pen.glnTT()[2]
+    if getattr(tm, "lADI", False) or tm.Kmax != 0.0:
+        K, _ = tm.hcond(TT)
+    else:
+        K = tm.hcond0
+    gs = pen.cfg.grid
+    # dsurfxy with degenerate dims → 1 (diagnostics.f90:136-140)
+    dxe = gs.dx if gs.nx > 1 else 1.0
+    dye = gs.dy if gs.ny > 1 else 1.0
+    val = -(K * TT * gz)[:, :, zidx]
+    return jnp.sum(val) * dxe * dye
+
+
+@diag("alpm_int")
+def _alpm_int(pen, st):
+    """∫α_m dV (special/meanfield_alpm.f90:416 integrate_mn_name)."""
+    if "alpm" not in pen.reg.slots:
+        return jnp.zeros(())
+    return _vint(pen, pen.field("alpm"))
+
+
+@diag("fradbot")
+def _fradbot(pen, st):
+    return _frad_surf(pen, 0)
+
+
+@diag("fradtop")
+def _fradtop(pen, st):
+    return _frad_surf(pen, -1)
+
+
 @diag("gTmax")
 def _gtmax(pen, st):
     """max|∇T| = max(T·|∇lnT|)."""
@@ -1403,7 +1484,10 @@ for _k in (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 24):
 
 @diag("emag")
 def _emag(pen, st):
-    return 0.5 * _vmean(pen, pen.b2())
+    """∫B²/(2µ₀) dV (magnetic.f90:533, integrate_mn_name at :5766)."""
+    mag = pen.cfg.module("magnetic")
+    mu0 = getattr(mag, "mu0", 1.0) if mag is not None else 1.0
+    return _vint(pen, 0.5 * pen.b2() / mu0)
 
 
 @diag("vArms")
@@ -1743,6 +1827,13 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                         bfm.B_ext, fa.dtype)[:, None, None, None]
                     adv2 = adv2 + sum((bt[a] * d1[a]) ** 2
                                       for a in range(3)) * pen.rho1()
+                sw = cfg.module("shallow_water")
+                if sw is not None:
+                    # shallow-water gravity-wave class joins advec2
+                    # (special/shallow_water.f90:472-475)
+                    h0_ = sw._h0(pen.grid.xg, pen.grid.yg)
+                    dxyz2_ = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+                    adv2 = adv2 + (pen.field("rho") + h0_) ** 2 * dxyz2_
                 if not isinstance(adv2, float):
                     adv = adv + jnp.sqrt(adv2)
                 out[n] = dt * jnp.max(adv) / cfg.time.cdt

@@ -443,6 +443,10 @@ class Model:
         pen = Pencils(fg, grid, self.reg, cfg, self.eos,
                       mesh_axis_names, mesh_shape)
         pen._cache["_t"] = t
+        if pstate is not None:
+            # particle state for aux modules needing deposits (the
+            # particles_calc_selfpotential hook, selfgravity.f90:404)
+            pen._cache["_pstate"] = pstate
         if pm_xq is not None:
             pen._cache["_pm_xq"] = pm_xq
         if self.reg.nf > self.reg.ncom:

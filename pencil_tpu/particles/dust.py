@@ -82,7 +82,11 @@ class ParticlesDust(ModuleBase):
     # amplxxp, kx_xxp, kz_xxp + 14 reals = Re/Im of coeff(1..7)
     amplxxp: float = 0.0
     kx_xxp: float = 0.0
+    ky_xxp: float = 0.0
     kz_xxp: float = 0.0
+    # full initxxp cascade (e.g. 'equidistant','shift' —
+    # particles_dust.f90 init loop); `init` keeps the first entry
+    init_list: tuple = ()
     coeff: tuple = ()
     # constant velocity added to every particle at init (the NSH drag
     # equilibrium baseline from particles_drag lset_drag_equilibrium)
@@ -134,6 +138,10 @@ class ParticlesDust(ModuleBase):
     # acceleration (q/m)(E + v×B) with E = −dA/dt = −(u×B − ηJ)
     # (magnetic.f90:5506 lee_as_aux) interpolated at the particles;
     # m = rhodust·(4π/3)a³ per particle
+    # PARTICLES_SELFGRAVITY: particles feel −∇φ_self interpolated to
+    # their positions (particles_selfgravity.f90:229-290 dvvp_dt_selfgrav,
+    # linear interpolation default)
+    lselfgrav_par: bool = False
     lcharged: bool = False
     dust_charge: float = 0.0
     rhodust: float = 1.0
@@ -354,6 +362,18 @@ class ParticlesDust(ModuleBase):
                     xp = xp.at[:, a].set(c)
         else:
             raise NotImplementedError(self.init)
+        if "shift" in self.init_list:
+            # sinusoidal position shift on top of the equidistant lattice
+            # (particles_dust.f90 'shift': xp_i −= k_i/k²·A·sin(k·xp),
+            # components updated SEQUENTIALLY like the reference loop)
+            k2 = self.kx_xxp ** 2 + self.ky_xxp ** 2 + self.kz_xxp ** 2
+            if k2 > 0.0:
+                for a, ka in enumerate((self.kx_xxp, self.ky_xxp,
+                                        self.kz_xxp)):
+                    ph = (self.kx_xxp * xp[:, 0] + self.ky_xxp * xp[:, 1]
+                          + self.kz_xxp * xp[:, 2])
+                    xp = xp.at[:, a].add(-ka / k2 * self.amplxxp
+                                         * jnp.sin(ph))
         vp = jnp.zeros((self.npar, 3), dtype)
         if self.init in ("streaming_coldstart", "si_exact_mode"):
             vp = vp + vp_mode
@@ -370,6 +390,15 @@ class ParticlesDust(ModuleBase):
             # vp += delta_vp0·(2U−1) (particles_dust.f90 initvvp 'random')
             vp = vp + self.delta_vp0 * (
                 2.0 * jax.random.uniform(kv, (self.npar, 3), dtype) - 1.0)
+        elif self.vinit == "jeans-wave-dustpar-x":
+            # linear Jeans-wave drag eigenmode (particles_dust.f90
+            # 'jeans-wave-dustpar-x', rhs_poisson_const=1):
+            # vpx −= A·(√(1+4τ²)−1)/(2·kx·τ)·sin(kx·x)
+            if self.tausp > 0.0 and self.kx_xxp != 0.0:
+                fac = (math.sqrt(1.0 + 4.0 * self.tausp ** 2) - 1.0) \
+                    / (2.0 * self.kx_xxp * self.tausp)
+                vp = vp.at[:, 0].add(-self.amplxxp * fac
+                                     * jnp.sin(self.kx_xxp * xp[:, 0]))
         elif self.vinit in ("dragforce_equilibrium",
                             "dragforce-equilibrium"):
             # NSH (1986) drag equilibrium (particles_dust.f90:1975-2032)
@@ -603,6 +632,20 @@ class ParticlesDust(ModuleBase):
             # linear vertical gravity g_z = −ν_epi²·z_p
             # (particles_dust.f90:3607-3610)
             dvp = dvp.at[:, 2].add(-self.nu_epicycle ** 2 * xp[:, 2])
+        if self.lselfgrav_par and "gpotself" in pen.reg.slots:
+            # self-gravity on the particles: −∇φ interpolated (CIC, the
+            # reference interpolate_linear default;
+            # particles_selfgravity.f90:229-290)
+            gphi = pen.grad("gpotself")
+            gpad = pen.cfg.grid.nghost if pen.cfg else 3
+            gg = jnp.pad(gphi, ((0, 0), (gpad, gpad), (gpad, gpad),
+                                (gpad, gpad)), mode="wrap")
+            gp = interpolate(gg, xp, spec, "cic", origin=origin,
+                             mask=mask)
+            if sharded:
+                for n_ in names:
+                    gp = jax.lax.psum(gp, n_)
+            dvp = dvp - gp.T
         if self.lcharged and "aa" in pen.reg.slots and "ap" in pstate:
             # Lorentz force (particles_charged.f90:1689-1716):
             # a = (q/m)(E + v×B), E = −(u×B) + ηJ, m = ρ_d·(4π/3)a³

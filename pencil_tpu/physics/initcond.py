@@ -153,6 +153,11 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
         # ampl carries max_uu); x(l1) is the leftmost interior point
         xw = float(grid.interior(grid.x)[0])
         return jnp.stack([zero, ampl * (1.0 - (x / xw) ** 2) + zero, zero])
+    if name == "ax=cosysinz":
+        # A_x = A·cos(ky·y)·sin(kz·z) — the free-decay potential-field
+        # test mode (magnetic.f90:2054 → initcond.f90 cosy_sinz)
+        return jnp.stack([ampl * jnp.cos(ky * y) * jnp.sin(kz * z) + zero,
+                          zero, zero])
     if name == "x1cosycosz":
         # u_y += A·(1/x)·cos(ky·y)·cos(kz·z) — Taylor-Couette azimuthal
         # seed (initcond.f90 x1_cosy_cosz via hydro.f90:1808)

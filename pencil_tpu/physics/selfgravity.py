@@ -22,12 +22,38 @@ class SelfGravity(ModuleBase):
     name: ClassVar[str] = "selfgravity"
 
     gravitational_const: float = 1.0   # G in code units (rhs_poisson_const/4π)
+    # contribution selection (selfgravity.f90:38 namelist defaults);
+    # particle density enters whenever PARTICLES_SELFGRAVITY is compiled
+    # (particles_calc_selfpotential, selfgravity.f90:404)
+    lselfgravity_gas: bool = True
+    lselfgravity_dust: bool = False
+    lparticles_selfgravity: bool = False
 
     def register(self, reg):
         reg.register("gpotself", 1, "comm_aux")
 
     def compute_aux(self, pen, halo1):
-        rho = pen.rho()
+        rho = 0.0
+        if self.lselfgravity_gas:
+            rho = rho + pen.rho()
+        if self.lselfgravity_dust:
+            dmod = pen.cfg.module("dust")
+            if dmod is not None and "nd" in pen.reg.slots:
+                # fluid-dust mass density ρ_d = n_d·m_d
+                rho = rho + pen.field("nd") * getattr(dmod, "md", 1.0)
+            elif dmod is not None and "lnnd" in pen.reg.slots:
+                rho = rho + jnp.exp(pen.field("lnnd")) \
+                    * getattr(dmod, "md", 1.0)
+        if self.lparticles_selfgravity:
+            pstate = pen._cache.get("_pstate")
+            pmod = pen.cfg.module("particles")
+            if pstate is not None and pmod is not None:
+                # particle mass density joins the Poisson source
+                # (particles_selfgravity.f90 calc_selfpotential_particles;
+                # unsharded deposit — replicated-particle mode)
+                rho = rho + pmod.rhop(pstate, pen, pen.cfg.grid)
+        if isinstance(rho, float):
+            rho = jnp.zeros(pen.cfg.grid.shape, pen.fg.dtype)
         # GLOBAL mean over the mesh (Jeans swindle): a local jnp.mean inside
         # shard_map would subtract per-shard means and decouple the shards.
         mean = jnp.mean(rho)
@@ -41,4 +67,7 @@ class SelfGravity(ModuleBase):
         return {"gpotself": phi}
 
     def rhs(self, pen, df, ts):
-        accumulate(df, "uu", -pen.grad("gpotself"))
+        if self.lselfgravity_gas and "uu" in pen.reg.slots:
+            accumulate(df, "uu", -pen.grad("gpotself"))
+        if self.lselfgravity_dust and "uud" in pen.reg.slots:
+            accumulate(df, "uud", -pen.grad("gpotself"))
