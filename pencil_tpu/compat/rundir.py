@@ -528,6 +528,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
               ("unit_length", "unit_velocity", "unit_density",
                "unit_temperature", "unit_magnetic") if k in init_pars}
     _unit_system = str(init_pars.get("unit_system", "cgs"))
+    if all(k in init_pars for k in ("c_light", "g_newton", "hbar")):
+        # natural/Planck unit derivation (register.f90:460-492): when
+        # c_light, G_Newton, hbar are ALL set, velocity/density/length
+        # units follow from the cgs constants
+        _cl = 2.99792458e10 / float(init_pars["c_light"])
+        _Gf = 6.6742e-8 / float(init_pars["g_newton"])
+        _hf = 1.054571596e-27 / float(init_pars["hbar"])
+        _units["unit_velocity"] = _cl
+        _units["unit_density"] = _cl ** 5 / (_Gf ** 2 * _hf)
+        _units["unit_length"] = math.sqrt(_Gf * _hf / _cl ** 3)
     # unit_magnetic default √4π, or the µ0=1-consistent value under
     # lfix_unit_std (register.f90:496-516); µ0 in code units follows as
     # µ0_sys·ρ_u·(u_u/B_u)² (:275,:295) — ≠ 1 when B_u is inconsistent
@@ -594,6 +604,19 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(EosIdealGas(
             gamma=5.0 / 3.0, cs0=_cs0f, cp=_cpf,
             rho0=float(eos_p.get("rho0", 1.0)),
+        ))
+    elif "eos_temperature_ionization" in mkf.get("EOS", ""):
+        # (lnρ, lnT)-basis ionization EOS: explicit Saha at the evolved T
+        from ..physics.eos import EosTemperatureIonization
+        modules.append(EosTemperatureIonization(
+            gamma=_gamma_eos,
+            cs0=float(eos_p.get("cs0", 1.0)),
+            rho0=float(eos_p.get("rho0", 1.0)),
+            xHe=float(eos_p.get("xhe", 0.1)),
+            unit_length=_units.get("unit_length", 1.0),
+            unit_velocity=_units.get("unit_velocity", 1.0),
+            unit_density=_units.get("unit_density", 1.0),
+            unit_temperature=_units.get("unit_temperature", 1.0),
         ))
     elif ("eos_ionization" in mkf.get("EOS", "")
           and "temperature" not in mkf.get("EOS", "")):
@@ -939,6 +962,10 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         modules.append(TemperatureIonization(
             lupw_lnTT=bool(ent_p.get("lupw_lntt", False)),
             lviscosity_heat=bool(ent_p.get("lviscosity_heat", True)),
+            heat_uniform=float(ent_p.get("heat_uniform", 0.0)),
+            initlnTT=str(_first(ent_p.get("initlntt", "nothing"))),
+            lnTT_const=float(ent_p.get(
+                "lntt_const", ent_p.get("tt_const", 0.0))),
         ))
     elif "temperature" in ent_slot or ent_p.get("ltemperature_nolog") \
             or "initlntt" in ent_p:

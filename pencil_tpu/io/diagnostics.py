@@ -117,6 +117,14 @@ def _oum(pen, st):
     return _vmean(pen, oo[0] * uu[0] + oo[1] * uu[1] + oo[2] * uu[2])
 
 
+for _i, _c in enumerate("xyz"):
+    # per-component vorticity moments (hydro.f90 idiag_ox*m/o*2m)
+    DIAG_REGISTRY[f"o{_c}m"] = (
+        lambda pen, st, i=_i: _vmean(pen, pen.oo()[i]))
+    DIAG_REGISTRY[f"o{_c}2m"] = (
+        lambda pen, st, i=_i: _vmean(pen, pen.oo()[i] ** 2))
+
+
 @diag("ekin")
 def _ekin(pen, st):
     return 0.5 * _vmean(pen, pen.rho() * pen.u2())
@@ -341,6 +349,10 @@ def _ssm(pen, st):
     # reference parse_name leaves unmatched diagnostics at 0 (e.g. 'ssm'
     # requested under thermal_energy prints 0.0000E+00)
     if "ss" not in pen.reg.slots:
+        if "lnTT" in pen.reg.slots and hasattr(pen.eos, "ss"):
+            # lnTT-evolving ionization runs derive s from (lnρ, lnT)
+            # (temperature_ionization.f90 idiag_ssm via p%ss)
+            return _vmean(pen, pen.eos.ss(pen))
         return jnp.zeros(())
     return _vmean(pen, pen.ss())
 
@@ -595,11 +607,24 @@ def _eth(pen, st):
     return _vmean(pen, pen.rho() * e.cv * pen.TT())
 
 
+@diag("cv")
+def _cv_diag(pen, st):
+    """<cv> (temperature_ionization.f90:758)."""
+    e = pen.eos
+    if hasattr(e, "ion_pencils"):
+        return _vmean(pen, e.ion_pencils(pen)["cv"])
+    return jnp.asarray(float(getattr(e, "cv", 0.0)))
+
+
 @diag("ethm")
 def _ethm(pen, st):
     if "eth" in pen.reg.slots:
         return _vmean(pen, pen.field("eth"))
     e = pen.eos
+    if hasattr(e, "ion_pencils"):
+        # <ρe> with the (lnρ,lnT)-ionization energy
+        # (temperature_ionization.f90:756 p%ee/p%rho1)
+        return _vmean(pen, pen.rho() * e.ion_pencils(pen)["ee"])
     if hasattr(e, "yH"):
         # ionization EOS: e = 1.5(1+y+x_He)·s_ion·T + y·e_ion per MASS
         # (eos_ionization.f90:586 getdensity) → ethm = <ρ·e>

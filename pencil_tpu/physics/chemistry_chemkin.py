@@ -15,6 +15,8 @@ is reproduced for parity.
 """
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass, field as dfield
 from typing import ClassVar, Dict, Tuple
 
@@ -626,15 +628,44 @@ class TemperatureIonization(ModuleBase):
 
     lupw_lnTT: bool = False
     lviscosity_heat: bool = True
+    # pure-ionization branch (no chemistry module): PdV work
+    # −γ_m1·∇·u/δ (temperature_ionization.f90:109) and uniform heating
+    # +ρ⁻¹cv⁻¹T⁻¹·heat_uniform (calc_heat_cool)
+    heat_uniform: float = 0.0
+    initlnTT: str = "nothing"
+    lnTT_const: float = 0.0
 
     def register(self, reg):
         reg.register("lnTT", 1, "pde")
+
+    def init_fields(self, grid, spec, eos, key, cfg=None):
+        import jax.numpy as jnp
+        shape = (spec.nx, spec.ny, spec.nz)
+        if self.initlnTT in ("const_lnTT", "const-lnTT"):
+            return {"lnTT": jnp.full(shape, self.lnTT_const,
+                                     grid.x.dtype)}
+        if self.initlnTT in ("const_TT", "const-TT"):
+            return {"lnTT": jnp.full(shape, math.log(self.lnTT_const),
+                                     grid.x.dtype)}
+        return {}
 
     def rhs(self, pen, df, ts):
         if "uu" in pen.reg.slots:
             accumulate(df, "lnTT",
                        -pen.ugrad("lnTT", upwind=self.lupw_lnTT))
+        ion = (pen.eos.ion_pencils(pen)
+               if hasattr(pen.eos, "ion_pencils") else None)
+        if ion is not None and "uu" in pen.reg.slots:
+            # PdV with the ionization buffer δ
+            # (temperature_ionization.f90:109)
+            accumulate(df, "lnTT",
+                       -(ion["gamma"] - 1.0) / ion["delta"] * pen.divu())
+        if self.heat_uniform != 0.0 and ion is not None:
+            accumulate(df, "lnTT", pen.rho1() / ion["cv"] * pen.TT1()
+                       * self.heat_uniform)
         heat = pen._cache.get("visc_heat")
         cv = pen._cache.get("cv_mix")
+        if cv is None and ion is not None:
+            cv = ion["cv"]
         if self.lviscosity_heat and heat is not None and cv is not None:
             accumulate(df, "lnTT", heat / (cv * pen.TT()))

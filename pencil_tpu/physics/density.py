@@ -268,7 +268,17 @@ class Density(ModuleBase):
             ones = jnp.ones(spec.shape, grid.z.dtype)
             out = {"lnrho": lnrho[None, None, :] * ones}
             if col2 is not None and cfg is not None:
+                _ent = cfg.module("entropy")
+                _lnTT_evolved = (cfg.module("temperature") is not None
+                                 or (_ent is not None
+                                     and hasattr(_ent, "initlnTT")))
                 if self.strati_type in ("lnrho_lnTT", "lnrho_lnTT_acc") \
+                        and _lnTT_evolved:
+                    # energy slot evolves lnTT: install the column directly
+                    out["+lnTT"] = jnp.asarray(
+                        col2, grid.z.dtype)[None, None, :] * ones
+                elif self.strati_type in ("lnrho_lnTT",
+                                          "lnrho_lnTT_acc") \
                         and cfg.module("entropy") is not None:
                     lnTTcol = jnp.asarray(col2, grid.z.dtype)
                     if hasattr(eos, "ss_from_lnTT"):

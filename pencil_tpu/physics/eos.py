@@ -332,6 +332,97 @@ class EosIonizationFull(EosIdealGas):
 
 
 @dataclass(frozen=True)
+class EosTemperatureIonization(EosIonizationFull):
+    """(lnρ, lnT)-basis hydrogen-ionization EOS (reference
+    ``src/eos_temperature_ionization.f90``): the ionization fraction is
+    EXPLICIT at the evolved temperature (ioncalc :540-566,
+    y = 2√r/(√r+√(4+r)) with r = (ρ_e/ρ)(T/T_ion)^{3/2}e^{−T_ion/T});
+    thermodynamics from the pencil block :396-465:
+
+        μ⁻¹ = μ₀⁻¹(1+y+x_He),  μ₀⁻¹ = 1/(1+4x_He),  p = Rμ⁻¹ρT
+        cv = Rμ⁻¹(1.5 + y_cv·T_cv²)   y_cv = y(1−y)/((2−y)(1+y+x_He))
+        cp = Rμ⁻¹(2.5 + y_cp·T_cp²)   y_cp = y(1−y)/(2+x_He(2−y))
+        T_cv = 1.5+T_ion/T, T_cp = 2.5+T_ion/T, δ = 1+y_cp·T_cp
+        cs² = γ·(p/ρ)·α₁,  α₁ = (2+x_He(2−y))/((2−y)(1+y+x_He))
+        −∇p/ρ = −γ⁻¹cs²(∇lnρ + δ∇lnT)                        (:459)
+    """
+
+    name: ClassVar[str] = "eos"
+
+    @property
+    def _cti(self):
+        import math
+        ul, uv, ud, ut = (self.unit_length, self.unit_velocity,
+                          self.unit_density, self.unit_temperature)
+        umass = ud * ul ** 3
+        uenergy = umass * uv ** 2
+        utime = ul / uv
+        k_B = 1.3806505e-16 / (uenergy / ut)
+        m_e = 9.10938188e-28 / umass
+        m_u = 1.66053886e-24 / umass
+        hbar = 1.054571596e-27 / (uenergy * utime)
+        chiH = 13.6 * 1.602176462e-12 / uenergy
+        mu1_0 = 1.0 / (1.0 + 4.0 * self.xHe)
+        Rgas = k_B / m_u
+        TT_ion = chiH / k_B
+        rho_e = (1.0 / mu1_0) * m_u * ((m_e / hbar) * (chiH / hbar)
+                                       / (2.0 * math.pi)) ** 1.5
+        return dict(Rgas=Rgas, mu1_0=mu1_0, TT_ion=TT_ion, rho_e=rho_e)
+
+    def ion_pencils(self, pen):
+        return pen.get_cached("eos_ti", lambda: self._ti(pen))
+
+    def _ti(self, pen):
+        import jax.numpy as jnp
+        c = self._cti
+        rho1 = pen.rho1()
+        TT = jnp.exp(pen.field("lnTT"))
+        TT1 = 1.0 / TT
+        rhs = (c["rho_e"] * rho1 * (TT / c["TT_ion"]) ** 1.5
+               * jnp.exp(-jnp.clip(c["TT_ion"] * TT1, 0.0, 600.0)))
+        s = jnp.sqrt(rhs)
+        yH = 2.0 * s / (s + jnp.sqrt(4.0 + rhs))
+        mu1 = c["mu1_0"] * (1.0 + yH + self.xHe)
+        pp = c["Rgas"] * mu1 * pen.rho() * TT
+        ycv = yH * (1.0 - yH) / ((2.0 - yH) * (1.0 + yH + self.xHe))
+        ycp = yH * (1.0 - yH) / (2.0 + self.xHe * (2.0 - yH))
+        tcv = 1.5 + TT1 * c["TT_ion"]
+        tcp = 2.5 + TT1 * c["TT_ion"]
+        cv = c["Rgas"] * mu1 * (1.5 + ycv * tcv ** 2)
+        cp = c["Rgas"] * mu1 * (2.5 + ycp * tcp ** 2)
+        gamma = cp / cv
+        delta = 1.0 + ycp * tcp
+        alpha1 = ((2.0 + self.xHe * (2.0 - yH))
+                  / ((2.0 - yH) * (1.0 + yH + self.xHe)))
+        cs2 = gamma * rho1 * pp * alpha1
+        # e = 1.5·Rμ⁻¹T + y·Rμ₀⁻¹T_ion (:465)
+        ee = (1.5 * c["Rgas"] * mu1 * TT
+              + yH * c["Rgas"] * c["mu1_0"] * c["TT_ion"])
+        return dict(yH=yH, mu1=mu1, pp=pp, cv=cv, cp=cp, gamma=gamma,
+                    delta=delta, cs2=cs2, ee=ee)
+
+    def yH(self, pen):
+        return self.ion_pencils(pen)["yH"]
+
+    def lnTT(self, pen):
+        return pen.field("lnTT")
+
+    def cs2(self, pen):
+        return self.ion_pencils(pen)["cs2"]
+
+    def fpres(self, pen):
+        """−∇p/ρ = −γ⁻¹cs²(∇lnρ + δ∇lnT) (:459 rho1gpp)."""
+        p = self.ion_pencils(pen)
+        return -(p["cs2"] / p["gamma"])[None] * (
+            pen.glnrho() + p["delta"][None] * pen.grad("lnTT"))
+
+    def ss(self, pen):
+        """Sackur-Tetrode entropy from (lnρ, lnT) — reuses the
+        eos_ionization inversion (eoscalc ilnrho_lnTT)."""
+        return self.ss_from_lnTT(pen.lnrho(), pen.field("lnTT"))
+
+
+@dataclass(frozen=True)
 class EosLocalIso(EosIdealGas):
     """Locally isothermal disk thermodynamics (reference ``llocal_iso``:
     cdata.f90 flag + initial_condition/centrifugal_balance.f90

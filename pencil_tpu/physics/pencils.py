@@ -604,6 +604,10 @@ class Pencils:
     def fpres(self):
         """−∇p/ρ for the ideal-gas EOS: −cs²(∇lnρ + ∇s/cp), or with lnTT
         evolved, −(cs²/γ)(∇lnρ + ∇lnT)."""
+        if hasattr(self.eos, "fpres"):
+            # EOS-owned pressure force (e.g. eos_temperature_ionization
+            # rho1gpp with the Kippenhahn-Weigert δ, :459)
+            return self.eos.fpres(self)
         cs2 = self.cs2()
         if "chem" in self.reg.slots and "lnTT" in self.reg.slots \
                 and self.cfg is not None \
