@@ -391,9 +391,17 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
             (float(kk[i, 0]), float(kk[i, 1]), float(kk[i, 2]),
              float(phase[i]), float(phi[i]))
             for i in range(nt))
+        _eosm = by_name.get("eos")
+        _cs0eff = float(getattr(_eosm, "cs0", 1.0)) if _eosm is not None \
+            else 1.0
         modules = tuple(
             Forcing(force=m.force, kf=m.kf, relhel=m.relhel,
-                    sequence=seq, kav=kav) if m.name == "forcing" else m
+                    sequence=seq, kav=kav,
+                    # normalization uses cs0 unless overridden
+                    # (forcing.f90:906-913)
+                    cs0eff=(m.cs0eff if m.cs0eff != 1.0 else _cs0eff),
+                    lscale_kvector_tobox=m.lscale_kvector_tobox)
+            if m.name == "forcing" else m
             for m in modules)
     return (overrides or None), modules
 
@@ -1382,6 +1390,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             iforcing_cont=str(_first(for_p.get("iforcing_cont", ""))),
             ampl_ff=float(_first(for_p.get("ampl_ff", 0.0))),
             k1_ff=float(for_p.get("k1_ff", 1.0)),
+            lscale_kvector_tobox=bool(
+                for_p.get("lscale_kvector_tobox", False)),
             fcont_box=(grid.x0, grid.x0 + grid.Lx,
                        grid.z0, grid.z0 + grid.Lz),
         ))
@@ -1460,6 +1470,37 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             init=pinit,
             ampl=pampl,
             diffcc=float(psc_p.get("pscalar_diff", psc_p.get("diffcc", 0.0))),
+        ))
+
+    asc_p = grp("ascalar")
+    if asc_p and "noascalar" not in mkf.get("ASCALAR", "noascalar"):
+        from ..physics.smallslots import CondensingScalar
+        _pp_asc = grp("particles")
+        modules.append(CondensingScalar(
+            ascalar_diff=float(asc_p.get("ascalar_diff", 0.0)),
+            thermal_diff=float(asc_p.get("thermal_diff", 0.0)),
+            lttc=bool(asc_p.get("lttc", False)),
+            lttc_mean=bool(asc_p.get("lttc_mean", False)),
+            lbuoyancy=bool(asc_p.get("lbuoyancy", False)),
+            lcondensation_rate=bool(
+                asc_p.get("lcondensation_rate", False)),
+            acc_const=float(asc_p.get("acc_const", 0.0)),
+            ttc_const=float(asc_p.get("ttc_const", 0.0)),
+            latent_heat=float(asc_p.get("latent_heat", 2.5e6)),
+            cp_constant=float(asc_p.get("cp_constant", 1005.0)),
+            const1_qvs=float(asc_p.get("const1_qvs", 2.53e11)),
+            const2_qvs=float(asc_p.get("const2_qvs", 5420.0)),
+            Rv=float(asc_p.get("rv", 461.5)),
+            rhoa=float(asc_p.get("rhoa", 1.0)),
+            gravity_acceleration=float(
+                asc_p.get("gravity_acceleration", 9.81)),
+            Rv_over_Rd_minus_one=float(
+                asc_p.get("rv_over_rd_minus_one", 0.608)),
+            T_env=float(asc_p.get("t_env", 293.0)),
+            qv_env=float(asc_p.get("qv_env", 1e-2)),
+            G_condensation=float(_pp_asc.get("g_condensation", 0.0)),
+            rhopmat=float(_g(start, "particles_radius_init_pars")
+                          .get("rhopmat", 1.0)),
         ))
 
     par_p = grp("particles")

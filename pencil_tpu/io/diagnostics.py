@@ -1104,6 +1104,12 @@ def _shockmax(pen, st):
     return jnp.max(pen.field("shock"))
 
 
+@diag("bm2")
+def _bm2(pen, st):
+    """max(B²) (magnetic.f90:435 idiag_bm2)."""
+    return jnp.max(pen.b2())
+
+
 def _beta1(pen):
     """inverse plasma beta B²/(2µ₀p), p = ρcs²/γ (magnetic.f90:582-586
     idiag_beta1m/beta1max/betam via the p%beta1 pencil)."""
@@ -1165,6 +1171,90 @@ def _frad_surf(pen, zidx):
     dye = gs.dy if gs.ny > 1 else 1.0
     val = -(K * TT * gz)[:, :, zidx]
     return jnp.sum(val) * dxe * dye
+
+
+def _asc_mod(pen):
+    m = pen.cfg.module("ascalar")
+    return m if (m is not None and hasattr(m, "ssat_field")) else None
+
+
+def _asc_cond(pen, st):
+    """(ssat, condRate, qw, buoyancy) recomputed from state; zero at it=0
+    like the reference's still-empty aux slots (ascalar.f90 issat/
+    icondensationRate/iwaterMixingRatio filled only during rhs)."""
+    m = _asc_mod(pen)
+    if m is None:
+        return None
+    ssat = m.ssat_field(pen)
+    p = st.get("particles")
+    z = jnp.zeros_like(ssat)
+    if p is not None and "ap" in p:
+        itau, qw = m.particle_deposits(pen, p)
+        crate = ssat * m.G_condensation * itau
+    else:
+        crate, qw = z, z
+    live = (st["it"] > 0).astype(ssat.dtype)
+    if m.lbuoyancy and "ttc" in pen.reg.slots:
+        # buoyancy is evaluated inline (not an aux) so it is live at
+        # it=0 — but reads the still-zero waterMixingRatio aux there
+        acc = pen.field("acc")
+        ttc = pen.field("ttc")
+        buoy = m.gravity_acceleration * (
+            (ttc - m.T_env) / jnp.maximum(ttc, 1e-30)
+            + m.Rv_over_Rd_minus_one * (acc - m.qv_env)
+            / jnp.maximum(acc, 1e-30) - qw * live)
+    else:
+        buoy = z
+    return {"ssat": ssat * live, "condensationRate": crate * live,
+            "waterMixingRatio": qw * live, "buoyancy": buoy}
+
+
+def _mk_asc(name, stat):
+    def g(pen, st):
+        d = _asc_cond(pen, st)
+        if d is None:
+            return jnp.zeros(())
+        x = d[name]
+        return jnp.sqrt(_vmean(pen, x * x)) if stat == "rms" \
+            else _vmean(pen, x)
+    return g
+
+
+for _nm in ("ssat", "condensationRate", "waterMixingRatio", "buoyancy"):
+    DIAG_REGISTRY[f"{_nm}rms"] = _mk_asc(_nm, "rms")
+    DIAG_REGISTRY[f"{_nm}m"] = _mk_asc(_nm, "m")
+
+
+def _mk_field_stat(fname, stat):
+    def g(pen, st):
+        if fname not in pen.reg.slots:
+            return jnp.zeros(())
+        x = pen.field(fname)
+        if stat == "rms":
+            return jnp.sqrt(_vmean(pen, x * x))
+        if stat == "m":
+            return _vmean(pen, x)
+        if stat == "max":
+            return jnp.max(x)
+        return jnp.min(x)
+    return g
+
+
+for _f in ("acc", "ttc"):
+    for _s in ("rms", "m", "max", "min"):
+        DIAG_REGISTRY[f"{_f}{_s}"] = _mk_field_stat(_f, _s)
+
+
+@diag("gpotenp")
+def _gpotenp(pen, st):
+    """<φ_self·ρ_p> particle gravitational potential energy
+    (particles_selfgravity.f90:217)."""
+    p = _pp(st)
+    if p is None or "gpotself" not in pen.reg.slots:
+        return jnp.zeros(())
+    pmod = pen.cfg.module("particles")
+    rhop = pmod.rhop(p, pen, pen.cfg.grid)
+    return _vmean(pen, pen.field("gpotself") * rhop)
 
 
 @diag("alpm_int")
@@ -1777,7 +1867,8 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
                and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv",
-                             "dtdiffus", "dtdragp", "dtb", "dteta")
+                             "dtdiffus", "dtdragp", "dtb", "dteta",
+                             "dtd")
                and not _chem_diag(n) and not _pm_diag(n)
                and not _gw_diag(n) and not _dust_diag(n)]
     if unknown:
@@ -1886,6 +1977,22 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                     val = val + jnp.max(ts_.maxdiffus3 * dxyz6
                                         + jnp.zeros((1,))) / cfg.time.cdtv3
                 out[n] = dt * val
+            elif n == "dtd":
+                # dt·max(diffus_diffrho)/cdtv — density diffusion class:
+                # Fickian + shock (density.f90:3025; hyper3 → dtd3)
+                den_ = cfg.module("density")
+                d1 = pen.dline_1()
+                dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+                val = jnp.zeros(())
+                if den_ is not None:
+                    if den_.diffrho > 0.0:
+                        val = val + jnp.max(den_.diffrho * dxyz2
+                                            + jnp.zeros((1,)))
+                    if den_.diffrho_shock > 0.0 \
+                            and "shock" in reg.slots:
+                        val = val + jnp.max(den_.diffrho_shock
+                                            * pen.field("shock") * dxyz2)
+                out[n] = dt * val / cfg.time.cdtv
             elif n == "dtdragp":
                 # dt·max(dt1_drag), dt1_drag = (max_cell τ⁻¹ +
                 # [ldragforce_gas_par] ρ⁻¹·Σ_cell ρp_swarm·τ⁻¹)/cdtp_drag

@@ -735,9 +735,13 @@ class ParticlesDust(ModuleBase):
         elif tausp1 > 0.0:
             ts.max_rate(tausp1 / 0.2)
         out = {"xp": dxp, "vp": dvp}
+        asc = pen.cfg.module("ascalar") if pen.cfg is not None else None
         if "ap" in pstate and (self.lsweepup_par or self.lfragmentation_par
                                or self.lcondensation_simplified
-                               or self.ldust_accretion):
+                               or self.ldust_accretion
+                               or (asc is not None
+                                   and asc.lcondensation_rate
+                                   and asc.G_condensation != 0.0)):
             ap = pstate["ap"]
             nsw = pstate.get("npswarm", jnp.ones_like(ap))
             dap = jnp.zeros_like(ap)
@@ -766,6 +770,23 @@ class ParticlesDust(ModuleBase):
                     rate_ = jnp.where(t_ >= self.tstart_condensation,
                                       rate_, 0.0)
                 dap = dap + rate_
+            if (asc is not None and asc.lcondensation_rate
+                    and asc.G_condensation != 0.0):
+                # condensation growth da/dt = G·ssat(x_p)/a with the NGP
+                # supersaturation (particles_radius.f90:818, ascalar_ngp)
+                ssat_ = pen._cache.get("ascalar_ssat")
+                if ssat_ is None:
+                    ssat_ = asc.ssat_field(pen)
+                gpad_ = pen.cfg.grid.nghost if pen.cfg else 3
+                sg_ = jnp.pad(ssat_[None],
+                              ((0, 0), (gpad_, gpad_), (gpad_, gpad_),
+                               (gpad_, gpad_)), mode="wrap")
+                sk_ = interpolate(sg_, xp, spec, "ngp", origin=origin,
+                                  mask=mask)[0]
+                if sharded:
+                    for n_ in names:
+                        sk_ = jax.lax.psum(sk_, n_)
+                dap = dap + asc.G_condensation * sk_ / ap
             if self.lsweepup_par and "cc" in pen.reg.slots:
                 # grain growth by sweeping up the passive-scalar grains
                 # (particles_radius.f90:660-707): da/dt =

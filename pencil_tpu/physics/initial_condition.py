@@ -246,6 +246,72 @@ def ic_centrifugal_balance(grid, spec, eos, cfg, params):
         out["rho"] = jnp.exp(lnrho) * ones
     else:
         out["lnrho"] = lnrho * ones
+    if str(p.get("initcond_aa", "")) == "lambda_over_Lz_cte" \
+            and cfg.module("magnetic") is not None:
+        # radially-dependent vertical field Bz = B₀(r/r_ref)^(−pblaw),
+        # B₀ = Lz/(zmode·2π), capped between rm_int/rm_ext by tanh steps,
+        # then Aφ = (1/r)∫Bz·r dr via the reference's 7-point composite
+        # rule (centrifugal_balance.f90:1164-1173 + set_field/cap_field/
+        # integrate :1192-1290)
+        import numpy as np
+        zmode = float(p.get("zmode_mag", 1.0))
+        pblaw = float(p.get("magnetic_power_law", 1.5 + 0.5 * p_rho))
+        B0 = spec.Lz / (zmode * 2.0 * np.pi)
+        g = spec.nghost
+        xg1 = np.asarray(grid.x, np.float64)      # ghosted 1-D x
+        dx = spec.dx
+        Breal = B0 * (np.maximum(xg1, 1e-30) / r_ref) ** (-pblaw)
+        rm_int = float(p.get("rm_int", -1e30))
+        rm_ext = float(p.get("rm_ext", 1e30))
+        w1 = float(p.get("widthbb1", 0.0)) or 5.0 * dx
+        w2 = float(p.get("widthbb2", 0.0)) or 5.0 * dx
+
+        def _step(xv, x0, w):
+            return 0.5 * (1.0 + np.tanh((xv - x0) / w))
+
+        bz = Breal * (_step(xg1, rm_int, w1) - _step(xg1, rm_ext, w2))
+        bb = bz * xg1                              # integrand Bz·r
+        acc = np.zeros(spec.nx + 1)
+        for i in range(g, g + spec.nx):
+            ig = i - g + 1
+            acc[ig] = acc[ig - 1] + dx / 6.0 * (
+                bb[i - 3] + bb[i + 3]
+                + 4.0 * (bb[i - 2] + bb[i] + bb[i + 2])
+                + 2.0 * (bb[i - 1] + bb[i + 1])) / 3.0
+        aphi = acc[1:]
+        xi = np.asarray(grid.interior(grid.x), np.float64)
+        aa = jnp.zeros((3,) + spec.shape, grid.x.dtype)
+        ay_prof = jnp.asarray(aphi / xi, grid.x.dtype)
+        if cfg.grid.coords == "spherical":
+            az = ay_prof[:, None, None] * jnp.sin(grid.yg) + 0.0 * ones
+            aa = aa.at[2].set(az)
+        else:
+            aa = aa.at[1].set(ay_prof[:, None, None] + 0.0 * ones)
+        out["+aa"] = aa
+    elif str(p.get("initcond_aa", "")) == "Alfven-zconst" \
+            and cfg.module("magnetic") is not None:
+        # radially variable vertical field, 4 Balbus-Hawley wavelengths:
+        # Aφ = A/(r(2−q))·(r²+r0²)^{1−q/2} (cartesian cylinder-in-box) /
+        # Aφ = −A/(2−q+1+1)·r^{2−q}... (spherical branch)
+        # (centrifugal_balance.f90:1015-1051)
+        zmode = float(p.get("zmode_mag", 16.0))
+        qg = float(p.get("qgshear", 1.5))
+        r0p = float(getattr(grav, "r0_pot", 0.0)) if grav else 0.0
+        aa = jnp.zeros((3,) + spec.shape, grid.x.dtype)
+        if cfg.grid.coords == "spherical":
+            amplbb = spec.Ly / (2.0 * zmode * jnp.pi)
+            pblaw = 1.0 - qg
+            rr = grid.xg + 0.0 * ones
+            Aphi = -amplbb / (pblaw + 2.0) * rr ** (pblaw + 1.0)
+            aa = aa.at[2].set(Aphi / jnp.sin(grid.yg))
+        else:
+            amplbb = spec.Lz / (2.0 * zmode * jnp.pi)
+            rr = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2) + 0.0 * ones
+            Aphi = amplbb / (rr * (2.0 - qg)) \
+                * (rr ** 2 + r0p ** 2) ** (1.0 - qg / 2.0)
+            aa = aa.at[0].set(-Aphi * grid.yg / rr)
+            aa = aa.at[1].set(Aphi * grid.xg / rr)
+        out["+aa"] = aa
     return out
 
 

@@ -242,3 +242,132 @@ class ActiveScalar(ModuleBase):
         from .initcond import init_scalar
         return {"acc": init_scalar(self.init, grid, spec, eos, key,
                                    ampl=self.ampl, kx=self.kx, field="acc")}
+
+
+@dataclass(frozen=True)
+class CondensingScalar(ModuleBase):
+    """Cloud-microphysics active scalar (reference ``src/ascalar.f90``
+    with lcondensation_rate): evolves the water-vapor mixing ratio
+    ``acc`` and (lttc) the condensation temperature ``ttc``:
+
+      ssat = acc/q_vs(T) − 1,  q_vs = c₁·e^{−c₂/T}/(R_v·ρ_a·T)   (:449-451)
+      C(x) = ssat·Σ_cell 4π(ρ_mat/ρ_a)·a_k·n_k·G                 (:4860)
+      dacc/dt = −u·∇acc + D∇²acc − C                             (:381-386,442)
+      dttc/dt = −u·∇ttc + D_T∇²ttc + C·L/c_p                     (:390-392,445)
+      du_z/dt += g[(ttc−T_env)/ttc + (R_v/R_d−1)(acc−q_env)/acc − q_w]
+                                                                  (:456-460)
+      q_w = Σ_cell (4π/3)(ρ_mat/ρ_a)·a³·n                        (particles_
+                                                        dust.f90:4862-4864)
+
+    The particle deposits come from the pstate stashed in the pencil
+    cache; the particle radius growth da/dt = G·ssat/a is applied by the
+    particles module (particles_radius.f90:818)."""
+
+    name: ClassVar[str] = "ascalar"
+
+    ascalar_diff: float = 0.0
+    thermal_diff: float = 0.0
+    lttc: bool = False
+    lttc_mean: bool = False
+    lbuoyancy: bool = False
+    lcondensation_rate: bool = False
+    acc_const: float = 0.0
+    ttc_const: float = 0.0
+    latent_heat: float = 2.5e6
+    cp_constant: float = 1005.0
+    const1_qvs: float = 2.53e11
+    const2_qvs: float = 5420.0
+    Rv: float = 461.5
+    rhoa: float = 1.0
+    gravity_acceleration: float = 9.81
+    Rv_over_Rd_minus_one: float = 0.608
+    T_env: float = 293.0
+    qv_env: float = 1e-2
+    G_condensation: float = 0.0
+    rhopmat: float = 1.0
+    lupw: bool = False
+
+    def register(self, reg):
+        reg.register("acc", 1, "pde")
+        if self.lttc:
+            reg.register("ttc", 1, "pde")
+
+    def init_fields(self, grid, spec, eos, key, cfg=None):
+        import jax.numpy as jnp
+        ones = jnp.ones(spec.shape, grid.x.dtype)
+        out = {"acc": self.acc_const * ones}
+        if self.lttc:
+            out["ttc"] = self.ttc_const * ones
+        return out
+
+    # -- shared derived fields -------------------------------------------
+    def qvs(self, ttc):
+        import jax.numpy as jnp
+        es = self.const1_qvs * jnp.exp(-self.const2_qvs
+                                       / jnp.maximum(ttc, 1e-30))
+        return es / (self.Rv * self.rhoa * jnp.maximum(ttc, 1e-30))
+
+    def ssat_field(self, pen):
+        import jax.numpy as jnp
+        acc = pen.field("acc")
+        ttc = pen.field("ttc") if "ttc" in pen.reg.slots \
+            else jnp.full_like(acc, self.T_env)
+        return acc / self.qvs(ttc) - 1.0
+
+    def particle_deposits(self, pen, pstate):
+        """(Σ 4π(ρmat/ρa)·a·n, Σ (4π/3)(ρmat/ρa)·a³·n) per cell — the
+        NGP tauascalar / waterMixingRatio deposits
+        (particles_dust.f90:4850-4880, ascalar_ngp)."""
+        import jax.numpy as jnp
+        from ..particles.interp import deposit
+        gs = pen.cfg.grid
+        ap = pstate["ap"]
+        nsw = pstate.get("npswarm", jnp.ones_like(ap))
+        pi4 = 4.0 * 3.141592653589793
+        fac = pi4 * self.rhopmat / self.rhoa
+        itau = deposit(fac * ap * nsw, pstate["xp"], gs, gs.shape, "ngp",
+                       dtype=ap.dtype)
+        qw = deposit((fac / 3.0) * ap ** 3 * nsw, pstate["xp"], gs,
+                     gs.shape, "ngp", dtype=ap.dtype)
+        return itau, qw
+
+    def rhs(self, pen, df, ts):
+        import jax.numpy as jnp
+        acc = pen.field("acc")
+        out = -pen.ugrad("acc", upwind=self.lupw)
+        if self.ascalar_diff != 0.0:
+            out = out + self.ascalar_diff * pen.del2s("acc")
+            ts.diffus(self.ascalar_diff)
+        dttc = None
+        if "ttc" in pen.reg.slots:
+            dttc = -pen.ugrad("ttc", upwind=self.lupw)
+            if self.thermal_diff != 0.0:
+                dttc = dttc + self.thermal_diff * pen.del2s("ttc")
+                ts.diffus(self.thermal_diff)
+        if self.lcondensation_rate:
+            ssat = self.ssat_field(pen)
+            pen._cache["ascalar_ssat"] = ssat
+            pstate = pen._cache.get("_pstate")
+            if pstate is not None and "ap" in pstate:
+                itau, qw = self.particle_deposits(pen, pstate)
+                crate = ssat * self.G_condensation * itau
+                pen._cache["ascalar_crate"] = crate
+                pen._cache["ascalar_qw"] = qw
+                out = out - crate
+                if dttc is not None:
+                    dttc = dttc + crate * self.latent_heat \
+                        / self.cp_constant
+                if self.lbuoyancy and "uu" in pen.reg.slots \
+                        and dttc is not None:
+                    ttc = pen.field("ttc")
+                    buoy = self.gravity_acceleration * (
+                        (ttc - self.T_env) / jnp.maximum(ttc, 1e-30)
+                        + self.Rv_over_Rd_minus_one
+                        * (acc - self.qv_env) / jnp.maximum(acc, 1e-30)
+                        - qw)
+                    pen._cache["ascalar_buoy"] = buoy
+                    duu = jnp.zeros((3,) + buoy.shape, buoy.dtype)
+                    accumulate(df, "uu", duu.at[2].set(buoy))
+        accumulate(df, "acc", out)
+        if dttc is not None:
+            accumulate(df, "ttc", dttc)
