@@ -72,6 +72,11 @@ def cfl_dt1(ts, grid, time_cfg):
     dif = 0.0
     if not (isinstance(ts.maxdiffus, float) and ts.maxdiffus == 0.0):
         dif = ts.maxdiffus * dxyz2 / time_cfg.cdtv
+    extra_dif = getattr(ts, "maxdiffus_scaled", 0.0)
+    if not isinstance(extra_dif, float):
+        # pre-scaled diffusion rates (the meanfield_e_tensor EMF class
+        # folds dline_1 into diffus_special itself)
+        dif = dif + extra_dif / time_cfg.cdtv
     if not (isinstance(ts.maxdiffus3, float) and ts.maxdiffus3 == 0.0):
         dxyz6 = grid.dx1 ** 6 + grid.dy1 ** 6 + grid.dz1 ** 6
         dif = dif + ts.maxdiffus3 * dxyz6 / time_cfg.cdtv3

@@ -41,6 +41,13 @@ class TimestepAccum:
         src/equ.f90:916-931)."""
         self.advec_cs2 = self.advec_cs2 + val
 
+    def diffus_scaled(self, val):
+        """Diffusion rate with the line elements ALREADY folded in
+        (reference modules that add d1-weighted rates straight into
+        maxdiffus, e.g. meanfield_e_tensor diffus_special)."""
+        self.maxdiffus_scaled = jnp.maximum(
+            getattr(self, "maxdiffus_scaled", 0.0), val)
+
     def max_rate(self, val):
         """A rate that joins dt1_max directly by MAX (reference per-class
         dt1_... = max(dt1_..., rate) terms like particle drag)."""
