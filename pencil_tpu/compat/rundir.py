@@ -1760,6 +1760,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 is_p.get("laverage_snii_heating", False)),
             lSNI=bool(is_p.get("lsni", True)),
             lSNII=bool(is_p.get("lsnii", True)),
+            ltestSN=bool(is_p.get("ltestsn", False)),
             h_SNI=float(is_p.get("h_sni", 0.0)),
             h_SNII=float(is_p.get("h_snii", 0.0)),
             initinterstellar=_first(is_p.get("initinterstellar", "nothing")),

@@ -143,8 +143,18 @@ def _ekintot(pen, st):
 
 @diag("ethtot")
 def _ethtot(pen, st):
-    """∫ρe dV (entropy.f90 idiag_ethtot)."""
+    """∫ρe dV (entropy.f90 idiag_ethtot); for the Saha EOS
+    e = 1.5(1+y+x_He)·s_ion·T + y·s_ion·T_ion (eos_ionization.f90:586)."""
     e = pen.eos
+    if hasattr(e, "ion_pencils"):
+        return _vmean(pen, pen.rho()
+                      * e.ion_pencils(pen)["ee"]) * _boxvol(pen)
+    if hasattr(e, "yH") and hasattr(e, "_c"):
+        c = e._c
+        y = e.yH(pen)
+        ee = (1.5 * (1.0 + y + e.xHe) * c["ss_ion"] * pen.TT()
+              + y * c["ss_ion"] * c["TT_ion"])
+        return _vmean(pen, pen.rho() * ee) * _boxvol(pen)
     return _vmean(pen, pen.rho() * e.cv * pen.TT()) * _boxvol(pen)
 
 

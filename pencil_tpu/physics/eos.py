@@ -117,8 +117,11 @@ class EosIonization(EosIdealGas):
         rho = pen.rho()
         K = self.saha_A / rho * TT ** 1.5 * jnp.exp(-self.TT_ion
                                                     / jnp.maximum(TT, 1e-30))
-        # y² + Ky − K = 0 → y = (−K + sqrt(K² + 4K))/2, clipped to [0, 1)
-        y = 0.5 * (-K + jnp.sqrt(K * K + 4.0 * K))
+        # y² + Ky − K = 0 → y = 2√K/(√K+√(4+K)) — the stable root form
+        # (eos_temperature_ionization.f90:565); the naive
+        # (−K+√(K²+4K))/2 cancels catastrophically for large K
+        s = jnp.sqrt(K)
+        y = 2.0 * s / (s + jnp.sqrt(4.0 + K))
         return jnp.clip(y, 0.0, 1.0 - 1e-6)
 
     def cs2(self, pen):
@@ -280,12 +283,20 @@ class EosIonizationFull(EosIdealGas):
         return self._ion(pen)[1]
 
     def _derivs(self, pen):
-        """(cs2, cp1tilde) from pressure_gradient_farray (:652-680)."""
+        """(cs2, cp1tilde) from pressure_gradient_farray (:652-680).
+        Evaluated in float64 like the Saha solve — the residual is a
+        difference of O(50) logs whose f32 rounding XLA may reassociate
+        into NaN on near-fully-ionized points — then cast back."""
         import jax.numpy as jnp
         c = self._c
         epsi = 1e-10
+        dtype0 = pen.lnrho().dtype
         yH, lnTT = self._ion(pen)
         lnrho = pen.lnrho()
+        if dtype0 != jnp.float64:
+            yH = yH.astype(jnp.float64)
+            lnTT = lnTT.astype(jnp.float64)
+            lnrho = lnrho.astype(jnp.float64)
         TT1 = jnp.exp(-lnTT)
         fractions = 1.0 + yH + self.xHe
         fractions1 = 1.0 / fractions
@@ -301,7 +312,7 @@ class EosIonizationFull(EosIdealGas):
                                                        - temp - 1.0)
         cs2 = fractions * c["ss_ion"] * dlnPPdlnrho / TT1
         cp1tilde = dlnPPdss / dlnPPdlnrho
-        return cs2, cp1tilde
+        return cs2.astype(dtype0), cp1tilde.astype(dtype0)
 
     def cs2(self, pen):
         return pen.get_cached("eos_ion_cs2",
@@ -321,7 +332,8 @@ class EosIonizationFull(EosIdealGas):
         lnK = (c["lnrho_e"] - lnrho + 1.5 * (lnTT - c["lnTT_ion"])
                - c["TT_ion"] * jnp.exp(-jnp.clip(lnTT, -600.0, 600.0)))
         K = jnp.exp(jnp.clip(lnK, -80.0, 80.0))
-        y = jnp.clip(0.5 * (-K + jnp.sqrt(K * K + 4.0 * K)),
+        _s = jnp.sqrt(K)
+        y = jnp.clip(2.0 * _s / (_s + jnp.sqrt(4.0 + K)),
                      0.0, 1.0 - 1e-8)
         X = 1.5 * (lnTT - c["lnTT_ion"]) - lnrho + 2.5
         A = X * (1.0 + y + self.xHe)

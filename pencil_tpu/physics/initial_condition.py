@@ -1136,11 +1136,31 @@ def ic_ferriere_ism(grid, spec, eos, cfg, params):
         kB_code = k_B * ut / (ud * uv * uv)
         pp = kB_code * (1.09 * n_c * T_c + 1.09 * n_w * T_w
                         + 2.09 * n_i * T_i + 2.27 * n_h * T_h)
-        # eosperturb(pp): ss from cs² = γp/ρ
-        gamma = eos.gamma
-        cs2 = gamma * pp / rho
-        ss = (eos.cp / gamma) * (jnp.log(cs2 / eos.cs0 ** 2)
-                                 - (gamma - 1.0) * (lnrho - eos.lnrho0))
+        if hasattr(eos, "ss_from_lnTT"):
+            # eosperturb(pp) through the Saha EOS (eos_ionization.f90
+            # :956-970 ilnrho_pp): T = p/((1+y+x_He)·s_ion·ρ) with the
+            # explicit y(ρ,T) — converged by fixed point — then the
+            # Sackur-Tetrode inversion gives s
+            c = eos._c
+            TT = pp / (rho * c["ss_ion"])
+            for _ in range(40):
+                lnTT = jnp.log(jnp.maximum(TT, 1e-30))
+                lnK = (c["lnrho_e"] - lnrho
+                       + 1.5 * (lnTT - c["lnTT_ion"])
+                       - c["TT_ion"] / jnp.maximum(TT, 1e-30))
+                K = jnp.exp(jnp.clip(lnK, -80.0, 80.0))
+                _s = jnp.sqrt(K)
+                y = jnp.clip(2.0 * _s / (_s + jnp.sqrt(4.0 + K)),
+                             0.0, 1.0 - 1e-8)
+                TT = pp / ((1.0 + y + eos.xHe) * rho * c["ss_ion"])
+            ss = eos.ss_from_lnTT(lnrho, jnp.log(TT))
+        else:
+            # eosperturb(pp): ss from cs² = γp/ρ (ideal gas)
+            gamma = eos.gamma
+            cs2 = gamma * pp / rho
+            ss = (eos.cp / gamma) * (jnp.log(cs2 / eos.cs0 ** 2)
+                                     - (gamma - 1.0)
+                                     * (lnrho - eos.lnrho0))
         out["+ss"] = ss + 0.0 * ones
     bampl = float(params.get("ferriere_uniform_by", 0.0))
     if bampl:

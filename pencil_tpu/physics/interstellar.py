@@ -101,6 +101,79 @@ _VNORM = {"gaussian": (0.6266570686577501, 1.570796326794897,
                         2.624934990953737)}
 
 
+def _ism_thermo(eos):
+    """(lnTT_of(lnρ,ss), ss_of(lnρ,lnT), ee_of(lnρ,lnT),
+    lnTT_from_ee(lnρ,e)) host-side numpy conversions — ideal-gas closed
+    forms, or Saha-consistent bisections when the run uses
+    eos_ionization (the reference routes SN thermodynamics through
+    eoscalc, which dispatches per EOS — interstellar.f90 explode_SN)."""
+    import numpy as np
+    if hasattr(eos, "ss_from_lnTT"):
+        c = eos._c
+        xHe = eos.xHe
+
+        def _yH(lnrho, lnTT):
+            lnK = (c["lnrho_e"] - lnrho + 1.5 * (lnTT - c["lnTT_ion"])
+                   - c["TT_ion"] * np.exp(-np.clip(lnTT, -600.0, 600.0)))
+            K = np.exp(np.clip(lnK, -80.0, 80.0))
+            # stable Saha root (eos_temperature_ionization.f90:565):
+            # the naive 0.5(−K+√(K²+4K)) cancels catastrophically at
+            # large K
+            s = np.sqrt(K)
+            return np.clip(2.0 * s / (s + np.sqrt(4.0 + K)),
+                           0.0, 1.0 - 1e-8)
+
+        def ss_of(lnrho, lnTT):
+            return np.asarray(eos.ss_from_lnTT(
+                np.asarray(lnrho, np.float64),
+                np.asarray(lnTT, np.float64)), np.float64)
+
+        def ee_of(lnrho, lnTT):
+            y = _yH(lnrho, lnTT)
+            return (1.5 * (1.0 + y + xHe) * c["ss_ion"] * np.exp(lnTT)
+                    + y * c["ss_ion"] * c["TT_ion"])
+
+        def _invert(g, target, lnrho):
+            # both ss and ee increase monotonically with lnT
+            lo = np.full(np.shape(target),
+                         np.log(1e-10 * c["TT_ion"]))
+            hi = np.full(np.shape(target), np.log(1e5 * c["TT_ion"]))
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                low = g(lnrho, mid) < target
+                lo = np.where(low, mid, lo)
+                hi = np.where(low, hi, mid)
+            return 0.5 * (lo + hi)
+
+        def lnTT_of(lnrho, ss):
+            return _invert(ss_of, ss, lnrho)
+
+        def lnTT_from_ee(lnrho, ee):
+            return _invert(ee_of, ee, lnrho)
+
+        return lnTT_of, ss_of, ee_of, lnTT_from_ee
+    gam, cp = eos.gamma, eos.cp
+    cv = cp / gam
+    gm1 = gam - 1.0
+
+    def lnTT_of(lnrho, ss):
+        return eos.lnTT0 + gam * ss / cp + gm1 * (lnrho - eos.lnrho0)
+
+    def ss_of(lnrho, lnTT):
+        return (cp / gam) * (lnTT - eos.lnTT0
+                             - gm1 * (lnrho - eos.lnrho0))
+
+    def ee_of(lnrho, lnTT):
+        import numpy as np
+        return cv * np.exp(lnTT)
+
+    def lnTT_from_ee(lnrho, ee):
+        import numpy as np
+        return np.log(ee / cv)
+
+    return lnTT_of, ss_of, ee_of, lnTT_from_ee
+
+
 @dataclass(frozen=True)
 class Interstellar(ModuleBase):
     name: ClassVar[str] = "interstellar"
@@ -149,6 +222,9 @@ class Interstellar(ModuleBase):
     SNI_area_rate: float = 0.0    # 0 → 1.330982784e-56 /s/cm² (:214)
     SNII_area_rate: float = 0.0   # 0 → 7.5× the SNI rate (:566)
     center_SN: tuple = (0.0, 0.0, 0.0)   # 'single' test position
+    # runtime fixed-position firing (check_SNI ltestSN →
+    # position_SN_testposition at center_SN_x/y/z)
+    ltestSN: bool = False
     lSN_scale_rad: bool = False
     N_mass: float = 250.0
     rfactor_SN: float = 5.0
@@ -326,13 +402,7 @@ class Interstellar(ModuleBase):
         cv = cp / gam
         gm1 = gam - 1.0
 
-        def lnTT_of(lnrho_, ss_):
-            return (eos.lnTT0 + gam * ss_ / cp
-                    + gm1 * (lnrho_ - eos.lnrho0))
-
-        def ss_of(lnrho_, lnTT_):
-            return (cp / gam) * (lnTT_ - eos.lnTT0
-                                 - gm1 * (lnrho_ - eos.lnrho0))
+        lnTT_of, ss_of, ee_of, lnTT_from_ee = _ism_thermo(eos)
 
         rng = Ran0(self.seed0)
         nx, ny, nz = gs.nx, gs.ny, gs.nz
@@ -491,11 +561,10 @@ class Interstellar(ModuleBase):
             # apply (:3595-3675): thermal energy, then momentum kick
             if self.lSN_eth:
                 lnrho_ = np.log(rho)
-                TT_old = np.exp(lnTT_of(lnrho_, ss))
-                ee_old = cv * TT_old
+                ee_old = ee_of(lnrho_, lnTT_of(lnrho_, ss))
                 dEE = c_SN * prof(dr2, width_E)
                 ee_new = (ee_old * rho + dEE) / rho
-                ss = ss_of(lnrho_, np.log(ee_new / cv))
+                ss = ss_of(lnrho_, lnTT_from_ee(lnrho_, ee_new))
             if cvel > 0:
                 uu = uu + deltauu_of(cvel)
 
@@ -703,6 +772,17 @@ class SNScheduler:
         hSN = self.h_SNI if sn_type == 1 else self.h_SNII
         nx, ny, nz = gs.nx, gs.ny, gs.nz
         nzskip = 10
+        if ism.ltestSN:
+            # position_SN_testposition: nearest grid point to center_SN
+            lc = int(np.argmin(np.abs(self.x - ism.center_SN[0])))
+            mc = int(np.argmin(np.abs(self.y - ism.center_SN[1])))
+            nc = int(np.argmin(np.abs(self.z - ism.center_SN[2])))
+            rho = self._rho_of(fields)
+            ss = np.array(fields["ss"], np.float64)
+            out = self._explode(fields, rho, ss, lc, mc, nc, check=False)
+            if out is not None:
+                self.nfired += 1
+            return out
         for _try in range(10):
             fran3 = self.rng.draw(3)
             i = int(fran3[0] * nx) + 1
@@ -734,11 +814,10 @@ class SNScheduler:
             lc, mc, nc = i - 1, j - 1, kz - 1
             rho = self._rho_of(fields)
             ss = np.array(fields["ss"], np.float64)
-            gam, cp = eos.gamma, eos.cp
             site_rho = rho[lc, mc, nc]
-            site_lnTT = (eos.lnTT0 + gam * ss[lc, mc, nc] / cp
-                         + (gam - 1.0) * (np.log(site_rho) - eos.lnrho0))
-            site_TT = np.exp(site_lnTT)
+            _lnTT_of = _ism_thermo(eos)[0]
+            site_TT = float(np.exp(_lnTT_of(
+                np.log(site_rho), ss[lc, mc, nc])))
             if not ism.lSN_scale_rad:
                 if site_rho < self.rho_SN_min or site_TT > self.TT_SN_max:
                     continue
@@ -836,14 +915,15 @@ class SNScheduler:
         rho_new = rho + (cmass * self._prof(dr2, width_m, ism.mass_profile)
                          if cmass > 0 else 0.0)
         lnrho_old = np.log(rho)
-        lnTT_old = (eos.lnTT0 + gam * ss / cp
-                    + gm1 * (lnrho_old - eos.lnrho0))
-        ee_old = cv * np.exp(lnTT_old)
+        lnTT_of, ss_of, ee_of, lnTT_from_ee = _ism_thermo(eos)
+        lnTT_old = lnTT_of(lnrho_old, ss)
+        ee_old = ee_of(lnrho_old, lnTT_old)
         dEE = c_SN * self._prof(dr2, width_E, ism.thermal_profile)
         if ism.lSN_eth and check:
             ee_new = (ee_old * rho + dEE * frac_eth) / rho_new
             TTmask = np.where(dr2 <= self.Nsig ** 2 * radius ** 2,
-                              ee_new / cv, 0.0)
+                              np.exp(lnTT_from_ee(np.log(rho_new),
+                                                  ee_new)), 0.0)
             maxTT = TTmask.max()
             if radius <= 1.1 * ism.rfactor_SN * dr:
                 if maxTT > self.TT_SN_max:
@@ -888,9 +968,8 @@ class SNScheduler:
                 out["lnrho"] = np.log(rho_new).astype(dtype)
         if ism.lSN_eth:
             ee_new = (ee_old * rho + dEE * frac_eth) / rho_new
-            lnTT_new = np.log(ee_new / cv)
-            ss = (cp / gam) * (lnTT_new - eos.lnTT0
-                               - gm1 * (np.log(rho_new) - eos.lnrho0))
+            lnrho_new = np.log(rho_new)
+            ss = ss_of(lnrho_new, lnTT_from_ee(lnrho_new, ee_new))
             out["ss"] = ss.astype(dtype)
         if cvel > 0:
             out["uu"] = (uu + deltauu_of(cvel)).astype(dtype)
