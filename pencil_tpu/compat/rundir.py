@@ -1455,6 +1455,79 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             shock_div_pow=float(shk_p.get("shock_div_pow", 1.0)),
         ))
 
+    rad_p = grp("radiation")
+    rad_slot = mkf.get("RADIATION", "")
+    if "radiation" in rad_slot and "noradiation" not in rad_slot:
+        # RADIATION=radiation_ray (src/radiation_ray.f90): long-
+        # characteristics transfer; physical constants enter in code
+        # units (register.f90:270-310)
+        from ..physics.radiation import RadiationRay
+        _ul = _units.get("unit_length", 1.0)
+        _uv = _units.get("unit_velocity", 1.0)
+        _ud = _units.get("unit_density", 1.0)
+        _ut = _units.get("unit_temperature", 1.0)
+        _um = _ud * _ul ** 3
+        _uflux = _ud * _uv ** 3
+        bcr = rad_p.get("bc_rad", ["0:0", "0:0", "S:0"])
+        bcr = list(_as_tuple(bcr))
+        if len(bcr) == 1:
+            bcr = bcr * 3
+        bc_rad = tuple(
+            tuple(str(b).split(":")) if ":" in str(b)
+            else (str(b), str(b)) for b in bcr)
+        modules.append(RadiationRay(
+            radx=int(rad_p.get("radx", 0)),
+            rady=int(rad_p.get("rady", 0)),
+            radz=int(rad_p.get("radz", 1)),
+            rad2max=int(rad_p.get("rad2max", 1)),
+            angle_weight=str(rad_p.get("angle_weight", "corrected")),
+            lfix_radweight_1d=bool(rad_p.get("lfix_radweight_1d", True)),
+            bc_rad=bc_rad,
+            source_function_type=str(
+                rad_p.get("source_function_type", "LTE")),
+            opacity_type=str(rad_p.get("opacity_type", "Hminus")),
+            lcooling=bool(rad_p.get("lcooling", True)),
+            lradflux=bool(rad_p.get("lradflux", False)),
+            lradpressure=bool(rad_p.get("lradpressure", False)),
+            scalefactor_Srad=float(_first(
+                rad_p.get("scalefactor_srad", 1.0))),
+            scalefactor_kappa=float(_first(
+                rad_p.get("scalefactor_kappa", 1.0))),
+            scalefactor_cooling=float(
+                rad_p.get("scalefactor_cooling", 1.0)),
+            scalefactor_radpressure=float(
+                rad_p.get("scalefactor_radpressure", 1.0)),
+            kappa_cst=float(_first(rad_p.get("kappa_cst", 1.0))),
+            kapparho_cst=float(rad_p.get("kapparho_cst", 1.0)),
+            kappa_Kconst=float(rad_p.get("kappa_kconst", 1.0)),
+            kapparho_floor=float(rad_p.get("kapparho_floor", 0.0)),
+            kappa_ceiling=float(rad_p.get("kappa_ceiling", 1e30)),
+            yMetals=float(eos_p.get("ymetals", 0.0)),
+            Frad_boundary_ref=float(
+                rad_p.get("frad_boundary_ref", 0.0)),
+            TT_top=float(rad_p.get("tt_top", 0.0)),
+            TT_bot=float(rad_p.get("tt_bot", 0.0)),
+            tau_top=float(rad_p.get("tau_top", 0.0)),
+            tau_bot=float(rad_p.get("tau_bot", 0.0)),
+            lcutoff_opticallythin=bool(
+                rad_p.get("lcutoff_opticallythin", False)),
+            lcutoff_zconst=bool(rad_p.get("lcutoff_zconst", False)),
+            z_cutoff=float(rad_p.get("z_cutoff", 0.0)),
+            cool_wid=float(rad_p.get("cool_wid", 1.0)),
+            lno_rad_heating=bool(rad_p.get("lno_rad_heating", False)),
+            qrad_max=float(rad_p.get("qrad_max", 0.0)),
+            cdtrad=float(rad_p.get("cdtrad", 0.1)),
+            cdtrad_thin=float(rad_p.get("cdtrad_thin", 1.0)),
+            cdtrad_thick=float(rad_p.get("cdtrad_thick", 0.25)),
+            lcdtrad_old=bool(rad_p.get("lcdtrad_old", True)),
+            sigmaSB=5.6704e-5 / (_uflux / _ut ** 4),
+            kappa_es=3.4e-1 / (_ul ** 2 / _um),
+            c_light=2.99792458e10 / _uv,
+            unit_length=_ul,
+            unit_density=_ud,
+            unit_temperature=_ut,
+        ))
+
     psc_p = grp("pscalar")
     if psc_p:
         pinit = str(psc_p.get("initcc", psc_p.get("initlncc", "zero")))

@@ -485,6 +485,46 @@ def _yhmax(pen, st):
     return jnp.zeros(())
 
 
+# ---- radiation (radiation_ray.f90 radiative_cooling/pressure diags) --------
+def _rad(pen):
+    return pen.cfg.module("radiation").transfer(pen)
+
+
+@diag("Qradrms")
+def _qradrms(pen, st):
+    """√⟨Qrad²⟩ (radiation_ray.f90:1702 idiag_Qradrms)."""
+    return _vrms(pen, _rad(pen)["Qrad"] ** 2)
+
+
+@diag("Qradmax")
+def _qradmax(pen, st):
+    """max|Qrad| (:1705 idiag_Qradmax, sqrt of the max of Qrad²)."""
+    return jnp.sqrt(jnp.max(_rad(pen)["Qrad"] ** 2))
+
+
+@diag("Sradm")
+def _sradm(pen, st):
+    """⟨S⟩ (:1700 idiag_Sradm)."""
+    return _vmean(pen, _rad(pen)["Srad"])
+
+
+@diag("kapparhom")
+def _kapparhom(pen, st):
+    """⟨κρ⟩ (:1746 idiag_kapparhom)."""
+    return _vmean(pen, _rad(pen)["kapparho"])
+
+
+@diag("Fradzm")
+def _fradzm(pen, st):
+    """⟨Frad_z⟩ = ⟨KR_Fradz/κρ⟩ (:1744 — KR_Frad carries a κρ factor
+    that the diagnostic divides back out)."""
+    r = _rad(pen)
+    if r["KR_Frad"] is None:
+        return jnp.zeros(())
+    return _vmean(pen, r["KR_Frad"][2]
+                  / jnp.maximum(r["kapparho"], 1e-30))
+
+
 # ---- alphadisk (special/alphadisk.f90 diagnostics) -------------------------
 @diag("sigmam")
 def _sigmam(pen, st):

@@ -235,22 +235,26 @@ class EosIonizationFull(EosIdealGas):
         import jax.numpy as jnp
         epsi = 1e-10
         lnTT = ((ss / c["ss_ion"]
-                 + (1.0 - yH) * (jnp.log(1.0 - yH + epsi) - c["lnrho_H"])
+                 + (1.0 - yH) * (jnp.log(jnp.maximum(1.0 - yH, epsi)) - c["lnrho_H"])
                  + yH * (2.0 * jnp.log(yH + epsi) - c["lnrho_e"]
                          - c["lnrho_H"])
                  + c["xHe_term"]) / (1.0 + yH + self.xHe))
         return (2.0 / 3.0) * (lnTT + lnrho - 2.5) + c["lnTT_ion"]
 
     def _solve(self, pen):
-        """(yH, lnTT) by 48-step bisection on the Saha residual.  The
+        return self.solve_arrays(pen.lnrho(), pen.ss())
+
+    def solve_arrays(self, lnrho, ss):
+        """(yH, lnTT) by 48-step bisection on the Saha residual, on raw
+        arrays (also used by radiation_ray on ghosted slabs).  The
         residual spans e^±T_ion/T — run the solve in float64 (cold layers
         overflow float32) and cast back to the field dtype."""
         import jax.numpy as jnp
         c = self._c
-        dtype = pen.lnrho().dtype
-        lnrho = pen.lnrho().astype(jnp.float64) \
-            if jnp.float64 != dtype else pen.lnrho()
-        ss = pen.ss().astype(lnrho.dtype)
+        dtype = lnrho.dtype
+        lnrho = lnrho.astype(jnp.float64) \
+            if jnp.float64 != dtype else lnrho
+        ss = ss.astype(lnrho.dtype)
         epsi = 1e-10
 
         def R(yH):
@@ -258,7 +262,7 @@ class EosIonizationFull(EosIdealGas):
             return (c["lnrho_e"] - lnrho
                     + 1.5 * (lnTT - c["lnTT_ion"])
                     - c["TT_ion"] * jnp.exp(-jnp.clip(lnTT, -600.0, 600.0))
-                    + jnp.log(1.0 - yH + epsi) - 2.0 * jnp.log(yH + epsi))
+                    + jnp.log(jnp.maximum(1.0 - yH, epsi)) - 2.0 * jnp.log(yH + epsi))
 
         lo = jnp.full_like(lnrho, 1e-8)
         hi = jnp.full_like(lnrho, 1.0 - 1e-8)
@@ -301,11 +305,11 @@ class EosIonizationFull(EosIdealGas):
         fractions = 1.0 + yH + self.xHe
         fractions1 = 1.0 / fractions
         Rv = (c["lnrho_e"] - lnrho + 1.5 * (lnTT - c["lnTT_ion"])
-              - c["TT_ion"] * TT1 + jnp.log(1.0 - yH + epsi)
+              - c["TT_ion"] * TT1 + jnp.log(jnp.maximum(1.0 - yH, epsi))
               - 2.0 * jnp.log(yH + epsi))
         dlnTTdy = (2.0 * (-Rv - c["TT_ion"] * TT1) - 3.0) / 3.0 * fractions1
         dRdy = (dlnTTdy * (1.5 + c["TT_ion"] * TT1)
-                - 1.0 / (1.0 - yH + epsi) - 2.0 / (yH + epsi))
+                - 1.0 / jnp.maximum(1.0 - yH, epsi) - 2.0 / (yH + epsi))
         temp = (dlnTTdy + fractions1) / dRdy
         dlnPPdlnrho = (5.0 - 2.0 * c["TT_ion"] * TT1 * temp) / 3.0
         dlnPPdss = (1.0 / c["ss_ion"]) * fractions1 * (dlnPPdlnrho
@@ -338,9 +342,38 @@ class EosIonizationFull(EosIdealGas):
         X = 1.5 * (lnTT - c["lnTT_ion"]) - lnrho + 2.5
         A = X * (1.0 + y + self.xHe)
         return c["ss_ion"] * (
-            A - (1.0 - y) * (jnp.log(1.0 - y + epsi) - c["lnrho_H"])
+            A - (1.0 - y) * (jnp.log(jnp.maximum(1.0 - y, epsi)) - c["lnrho_H"])
             - y * (2.0 * jnp.log(y + epsi) - c["lnrho_e"] - c["lnrho_H"])
             - c["xHe_term"])
+
+    def yH_arrays(self, lnrho, lnTT):
+        """Explicit Saha ionization fraction from (lnρ, lnT) (the y of
+        ss_from_lnTT; used by radiation's H⁻ opacity on ghosted slabs)."""
+        import jax.numpy as jnp
+        c = self._c
+        lnK = (c["lnrho_e"] - lnrho + 1.5 * (lnTT - c["lnTT_ion"])
+               - c["TT_ion"] * jnp.exp(-jnp.clip(lnTT, -600.0, 600.0)))
+        K = jnp.exp(jnp.clip(lnK, -80.0, 80.0))
+        _s = jnp.sqrt(K)
+        return jnp.clip(2.0 * _s / (_s + jnp.sqrt(4.0 + K)),
+                        0.0, 1.0 - 1e-8)
+
+    def hminus_consts(self):
+        """Constants for the H⁻ opacity (eos_ionization.f90:870-880):
+        kapparho = (1−y)·kappa0·e^{2lnρ − lnρ_e + 1.5(lnT_ion−lnT)
+        + T_ion/T}·(y+yMetals), kappa0 = σ_H/(4·m_H·(1+3.97153x_He))
+        (initialize_eos :155)."""
+        import math
+        ul, uv, ud = (self.unit_length, self.unit_velocity,
+                      self.unit_density)
+        umass = ud * ul ** 3
+        sigmaH = 4.0e-17 / ul ** 2
+        m_H = (9.10938188e-28 + 1.67262158e-24) / umass
+        mu1yHxHe = 1.0 + 3.97153 * self.xHe
+        c = self._c
+        return dict(kappa0=sigmaH / m_H / mu1yHxHe / 4.0,
+                    lnrho_e=c["lnrho_e"], lnTT_ion=c["lnTT_ion"],
+                    TT_ion=c["TT_ion"])
 
 
 @dataclass(frozen=True)
@@ -432,6 +465,34 @@ class EosTemperatureIonization(EosIonizationFull):
         """Sackur-Tetrode entropy from (lnρ, lnT) — reuses the
         eos_ionization inversion (eoscalc ilnrho_lnTT)."""
         return self.ss_from_lnTT(pen.lnrho(), pen.field("lnTT"))
+
+    def yH_arrays(self, lnrho, lnTT):
+        """Explicit Saha at the evolved T (ioncalc :540-566) on raw
+        arrays — radiation's H⁻ opacity on ghosted slabs."""
+        import jax.numpy as jnp
+        c = self._cti
+        lnr = (jnp.log(c["rho_e"]) - lnrho
+               + 1.5 * (lnTT - jnp.log(c["TT_ion"]))
+               - c["TT_ion"] * jnp.exp(-jnp.clip(lnTT, -600.0, 600.0)))
+        rhs = jnp.exp(jnp.clip(lnr, -80.0, 80.0))
+        s = jnp.sqrt(rhs)
+        return 2.0 * s / (s + jnp.sqrt(4.0 + rhs))
+
+    def hminus_consts(self):
+        """H⁻ opacity constants (eos_temperature_ionization.f90:165
+        kappa0 = σ_H·μ₀⁻¹/(4 m_u), :850-866 exponent uses this EOS's
+        ρ_e)."""
+        import math
+        ul, uv, ud = (self.unit_length, self.unit_velocity,
+                      self.unit_density)
+        umass = ud * ul ** 3
+        sigmaH = 4.0e-17 / ul ** 2
+        m_u = 1.66053886e-24 / umass
+        c = self._cti
+        return dict(kappa0=sigmaH * c["mu1_0"] / (4.0 * m_u),
+                    lnrho_e=math.log(c["rho_e"]),
+                    lnTT_ion=math.log(c["TT_ion"]),
+                    TT_ion=c["TT_ion"])
 
 
 @dataclass(frozen=True)
