@@ -77,6 +77,14 @@ class BCContext:
         self.cfg = cfg
         self.eos = eos  # EosConstants or None
         self.comp = None  # name of the component currently being filled
+        # BCs that fill OTHER components too (the reference's j==iaa
+        # whole-vector dispatch) deposit {comp_index: full array} here;
+        # apply_axis_bcs drains it after each face
+        self.extra = {}
+        # comp indices a whole-vector BC already filled this axis — their
+        # own 'nil' entry must then stay hands-off (reference 'nil'
+        # leaves ghosts untouched)
+        self.filled = set()
 
 
 def _plane_idx(m: int, side: int, j: int) -> tuple:
@@ -995,7 +1003,13 @@ BC_REGISTRY: Dict[str, Callable] = {
     "cT": lambda f, a, s, v, c: (bc_TT_temp(f, a, s, v, c)
                                  if c.comp in ("TT", "lnTT")
                                  else bc_ss_temp(f, a, s, v, c)),
-    "c1": bc_ss_flux,
+    # 'c1' is overloaded in the reference (boundcond.f90:1411-1416):
+    # heat flux on ss/lnTT, potential field on the vector potential
+    "c1": lambda f, a, s, v, c: (bc_aa_pot(f, a, s, v, c)
+                                 if c.comp in ("ax", "ay", "az")
+                                 else bc_ss_flux(f, a, s, v, c)),
+    "pot": bc_aa_pot,
+    "pwd": bc_aa_pot,
     "c3": bc_ADI_flux,
     # census batch (see docstrings for reference routines)
     "0": bc_zero,
@@ -1003,8 +1017,11 @@ BC_REGISTRY: Dict[str, Callable] = {
     # keep whatever start.x wrote — e.g. mag_init's potential extrapolation
     # into the ghost heights).  Our ghosts are recomputed statelessly each
     # fill, so the closest faithful choice is zero-gradient (symmetric)
-    # continuation rather than the periodic wrap the halo pre-pass leaves.
-    "nil": bc_sym,
+    # continuation — EXCEPT when a whole-vector BC (bc_aa_pot via 'c1' on
+    # ax) already filled this component's ghosts this axis.
+    "nil": lambda f, a, s, v, c: (
+        f if c.comp and c.reg.comp_index(c.comp) in c.filled
+        else bc_sym(f, a, s, v, c)),
     "": lambda f, a, s, v, c: f,
     # 'p' periodic is realized by the halo exchange; accepted here as a
     # marker so run.in files with explicit bcx='p' (e.g. conv-slab) load.
@@ -1064,6 +1081,88 @@ def register_bc(code: str, fn: Callable):
     BC_REGISTRY[code] = fn
 
 
+def _aa_pot_planes(F1, kk, dz, nplanes, nx, ny):
+    """Inverse-transform e^{−k·iδz}·F1 for i = 0..nplanes−1 → list of
+    (nx, ny) real planes, i ordered OUTWARD from the boundary."""
+    out = []
+    for i in range(nplanes):
+        fac = jnp.exp(-kk * (i * dz))
+        out.append(jnp.fft.ifft2(fac * F1, axes=(0, 1)).real)
+    return out
+
+
+def bc_aa_pot(fgc, axis, side, val, ctx):
+    """'c1'/'pot' on the vector potential: potential-field z boundary
+    (reference bc_aa_pot, src/boundcond.f90:7919-7982).  A_x/A_y obey
+    ∂A/∂z = ∓|k|A per horizontal Fourier mode (2nd-order one-sided
+    stencil → boundary value (4f₂−f₃)/(3+2Δz|k|), ghosts e^{−|k|δz});
+    A_z follows from ∇·A = 0 (potentdiv :8049-8124,
+    A_z = ∓i(k_x A_x + k_y A_y)/|k| decaying outward)."""
+    if axis != 2:
+        raise NotImplementedError("bc_aa_pot: z boundaries only")
+    spec = ctx.cfg.grid
+    if not (spec.periodic[0] and spec.periodic[1]):
+        raise NotImplementedError("bc_aa_pot needs periodic x, y")
+    g = NGHOST
+    mz = fgc.shape[-1]
+    nx, ny = spec.nx, spec.ny
+    dz = 1.0 / ctx.grid.dz_1[g]
+    kx = 2.0 * jnp.pi / spec.Lx * jnp.fft.fftfreq(nx, 1.0 / nx)
+    ky = 2.0 * jnp.pi / spec.Ly * jnp.fft.fftfreq(ny, 1.0 / ny)
+    kkx = kx[:, None]
+    kky = ky[None, :]
+    kk = jnp.sqrt(kkx ** 2 + kky ** 2)
+    nb = g if side == 0 else mz - g - 1        # boundary plane index
+
+    def intplane(comp_arr, zidx):
+        return comp_arr[g:g + nx, g:g + ny, zidx]
+
+    def write_planes(arr, planes):
+        """planes[i] = value at distance i OUTWARD of the boundary; also
+        wrap the x/y ghost columns periodically (the reference re-runs
+        communicate_vect_field_ghosts after the fill)."""
+        for i, pl in enumerate(planes):
+            zidx = nb - i if side == 0 else nb + i
+            full = jnp.pad(pl.astype(arr.dtype), ((g, g), (g, g)),
+                           mode="wrap")
+            arr = arr.at[:, :, zidx].set(full)
+        return arr
+
+    if ctx.comp != "ax":
+        # 'c1' on entropy-family components falls through to heat flux;
+        # on ay/az it is a no-op (the ax dispatch filled the vector —
+        # reference boundcond.f90:1415 fires on j==iaa only)
+        if ctx.comp in ("ay", "az"):
+            return fgc
+        return bc_ss_flux(fgc, axis, side, val, ctx)
+
+    # whole-vector fill (reference j==iaa): A_x from itself, A_y from the
+    # registry, A_z from the divA=0 closure of the UPDATED boundary planes
+    s_in = 1 if side == 0 else -1
+    new = {}
+    for comp, arr in (("ax", fgc),
+                      ("ay", ctx.fg[ctx.reg.comp_index("ay")])):
+        f2 = intplane(arr, nb + s_in)
+        f3 = intplane(arr, nb + 2 * s_in)
+        F2 = jnp.fft.fft2(f2, axes=(0, 1))
+        F3 = jnp.fft.fft2(f3, axes=(0, 1))
+        F1 = (4.0 * F2 - F3) / (3.0 + 2.0 * dz * kk)
+        new[comp] = write_planes(
+            arr, _aa_pot_planes(F1, kk, dz, g + 1, nx, ny))
+    F2 = jnp.fft.fft2(intplane(new["ax"], nb), axes=(0, 1))
+    F3 = jnp.fft.fft2(intplane(new["ay"], nb), axes=(0, 1))
+    kk1 = kk.at[0, 0].set(1.0)
+    fac = (1.0 / kk1).at[0, 0].set(0.0)
+    F1 = 1j * fac * (kkx * F2 + kky * F3)
+    sgn = -1.0 if side == 0 else 1.0
+    azp = ctx.fg[ctx.reg.comp_index("az")]
+    new["az"] = write_planes(
+        azp, [sgn * p for p in _aa_pot_planes(F1, kk, dz, g + 1, nx, ny)])
+    ctx.extra[ctx.reg.comp_index("ay")] = new["ay"]
+    ctx.extra[ctx.reg.comp_index("az")] = new["az"]
+    return new["ax"]
+
+
 def apply_axis_bcs(fg, axis, bcs, reg, grid, cfg, eos=None,
                    edge_mask=(True, True)):
     """Apply the physical BCs for one non-periodic axis on both faces.
@@ -1091,9 +1190,18 @@ def apply_axis_bcs(fg, axis, bcs, reg, grid, cfg, eos=None,
             if mask is True:
                 fgc = new
             elif mask is False:
-                pass
+                ctx.extra = {}
             else:
                 fgc = jnp.where(mask, new, fgc)
+            for cj, arr in ctx.extra.items():
+                if mask is True:
+                    fg = fg.at[cj].set(arr)
+                elif mask is not False:
+                    fg = fg.at[cj].set(jnp.where(mask, arr, fg[cj]))
+                ctx.filled.add(cj)
+            if ctx.extra:
+                ctx.extra = {}
+                ctx.fg = fg  # the other face must see this face's fill
         fg = fg.at[ci].set(fgc)
         ctx.fg = fg
     return fg

@@ -308,20 +308,9 @@ class RadiationRay(ModuleBase):
         return S
 
     def _ghost_z(self, pen):
-        """Ghosted z coordinate broadcast to (1, 1, mz)."""
-        g = pen.grid
-        spec = pen.cfg.grid
-        # grid.z is the local interior z; extend by uniform-extrapolated
-        # ghosts (matches core.grid ghost construction for stretched z
-        # closely enough for the tanh cutoff profile)
-        gw = spec.nghost
-        z = g.z
-        dz0 = z[1] - z[0] if z.shape[0] > 1 else jnp.asarray(1.0, z.dtype)
-        dzn = z[-1] - z[-2] if z.shape[0] > 1 else dz0
-        lo = z[0] + dz0 * jnp.arange(-gw, 0)
-        hi = z[-1] + dzn * jnp.arange(1, gw + 1)
-        zg = jnp.concatenate([lo, z, hi])
-        return zg[None, None, :]
+        """Ghosted z coordinate broadcast to (1, 1, mz) — core.grid keeps
+        the full ghosted coordinate line in ``grid.z``."""
+        return pen.grid.z[None, None, :]
 
     def _kapparho(self, pen, lnrho_g, lnTT_g, yH_g):
         """Ghosted κρ per opacity_type (opacity :1917-2163)."""
@@ -412,8 +401,7 @@ class RadiationRay(ModuleBase):
         dy = spec.dy
         if nr != 0 and spec.grid_func[2] != "uniform":
             # nonuniform z: dz_n = 1/dz_1 on the ghosted z line
-            zg = self._ghost_z(pen)[0, 0]
-            dzv = jnp.gradient(zg)
+            dzv = 1.0 / g.dz_1
             dl = jnp.sqrt((lr * dx) ** 2 + (mr * dy) ** 2 + dzv ** 2)
             return dl[None, None, :].astype(dtype)
         dz = spec.dz
