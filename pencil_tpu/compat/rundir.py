@@ -918,7 +918,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ))
 
     grav_p = grp("grav")
-    if grav_p and "nogravity" not in mkf.get("GRAVITY", ""):
+    if grav_p and "nogravity" not in mkf.get("GRAVITY", "nogravity"):
         # a grav_*_pars namelist with GRAVITY=nogravity is dead config the
         # reference ignores (e.g. samples/2d-tests/globaldisc, where the
         # central potential comes from POINTMASSES instead)
@@ -944,6 +944,79 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lcylindrical_gravity=bool(
                 grav_p.get("lcylindrical_gravity",
                            init_pars.get("lcylindrical_gravity", False))),
+        ))
+
+    # BORDER_PROFILES: quenching (border_frac_*) + per-variable driving
+    # (borderuu/borderlnrho/borderss/borderaa; border_profiles.f90)
+    if "border_profiles" in mkf.get("BORDER_PROFILES", "") \
+            and "noborder" not in mkf.get("BORDER_PROFILES", ""):
+        from ..physics.border import BorderProfiles
+
+        def _frac2(v):
+            if isinstance(v, (list, tuple)):
+                v = (list(v) + [0.0, 0.0])[:2]
+                return (float(v[0]), float(v[1]))
+            return (float(v), float(v))
+
+        drv = []
+        for stem, fields in (("hydro", ("borderuu", "uu")),
+                             ("density", ("borderlnrho", None)),
+                             ("entropy", ("borderss", "ss")),
+                             ("magnetic", ("borderaa", "aa")),
+                             ("pscalar", ("borderlncc", "lncc"))):
+            pg = grp(stem)
+            key2, fname = fields
+            mode = pg.get(key2, "nothing")
+            if isinstance(mode, (list, tuple)):
+                mode = mode[0] if mode else "nothing"
+            mode = str(mode)
+            if mode in ("nothing", ""):
+                continue
+            if stem == "density":
+                fname = "rho" if bool(
+                    grp("density").get("ldensity_nolog", False)) else "lnrho"
+            drv.append((fname, mode))
+        curvi = grid.coords in ("cylindrical", "spherical")
+        r_int_d = float(init_pars.get(
+            "r_int", run_pars.get("r_int", grid.x0 if curvi else 0.0)))
+        r_ext_d = float(init_pars.get(
+            "r_ext", run_pars.get("r_ext",
+                                  grid.x0 + grid.Lx if curvi else 9e99)))
+        fac = 1.0 / (2.0 * _math.pi)
+        if "gravity_r" in mkf.get("GRAVITY", ""):
+            fac = _math.sqrt(max(float(grav_p.get("g0", 0.0)), 0.0)) \
+                / (2.0 * _math.pi)
+        modules.append(BorderProfiles(
+            border_frac_x=_frac2(run_pars.get("border_frac_x", 0.0)),
+            border_frac_y=_frac2(run_pars.get("border_frac_y", 0.0)),
+            border_frac_z=_frac2(run_pars.get("border_frac_z", 0.0)),
+            lborder_hyper_diff=bool(run_pars.get("lborder_hyper_diff",
+                                                 True)),
+            driving=tuple(drv),
+            r_int_border=float(run_pars.get("r_int_border", 9e99)),
+            r_ext_border=float(run_pars.get("r_ext_border", 9e99)),
+            r_int=r_int_d, r_ext=r_ext_d,
+            wborder_int=float(run_pars.get(
+                "wborder_int", run_pars.get("wborder", 0.0))),
+            wborder_ext=float(run_pars.get(
+                "wborder_ext", run_pars.get("wborder", 0.0))),
+            tborder=float(run_pars.get("tborder", 0.0)),
+            fraction_tborder=float(run_pars.get("fraction_tborder", 1.0)),
+            fac_sqrt_gsum1=fac,
+            lcylinder_in_a_box=bool(init_pars.get("lcylinder_in_a_box",
+                                                  False)),
+            lsphere_in_a_box=bool(init_pars.get("lsphere_in_a_box",
+                                                False)),
+            lmeridional_border_drive=bool(run_pars.get(
+                "lmeridional_border_drive", False)),
+            theta_lower_border=float(run_pars.get(
+                "theta_lower_border", 9e99)),
+            wborder_theta_lower=float(run_pars.get(
+                "wborder_theta_lower", 0.0)),
+            theta_upper_border=float(run_pars.get(
+                "theta_upper_border", 9e99)),
+            wborder_theta_upper=float(run_pars.get(
+                "wborder_theta_upper", 0.0)),
         ))
 
     ent_p = grp("entropy")
@@ -1021,7 +1094,32 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         _ss_nm = (tuple(_ss_joint.get(n, n) for n in _ss_nm)
                   if isinstance(_ss_nm, tuple)
                   else _ss_joint.get(_ss_nm, _ss_nm))
+        # cooltype='shell': derive the boundary sound speeds from the
+        # polytropic shell profile (entropy.f90:830-868: TT_int/ext from
+        # beta1 = cp1·g0/(mpoly+1)·γ/γ_m1, then cs² = (γ−1)cp·TT)
+        _shc = {}
+        if str(ent_p.get("cooltype", "")) == "shell":
+            _eosm = next((m for m in modules if m.name == "eos"), None)
+            _gam = _eosm.gamma if _eosm else 5.0 / 3.0
+            _cp = getattr(_eosm, "cp", 1.0) if _eosm else 1.0
+            _cs20 = _eosm.cs20 if _eosm else 1.0
+            _gm1 = _gam - 1.0
+            _g0s = float(grav_p.get("g0", 0.0))
+            _mps = float(den_p.get("mpoly", ent_p.get("mpoly", 1.5)))
+            _ri = float(init_pars.get("r_int", 0.0))
+            _re = float(init_pars.get("r_ext", 1.0))
+            _T0s = float(ent_p.get("t0", 0.0))
+            _TTe = _T0s if _T0s != 0.0 else _cs20 / (_gm1 * _cp)
+            _b1 = (1.0 / _cp) * _g0s / (_mps + 1.0) * _gam / _gm1
+            _TTi = _TTe + _b1 * (1.0 / max(_ri, 1e-30) - 1.0 / _re)
+            _shc = dict(cooltype="shell",
+                        cool_ext=float(ent_p.get("cool_ext", 0.0)),
+                        cool_int=float(ent_p.get("cool_int", 0.0)),
+                        cs2_ext=_gm1 * _cp * _TTe,
+                        cs2_int=_gm1 * _cp * _TTi,
+                        rshell_int=_ri, rshell_ext=_re)
         modules.append(Entropy(
+            **_shc,
             lweno_transport=lweno,
             init=_ss_nm,
             init_list_pars=_list_pars(
@@ -1955,6 +2053,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ic_p.setdefault(k, v)
         # hydrostatic IC plug-ins need the constant vertical gravity
         ic_p.setdefault("gravz", float(grp("grav").get("gravz", 0.0)))
+        # disk ICs read cdata flags rsmooth / lcylindrical_gravity
+        # (centrifugal_balance.f90 power_law + strat gating)
+        ic_p.setdefault("rsmooth", float(init_pars.get("rsmooth", 0.0)))
+        ic_p.setdefault("lcylindrical_gravity", bool(
+            init_pars.get("lcylindrical_gravity", False)
+            or grp("grav").get("lcylindrical_gravity", False)))
         if plugin == "ths_equilibrium_ism":
             ism_fn = os.path.join(path, "init_ism.in")
             if os.path.exists(ism_fn):

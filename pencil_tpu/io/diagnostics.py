@@ -2286,4 +2286,8 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 out[n] = DIAG_REGISTRY[n](pen, state)
         return out
 
+    # expose the unclaimed labels so drivers can report MISSING_DIAG
+    # instead of letting zeros masquerade as physics (diagnostics.f90
+    # parse_name: unclaimed labels stay 0 in fname)
+    evaluate.unknown = unknown_set
     return evaluate

@@ -75,6 +75,14 @@ class Model:
         self.rk = RK_TABLES.get(cfg.time.itorder)   # None for itorder=5
         self.particles = cfg.module("particles")
         self.pointmasses = cfg.module("pointmasses")
+        # border quenching profile (static) + 'initial-condition' driving
+        # targets (captured by init_state)
+        bord = cfg.module("border")
+        self._border_quench = None
+        self._border_targets = None
+        if bord is not None and bord.has_quench:
+            self._border_quench = jnp.asarray(
+                bord.quench_profile(self.grid, cfg.grid), self.dtype)[None]
         on_tpu = jax.default_backend() == "tpu"
         self._aux_modules = tuple(
             m for m in self.modules if hasattr(m, "compute_aux"))
@@ -99,6 +107,7 @@ class Model:
             and all(m.name == "shock" for m in self._aux_modules)
             and not self._freeze
             and self.particles is None
+            and cfg.module("border") is None
             # specials may need host-side context (time, storm tables)
             and all(m.name in MODULE_ORDER for m in self.modules)
         )
@@ -241,7 +250,8 @@ class Model:
         if self.pointmasses is not None:
             gs = self.cfg.grid
             state["pointmasses"] = self.pointmasses.init_q(
-                gs.coords, self.dtype, y_range=(gs.y0, gs.Ly))
+                gs.coords, self.dtype, y_range=(gs.y0, gs.Ly),
+                z_range=(gs.z0, gs.Lz))
         if self.particles is not None:
             key, sub = jax.random.split(key)
             state["key"] = key
@@ -325,6 +335,16 @@ class Model:
             fa0 = self.reg.stack(state["fields"])
             fa0 = self.bc_writeback(fa0, self.grid, state["t"])
             state["fields"] = self.reg.unstack(fa0)
+        bord = self.cfg.module("border")
+        if bord is not None and any(mode == "initial-condition"
+                                    for _, mode in bord.driving):
+            # capture the run-start fields as the border-driving targets
+            # (reference set_border_initcond stores them in global slots
+            # at initialization, border_profiles.f90:275-296)
+            self._border_targets = {
+                f: jnp.asarray(state["fields"][f])
+                for f, mode in bord.driving
+                if mode == "initial-condition" and f in state["fields"]}
         return state
 
     # ------------------------------------------------------------------
@@ -449,6 +469,8 @@ class Model:
             pen._cache["_pstate"] = pstate
         if pm_xq is not None:
             pen._cache["_pm_xq"] = pm_xq
+        if self._border_targets is not None:
+            pen._cache["_border_targets"] = self._border_targets
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
         if self._aux_modules:
@@ -695,6 +717,27 @@ class Model:
                         dt_new = jnp.minimum(dt_new, tcfg.ddt * state["dt"])
                     dt = dt_new.astype(fa.dtype)
             df = alpha[isub] * df + dfa if isub > 0 else dfa
+            if self._border_quench is not None:
+                # border_quenching (timestep.f90:158): the ACCUMULATED df
+                # (incl. the α-carried part) is profile-multiplied each
+                # substep; optional raw-δ⁶ hyperdiffusion scaled so the
+                # applied increment is dt-free (border_profiles.f90:494)
+                bprof = self._border_quench
+                df = df * bprof
+                bordm = cfg.module("border")
+                if bordm.lborder_hyper_diff:
+                    from .ops import stencil as _st
+                    fgq = fill_ghosts(fa[:nvar], cfg.grid, self.bc_axes,
+                                      reg, grid, cfg, self.eos,
+                                      mesh_axis_names, mesh_shape)
+                    d6 = sum(
+                        _st.i(_st.der6(fgq, a2, None, g=cfg.grid.nghost),
+                              axes=tuple(o for o in range(3) if o != a2),
+                              g=cfg.grid.nghost)
+                        for a2 in range(3)
+                        if (cfg.grid.nx, cfg.grid.ny, cfg.grid.nz)[a2] > 1)
+                    df = df + bordm.border_diff * (1.0 - bprof) * d6 \
+                        / (beta[isub] * dt)
             if wrap_tail and isub == 0:
                 # substep 1's state update happens inside substep 2's
                 # deferred-update kernel — keep f0 and df1 as-is

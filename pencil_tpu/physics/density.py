@@ -412,4 +412,5 @@ class Density(ModuleBase):
         return {"lnrho": init_scalar(self.init, grid, spec, eos, key,
                                      ampl=self.ampl, width=self.width,
                                      kx=self.kx, ky=self.ky, kz=self.kz,
-                                     phase=self.phase, field="lnrho")}
+                                     phase=self.phase, field="lnrho",
+                                     radius=self.radius_lnrho)}

@@ -50,6 +50,17 @@ class Entropy(ModuleBase):
     wcool: float = 0.2
     cs2cool: float = 0.0
     zcool: float = 0.0          # cooling layer center (default: top boundary)
+    # spherical-shell boundary cooling (cooltype='shell',
+    # entropy.f90:6348-6372 get_heat_cool_gravr): heat/cool layers at
+    # r_int/r_ext relaxing cs² → cs2_int/cs2_ext; cs2_int/ext are derived
+    # by the loader from the polytropic shell profile (entropy.f90:830-868)
+    cooltype: str = ""
+    cool_ext: float = 0.0
+    cool_int: float = 0.0
+    cs2_int: float = 0.0
+    cs2_ext: float = 0.0
+    rshell_int: float = 0.0
+    rshell_ext: float = 1.0
     # piecewise-polytrope stratification parameters (conv-slab style)
     mpoly0: float = 1.0
     mpoly1: float = 3.0
@@ -255,8 +266,33 @@ class Entropy(ModuleBase):
         if ohm is not None:
             out = out + ohm * pen.rho1() * pen.TT1()
 
+        if self.cooltype == "shell" and (self.cool_ext != 0.0
+                                         or self.cool_int != 0.0):
+            # shell-boundary heating/cooling (entropy.f90:6348-6372):
+            # heat = −cool_ext·step(r,r_ext,wcool)·(cs²−cs²_ext)/cs²_ext
+            #        −cool_int·(1−step(r,r_int,wcool))·(cs²−cs²_int)/cs²_int
+            # entering as ds/dt += heat·ρ⁻¹T⁻¹ (calc_heat_cool :5994)
+            g = pen.grid
+            gs = pen.cfg.grid
+            if gs.coords == "spherical":
+                r = g.xg + jnp.zeros((gs.nx, gs.ny, gs.nz), g.z.dtype)
+            else:
+                r = jnp.sqrt(g.xg ** 2 + g.yg ** 2 + g.zg ** 2) \
+                    + jnp.zeros((gs.nx, gs.ny, gs.nz), g.z.dtype)
+            w = max(self.wcool, 1e-30)
+            cs2 = pen.cs2()
+            heat = 0.0
+            if self.cool_ext != 0.0:
+                prof = 0.5 * (1.0 + jnp.tanh((r - self.rshell_ext) / w))
+                heat = heat - self.cool_ext * prof \
+                    * (cs2 - self.cs2_ext) / self.cs2_ext
+            if self.cool_int != 0.0:
+                prof = 0.5 * (1.0 - jnp.tanh((r - self.rshell_int) / w))
+                heat = heat - self.cool_int * prof \
+                    * (cs2 - self.cs2_int) / self.cs2_int
+            out = out + pen.rho1() * pen.TT1() * heat
         # cooling layer near the top: ds/dt −= cool·prof(z)·(cs²−cs2cool)/cs²
-        if self.cool != 0.0:
+        if self.cool != 0.0 and self.cooltype != "shell":
             g = pen.grid
             gs = pen.cfg.grid
             zref = self.zcool if self.zcool != 0.0 else gs.z0 + gs.Lz

@@ -179,73 +179,231 @@ def ic_rayleigh_taylor(grid, spec, eos, cfg, params):
             "lnrho": jnp.log(rhoprof) * ones, "ss": ss}
 
 
+def _der_x6(a, dx_1, g=3):
+    """6th-order central d/dx along axis 0 of a ghosted numpy array
+    (reference deriv.f90:89 der_main coefficients 45/-9/1 over 60),
+    scaled by the non-equidistant metric dx_1 (ghosted 1-D)."""
+    mx = a.shape[0]
+    d = (45.0 * (a[g + 1:mx - g + 1] - a[g - 1:mx - g - 1])
+         - 9.0 * (a[g + 2:mx - g + 2] - a[g - 2:mx - g - 2])
+         + (a[g + 3:mx - g + 3] - a[g - 3:mx - g - 3])) / 60.0
+    sc = np.asarray(dx_1, np.float64)[g:mx - g]
+    return d * sc.reshape((-1,) + (1,) * (a.ndim - 1))
+
+
 @register_ic("centrifugal_balance")
 def ic_centrifugal_balance(grid, spec, eos, cfg, params):
     """Accretion-disk start in rotational equilibrium (reference
     src/initial_condition/centrifugal_balance.f90):
 
-      * lnρ_mid = lnρ₀ − p·ln(r/r_ref)       (imidplane='power-law')
-      * u_φ from Ω² = −g_r/r, then corrected for the thermal pressure
-        gradient: Ω² += (∂_s lnρ + ∂_s ln cs²)·cs²/(γ·r)  (:422-661,
-        correct_pressure_gradient → correct_azimuthal_velocity)
-      * vertical stratification (3-D, .not.lcylindrical_gravity):
-        lnρ += −(Φ(r_sph) − Φ(r_cyl))/cs²
+      * cs²(r) = cs₀²·((r/r_ref)²+rsmooth²)^(−q/2)  (power_law :538)
+      * lnρ_mid = lnρ₀ − ·5p·ln((r/r_ref)²+rsmooth²) (imidplane='power-law'
+        :551) + vertical stratification (:570-626: spherical latitude
+        log-cos law / potential-difference law) + optional pressure bump
+      * u_φ: Ω² = −g_r/r for a gravity module (:254-256), or the Keplerian
+        power law Ω = √g0·r_sph^(−qgshear) for pointmasses runs (:264);
+        spherical puts u_φ in component 3 (:294)
+      * pressure-gradient correction (:1372-1444): the NUMERICAL radial
+        lnρ gradient + analytic ∇ln cs², folded into Ω via
+        correct_azimuthal_velocity (:1569-1611)
+      * lenergy runs set ss (or lnTT) from the same cs² profile
+        (set_thermodynamical_quantities :946-952)
 
     Returns "+uu" so the rotation ADDS to any noise init, like the
     reference cascade (initial_condition_uu after init_uu)."""
     import jax.numpy as jnp
     p = dict(params)
-    q_T = float(p.get("temperature_power_law", 0.0))
+    q_T = float(p.get("temperature_power_law", 1.0))
     p_rho = float(p.get("density_power_law", 0.0))
     r_ref = float(p.get("r_ref", 1.0))
+    rsmooth = float(p.get("rsmooth", 0.0))
+    qgshear = float(p.get("qgshear", 1.5))
+    g0_ic = float(p.get("g0", 1.0))
     grav = cfg.module("gravity")
-    curvi = cfg.grid.coords != "cartesian"
+    lgrav = grav is not None and bool(getattr(grav, "ipotential", ""))
+    lpm = cfg.module("pointmasses") is not None
+    coords = cfg.grid.coords
+    spherical = coords == "spherical"
+    cylindrical = coords == "cylindrical"
+    ent_mod = cfg.module("entropy")
+    tt_mod = cfg.module("temperature")
+    lenergy = ent_mod is not None or tt_mod is not None
+    llocal_iso = hasattr(eos, "glnTT_profile")
+    cs20 = eos.cs20 if eos is not None else 1.0
+    gamma = eos.gamma if eos is not None else 1.0
+    lnrho0 = float(np.log(eos.rho0)) if eos is not None else 0.0
+    lcyl_grav = bool(p.get("lcylindrical_gravity", False)) \
+        or bool(getattr(grav, "lcylindrical_gravity", False))
+    g = spec.nghost
     ones = jnp.ones(spec.shape, grid.z.dtype)
-    if curvi:
-        rr_cyl = grid.xg + 0.0 * ones
-        rr_sph = rr_cyl          # cylindrical coords: no spherical path
-    else:
+    xg1 = np.asarray(grid.x, np.float64)            # ghosted 1-D
+    yg1 = np.asarray(grid.y, np.float64)
+    zg1 = np.asarray(grid.z, np.float64)
+    if not (spherical or cylindrical):
+        # cartesian disk-in-a-box: analytic midplane correction (the
+        # pre-round-5 path; cartesian samples don't exercise the
+        # numerical-gradient machinery at census tolerance)
         rr_cyl = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2) + 0.0 * ones
         rr_sph = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2
                           + grid.zg ** 2) + 0.0 * ones
-    lcyl_grav = bool(getattr(grav, "lcylindrical_gravity", False)) \
-        or curvi
-    # cs² profile (llocal_iso) or constant
-    cs20 = eos.cs20 if eos is not None else 1.0
-    gamma = eos.gamma if eos is not None else 1.0
-    if hasattr(eos, "glnTT_profile"):
-        cs2 = cs20 * (rr_cyl / r_ref) ** (-q_T)
-        gslnTT = -q_T / rr_cyl            # d(ln cs²)/dr at z=0
-    else:
-        cs2 = cs20 * ones
-        gslnTT = 0.0 * ones
-    # midplane density power law
-    lnrho = (jnp.log(eos.rho0 if eos is not None else 1.0)
-             - p_rho * jnp.log(rr_cyl / r_ref))
-    # vertical stratification via the potential difference
-    if (not lcyl_grav) and spec.nz > 1 and grav is not None \
-            and grav.ipotential:
-        strat = -(grav.potential(rr_sph) - grav.potential(rr_cyl)) / cs2
-        lnrho = lnrho + strat
-    # rotational balance: Ω² = −g_r/r + pressure-gradient correction
-    gr = grav.g_r(rr_cyl) if grav is not None and grav.ipotential else \
-        -ones  # fallback: unit central gravity
-    OO2 = jnp.maximum(-gr / rr_cyl, 0.0)
-    gslnrho = -p_rho / rr_cyl             # radial d lnρ/dr of the midplane
-    fpres_thermal = (gslnrho + gslnTT) * cs2 / gamma
-    OO2 = jnp.maximum(OO2 + fpres_thermal / rr_cyl, 0.0)
-    OO = jnp.sqrt(OO2)
-    if curvi:
-        uu = jnp.stack([0.0 * ones, OO * rr_cyl, 0.0 * ones])
-    else:
+        if llocal_iso or lenergy:
+            cs2 = cs20 * ((rr_cyl / r_ref) ** 2 + rsmooth ** 2) ** \
+                (-0.5 * q_T)
+            gslnTT = -q_T / ((rr_cyl / r_ref) ** 2 + rsmooth ** 2) \
+                * rr_cyl / r_ref ** 2
+        else:
+            cs2 = cs20 * ones
+            gslnTT = 0.0 * ones
+        lnrho = (lnrho0 - 0.5 * p_rho
+                 * jnp.log((rr_cyl / r_ref) ** 2 + rsmooth ** 2))
+        if (not lcyl_grav) and spec.nz > 1:
+            if lgrav:
+                strat = -(grav.potential(rr_sph)
+                          - grav.potential(rr_cyl)) / cs2
+            else:
+                strat = -(-g0_ic / rr_sph + g0_ic / rr_cyl) / cs2
+            if lenergy:
+                strat = gamma * strat
+            lnrho = lnrho + strat
+        if lgrav:
+            gr = grav.g_r(rr_cyl)
+            OO2 = jnp.maximum(-gr / rr_cyl, 0.0)
+        else:
+            OOk = np.sqrt(g0_ic) * ((rr_cyl / 1.0) ** 2
+                                    + rsmooth ** 2) ** (-0.5 * qgshear)
+            OO2 = OOk ** 2 * (rr_sph / rr_cyl if lcyl_grav else 1.0)
+        gslnrho = -p_rho * (rr_cyl / r_ref ** 2) \
+            / ((rr_cyl / r_ref) ** 2 + rsmooth ** 2)
+        fpres_thermal = (gslnrho + gslnTT) * cs2 / gamma
+        OO2 = jnp.maximum(OO2 + fpres_thermal / rr_cyl, 0.0)
+        OO = jnp.sqrt(OO2)
         uu = jnp.stack([-grid.yg * OO + 0.0 * ones,
                         grid.xg * OO + 0.0 * ones, 0.0 * ones])
+    else:
+        # curvilinear: compute on the ghosted (x, transverse) plane in
+        # numpy so the pressure correction can use the real 6th-order
+        # radial gradient like the reference's grad(f,ilnrho) call
+        if spherical:
+            tr = yg1                      # θ (colatitude)
+            rr_sph = xg1[:, None] + 0.0 * tr[None, :]
+            rr_cyl = xg1[:, None] * np.sin(tr)[None, :]
+            rr = rr_sph
+            lzed = spec.ny > 1
+        else:
+            tr = zg1
+            rr_cyl = xg1[:, None] + 0.0 * tr[None, :]
+            rr_sph = np.sqrt(xg1[:, None] ** 2 + tr[None, :] ** 2)
+            rr = rr_cyl
+            lzed = spec.nz > 1
+        if llocal_iso or lenergy:
+            cs2p = cs20 * ((rr / r_ref) ** 2 + rsmooth ** 2) ** \
+                (-0.5 * q_T)
+            gslnTT = -q_T / ((rr / r_ref) ** 2 + rsmooth ** 2) \
+                * rr / r_ref ** 2
+        else:
+            cs2p = cs20 + 0.0 * rr
+            gslnTT = 0.0 * rr
+        # midplane density
+        if bool(p.get("lexponential_smooth", False)):
+            rshift = float(p.get("rshift", 0.0))
+            rmid = rshift + (spec.Lx / float(
+                p.get("radial_percent_smooth", 10.0)))
+            lnrho = lnrho0 + p_rho * np.log(
+                (1.0 - np.exp(-((rr - rshift) / rmid) ** 2)) / rr)
+        else:
+            lnrho = lnrho0 - 0.5 * p_rho * np.log(
+                (rr / r_ref) ** 2 + rsmooth ** 2)
+        bump = str(p.get("ipressurebump", "nobump"))
+        if bump == "gaussian":
+            lnrho = lnrho + np.log(
+                1.0 + float(p.get("bump_ampl", 0.4)) * np.exp(
+                    -(rr_cyl - float(p.get("bump_radius", 1.0))) ** 2
+                    / (2.0 * float(p.get("bump_width", 0.1)) ** 2)))
+        elif bump == "step":
+            lnrho = lnrho + np.log(
+                1.0 + 0.5 * float(p.get("bump_ampl", 0.4)) * (np.tanh(
+                    (rr_cyl - float(p.get("bump_radius", 1.0)))
+                    / float(p.get("bump_width", 0.1))) + 1.0))
+        # vertical stratification
+        if (not lcyl_grav) and lzed:
+            if spherical:
+                # (centrifugal_balance.f90:583-598): log-cos latitude law
+                if lgrav:
+                    g_r = np.asarray(grav.g_r(rr_sph))
+                else:
+                    g_r = -g0_ic / rr_sph ** 2
+                tmp2 = -g_r * rr_sph - cs2p * (p_rho + q_T) / gamma
+                lat = np.pi / 2.0 - tr[None, :]
+                strat = (tmp2 * gamma / cs2p) * np.log(np.cos(lat))
+            else:
+                if lgrav:
+                    t1 = np.asarray(grav.potential(rr_sph))
+                    t2 = np.asarray(grav.potential(rr_cyl))
+                else:
+                    t1 = -g0_ic / rr_sph
+                    t2 = -g0_ic / rr_cyl
+                strat = -(t1 - t2) / cs2p
+                if lenergy:
+                    strat = gamma * strat
+            lnrho = lnrho + strat
+        # rotation: Ω on the same ghosted plane
+        if lgrav:
+            rad = rr_sph if spherical else rr_cyl
+            g_r = np.asarray(grav.g_r(rad))
+            OO2p = np.maximum(-g_r / rad, 0.0)
+        elif lpm:
+            OOk = np.sqrt(g0_ic) * (rr_sph ** 2
+                                    + rsmooth ** 2) ** (-0.5 * qgshear)
+            if lcyl_grav and not spherical:
+                OOk = OOk * np.sqrt(rr_sph / rr_cyl)
+            OO2p = OOk ** 2
+        else:
+            OO2p = np.maximum(g0_ic / rr ** 3, 0.0)  # plain Keplerian
+        # pressure-gradient correction with the NUMERICAL d(lnρ)/dr
+        if bool(p.get("lcorrect_pressuregradient", True)):
+            gslnrho = np.zeros_like(lnrho)
+            gslnrho[g:-g] = _der_x6(lnrho, grid.dx_1, g)
+            fpres = (gslnrho + gslnTT) * cs2p / gamma
+            rr_corr = rr_sph if spherical else rr_cyl
+            OO2p = np.maximum(OO2p + fpres / rr_corr, 0.0)
+        OOp = np.sqrt(OO2p)
+        # lift the ghosted plane back onto the interior 3-D grid
+        def _lift(a):
+            ai = a[g:a.shape[0] - g, g:a.shape[1] - g]
+            if spherical:
+                return jnp.asarray(ai, grid.z.dtype)[:, :, None] + 0.0 * ones
+            return jnp.asarray(ai, grid.z.dtype)[:, None, :] + 0.0 * ones
+        lnrho_f = _lift(lnrho)
+        cs2 = _lift(cs2p)
+        OO = _lift(OOp)
+        zero = 0.0 * ones
+        if spherical:
+            uphi = OO * _lift(rr_sph)
+            uu = jnp.stack([zero, zero, uphi])
+        else:
+            uphi = OO * _lift(rr_cyl)
+            uu = jnp.stack([zero, uphi, zero])
+        lnrho = lnrho_f
     out = {"+uu": uu}
     den = cfg.module("density")
     if den is not None and getattr(den, "lnolog", False):
         out["rho"] = jnp.exp(lnrho) * ones
     else:
         out["lnrho"] = lnrho * ones
+    # lenergy: bind the cs² profile into the evolved thermo variable
+    # (set_thermodynamical_quantities, centrifugal_balance.f90:941-952)
+    if lenergy and eos is not None:
+        cp = getattr(eos, "cp", 1.0)
+        if tt_mod is not None:
+            lnTTf = jnp.log(cs2 / (cp * (gamma - 1.0))) * ones
+            if getattr(tt_mod, "lnolog", False):
+                out["TT"] = jnp.exp(lnTTf)
+            else:
+                out["lnTT"] = lnTTf
+        else:
+            out["ss"] = (cp / gamma) * (jnp.log(cs2 / cs20)
+                                        - (gamma - 1.0)
+                                        * (lnrho - lnrho0)) * ones
     if str(p.get("initcond_aa", "")) == "lambda_over_Lz_cte" \
             and cfg.module("magnetic") is not None:
         # radially-dependent vertical field Bz = B₀(r/r_ref)^(−pblaw),
@@ -253,7 +411,6 @@ def ic_centrifugal_balance(grid, spec, eos, cfg, params):
         # then Aφ = (1/r)∫Bz·r dr via the reference's 7-point composite
         # rule (centrifugal_balance.f90:1164-1173 + set_field/cap_field/
         # integrate :1192-1290)
-        import numpy as np
         zmode = float(p.get("zmode_mag", 1.0))
         pblaw = float(p.get("magnetic_power_law", 1.5 + 0.5 * p_rho))
         B0 = spec.Lz / (zmode * 2.0 * np.pi)

@@ -72,6 +72,13 @@ class Magnetic(ModuleBase):
     eta_z0: float = 1.0
     eta_zwidth: float = 0.0
     eta_jump: float = 0.0
+    # shell resistivity (iresistivity='shell', magnetic.f90:6946-7014
+    # eta_shell): η steps up to eta_int inside r_int and eta_ext outside
+    # r_ext, with the gradient term geta·∇·A
+    lresi_shell: bool = False
+    eta_int: float = 0.0
+    eta_ext: float = 0.0
+    wresistivity: float = 0.01
     # initaa='magnetogram' potential-field extrapolation inputs
     magnetogram_file: str = ""
     unit_magnetic: float = 1.0
@@ -109,7 +116,7 @@ class Magnetic(ModuleBase):
             out = out + eta_z[None] * pen.del2a()
             out = out.at[2].add(geta_z * pen.diva())
             ts.diffus(eta_z)
-        elif self.eta > 0.0:
+        elif self.eta > 0.0 and not self.lresi_shell:
             if self.lweyl_gauge:
                 # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A); pen.jj metric-aware
                 out = out - self.eta * self.mu0 * pen.jj()
@@ -118,6 +125,37 @@ class Magnetic(ModuleBase):
                 # (magnetic.f90:4399)
                 out = out + self.eta * pen.del2a()
             ts.diffus(self.eta)
+        if self.lresi_shell:
+            # fres += η(r)∇²A + ∇η·(∇·A)  (magnetic.f90:4650-4656)
+            g = pen.grid
+            gs = pen.cfg.grid
+            zero = jnp.zeros((gs.nx, gs.ny, gs.nz), g.z.dtype)
+            if gs.coords == "spherical":
+                r = g.xg + zero
+                evr = jnp.stack([1.0 + zero, zero, zero])
+            elif gs.coords == "cylindrical":
+                r = g.xg + zero
+                evr = jnp.stack([1.0 + zero, zero, zero])
+            else:
+                r = jnp.sqrt(g.xg ** 2 + g.yg ** 2 + g.zg ** 2) + zero
+                rs = jnp.maximum(r, 1e-30)
+                evr = jnp.stack([g.xg / rs + zero, g.yg / rs + zero,
+                                 g.zg / rs + zero])
+            w = max(self.wresistivity, 1e-30)
+            d_int = max(self.eta_int - self.eta, 0.0) \
+                if self.eta_int > 0.0 else 0.0
+            d_ext = max(self.eta_ext - self.eta, 0.0) \
+                if self.eta_ext > 0.0 else 0.0
+            s_int = 0.5 * (1.0 + jnp.tanh((r - self.r_int) / w))
+            s_ext = 0.5 * (1.0 + jnp.tanh((r - self.r_ext) / w))
+            eta_mn = self.eta + d_int * (1.0 - s_int) + d_ext * s_ext
+            eta_r = (-d_int * 0.5 / w * (1.0 - jnp.tanh(
+                (r - self.r_int) / w) ** 2)
+                + d_ext * 0.5 / w * (1.0 - jnp.tanh(
+                    (r - self.r_ext) / w) ** 2))
+            out = out + eta_mn[None] * pen.del2a() \
+                + evr * (eta_r * pen.diva())[None]
+            ts.diffus(eta_mn)
         if self.eta_hyper3 > 0.0:
             out = out + self.eta_hyper3 * pen.del6v_scaled("aa")
             ts.diffus3(self.eta_hyper3)

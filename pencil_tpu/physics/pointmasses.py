@@ -193,10 +193,10 @@ class PointMasses(ModuleBase):
             m[ip] = 1.0 - (m.sum() - m[ip])
         return m
 
-    def init_q(self, coords, dtype, y_range=None):
-        """y_range: (y0, Ly) grid azimuth range for wrapping (cylindrical)
-        — the reference wraps the primary's phi=pi through the grid's
-        periodic bounds."""
+    def init_q(self, coords, dtype, y_range=None, z_range=None):
+        """y_range/z_range: (lo, L) grid azimuth range for wrapping
+        (cylindrical φ = y, spherical φ = z) — the reference wraps the
+        primary's phi=pi through the grid's periodic bounds."""
         nq = self.nqpar
         ip = self.iprimary - 1
         m = self.masses()
@@ -204,6 +204,9 @@ class PointMasses(ModuleBase):
         vel = np.zeros((nq, 3))
         pos[:, 0] = np.asarray(self.xq0, np.float64)
         if self.initxxq == "fixed-cm":
+            if coords == "spherical":
+                # all masses in the midplane (pointmasses.f90:513-516)
+                pos[:, 1] = math.pi / 2.0
             sec = np.arange(nq) != ip
             sma = np.abs(pos[:, 0])
             offset = np.abs((pos[sec, 0] * m[sec]).sum())
@@ -227,6 +230,9 @@ class PointMasses(ModuleBase):
         if coords == "cylindrical" and y_range is not None:
             y0, Ly = y_range
             pos[:, 1] = y0 + np.mod(pos[:, 1] - y0, Ly)
+        elif coords == "spherical" and z_range is not None:
+            z0, Lz = z_range
+            pos[:, 2] = z0 + np.mod(pos[:, 2] - z0, Lz)
         return {"xq": jnp.asarray(pos, dtype),
                 "vq": jnp.asarray(vel, dtype)}
 

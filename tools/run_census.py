@@ -77,6 +77,11 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
                                    info["run_pars"].get("dtmin", 1e-10)),
                                print_columns=tuple(ref.keys())),
               quiet=True)
+    # columns no module claims (diagnostics registry unknowns): report
+    # them as MISSING_DIAG instead of letting silent zeros alias as
+    # physics MISMATCH (round-4 verdict weak #3)
+    missing = sorted(getattr(run.diag, "unknown", frozenset())
+                     & set(ref.keys()))
     run.main_loop(model.init_state(0,
                                    overrides=info.get("init_overrides")))
     ours = read_time_series(os.path.join(tmpdir, "time_series.dat"))
@@ -100,7 +105,7 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
         for col in ref:
             if col in ("it",) or col not in ours:
                 continue
-            if col in migcols:
+            if col in migcols or col in missing:
                 continue
             if it == 0 and col in dtcols:
                 continue
@@ -112,13 +117,19 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
             ncomp += 1
             if err > worst[0]:
                 worst = (err, f"{col}@it{it} ours={o:.4g} ref={r:.4g}")
-    if ncomp == 0:
+    if ncomp == 0 and not missing:
         return ("MISMATCH", "no comparable rows")
+    tag = f" MISSING_DIAG:{','.join(missing)}" if missing else ""
+    if ncomp and worst[0] > 10 * rtol:
+        return ("MISMATCH", f"worst {worst[0]:.3g} ({worst[1]}){tag}")
+    if missing:
+        # claimed columns agree; unclaimed ones are a coverage gap, not
+        # a physics error — count them separately
+        return ("MISSING_DIAG",
+                f"worst {worst[0]:.3g} ({worst[1]}){tag}")
     if worst[0] <= rtol:
         return ("MATCH", f"worst {worst[0]:.3g} ({worst[1]})")
-    if worst[0] <= 10 * rtol:
-        return ("CLOSE", f"worst {worst[0]:.3g} ({worst[1]})")
-    return ("MISMATCH", f"worst {worst[0]:.3g} ({worst[1]})")
+    return ("CLOSE", f"worst {worst[0]:.3g} ({worst[1]})")
 
 
 def main():
