@@ -844,6 +844,11 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lweno_transport=lweno,
             lisotropic_advection=bool(
                 run_pars.get("lisotropic_advection", False)),
+            lfargo_advection=bool(
+                init_pars.get("lfargo_advection",
+                              run_pars.get("lfargo_advection", False))),
+            lfargoadvection_as_shift=bool(
+                hyd_p.get("lfargoadvection_as_shift", True)),
             lcdt_tauf=bool(hyd_p.get("lcdt_tauf", False)),
             cdt_tauf=float(hyd_p.get("cdt_tauf", 1.0)),
             ulev=float(hyd_p.get("ulev", 1.0)),
@@ -939,11 +944,48 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             # GRAVITY=gravity_r central potentials (gravity_r.f90)
             ipotential=str(_first(grav_p.get("ipotential", ""))),
             g0=float(grav_p.get("g0", 0.0)),
+            qgshear=float(grav_p.get("qgshear", 1.5)),
             r0_pot=float(grav_p.get("r0_pot", 0.1)),
-            n_pot=int(grav_p.get("n_pot", 2)),
+            n_pot=int(grav_p.get("n_pot", 10)),
             lcylindrical_gravity=bool(
                 grav_p.get("lcylindrical_gravity",
                            init_pars.get("lcylindrical_gravity", False))),
+        ))
+
+    # Radial freeze zones (lfreeze_uint/uext etc. → FreezeZones module;
+    # equ.f90:424-520; rfreeze defaults to r_int/r_ext, run.f90:259-260)
+    _rho_name = "rho" if bool(grp("density").get("ldensity_nolog", False)) \
+        else "lnrho"
+    _fz_int, _fz_ext = [], []
+    for stem2, flagi, flage, fname2 in (
+            ("hydro", "lfreeze_uint", "lfreeze_uext", "uu"),
+            ("density", "lfreeze_lnrhoint", "lfreeze_lnrhoext", _rho_name),
+            ("magnetic", "lfreeze_aint", "lfreeze_aext", "aa"),
+            ("entropy", "lfreeze_sint", "lfreeze_sext", "ss")):
+        pg2 = grp(stem2)
+        if bool(pg2.get(flagi, False)):
+            _fz_int.append(fname2)
+        if bool(pg2.get(flage, False)):
+            _fz_ext.append(fname2)
+    if _fz_int or _fz_ext:
+        from ..physics.freeze import FreezeZones
+        _ri0 = float(init_pars.get("r_int", run_pars.get("r_int", 0.0)))
+        _re0 = float(init_pars.get("r_ext", run_pars.get("r_ext", -9e99)))
+        modules.append(FreezeZones(
+            rfreeze_int=float(run_pars.get(
+                "rfreeze_int", _ri0 if _ri0 > 1e-12 else -9e99)),
+            rfreeze_ext=float(run_pars.get(
+                "rfreeze_ext", _re0 if _re0 > -1e99 else -9e99)),
+            wfreeze_int=float(run_pars.get(
+                "wfreeze_int", run_pars.get("wfreeze", 0.0))),
+            wfreeze_ext=float(run_pars.get(
+                "wfreeze_ext", run_pars.get("wfreeze", 0.0))),
+            fshift_int=float(run_pars.get("fshift_int", -1.0)),
+            fshift_ext=float(run_pars.get("fshift_ext", 1.0)),
+            fields_int=tuple(_fz_int),
+            fields_ext=tuple(_fz_ext),
+            lcyl=bool(init_pars.get("lcylinder_in_a_box", False))
+            or grid.coords == "cylindrical",
         ))
 
     # BORDER_PROFILES: quenching (border_frac_*) + per-variable driving
@@ -1446,10 +1488,16 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             if ({"zdep", "eta-zdep"}
                 & set(str(v) for v in
                       _as_tuple(mag_p.get("iresistivity", "")))) else "",
+            lresi_shell=("shell" in set(
+                str(v) for v in _as_tuple(mag_p.get("iresistivity", "")))),
+            eta_int=float(mag_p.get("eta_int", 0.0)),
+            eta_ext=float(mag_p.get("eta_ext", 0.0)),
+            wresistivity=float(mag_p.get("wresistivity", 0.01)),
             eta_z0=float(mag_p.get("eta_z0", 1.0)),
             eta_zwidth=float(mag_p.get("eta_zwidth", 0.0)),
             eta_jump=float(mag_p.get("eta_jump", 0.0)),
             lweyl_gauge=bool(mag_p.get("lweyl_gauge", False)),
+            ladvective_gauge=bool(mag_p.get("ladvective_gauge", False)),
             lohmic_heat=bool(mag_p.get("lohmic_heat", True)),
             lboris_correction=bool(
                 mag_p.get("lboris_correction", False)),

@@ -948,6 +948,28 @@ def _arms(pen, st):
     return _vrms(pen, aa[0] ** 2 + aa[1] ** 2 + aa[2] ** 2)
 
 
+@diag("a2m")
+def _a2m(pen, st):
+    """<A²> (magnetic.f90 idiag_a2m)."""
+    aa = pen.aa()
+    return _vmean(pen, aa[0] ** 2 + aa[1] ** 2 + aa[2] ** 2)
+
+
+@diag("axm")
+def _axm(pen, st):
+    return _vmean(pen, pen.aa()[0])
+
+
+@diag("aym")
+def _aym(pen, st):
+    return _vmean(pen, pen.aa()[1])
+
+
+@diag("azm")
+def _azm(pen, st):
+    return _vmean(pen, pen.aa()[2])
+
+
 @diag("abm")
 def _abm(pen, st):
     """Mean magnetic helicity <A·B>."""
@@ -1914,12 +1936,24 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
         # xq<k>/yq<k>/zq<k>, vxq<k>/... — per-point-mass positions and
         # velocities (pointmasses.f90 idiag_xxq/idiag_vvq)
         return has_pm and _re.fullmatch(r"v?[xyz]q\d+", n)
+
+    def _sumlim_diag(n):
+        # annulus-integrated diagnostics (sum_lim_mn_name,
+        # diagnostics.f90: r_int ≤ r ≤ r_ext): planet-disk torques and
+        # totals (pointmasses.f90:890-935, :1605-1690; hydro.f90:4070
+        # totangmom; entropy.f90:3591 TTp)
+        if _re.fullmatch(r"torq(int|ext)_\d+", n):
+            return has_pm
+        if n in ("totenergy",):
+            return has_pm
+        return n in ("totangmom", "TTp")
     unknown = [n for n in names
                if n not in DIAG_REGISTRY and n not in special
                and n not in ("dtc", "dtu", "dtnu", "dtchi", "dtv",
                              "dtdiffus", "dtdragp", "dtb", "dteta",
-                             "dtd")
+                             "dtd", "nshift")
                and not _chem_diag(n) and not _pm_diag(n)
+               and not _sumlim_diag(n)
                and not _gw_diag(n) and not _dust_diag(n)]
     if unknown:
         if not allow_unknown:
@@ -2094,9 +2128,27 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 va2 = pen.b2() * pen.rho1()
                 dxyz2 = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
                 out[n] = dt * jnp.sqrt(jnp.max(va2 * dxyz2)) / cfg.time.cdt
+            elif n == "nshift":
+                # FARGO cells-shifted-per-step: max(<u_φ>/r·dt·dy⁻¹)
+                # (hydro.f90:4301-4311)
+                hydm = cfg.module("hydro")
+                if hydm is not None and getattr(hydm, "lfargo_advection",
+                                                False) \
+                        and "uu" in reg.slots:
+                    uum = jnp.mean(pen.uu()[1], axis=1)    # (nx, nz)
+                    xr = jnp.asarray(grid.interior(grid.x))
+                    dy1m = jnp.max(grid.dy_1)
+                    out[n] = jnp.max(uum / xr[:, None] * dy1m) * dt
+                else:
+                    out[n] = jnp.zeros(())
             elif n == "dteta":
                 mag = cfg.module("magnetic")
                 eta = getattr(mag, "eta", 0.0) if mag else 0.0
+                if mag is not None and getattr(mag, "lresi_shell", False):
+                    # shell profile: η max is eta_int/eta_ext where larger
+                    # (magnetic.f90 eta_shell)
+                    eta = max(eta, getattr(mag, "eta_int", 0.0),
+                              getattr(mag, "eta_ext", 0.0))
                 dxyz2 = jnp.max(grid.dx1 ** 2 + 0.0 * grid.dx1) \
                     + jnp.max(grid.dy1 ** 2) + jnp.max(grid.dz1 ** 2)
                 out[n] = dt * eta * dxyz2 / cfg.time.cdtv
@@ -2255,6 +2307,82 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
                 k = int(_re.search(r"\d+$", n).group()) - 1
                 arr = state["pointmasses"]["vq" if n[0] == "v" else "xq"]
                 out[n] = arr[k, comp]
+            elif _sumlim_diag(n):
+                gs = cfg.grid
+                bordm = cfg.module("border")
+                fzm = cfg.module("freeze_zones")
+                ri = getattr(bordm, "r_int", None) if bordm else None
+                re_ = getattr(bordm, "r_ext", None) if bordm else None
+                if ri is None and fzm is not None:
+                    ri = max(fzm.rfreeze_int, 0.0)
+                    re_ = fzm.rfreeze_ext
+                if ri is None:
+                    ri, re_ = 0.0, 9e99
+                zeroc = jnp.zeros((gs.nx, gs.ny, gs.nz), grid.z.dtype)
+                if gs.coords == "cartesian":
+                    rcyl = jnp.sqrt(grid.xg ** 2 + grid.yg ** 2) + zeroc
+                else:
+                    rcyl = grid.xg + zeroc
+                sel = (rcyl >= ri) & (rcyl <= re_)
+                dv = 1.0
+                for nn_, dd_ in ((gs.nx, gs.Lx / gs.nx),
+                                 (gs.ny, gs.Ly / gs.ny),
+                                 (gs.nz, gs.Lz / gs.nz)):
+                    if nn_ > 1:
+                        dv *= dd_
+                pmmod = cfg.module("pointmasses")
+                if n == "totangmom":
+                    uu = pen.uu()
+                    val = pen.rho() * (uu[1] * grid.xg - uu[0] * grid.yg)
+                    out[n] = jnp.sum(jnp.where(sel, val, 0.0)) * dv
+                elif n == "TTp":
+                    gam = pen.eos.gamma if pen.eos is not None else 1.0
+                    val = pen.rho() * pen.cs2() / gam
+                    out[n] = jnp.sum(jnp.where(sel, val, 0.0)) * dv
+                elif n == "totenergy":
+                    # bug-compatible: only the LAST point mass's potential
+                    # survives the reference's per-ks reset
+                    # (pointmasses.f90:905-911)
+                    xq = state["pointmasses"]["xq"]
+                    ks = pmmod.nqpar - 1
+                    rs = pmmod._r_smooth()[ks]
+                    mlast = jnp.asarray(pmmod.masses())[ks]
+                    rp2 = ((grid.xg - xq[ks, 0]) ** 2
+                           + (grid.yg - xq[ks, 1]) ** 2) + zeroc
+                    pot = -pmmod.GNewton * mlast \
+                        * (rp2 + rs ** 2) ** -0.5
+                    val = 0.5 * pen.rho() * pen.u2() + pot
+                    out[n] = jnp.sum(jnp.where(sel, val, 0.0)) * dv
+                else:
+                    # torqint_k / torqext_k (calc_torque_split_int_ext,
+                    # pointmasses.f90:1572-1690)
+                    k = int(n.split("_")[1]) - 1
+                    xq = state["pointmasses"]["xq"]
+                    rs = pmmod._r_smooth()[k]
+                    mk = jnp.asarray(pmmod.masses())[k]
+                    if gs.coords == "cartesian":
+                        rrp = jnp.sqrt(xq[k, 0] ** 2 + xq[k, 1] ** 2
+                                       + xq[k, 2] ** 2)
+                        rpre = (xq[k, 0] * grid.yg
+                                - xq[k, 1] * grid.xg) + zeroc
+                        dist2 = ((grid.xg - xq[k, 0]) ** 2
+                                 + (grid.yg - xq[k, 1]) ** 2) + zeroc
+                    else:
+                        rrp = xq[k, 0]
+                        rpre = rcyl * xq[k, 0] * jnp.sin(
+                            grid.yg - xq[k, 1]) + zeroc
+                        dist2 = (rcyl ** 2 + xq[k, 0] ** 2
+                                 - 2.0 * rcyl * xq[k, 0]
+                                 * jnp.cos(grid.yg - xq[k, 1]))
+                    tq = pmmod.GNewton * mk * pen.rho() * rpre \
+                        * (dist2 + rs ** 2) ** -1.5
+                    tq = jnp.where(sel, tq, 0.0) \
+                        if gs.coords == "cartesian" else tq
+                    if n.startswith("torqext"):
+                        tq = jnp.where(rcyl >= rrp, tq, 0.0)
+                    else:
+                        tq = jnp.where(rcyl <= rrp, tq, 0.0)
+                    out[n] = jnp.sum(tq) * dv
             elif _chem_diag(n):
                 if n == "e_intm":
                     out[n] = jnp.zeros(())

@@ -350,7 +350,7 @@ class Model:
     # ------------------------------------------------------------------
     def rhs(self, fa: jnp.ndarray, grid: Grid, t,
             mesh_axis_names=None, mesh_shape=(1, 1, 1), pstate=None,
-            pm_xq=None):
+            pm_xq=None, fargo_mean=None):
         """One RHS evaluation on the local block.
 
         fa: (nf, nx, ny, nz) local interior stack.
@@ -362,7 +362,7 @@ class Model:
         if shear is not None:
             shear_dy = shear.deltay(t, cfg.grid.Lx, cfg.grid.Ly)
         return self._rhs_inner(fa, t, grid, mesh_axis_names, mesh_shape,
-                               pstate, shear_dy, pm_xq)
+                               pstate, shear_dy, pm_xq, fargo_mean)
 
     def _make_halo1(self, grid, mesh_axis_names=None, mesh_shape=(1, 1, 1),
                     shear_dy=None):
@@ -427,7 +427,7 @@ class Model:
         return fa
 
     def _rhs_inner(self, fa, t, grid, mesh_axis_names, mesh_shape,
-                   pstate, shear_dy, pm_xq=None):
+                   pstate, shear_dy, pm_xq=None, fargo_mean=None):
         cfg = self.cfg
         mode = self._fused_mode(mesh_axis_names, shear_dy, fa.shape[3])
         if mode is not None:
@@ -471,6 +471,8 @@ class Model:
             pen._cache["_pm_xq"] = pm_xq
         if self._border_targets is not None:
             pen._cache["_border_targets"] = self._border_targets
+        if fargo_mean is not None:
+            pen._cache["_fargo_mean"] = fargo_mean
         if self.reg.nf > self.reg.ncom:
             pen.aux = fa[self.reg.ncom:]
         if self._aux_modules:
@@ -518,6 +520,21 @@ class Model:
             cv1 = self.eos.gamma / self.eos.cp
             ts.max_rate(jnp.abs(df["ss"]) * cv1 / cfg.time.cdts)
         dt1 = cfl_dt1(ts, grid, cfg.time)
+        fz = cfg.module("freeze_zones")
+        if fz is not None:
+            # radial freeze zones: df masked per variable, CFL excluded
+            # in the frozen region (equ.f90:424-520, :1105-1133)
+            mi, me = fz.masks(grid, cfg.grid)
+            for names_, mask_ in ((fz.fields_int, mi),
+                                  (fz.fields_ext, me)):
+                if mask_ is None:
+                    continue
+                for fn_ in names_:
+                    if fn_ in self.reg.slots \
+                            and self.reg.slots[fn_].kind == "pde":
+                        sl_ = self.reg.slice(fn_)
+                        dfa = dfa.at[sl_].multiply(mask_[None])
+            dt1 = dt1 * fz.cfl_mask(grid, cfg.grid)
         return dfa, dt1, dpstate
 
     # ------------------------------------------------------------------
@@ -607,6 +624,18 @@ class Model:
         if safi and mesh_axis_names and mesh_axis_names[1] is not None \
                 and mesh_shape[1] > 1:
             raise NotImplementedError("SAFI with sharded y axis")
+        # FARGO orbital advection (hydro.f90:3557): φ-average of u_φ
+        # computed once per step (first substep) and held through the
+        # substeps, like the reference's uu_average_cyl
+        hyd_m = cfg.module("hydro")
+        fargo_uum = None
+        if (hyd_m is not None and getattr(hyd_m, "lfargo_advection", False)
+                and cfg.grid.coords == "cylindrical" and not packed):
+            if mesh_axis_names and mesh_axis_names[1] is not None \
+                    and mesh_shape[1] > 1:
+                raise NotImplementedError("FARGO with sharded y axis")
+            fargo_uum = jnp.mean(state["fields"]["uu"][1], axis=1,
+                                 keepdims=True)
         pm = self.pointmasses
         if pm is not None and "pointmasses" in state:
             from .physics.pointmasses import cart_to_polar, polar_to_cart
@@ -702,7 +731,7 @@ class Model:
                 if pm is not None else None
             dfa, dt1, dp = self.rhs(fa, grid, t_sub, mesh_axis_names,
                                     mesh_shape, pstate=pstate,
-                                    pm_xq=cur_xq)
+                                    pm_xq=cur_xq, fargo_mean=fargo_uum)
             if self._freeze:
                 dfa = self._apply_freeze(dfa, mesh_axis_names, mesh_shape)
             if isub == 0:
@@ -751,6 +780,31 @@ class Model:
                 # orderings are identical)
                 if hasattr(m, "update_f"):
                     fa = m.update_f(fa, grid, self)
+            if fargo_uum is not None \
+                    and getattr(hyd_m, "lfargoadvection_as_shift", True):
+                # FARGO azimuthal Fourier shift of f (and the df carry on
+                # non-final substeps) by the mean angular flow over the
+                # TRUE substep time increment (fourier_shift_fargo,
+                # hydro.f90:6988; dtsub = ds·dt_beta_ts, timestep.f90:154)
+                c_next = (cstage[isub + 1] if isub + 1 < len(alpha)
+                          else 1.0)
+                dtsub_f = (c_next - cstage[isub]) * dt
+                xr = jnp.asarray(grid.interior(grid.x))
+                phidot = fargo_uum[:, 0, :] / xr[:, None]   # (nx, nz)
+                ky = 2.0 * jnp.pi * jnp.fft.fftfreq(
+                    cfg.grid.ny, d=cfg.grid.Ly / cfg.grid.ny)
+
+                def _fshift(arr, disp):
+                    ah = jnp.fft.fft(arr, axis=2)
+                    ph = jnp.exp(-1j * ky[None, None, :, None]
+                                 * disp[None, :, None, :])
+                    return jnp.real(jnp.fft.ifft(ah * ph, axis=2)) \
+                        .astype(arr.dtype)
+
+                fa = fa.at[:nvar].set(_fshift(fa[:nvar],
+                                              phidot * dtsub_f))
+                if isub < len(alpha) - 1:
+                    df = _fshift(df, phidot * dtsub_f)
             if safi:
                 # exact shear-advection shift of f (and the 2N-RK df
                 # carry on non-final substeps) — reference advance_shear

@@ -82,11 +82,14 @@ def curl_curv(pen, vv, vij):
     return jnp.stack([cr, ct, cp])
 
 
-def ugu_curv(pen, uu, uij):
-    """(u·∇)u including the curvature (Christoffel) terms."""
+def ugu_curv(pen, uu, uij, uadv=None):
+    """(u·∇)u including the curvature (Christoffel) terms.  ``uadv``
+    (FARGO residual velocity) drives the directional derivative; the
+    curvature terms always use the full uu (hydro.f90:3193-3197)."""
     m = metric(pen)
+    ua = uu if uadv is None else uadv
     base = jnp.stack([
-        sum(uu[j] * uij[a, j] for j in range(3)) for a in range(3)
+        sum(ua[j] * uij[a, j] for j in range(3)) for a in range(3)
     ])
     coords = pen.cfg.grid.coords
     inv_r = m["inv_r"]

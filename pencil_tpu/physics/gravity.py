@@ -71,7 +71,11 @@ class Gravity(ModuleBase):
     ipotential: str = ""
     g0: float = 0.0
     r0_pot: float = 0.1
-    n_pot: int = 2
+    n_pot: int = 10
+    # 'varying-q': g_r = −g0·r^(1−2q) (gravity_r.f90:337, used by the
+    # FARGO solid-rotation tests); 'varying-q-smooth':
+    # g_r = −g0·r/(r²+r0²)^q (:339)
+    qgshear: float = 1.5
     lcylindrical_gravity: bool = False
 
     @property
@@ -85,6 +89,12 @@ class Gravity(ModuleBase):
         and star ICs, centrifugal_balance.f90:596, density.f90:1269)."""
         if self.ipotential in PADE_STARS:
             return _pade_pot(PADE_STARS[self.ipotential], r)
+        if self.ipotential == "varying-q":
+            q2 = 2.0 - 2.0 * self.qgshear
+            if abs(q2) < 1e-12:
+                import jax.numpy as jnp
+                return self.g0 * jnp.log(r)
+            return self.g0 * r ** q2 / q2
         n = float(self.n_pot)
         return -self.g0 * (r ** n + self._r0 ** n) ** (-1.0 / n)
 
@@ -99,6 +109,11 @@ class Gravity(ModuleBase):
         """Radial acceleration −dΦ/dr with the chosen softening."""
         if self.ipotential in PADE_STARS:
             return _pade_gr(PADE_STARS[self.ipotential], r)
+        if self.ipotential == "varying-q":
+            return -self.g0 * r ** (1.0 - 2.0 * self.qgshear)
+        if self.ipotential == "varying-q-smooth":
+            return -self.g0 * r / (r ** 2
+                                   + self.r0_pot ** 2) ** self.qgshear
         n = float(self.n_pot)
         return (-self.g0 * r ** (n - 1.0)
                 * (r ** n + self._r0 ** n) ** (-(n + 1.0) / n))
@@ -109,7 +124,9 @@ class Gravity(ModuleBase):
         broadcastable against (nx, ny, nz)."""
         z = grid.zg
         if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
-                               "no-smooth") or self.ipotential in PADE_STARS:
+                               "no-smooth", "varying-q",
+                               "varying-q-smooth") \
+                or self.ipotential in PADE_STARS:
             x, y = grid.xg, grid.yg
             if getattr(spec, "coords", "cartesian") != "cartesian":
                 r = x
@@ -143,7 +160,9 @@ class Gravity(ModuleBase):
         zero = jnp.zeros(pen.cfg.grid.shape if pen.cfg is not None
                          else pen.lnrho().shape, g.z.dtype)
         if self.ipotential in ("smoothed-newton", "geo-kws", "newton",
-                               "no-smooth") or self.ipotential in PADE_STARS:
+                               "no-smooth", "varying-q",
+                               "varying-q-smooth") \
+                or self.ipotential in PADE_STARS:
             x, y, z = g.xg, g.yg, g.zg
             if pen.cfg is not None and pen.cfg.grid.coords != "cartesian":
                 # cylindrical/spherical: x is the radius, g along x̂

@@ -30,6 +30,11 @@ class Hydro(ModuleBase):
     # the isotropic |u|·√(Σ dline⁻²) so a velocity along a degenerate
     # direction still limits dt (hydro.f90:3821-3823)
     lisotropic_advection: bool = False
+    # FARGO orbital advection (cdata lfargo_advection; hydro.f90:2620,
+    # 3557, 6928): advect with the residual of the φ-averaged azimuthal
+    # flow, and shift f/df by the mean flow per substep (Fourier shift)
+    lfargo_advection: bool = False
+    lfargoadvection_as_shift: bool = True
     lpressuregradient_gas: bool = True   # reference hydro_run_pars flag
     init: str = "zero"
     ampl: float = 0.0
@@ -208,7 +213,10 @@ class Hydro(ModuleBase):
             ts.advec(jnp.sqrt(pen.u2()
                               * (d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2)))
         else:
-            ts.advec(sum(jnp.abs(uu[a]) * d1[a] for a in range(3)))
+            # FARGO: the CFL uses the residual velocity, which is the
+            # whole point of orbital advection (hydro.f90:3807-3810)
+            uua = pen.uu_advec()
+            ts.advec(sum(jnp.abs(uua[a]) * d1[a] for a in range(3)))
         if pen.eos is not None and ("lnrho" in pen.reg.slots
                                     or "rho" in pen.reg.slots) \
                 and (pen.cfg is None

@@ -40,6 +40,10 @@ class Magnetic(ModuleBase):
     omega_profile: str = "nothing"
     omega_ampl: float = 0.0
     lweyl_gauge: bool = False   # η_t term as −η_t µ0 J instead of η_t∇²A
+    # advective (Λ-)gauge: dA/dt = −(u·∇)A − A_j∇u_j instead of u×B
+    # (magnetic.f90:5158-5212; the FARGO variant drops the irrotational
+    # term, Candelaresi et al. 2011)
+    ladvective_gauge: bool = False
     B_ext: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     llorentzforce: bool = True
     lohmic_heat: bool = True
@@ -89,8 +93,69 @@ class Magnetic(ModuleBase):
     def register(self, reg):
         reg.register("aa", 3, "pde", comps=("ax", "ay", "az"))
 
+    def _advective_gauge(self, pen):
+        """Induction in the advective gauge (magnetic.f90:5156-5212)."""
+        uu = pen.uu()
+        aa = pen.field("aa")
+        coords = pen.cfg.grid.coords
+        inv_r = None
+        if coords != "cartesian":
+            from .curvilinear import metric
+            inv_r = metric(pen)["inv_r"]
+        daj = [pen.d("aa", j) for j in range(3)]   # daj[j][k] = ∂ⱼa_k
+        fargo = pen._cache.get("_fargo_mean") is not None
+        if fargo:
+            # dA/dt = −(u'·∇)A + (∇A)ᵀ·u  (no irrotational term)
+            uadv = pen.uu_advec()
+            gaa = jnp.stack([sum(uadv[k] * daj[k][j] for k in range(3))
+                             for j in range(3)])
+            ajiuj = jnp.stack([sum(uu[k] * daj[j][k] for k in range(3))
+                               for j in range(3)])
+            if coords == "cylindrical":
+                gaa = gaa.at[0].add(-uu[1] * aa[1] * inv_r)
+                gaa = gaa.at[1].add(uu[1] * aa[0] * inv_r)
+                ajiuj = ajiuj.at[1].add(
+                    (aa[0] * uu[1] - aa[1] * uu[0]) * inv_r)
+            return -gaa + ajiuj
+        uij = pen.uij()
+        uga = jnp.stack([sum(uu[k] * daj[k][j] for k in range(3))
+                         for j in range(3)])
+        if any(b != 0.0 for b in self.B_ext):
+            be = jnp.asarray(self.B_ext, uu.dtype)
+            ujiaj = jnp.stack([uu[1] * be[2] - uu[2] * be[1],
+                               uu[2] * be[0] - uu[0] * be[2],
+                               uu[0] * be[1] - uu[1] * be[0]])
+        else:
+            ujiaj = jnp.zeros_like(uu)
+        ujiaj = ujiaj + jnp.stack([
+            sum(aa[k] * uij[k, j] for k in range(3)) for j in range(3)])
+        if coords == "cylindrical":
+            uga = uga.at[0].add(-uu[1] * aa[1] * inv_r)
+            uga = uga.at[1].add(uu[1] * aa[0] * inv_r)
+            ujiaj = ujiaj.at[1].add(
+                (uu[0] * aa[1] - uu[1] * aa[0]) * inv_r)
+        elif coords == "spherical":
+            from .curvilinear import metric
+            cot_r = metric(pen)["cot_r"]    # cotθ/r
+            # h_dot_grad vector curvature terms (sub.f90 h_dot_grad_vec)
+            uga = uga.at[0].add(-(uu[1] * aa[1] + uu[2] * aa[2]) * inv_r)
+            uga = uga.at[1].add(uu[1] * aa[0] * inv_r
+                                - uu[2] * aa[2] * cot_r)
+            uga = uga.at[2].add(uu[2] * aa[0] * inv_r
+                                + uu[2] * aa[1] * cot_r)
+            # reference spherical ujiaj (magnetic.f90:5195-5201)
+            ujiaj = ujiaj.at[1].add(
+                (uu[0] * aa[1] - uu[1] * aa[0]) * inv_r)
+            ujiaj = ujiaj.at[2].add(
+                (uu[0] * aa[2] - uu[2] * aa[0]) * inv_r
+                + (uu[1] * aa[2] - uu[2] * aa[2]) * cot_r)
+        return -uga - ujiaj
+
     def rhs(self, pen, df, ts):
-        out = pen.uxb()
+        if self.ladvective_gauge and "uu" in pen.reg.slots:
+            out = self._advective_gauge(pen)
+        else:
+            out = pen.uxb()
         if self.zdep_profile:
             # η(z) profile + gradient term on the z-component
             # (magnetic.f90:4438-4453: fres_z += ∂_zη·∇·A); profiles

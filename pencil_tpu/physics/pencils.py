@@ -340,8 +340,10 @@ class Pencils:
 
     def ugrad(self, name, upwind=False):
         """u·∇f for a scalar field, optionally with 5th-order upwinding
-        (reference der6_upwind / lupw_* flags): subtracts |u_a|·δ⁶f/(60Δ)."""
-        uu = self.uu()
+        (reference der6_upwind / lupw_* flags): subtracts |u_a|·δ⁶f/(60Δ).
+        Under FARGO the advecting velocity is the residual uu_advec
+        (reference h_dot_grad(p%uu_advec, ...) in density/entropy)."""
+        uu = self.uu_advec()
         out = sum(uu[a] * self.d(name, a)[0] for a in range(3))
         if upwind:
             out = out - sum(
@@ -349,6 +351,16 @@ class Pencils:
                 for a in range(3)
             )
         return out
+
+    @_memo
+    def uu_advec(self):
+        """u with the FARGO mean azimuthal flow removed
+        (hydro.f90:3176-3187); == uu when FARGO is off."""
+        uu = self.uu()
+        m = self._cache.get("_fargo_mean")
+        if m is None:
+            return uu
+        return uu.at[1].add(-m)
 
     # ---- hydro ---------------------------------------------------------
     @_memo
@@ -424,14 +436,18 @@ class Pencils:
 
     @_memo
     def ugu(self):
-        """(u·∇)u: (3, nx, ny, nz) (+ curvature terms off-cartesian)."""
+        """(u·∇)u: (3, nx, ny, nz) (+ curvature terms off-cartesian).
+        Under FARGO the directional derivative uses uu_advec while the
+        curvature terms keep the FULL u (hydro.f90:3193-3197
+        uuadvec_guu)."""
         uu = self.uu()
         uij = self.uij()
+        uadv = self.uu_advec()
         if self.cfg.grid.coords != "cartesian":
             from .curvilinear import ugu_curv
-            return ugu_curv(self, uu, uij)
+            return ugu_curv(self, uu, uij, uadv=uadv)
         return jnp.stack([
-            sum(uu[j] * uij[a, j] for j in range(3)) for a in range(3)
+            sum(uadv[j] * uij[a, j] for j in range(3)) for a in range(3)
         ])
 
     @_memo

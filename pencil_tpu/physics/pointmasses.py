@@ -224,9 +224,16 @@ class PointMasses(ModuleBase):
                 kep[sec] = np.sqrt(1.0 / sma[sec])
                 vbar = (kep[sec] * m[sec]).sum()
                 iv = 1 if coords != "spherical" else 2
-                vel[sec, iv] = kep[sec] - vbar
-                vel[ip, iv] = vbar if coords != "cartesian" else \
-                    -np.sign((pos[sec, 0] * m[sec]).sum()) * vbar
+                if coords == "cartesian":
+                    # v_y carries the orbit sign of each secondary's x
+                    # position (pointmasses.f90:682)
+                    vel[sec, iv] = np.sign(pos[sec, 0]) \
+                        * (kep[sec] - vbar)
+                    vel[ip, iv] = -np.sign(
+                        (pos[sec, 0] * m[sec]).sum()) * vbar
+                else:
+                    vel[sec, iv] = kep[sec] - vbar
+                    vel[ip, iv] = vbar
         if coords == "cylindrical" and y_range is not None:
             y0, Ly = y_range
             pos[:, 1] = y0 + np.mod(pos[:, 1] - y0, Ly)

@@ -92,7 +92,8 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
     # evaluation, which has no analog before our first step
     dtcols = {"dt", "dtc", "dtu", "dtv", "dtnu", "dtb", "dtd", "dteta",
               "dtchi", "dtchi2", "dtdiffus", "dtgh", "dtH", "dtF",
-              "dtdragp", "dtrad", "dtspitzer", "dtemf_ave", "dtemf_dif"}
+              "dtdragp", "dtrad", "dtspitzer", "dtemf_ave", "dtemf_dif",
+              "nshift"}
     # per-rank migration counts are knife-edge bookkeeping (a particle a
     # float-ulp from a virtual rank boundary flips the integer): compare
     # them only loosely by skipping — the physics columns still gate
