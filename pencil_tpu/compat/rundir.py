@@ -1449,6 +1449,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             and "nomagnetic" not in mkf.get("MAGNETIC", "magnetic"):
         bext = mag_p.get("b_ext", [0.0, 0.0, 0.0])
         mf_p = grp("magn_mf")   # MAGNETIC_MEANFIELD namelists
+        dem_p = grp("magn_mf_demfdt")  # MAGNETIC_MEANFIELD_DEMFDT sub-slot
         modules.append(Magnetic(
             # 'Ferriere-uniform-By' is density-dependent → provided by the
             # ISM joint IC plug-in (initcond.f90:6772 ferriere_uniform_y)
@@ -1510,6 +1511,12 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             llorentzforce=bool(mag_p.get("llorentzforce", True)),
             meanfield_alpha=float(mf_p.get("alpha_effect", 0.0)),
             meanfield_etat=float(mf_p.get("meanfield_etat", 0.0)),
+            lmagn_mf_demfdt="demfdt" in mkf.get(
+                "MAGNETIC_MEANFIELD_DEMFDT", ""),
+            tau_emf=float(dem_p.get("tau_emf", 0.0)),
+            tau1_emf=float(dem_p.get("tau1_emf", 0.0)),
+            eta_emf_over_etat=float(dem_p.get("eta_emf_over_etat", 0.0)),
+            meanfield_kf=float(mf_p.get("meanfield_kf", 1.0)),
             omega_profile=str(mf_p.get("omega_profile", "nothing"))
             if bool(mf_p.get("lomega_effect", False)) else "nothing",
             omega_ampl=float(mf_p.get("omega_ampl", 0.0)),

@@ -1073,7 +1073,11 @@ def _vint(pen, x):
     """∫x dV with the true curvilinear volume element (r dr dφ dz /
     r²sinθ dr dθ dφ)."""
     gs = pen.cfg.grid
-    dv = gs.dx * gs.dy * gs.dz
+    # degenerate axes contribute dVol=1 (reference grid.f90 box_vol /
+    # cdata dVol_x: nxgrid==1 → unit weight, not dx)
+    dv = ((gs.dx if gs.nx > 1 else 1.0)
+          * (gs.dy if gs.ny > 1 else 1.0)
+          * (gs.dz if gs.nz > 1 else 1.0))
     g = pen.grid
     if gs.coords == "cylindrical":
         x = x * g.xg

@@ -36,6 +36,15 @@ class Magnetic(ModuleBase):
     # parameterized EMF  E = α·B − η_t µ0 J  to the induction equation
     meanfield_alpha: float = 0.0
     meanfield_etat: float = 0.0
+    # MAGNETIC_MEANFIELD_DEMFDT sub-slot (src/magnetic/meanfield_demfdt.f90):
+    # the EMF becomes a PDE field obeying a telegraph-type relaxation
+    # dEMF/dt = τ⁻¹·kf^1.5·(mf_EMF − EMF) + η_emf∇²EMF, and dA/dt += EMF
+    # instead of the instantaneous mf_EMF (demf_dt_meanfield :206-260)
+    lmagn_mf_demfdt: bool = False
+    tau_emf: float = 0.0
+    tau1_emf: float = 0.0
+    eta_emf_over_etat: float = 0.0
+    meanfield_kf: float = 1.0
     # mean-field Omega effect (meanfield.f90 Omega_profile/Omega_ampl)
     omega_profile: str = "nothing"
     omega_ampl: float = 0.0
@@ -92,6 +101,9 @@ class Magnetic(ModuleBase):
 
     def register(self, reg):
         reg.register("aa", 3, "pde", comps=("ax", "ay", "az"))
+        if self.lmagn_mf_demfdt:
+            # meanfield_demfdt.f90:72 farray_register_pde('emf',vector=3)
+            reg.register("emf", 3, "pde", comps=("emfx", "emfy", "emfz"))
 
     def _advective_gauge(self, pen):
         """Induction in the advective gauge (magnetic.f90:5156-5212)."""
@@ -228,6 +240,7 @@ class Magnetic(ModuleBase):
             shock = pen.field("shock")
             out = out - self.eta_shock * self.mu0 * shock[None] * pen.jj()
             ts.diffus(self.eta_shock * shock)
+        mf_emf = None
         if self.meanfield_alpha != 0.0 or "alpm" in pen.reg.slots:
             # dynamical quenching: the magnetic alpha evolved by the
             # meanfield_alpm special adds to the kinetic alpha
@@ -235,15 +248,33 @@ class Magnetic(ModuleBase):
             alp = self.meanfield_alpha
             if "alpm" in pen.reg.slots:
                 alp = alp + pen.field("alpm")
-            out = out + alp * pen.bb()
+            mf_emf = alp * pen.bb()
         if self.meanfield_etat > 0.0:
             # resistive-gauge turbulent diffusion η_t∇²A — the reference
             # default; lweyl_gauge uses −η_t µ0 J (meanfield.f90:1276)
             if self.lweyl_gauge:
-                out = out - self.meanfield_etat * self.mu0 * pen.jj()
+                term = -self.meanfield_etat * self.mu0 * pen.jj()
             else:
-                out = out + self.meanfield_etat * pen.del2a()
+                term = self.meanfield_etat * pen.del2a()
+            mf_emf = term if mf_emf is None else mf_emf + term
             ts.diffus(self.meanfield_etat)
+        if mf_emf is not None:
+            if self.lmagn_mf_demfdt:
+                # telegraph closure (meanfield_demfdt.f90:226-260):
+                # dEMF/dt = τ₁·kf^1.5·(mf_EMF − EMF) [+ η_emf ∇²EMF],
+                # and the *evolved* EMF drives dA/dt
+                emf = pen.field("emf")
+                tau1 = (1.0 / self.tau_emf if self.tau_emf != 0.0
+                        else self.tau1_emf) * self.meanfield_kf ** 1.5
+                demf = tau1 * (mf_emf - emf)
+                if self.eta_emf_over_etat != 0.0:
+                    eta_emf = self.meanfield_etat * self.eta_emf_over_etat
+                    demf = demf + eta_emf * pen.del2v("emf")
+                    ts.diffus(eta_emf)
+                accumulate(df, "emf", demf)
+                out = out + emf
+            else:
+                out = out + mf_emf
         if self.omega_ampl != 0.0 and self.omega_profile != "nothing":
             # mean-field Omega effect — shear written directly on A
             # (meanfield.f90:1601-1648 Omega_effect)
