@@ -1566,6 +1566,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             etatest=float(tf_p.get("etatest", 1e-2)),
             ktestfield=float(tf_p.get("ktestfield", 1.0)),
             lsoca=bool(tf_p.get("lsoca", True)),
+            leta_rank2=bool(tf_p.get("leta_rank2", True)),
         ))
 
     pq_p = grp("pointmasses")

@@ -288,6 +288,24 @@ def _uzmax(pen, st):
     return jnp.max(pen.uu()[2])
 
 
+@diag("uzrmaxs")
+def _uzrmaxs(pen, st):
+    """max|u_z| (hydro.f90:3986 max_mn_name(uz², lsqrt))."""
+    return jnp.max(jnp.abs(pen.uu()[2]))
+
+
+@diag("duxdzma")
+def _duxdzma(pen, st):
+    """<|∂u_x/∂z|> (hydro.f90:4060 sum_mn_name(abs(uij(1,3))))."""
+    return _vmean(pen, jnp.abs(pen.uij()[0, 2]))
+
+
+@diag("duydzma")
+def _duydzma(pen, st):
+    """<|∂u_y/∂z|> (hydro.f90:4061)."""
+    return _vmean(pen, jnp.abs(pen.uij()[1, 2]))
+
+
 @diag("dbxmax")
 def _dbxmax(pen, st):
     """max|B_x − B_ext,x| — the stored bfield slot is the deviation
@@ -927,6 +945,21 @@ def _bmax(pen, st):
     return jnp.sqrt(jnp.max(pen.b2()))
 
 
+def _bbb(pen):
+    """B without B_ext (reference p%bbb, magnetic.f90:5784 bbxmax)."""
+    bb = pen.bb()
+    mag = pen.cfg.module("magnetic")
+    if mag is not None and any(b != 0.0 for b in mag.B_ext):
+        bb = bb - jnp.asarray(mag.B_ext,
+                              dtype=bb.dtype)[:, None, None, None]
+    return bb
+
+
+for _i, _c in enumerate("xyz"):
+    DIAG_REGISTRY[f"bb{_c}max"] = (
+        lambda i: lambda pen, st: jnp.max(jnp.abs(_bbb(pen)[i])))(_i)
+
+
 @diag("bx2m")
 def _bx2m(pen, st):
     return _vmean(pen, pen.bb()[0] ** 2)
@@ -1393,9 +1426,10 @@ def _tf_emf(pen):
     return emfs
 
 
-def _tf_proj(pen, comp, pair, eta=False):
-    """alpXY = <cz·E_comp^(q1) + sz·E_comp^(q2)>; the eta row replaces
-    (cz,sz) with (−sz,cz)/k (testfield_z.f90:1065-1073 non-leta_rank2)."""
+def _tf_proj(pen, comp, pair, eta=False, neg=False):
+    """alpXY = <cz·E_comp^(q1) + sz·E_comp^(q2)>; the eta rows use
+    (−sz,cz)/k with quartet/sign set by leta_rank2
+    (testfield_z.f90:1065-1073 and :1166-1177)."""
     tf = pen.cfg.module("testfield")
     if tf is None:
         return jnp.zeros(())
@@ -1406,20 +1440,56 @@ def _tf_proj(pen, comp, pair, eta=False):
     q1, q2 = pair
     if eta:
         val = (-sz * e[q1][comp] + cz * e[q2][comp]) / k
+        if neg:
+            val = -val
     else:
         val = cz * e[q1][comp] + sz * e[q2][comp]
     return _vmean(pen, val)
 
 
-for _nm, _c, _p, _e in (
-        ("alp11", 0, (0, 1), False), ("alp21", 1, (0, 1), False),
-        ("alp31", 2, (0, 1), False),
-        ("alp12", 0, (2, 3), False), ("alp22", 1, (2, 3), False),
-        ("alp32", 2, (2, 3), False),
-        ("eta11", 0, (0, 1), True), ("eta21", 1, (0, 1), True),
-        ("eta12", 0, (2, 3), True), ("eta22", 1, (2, 3), True)):
-    DIAG_REGISTRY[_nm] = (lambda c, p, e: lambda pen, st:
-                          _tf_proj(pen, c, p, e))(_c, _p, _e)
+def _tf_eta(pen, st, comp, col):
+    """eta_{comp,col}: leta_rank2=T (the default) contracts against J̄ —
+    eta_i1 comes from the y-quartet (3,4) with + sign, eta_i2 from the
+    x-quartet (1,2) with − sign (testfield_z.f90:1069-1071, 1166-1173);
+    leta_rank2=F keeps the ∂_z B̄ (rank-3) pairing."""
+    tf = pen.cfg.module("testfield")
+    if tf is None:
+        return jnp.zeros(())
+    if getattr(tf, "leta_rank2", True):
+        pair = (2, 3) if col == 0 else (0, 1)
+        return _tf_proj(pen, comp, pair, eta=True, neg=(col == 1))
+    pair = (0, 1) if col == 0 else (2, 3)
+    return _tf_proj(pen, comp, pair, eta=True)
+
+
+for _nm, _c, _p in (
+        ("alp11", 0, (0, 1)), ("alp21", 1, (0, 1)), ("alp31", 2, (0, 1)),
+        ("alp12", 0, (2, 3)), ("alp22", 1, (2, 3)), ("alp32", 2, (2, 3))):
+    DIAG_REGISTRY[_nm] = (lambda c, p: lambda pen, st:
+                          _tf_proj(pen, c, p))(_c, _p)
+
+for _nm, _c, _col in (
+        ("eta11", 0, 0), ("eta21", 1, 0), ("eta31", 2, 0),
+        ("eta12", 0, 1), ("eta22", 1, 1), ("eta32", 2, 1)):
+    DIAG_REGISTRY[_nm] = (lambda c, col: lambda pen, st:
+                          _tf_eta(pen, st, c, col))(_c, _col)
+
+
+def _tf_brms(pen, st, q):
+    """bQPrms = <|b^q|²>^½, b^q = ∇×a^q (testfield_z.f90:1247-1265)."""
+    if pen.cfg.module("testfield") is None:
+        return jnp.zeros(())
+    aij = jnp.stack([pen.d("aatest", j) for j in range(3)], axis=1)
+    aq = aij[3 * q:3 * q + 3]
+    b2 = ((aq[2, 1] - aq[1, 2]) ** 2 + (aq[0, 2] - aq[2, 0]) ** 2
+          + (aq[1, 0] - aq[0, 1]) ** 2)
+    return _vrms(pen, b2)
+
+
+for _nm, _q in (("b11rms", 0), ("b21rms", 1), ("b12rms", 2),
+                ("b22rms", 3)):
+    DIAG_REGISTRY[_nm] = (lambda q: lambda pen, st:
+                          _tf_brms(pen, st, q))(_q)
 
 
 # ---- multisp_drag_eq deviation moments (special/multisp_drag_eq.f90) -------

@@ -72,6 +72,14 @@ class Shear(ModuleBase):
             aa = pen.aa()
             zero = jnp.zeros_like(aa[0])
             accumulate(df, "aa", jnp.stack([-S * aa[1], zero, zero]))
+        if "aatest" in pen.reg.slots:
+            # test-field stretching: dax^q/dt −= S·ay^q per quartet
+            # (shear.f90:358-361)
+            at = pen.field("aatest")
+            dat = jnp.zeros_like(at)
+            for q in range(at.shape[0] // 3):
+                dat = dat.at[3 * q].set(-S * at[3 * q + 1])
+            accumulate(df, "aatest", dat)
 
     def shift_advection(self, arr, grid, spec, dtsub):
         """Exact shear-advection shift of (ncomp, nx, ny, nz) interior

@@ -40,6 +40,11 @@ class TestfieldZ(ModuleBase):
     # SOCA: keep only u×B̄ in the test equations; lsoca=False adds the
     # fluctuating EMF u×b − <u×b>_xy (testfield_z.f90 daatest_dt)
     lsoca: bool = True
+    # η-tensor convention (testfield_general.f90:63 default .true.):
+    # with leta_rank2 the eta_ij diagnostics contract against J̄ (quartet
+    # swap + sign flip vs the rank-3 eta_ij3 convention,
+    # testfield_z.f90:1068-1073 vs :1166-1177)
+    leta_rank2: bool = True
 
     def register(self, reg):
         comps = tuple(f"a{q+1}test{c}" for q in range(NTEST) for c in "xyz")

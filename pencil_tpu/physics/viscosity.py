@@ -69,6 +69,16 @@ class Viscosity(ModuleBase):
             fvisc = fvisc + self.nu * pen.del2u()
             heat = heat + 2.0 * self.nu * pen.sij2()
             ts.diffus(self.nu)
+        if ({"rho-nu-const", "rho_nu-const", "1"} & set(self.ivisc)) \
+                and self.nu > 0.0:
+            # constant dynamic viscosity μ: f = (μ/ρ)(∇²u + ⅓∇∇·u),
+            # heat = 2(μ/ρ)S², diffus += μ/ρ (viscosity.f90:354-356,
+            # lvisc_rho_nu_const force block)
+            murho1 = self.nu / pen.rho()
+            fvisc = fvisc + murho1[None] * (
+                pen.del2u() + (1.0 / 3.0) * pen.graddivu())
+            heat = heat + 2.0 * murho1 * pen.sij2()
+            ts.diffus(murho1)
         if "rho-nu-const-bulk" in self.ivisc and self.zeta > 0.0:
             # constant dynamic bulk viscosity (viscosity.f90:1319-1327):
             # f = (ζ/ρ)∇∇·u, heat = (ζ/ρ)(∇·u)², diffus += ζ/ρ
