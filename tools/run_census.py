@@ -42,6 +42,60 @@ MAX_POINTS = 96 ** 3
 MAX_NT = 500
 
 
+def format_accuracy(path):
+    """Per-column absolute accuracy the reference's own comparator infers
+    (lib/perl/Test/NumericFileComparator.pm:588-700 _infer_accuracies):
+    1.5 x one unit in the last printed decimal of the column's largest-
+    modulus value string.  Columns whose |ours-ref| fits inside this are
+    sufficiently equal regardless of relative error."""
+    import re
+    cols, rows = [], []
+    with open(path) as fh:
+        for line in fh:
+            s = line.rstrip("\n")
+            if not s.strip():
+                continue
+            if s.lstrip().startswith("#"):
+                # same header tokenization as io.timeseries
+                cols = [t for t in
+                        s.lstrip().lstrip("#").replace("-", " ").split()
+                        if t]
+                continue
+            vals = s.split()
+            if cols and len(vals) != len(cols):
+                vals = re.findall(
+                    r"[-+]?\d+\.?\d*(?:[EeDd][-+]?\d+)?", s)
+            if cols and len(vals) == len(cols):
+                rows.append(vals)
+    acc = {}
+    if not cols or not rows:
+        return acc
+
+    def unit(numstr):
+        m = re.match(r"^([-+.0-9]+)(?:[eEdD]([-+]?[0-9]*))?$", numstr)
+        if not m:
+            return 0.0
+        mant, exp = m.group(1), m.group(2)
+        exp = int(exp) if exp else 0
+        ndec = len(mant.split(".", 1)[1]) if "." in mant else 0
+        return 10.0 ** (exp - ndec)
+
+    for i, c in enumerate(cols):
+        best, bstr = -1.0, None
+        for r in rows:
+            if i >= len(r):
+                continue
+            try:
+                v = abs(float(r[i].replace("D", "E").replace("d", "e")))
+            except ValueError:
+                continue
+            if v > best:
+                best, bstr = v, r[i]
+        if bstr is not None:
+            acc[c] = 1.5 * unit(bstr.replace("D", "E").replace("d", "e"))
+    return acc
+
+
 def run_one(rundir, nt_cap, rtol, tmpdir):
     from pencil_tpu.compat.rundir import load_rundir
     from pencil_tpu.io.timeseries import read_time_series
@@ -49,6 +103,7 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
     from pencil_tpu.run import Run, RunParams
 
     ref = read_time_series(os.path.join(rundir, "reference.out"))
+    fmt_acc = format_accuracy(os.path.join(rundir, "reference.out"))
     if "it" not in ref:
         # not a parseable time series (e.g. samples/multigrid ships a raw
         # build log as reference.out)
@@ -115,6 +170,11 @@ def run_one(rundir, nt_cap, rtol, tmpdir):
                 return ("CRASH", f"non-finite {col} at it {it}")
             denom = abs(r) if abs(r) > 1e-30 else 1.0
             err = abs(o - r) / denom
+            # reference acceptance semantics: a difference within the
+            # format-inferred absolute accuracy of the column passes
+            # (pc_auto-test via NumericFileComparator)
+            if abs(o - r) <= fmt_acc.get(col, 0.0):
+                err = 0.0
             ncomp += 1
             if err > worst[0]:
                 worst = (err, f"{col}@it{it} ours={o:.4g} ref={r:.4g}")
