@@ -348,6 +348,39 @@ def _parity_replay(path, modules, grid, nt, init_pars, run_pars, cpar):
                     pos[k] = (xk, yk, zk)
             k0 += n_ip
         overrides["particles_xp"] = pos
+        # particles_radius initap='constant' with several ap0 entries:
+        # one uniform draw per particle picks the radius bin
+        # (particles_radius.f90 set_particle_radius: ind =
+        # ceiling(npart_radii*u))
+        apl = tuple(getattr(part, "ap0_list", ()) or ())
+        if getattr(part, "initap", "") == "constant" and len(apl) > 1:
+            ap = np.empty((npar,), np.float32)
+            k0 = 0
+            for ip in range(nproc):
+                n_ip = nploc if ip < nproc - 1 else npar - k0
+                rl = rngs[ip]
+                for k in range(k0, k0 + n_ip):
+                    ind = min(int(np.ceil(len(apl) * rl.next())),
+                              len(apl)) or 1
+                    ap[k] = apl[ind - 1]
+                k0 += n_ip
+            overrides["particles_ap"] = ap
+        if getattr(part, "llyapunov", False) \
+                and not getattr(part, "linit_largeb", False):
+            # init_particles_lyapunov: 3 uniform draws per particle.
+            # NOTE: the committed ParticlesLyapunov golden predates the
+            # bamp=1e-2 default (bx2pm≈1/3 at it0 ⇒ bp = raw U[0,1)), so
+            # the replay keeps the raw draws
+            bp = np.empty((npar, 3), np.float32)
+            k0 = 0
+            for ip in range(nproc):
+                n_ip = nploc if ip < nproc - 1 else npar - k0
+                rl = rngs[ip]
+                for k in range(k0, k0 + n_ip):
+                    for a in range(3):
+                        bp[k, a] = rl.next()
+                k0 += n_ip
+            overrides["particles_bp"] = bp
     elif part is not None and getattr(part, "init", "") == "random-box":
         # per-particle draws for the ACTIVE dims only, in k-loop order
         # (particles_dust.f90:1328-1352)
@@ -495,6 +528,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                     lpole=tuple(bool(v) for v in lpole),
                     grid_func=gf,
                     grid_coeff=tuple(float(c) for c in gc),
+                    xyz_star=tuple(float(v) for v in _vec3(
+                        init_pars.get("xyz_star", [0.0, 0.0, 0.0]),
+                        [0.0, 0.0, 0.0])),
                     grid_step=tuple(gstep),
                     coords=coords)
 
@@ -823,6 +859,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lparticles_selfgravity=(
                 "particles_selfgravity"
                 in mkf.get("PARTICLES_SELFGRAVITY", "")),
+            kappa=float(sg_p.get("kappa", 0.0)),
         ))
 
     hyd_p = grp("hydro")
@@ -1498,6 +1535,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             eta_zwidth=float(mag_p.get("eta_zwidth", 0.0)),
             eta_jump=float(mag_p.get("eta_jump", 0.0)),
             lweyl_gauge=bool(mag_p.get("lweyl_gauge", False)),
+            limplicit_resistivity=bool(
+                mag_p.get("limplicit_resistivity", False)),
             ladvective_gauge=bool(mag_p.get("ladvective_gauge", False)),
             lohmic_heat=bool(mag_p.get("lohmic_heat", True)),
             lboris_correction=bool(
@@ -1775,9 +1814,22 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                 if _n > 1:
                     _nw *= _n
             _rhop_swarm = _epsd * _rhom / (float(_npar_tot) / _nw)
+        ply_p = grp("particles_lyapunov")
+        pca_p = grp("particles_caustics")
         modules.append(ParticlesDust(
             draglaw=("steadystate"
-                     if par_p.get("ldraglaw_steadystate") else "epstein"),
+                     if par_p.get("ldraglaw_steadystate")
+                     else "purestokes"
+                     if par_p.get("ldraglaw_purestokes") else "epstein"),
+            ltracers="particles_tracers" in mkf.get("PARTICLES", ""),
+            llyapunov="particles_lyapunov"
+                      in mkf.get("PARTICLES_LYAPUNOV", ""),
+            bamp=float(ply_p.get("bamp", 1e-2)),
+            linit_largeb=bool(ply_p.get("linit_largeb", False)),
+            kmode_forb=float(ply_p.get("kmode_forb", 3.0)),
+            lcaustics="particles_caustics"
+                      in mkf.get("PARTICLES_CAUSTICS", ""),
+            trsigma_cutoff=float(pca_p.get("trsigma_cutoff", -1e10)),
             npar_species=int(cpar.get("npar_species", 1)),
             tausp_species=tuple(
                 float(v) for v in _as_tuple(

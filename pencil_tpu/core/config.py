@@ -42,6 +42,9 @@ class GridSpec:
     # mirroring reference src/grid.f90 grid_func.
     grid_func: Tuple[str, str, str] = ("uniform", "uniform", "uniform")
     grid_coeff: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # clustering location per axis for 'sinh'-type functions (reference
+    # xyz_star, cdata.f90:130 default 0; grid.f90:211 find_star)
+    xyz_star: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # per-axis 'step-linear' parameters (grid.f90:262,579,737):
     # (xyz_step1, xyz_step2, xi_step_frac1, xi_step_frac2, width1, width2)
     # in the reference's namelist layout; () = unused axis

@@ -100,7 +100,7 @@ class Grid:
 
 
 def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
-                 func: str, coeff: float, dtype, step=()):
+                 func: str, coeff: float, dtype, step=(), star=None):
     """Ghosted coordinates + metrics for one axis.
 
     Non-equidistant functions follow the reference (src/grid.f90 grid_func
@@ -134,12 +134,34 @@ def _axis_coords(n: int, x0: float, L: float, periodic: bool, nghost: int,
         d1 = np.full((m,), 1.0 / (L * dxi))
         dt_ = np.zeros((m,))
     elif func == "sinh":
-        a = coeff if coeff else 2.0
-        s0 = 2.0 * np.sinh(a / 2.0)
-        coords = x0 + L * (np.sinh(a * (xi - 0.5)) / s0 + 0.5)
-        xp = L * a * np.cosh(a * (xi - 0.5)) / s0          # dx/dξ
-        xpp = L * a * a * np.sinh(a * (xi - 0.5)) / s0     # d²x/dξ²
-        d1 = 1.0 / (xp * dxi)                              # per grid index
+        # reference parameterization (grid.f90:209-221): the sinh argument
+        # scale is a = coeff_grid·dx per INDEX, i.e. coeff·L per unit
+        # ξ ∈ [0,1]; the inflection point ξ* solves find_star for the
+        # clustering location x_star (xyz_star, default 0 — grid.f90:211)
+        a = (coeff if coeff else 2.0) * L
+        x_star = star if star is not None else 0.0
+        x_lo, x_up = x0, x0 + L
+        xi_lo, xi_up = 0.0, 1.0
+        xs = 0.5 * (xi_lo + xi_up)
+        for _ in range(100):                    # find_star Newton
+            glo, glo_d = np.sinh(a * (xi_lo - xs)), a * np.cosh(
+                a * (xi_lo - xs))
+            gup, gup_d = np.sinh(a * (xi_up - xs)), a * np.cosh(
+                a * (xi_up - xs))
+            fval = -(x_up - x_star) * glo + (x_lo - x_star) * gup
+            fder = (x_up - x_star) * glo_d - (x_lo - x_star) * gup_d
+            step_ = fval / fder
+            xs = xs - step_
+            if abs(step_) < 1e-14:
+                break
+        g = np.sinh(a * (xi - xs))
+        glo = np.sinh(a * (xi_lo - xs))
+        gup = np.sinh(a * (xi_up - xs))
+        den = gup - glo
+        coords = x0 + L * (g - glo) / den
+        xp = L * a * np.cosh(a * (xi - xs)) / den           # dx/dξ
+        xpp = L * a * a * np.sinh(a * (xi - xs)) / den      # d²x/dξ²
+        d1 = 1.0 / (xp * dxi)                               # per grid index
         # tilde = −x_jj/x_j² with j the unit grid index: the dξ factors
         # cancel to −x''(ξ)/x'(ξ)²  (see der2 coordinate-transform rule)
         dt_ = -xpp / (xp * xp)
@@ -218,14 +240,14 @@ def make_grid(spec: GridSpec, dtype=jnp.float32) -> Grid:
           zip(spec.lshift_origin, (spec.dx, spec.dy, spec.dz))]
     x, dx1, dxt = _axis_coords(spec.nx, spec.x0 + sh[0], spec.Lx, spec.periodic[0],
                                spec.nghost, spec.grid_func[0], spec.grid_coeff[0], npdtype,
-                               spec.grid_step[0])
+                               spec.grid_step[0], spec.xyz_star[0])
     y, dy1, dyt = _axis_coords(spec.ny, spec.y0 + sh[1], spec.Ly,
                                spec.periodic[1] or spec.lpole[1],
                                spec.nghost, spec.grid_func[1], spec.grid_coeff[1], npdtype,
-                               spec.grid_step[1])
+                               spec.grid_step[1], spec.xyz_star[1])
     z, dz1, dzt = _axis_coords(spec.nz, spec.z0 + sh[2], spec.Lz, spec.periodic[2],
                                spec.nghost, spec.grid_func[2], spec.grid_coeff[2], npdtype,
-                               spec.grid_step[2])
+                               spec.grid_step[2], spec.xyz_star[2])
     return Grid(
         x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),
         dx_1=jnp.asarray(dx1), dy_1=jnp.asarray(dy1), dz_1=jnp.asarray(dz1),

@@ -1867,6 +1867,112 @@ def _vprms(pen, st):
     return jnp.sqrt(jnp.mean(jnp.sum(vp * vp, axis=1)))
 
 
+# particles_lyapunov passive-vector diagnostics (particles_lyapunov.f90
+# :152-162 sum_par_name(bp_i²)); zero when the sub-physics is off
+for _i, _c in enumerate("xyz"):
+    def _bp2pm(pen, st, i=_i):
+        p = st.get("particles") or {}
+        if "bp" not in p:
+            return jnp.zeros(())
+        return jnp.mean(p["bp"][:, i] ** 2)
+    DIAG_REGISTRY[f"b{_c}2pm"] = _bp2pm
+
+
+# ---- selfgravity diagnostics (selfgravity.f90:466-505) --------------------
+def _potself(pen):
+    return pen.field("gpotself") if "gpotself" in pen.reg.slots else None
+
+
+@diag("potselfm")
+def _potselfm(pen, st):
+    p = _potself(pen)
+    return _vmean(pen, p) if p is not None else jnp.zeros(())
+
+
+@diag("potself2m")
+def _potself2m(pen, st):
+    p = _potself(pen)
+    return _vmean(pen, p * p) if p is not None else jnp.zeros(())
+
+
+for _i, _c in enumerate("xyz"):
+    def _gpm(pen, st, i=_i):
+        if "gpotself" not in pen.reg.slots:
+            return jnp.zeros(())
+        return _vmean(pen, pen.grad("gpotself")[i])
+    DIAG_REGISTRY[f"gpotself{_c}m"] = _gpm
+
+    def _gp2m(pen, st, i=_i):
+        if "gpotself" not in pen.reg.slots:
+            return jnp.zeros(())
+        return _vmean(pen, pen.grad("gpotself")[i] ** 2)
+    DIAG_REGISTRY[f"gpotself{_c}2m"] = _gp2m
+
+for _nm, _a, _b in (("gxgym", 0, 1), ("gxgzm", 0, 2), ("gygzm", 1, 2)):
+    def _gxy(pen, st, a=_a, b=_b):
+        if "gpotself" not in pen.reg.slots:
+            return jnp.zeros(())
+        g = pen.grad("gpotself")
+        return _vmean(pen, g[a] * g[b])
+    DIAG_REGISTRY[_nm] = _gxy
+
+
+def _qtoomre_field(pen):
+    sg = pen.cfg.module("selfgravity")
+    if sg is None:
+        return None
+    kap = sg.kappa
+    if kap == 0.0:
+        hyd = pen.cfg.module("hydro")
+        kap = float(getattr(hyd, "Omega", 0.0)) if hyd is not None else 0.0
+    G = sg.gravitational_const
+    return kap * jnp.sqrt(pen.cs2()) / (G * jnp.pi * pen.rho())
+
+
+@diag("qtoomre")
+def _qtoomre(pen, st):
+    q = _qtoomre_field(pen)
+    return _vmean(pen, q) if q is not None else jnp.zeros(())
+
+
+@diag("qtoomremin")
+def _qtoomremin(pen, st):
+    q = _qtoomre_field(pen)
+    return jnp.min(q) if q is not None else jnp.zeros(())
+
+
+@diag("qtoomremax")
+def _qtoomremax(pen, st):
+    q = _qtoomre_field(pen)
+    return jnp.max(q) if q is not None else jnp.zeros(())
+
+
+@diag("trsigmapm")
+def _trsigmapm(pen, st):
+    """<Tr σ> over particles (particles_caustics.f90:181 TrSigmapm)."""
+    p = st.get("particles") or {}
+    if "sigmap" not in p:
+        return jnp.zeros(())
+    s = p["sigmap"]
+    return jnp.mean(s[:, 0] + s[:, 4] + s[:, 8])
+
+
+@diag("blowupm")
+def _blowupm(pen, st):
+    p = st.get("particles") or {}
+    if "blowup" not in p:
+        return jnp.zeros(())
+    return jnp.mean(p["blowup"])
+
+
+@diag("lnVpm")
+def _lnvpm(pen, st):
+    p = st.get("particles") or {}
+    if "lnVp" not in p:
+        return jnp.zeros(())
+    return jnp.mean(p["lnVp"])
+
+
 def _vp_cell_var(pen, st):
     """Per-cell particle-velocity variance summed over components
     (particles_dust.f90:6158-6208: dvpm = sqrt(<(vp − <vp>_cell)²>),

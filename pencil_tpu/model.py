@@ -275,8 +275,9 @@ class Model:
             state["mstate"] = mstate
         if overrides:
             for name, arr in overrides.items():
-                if name == "particles_xp":
-                    state["particles"]["xp"] = jnp.asarray(arr, self.dtype)
+                if name.startswith("particles_"):
+                    state["particles"][name[len("particles_"):]] = \
+                        jnp.asarray(arr, self.dtype)
                 else:
                     state["fields"][name] = jnp.asarray(arr, self.dtype)
         # "+name" contributions ADD on top of the (possibly replay-
@@ -863,6 +864,19 @@ class Model:
             # particles_collisions.f90 via particles_pde hooks)
             kcoll = jax.random.fold_in(state["key"], 17)
             pstate = pcoll.integrate(pstate, cfg.grid, dt, kcoll)
+        if (pstate is not None and self.particles is not None
+                and getattr(self.particles, "lcaustics", False)):
+            # per-step caustic detection (particles_caustics.f90
+            # reset_caustics via particles_main.f90:694): where Tr σ has
+            # fallen below the cutoff, count a blowup and restart σ from 0
+            sigm = pstate["sigmap"].reshape(-1, 3, 3)
+            trs = sigm[:, 0, 0] + sigm[:, 1, 1] + sigm[:, 2, 2]
+            hit = trs < self.particles.trsigma_cutoff
+            pstate = dict(pstate)
+            pstate["blowup"] = pstate["blowup"] + hit.astype(
+                pstate["blowup"].dtype)
+            pstate["sigmap"] = jnp.where(hit[:, None], 0.0,
+                                         pstate["sigmap"])
         pcoag = cfg.module("particles_coagulation")
         if pcoag is not None and pstate is not None and "ap" in pstate:
             # superparticle MC coagulation sweep (reference

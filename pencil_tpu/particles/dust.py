@@ -127,6 +127,25 @@ class ParticlesDust(ModuleBase):
     rho0: float = 1.0
     ldragforce_gas_par: bool = False
     draglaw: str = "epstein"      # 'epstein' (τ = tausp) | 'steadystate'
+    #                             | 'purestokes' (calc_draglaw_purestokes,
+    #                               particles_dust.f90:6314-6362:
+    #                               1/τ = 18ν/((ρ_mat/ρ_g)·(2a)²))
+    # PARTICLES=particles_tracers: no vp state dynamics — particles move
+    # with the linearly-interpolated gas velocity (particles_tracers.f90
+    # dxxp_dt_pencil :560-585)
+    ltracers: bool = False
+    # PARTICLES_LYAPUNOV (particles_lyapunov.f90): per-particle velocity-
+    # gradient matrix W (init δ_ij) and passive vector bp evolved by the
+    # linearly-interpolated S_ij = ∂u_i/∂x_j: dW = S·W, dbp = S·bp
+    llyapunov: bool = False
+    bamp: float = 1e-2
+    linit_largeb: bool = False
+    kmode_forb: float = 3.0
+    # PARTICLES_CAUSTICS (particles_caustics.f90): σ_ij (init 0) with
+    # dσ = (1/τ)(S − σ) − σ·σ, d(lnVp) = Tr σ; per-step reset where
+    # Tr σ < cutoff increments the blowup counter (:380-385)
+    lcaustics: bool = False
+    trsigma_cutoff: float = -1e10
     lstocunn1: bool = False
     # bcpy='rmv': particles crossing a non-periodic y boundary are removed
     # (particles_boundcond, particles_sub.f90); solid_cyl = (x0, y0, r)
@@ -407,6 +426,23 @@ class ParticlesDust(ModuleBase):
             # dust-to-gas ratio from the deposited rhop field)
             pass
         out = {"xp": xp, "vp": vp}
+        if self.llyapunov:
+            # W_ij init δ_ij; bp = bamp·U[0,1) per component
+            # (particles_lyapunov.f90 init_particles_lyapunov)
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype).reshape(9),
+                                   (self.npar, 9))
+            out["wp"] = eye
+            if self.linit_largeb:
+                bx = self.bamp * jnp.sin(self.kmode_forb * xp[:, 0])
+                out["bp"] = jnp.stack([bx, bx, bx], axis=-1)
+            else:
+                kb = jax.random.fold_in(key, 7)
+                out["bp"] = self.bamp * jax.random.uniform(
+                    kb, (self.npar, 3), dtype)
+        if self.lcaustics:
+            out["sigmap"] = jnp.zeros((self.npar, 9), dtype)
+            out["lnVp"] = jnp.zeros((self.npar,), dtype)
+            out["blowup"] = jnp.zeros((self.npar,), dtype)
         if si_extra is not None:
             out.update(si_extra)
         if self_active is not None:
@@ -571,7 +607,24 @@ class ParticlesDust(ModuleBase):
                     ug = jax.lax.psum(ug, n)
         else:
             ug = jnp.zeros_like(vp)
-        if self.draglaw == "steadystate":
+        if self.draglaw == "purestokes":
+            # 1/τ = 18ν/((ρ_mat/ρ_g)·(2a)²), kinematic ν from the
+            # viscosity slot (calc_draglaw_purestokes :6314-6362)
+            visc = pen.cfg.module("viscosity") if pen.cfg else None
+            nu = float(visc.nu) if visc is not None else 0.0
+            rname = "rho" if "rho" in pen.reg.slots else "lnrho"
+            rg = interpolate(pen.fg[pen.reg.slice(rname)], xp, spec,
+                             "cic", origin=origin, mask=mask)[0]
+            if sharded:
+                for n in names:
+                    rg = jax.lax.psum(rg, n)
+            if rname == "lnrho":
+                rg = jnp.exp(rg)
+            dia = 2.0 * (pstate["ap"] if "ap" in pstate
+                         else jnp.full((xp.shape[0],), self.ap0, xp.dtype))
+            tausp1 = 18.0 * nu / ((self.rhopmat / rg)
+                                  * jnp.maximum(dia, 1e-30) ** 2)
+        elif self.draglaw == "steadystate":
             # per-particle 1/τ (calc_draglaw_steadystate :6364): Re_p =
             # 2a_p|u−v|/ν, Schiller-Naumann C_D, Stokes-Cunningham slip
             visc = pen.cfg.module("viscosity") if pen.cfg else None
@@ -614,6 +667,22 @@ class ParticlesDust(ModuleBase):
         act = pstate.get("active")
         t1 = tausp1[:, None] if getattr(tausp1, "ndim", 0) == 1 else tausp1
         dvp = -(vp - ug) * t1
+        Sp = None
+        if (self.llyapunov or self.lcaustics) and uu_slots:
+            # S_ij = ∂u_i/∂x_j linearly interpolated at particle positions
+            # (reference guij aux filled by hydro, hydro.f90:2986;
+            # interpolate_linear in dlyapunov_dt_pencil/dcaustics_dt_pencil)
+            uij = pen.uij()            # (3,3,nx,ny,nz) interior
+            g9 = uij.reshape((9,) + uij.shape[2:])
+            gpad = pen.cfg.grid.nghost if pen.cfg else 3
+            g9 = jnp.pad(g9, ((0, 0), (gpad, gpad), (gpad, gpad),
+                              (gpad, gpad)), mode="wrap")
+            sv = interpolate(g9, xp, spec, "cic", origin=origin,
+                             mask=mask)
+            if sharded:
+                for n_ in names:
+                    sv = jax.lax.psum(sv, n_)
+            Sp = sv.T.reshape(-1, 3, 3)             # (npar, i, j)
         pdrag_mod = pen.cfg.module("particles_drag") \
             if pen.cfg is not None else None
         if self.Omega != 0.0 and pdrag_mod is None:
@@ -689,7 +758,13 @@ class ParticlesDust(ModuleBase):
             ts.max_rate(jnp.max(jnp.abs(qbym[:, 0])
                                 * jnp.sqrt(jnp.sum(bbp ** 2, axis=1)))
                         / 0.2)
-        dxp = vp
+        if self.ltracers:
+            # tracer particles ride the gas (particles_tracers.f90
+            # dxxp_dt_pencil): dx_p/dt = u(x_p); no velocity dynamics
+            dxp = ug
+            dvp = jnp.zeros_like(vp)
+        else:
+            dxp = vp
         if act is not None:
             dvp = dvp * act[:, None]
             dxp = dxp * act[:, None]
@@ -735,6 +810,18 @@ class ParticlesDust(ModuleBase):
         elif tausp1 > 0.0:
             ts.max_rate(tausp1 / 0.2)
         out = {"xp": dxp, "vp": dvp}
+        if Sp is not None and self.llyapunov:
+            W = pstate["wp"].reshape(-1, 3, 3)
+            out["wp"] = jnp.einsum("kij,kjl->kil", Sp, W).reshape(-1, 9)
+            out["bp"] = jnp.einsum("kij,kj->ki", Sp, pstate["bp"])
+        if Sp is not None and self.lcaustics:
+            sig = pstate["sigmap"].reshape(-1, 3, 3)
+            taup1c = (tausp1 if getattr(tausp1, "ndim", 0) == 1
+                      else jnp.full((xp.shape[0],), tausp1, xp.dtype))
+            dsig = (taup1c[:, None, None] * (Sp - sig)
+                    - jnp.einsum("kij,kjl->kil", sig, sig))
+            out["sigmap"] = dsig.reshape(-1, 9)
+            out["lnVp"] = sig[:, 0, 0] + sig[:, 1, 1] + sig[:, 2, 2]
         asc = pen.cfg.module("ascalar") if pen.cfg is not None else None
         if "ap" in pstate and (self.lsweepup_par or self.lfragmentation_par
                                or self.lcondensation_simplified

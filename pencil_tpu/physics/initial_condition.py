@@ -789,14 +789,17 @@ def ic_fieldloop(grid, spec, eos, cfg, params):
 @register_ic("init_delta")
 def ic_init_delta(grid, spec, eos, cfg, params):
     """Delta spike on A (samples/implicit_resistivity/src/init_delta.f90):
-    A_i = dx⁻¹dy⁻¹dz⁻¹ in the cell band |x_i|·dx⁻¹ < 1 around the origin."""
+    A_i = dx_1(i)·dy_1(j)·dz_1(k) where |x_i|·dx_1(i) < 1 etc. — the
+    POSITION-DEPENDENT inverse mesh spacings (the sample runs on a
+    sinh-stretched grid, so dx_1 at the origin ≫ nx/Lx)."""
     x, y, z = grid.xg, grid.yg, grid.zg
     ones = jnp.ones(spec.shape, grid.x.dtype)
-    d1 = (1.0 / spec.dx, 1.0 / spec.dy, 1.0 / spec.dz)
-    mask = ((jnp.abs(x) * d1[0] < 1.0) & (jnp.abs(y) * d1[1] < 1.0)
-            & (jnp.abs(z) * d1[2] < 1.0)) & (ones > 0)
-    val = d1[0] * d1[1] * d1[2]
-    a = jnp.where(mask, val, 0.0) + 0.0 * ones
+    dx1 = grid.interior(grid.dx_1)[:, None, None]
+    dy1 = grid.interior(grid.dy_1)[None, :, None]
+    dz1 = grid.interior(grid.dz_1)[None, None, :]
+    mask = ((jnp.abs(x) * dx1 < 1.0) & (jnp.abs(y) * dy1 < 1.0)
+            & (jnp.abs(z) * dz1 < 1.0)) & (ones > 0)
+    a = jnp.where(mask, dx1 * dy1 * dz1 + 0.0 * ones, 0.0)
     return {"+aa": jnp.stack([a, a, a])}
 
 

@@ -49,6 +49,10 @@ class Magnetic(ModuleBase):
     omega_profile: str = "nothing"
     omega_ampl: float = 0.0
     lweyl_gauge: bool = False   # η_t term as −η_t µ0 J instead of η_t∇²A
+    # operator-split implicit η∇²A over the full step (magnetic.f90:10335
+    # split_update_magnetic → ImplicitDiffusion integrate_diffusion; the
+    # explicit η term and its CFL are both skipped, :4395 exp_const)
+    limplicit_resistivity: bool = False
     # advective (Λ-)gauge: dA/dt = −(u·∇)A − A_j∇u_j instead of u×B
     # (magnetic.f90:5158-5212; the FARGO variant drops the irrotational
     # term, Candelaresi et al. 2011)
@@ -98,6 +102,17 @@ class Magnetic(ModuleBase):
     # µ₀ in code units (cdata: µ0_unit_sys·ρ_u·u_u²/B_u²; 1 for the
     # consistent default unit_magnetic)
     mu0: float = 1.0
+
+    def split_update(self, fa, model, grid, dt):
+        """Implicit η∇²A over the full step (split_update_magnetic,
+        magnetic.f90:10335-10350 → integrate_diffusion 'full')."""
+        if not (self.limplicit_resistivity and self.eta > 0.0):
+            return fa
+        from ..integrate.implicit import integrate_diffusion_full
+        sl = model.reg.slice("aa")
+        aa = integrate_diffusion_full(fa[sl], self.eta, dt, grid,
+                                      model.cfg.grid)
+        return fa.at[sl].set(aa)
 
     def register(self, reg):
         reg.register("aa", 3, "pde", comps=("ax", "ay", "az"))
@@ -193,7 +208,8 @@ class Magnetic(ModuleBase):
             out = out + eta_z[None] * pen.del2a()
             out = out.at[2].add(geta_z * pen.diva())
             ts.diffus(eta_z)
-        elif self.eta > 0.0 and not self.lresi_shell:
+        elif self.eta > 0.0 and not self.lresi_shell \
+                and not self.limplicit_resistivity:
             if self.lweyl_gauge:
                 # Weyl gauge: −ηµ0J = −η(∇(∇·A) − ∇²A); pen.jj metric-aware
                 out = out - self.eta * self.mu0 * pen.jj()

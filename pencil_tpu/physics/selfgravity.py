@@ -28,6 +28,9 @@ class SelfGravity(ModuleBase):
     lselfgravity_gas: bool = True
     lselfgravity_dust: bool = False
     lparticles_selfgravity: bool = False
+    # epicyclic frequency for the Toomre-Q diagnostic (selfgravity.f90:36,
+    # :223 default Omega)
+    kappa: float = 0.0
 
     def register(self, reg):
         reg.register("gpotself", 1, "comm_aux")

@@ -112,10 +112,13 @@ def test_stretched_grid_derivatives():
     from pencil_tpu.core.grid import make_grid
     from pencil_tpu.physics.pencils import Pencils
 
+    # cluster at the box centre (reference xyz_star semantics: the
+    # default x_star=0 would cluster at the LEFT edge of this 0..3 box)
     spec = GridSpec(nx=4, ny=4, nz=96, z0=0.0, Lz=3.0,
                     periodic=(True, True, False),
                     grid_func=("uniform", "uniform", "sinh"),
-                    grid_coeff=(0.0, 0.0, 3.0))
+                    grid_coeff=(0.0, 0.0, 1.0),
+                    xyz_star=(0.0, 0.0, 1.5))
     cfg = Config(grid=spec)
     grid = make_grid(spec, jnp.float32)
     z = np.asarray(grid.z, np.float64)
