@@ -539,6 +539,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         cdt=float(run_pars.get("cdt", 0.9)),
         cdtv=float(run_pars.get("cdtv", 0.25)),
         cdtv3=float(run_pars.get("cdtv3", 0.01)),
+        cdts=float(run_pars.get("cdts", 1.0)),
         dt=float(run_pars.get("dt", 0.0)),
         dtmin=float(run_pars.get("dtmin", 1e-10)),
         dtmax=float(run_pars.get("dtmax", 1e37)),

@@ -131,8 +131,14 @@ def _ekin(pen, st):
 
 
 def _boxvol(pen):
+    """Box volume with degenerate axes weighing 1 (reference box_vol,
+    grid.f90:1667: nxgrid==1 axes contribute no length factor)."""
     gs = pen.cfg.grid
-    return gs.Lx * gs.Ly * gs.Lz
+    vol = 1.0
+    for L, n in ((gs.Lx, gs.nx), (gs.Ly, gs.ny), (gs.Lz, gs.nz)):
+        if n > 1:
+            vol *= L
+    return vol
 
 
 @diag("ekintot")
@@ -1878,6 +1884,195 @@ for _i, _c in enumerate("xyz"):
     DIAG_REGISTRY[f"b{_c}2pm"] = _bp2pm
 
 
+# ---- interstellar heat/cool + heating-rate dt diagnostics -----------------
+def _ism_hc(pen):
+    ism = pen.cfg.module("interstellar")
+    if ism is None or "ss" not in pen.reg.slots:
+        return None
+    return ism.heat_cool(pen)
+
+
+def _ee_pen(pen):
+    e = pen.eos
+    g = getattr(e, "gamma", 5.0 / 3.0)
+    return pen.cs2() / (g * (g - 1.0)) if g != 1.0 else pen.cs2()
+
+
+def _hmax_rate(pen):
+    """Hmax/ee: net heating rate per thermal energy (entropy.f90:3484;
+    Hmax accumulates interstellar heat−cool :1855 and the full viscous
+    heating incl. shock viscosity, viscosity.f90:2567)."""
+    hc = _ism_hc(pen)
+    hm = 0.0
+    if hc is not None:
+        hm = hm + (hc[0] - hc[1])
+    visc = pen.cfg.module("viscosity")
+    if visc is not None and "uu" in pen.reg.slots:
+        vh = pen._cache.get("visc_heat")
+        if vh is None:
+            from ..physics.base import TimestepAccum
+            try:
+                visc.rhs(pen, {}, TimestepAccum())
+            except Exception:
+                pass
+            vh = pen._cache.get("visc_heat")
+        if vh is not None:
+            hm = hm + vh
+    if isinstance(hm, float):
+        return None
+    return hm / _ee_pen(pen)
+
+
+def _ss0_rate(pen):
+    """|df(ss)|·cv1 from the full assembled RHS (lthdiff_Hmax,
+    entropy.f90:3440-3443)."""
+    from ..physics.base import TimestepAccum
+    df_, ts_ = {}, TimestepAccum()
+    for m_ in pen.cfg.modules:
+        try:
+            m_.rhs(pen, df_, ts_)
+        except Exception:
+            pass
+    if "ss" not in df_:
+        return None
+    dss = df_["ss"]
+    if getattr(dss, "ndim", 3) == 4:
+        dss = dss[0]
+    e = pen.eos
+    return jnp.abs(dss) * (e.gamma / e.cp)
+
+
+def _lthdiff(pen):
+    ent = pen.cfg.module("entropy")
+    return ent is not None and getattr(ent, "lthdiff_Hmax", False)
+
+
+@diag("Hmax")
+def _hmax_diag(pen, st):
+    # NOT branched on lthdiff_Hmax (entropy.f90:3484)
+    r = _hmax_rate(pen)
+    return jnp.max(r) if r is not None else jnp.zeros(())
+
+
+@diag("dtH")
+def _dth_diag(pen, st):
+    r = _ss0_rate(pen) if _lthdiff(pen) else _hmax_rate(pen)
+    if r is None:
+        return jnp.zeros(())
+    cdts = pen.cfg.time.cdts if pen.cfg is not None else 1.0
+    return st["dt"] * jnp.max(r) / cdts
+
+
+@diag("tauhmin")
+def _tauhmin_diag(pen, st):
+    r = _ss0_rate(pen) if _lthdiff(pen) else _hmax_rate(pen)
+    return 1.0 / jnp.max(r) if r is not None else jnp.zeros(())
+
+
+@diag("Hmax_ism")
+def _hmax_ism(pen, st):
+    """max of the positive net entropy source ×cv1
+    (interstellar.f90:1831-1834)."""
+    hc = _ism_hc(pen)
+    if hc is None:
+        return jnp.zeros(())
+    heatcool = jnp.exp(-pen.lnTT()) * (hc[0] - hc[1])
+    e = pen.eos
+    cv1 = e.gamma / e.cp
+    return jnp.max(jnp.maximum(heatcool, 0.0) * cv1)
+
+
+@diag("taucmin")
+def _taucmin(pen, st):
+    """reciprocal max of the net cooling rate ×cv1 (:1836-1839)."""
+    hc = _ism_hc(pen)
+    if hc is None:
+        return jnp.zeros(())
+    heatcool = jnp.exp(-pen.lnTT()) * (hc[0] - hc[1])
+    netcool = jnp.where(heatcool < 0.0, -heatcool, 1.0e-6)
+    e = pen.eos
+    cv1 = e.gamma / e.cp
+    return 1.0 / jnp.max(netcool * cv1)
+
+
+@diag("Lamm")
+def _lamm(pen, st):
+    hc = _ism_hc(pen)
+    if hc is None:
+        return jnp.zeros(())
+    return _vmean(pen, hc[1] / (pen.rho() * pen.TT()))
+
+
+@diag("nrhom")
+def _nrhom(pen, st):
+    hc = _ism_hc(pen)
+    if hc is None:
+        return jnp.zeros(())
+    return _vmean(pen, hc[1] / _ee_pen(pen))
+
+
+@diag("rhoLm")
+def _rholm(pen, st):
+    hc = _ism_hc(pen)
+    if hc is None:
+        return jnp.zeros(())
+    return _vmean(pen, hc[1] / pen.TT())
+
+
+@diag("Gamm")
+def _gamm(pen, st):
+    hc = _ism_hc(pen)
+    if hc is None:
+        return jnp.zeros(())
+    return _vmean(pen, hc[0] / pen.TT())
+
+
+def _fmax_hydro(pen):
+    """Fmax = max|du/dt|/ulev with df sampled at the END of duu_dt like
+    the reference (hydro.f90:3910-3916) — advection + Coriolis + viscous
+    force only: the pressure gradient lands later (entropy.f90:3299) and
+    gravity later still (equ.f90:990)."""
+    from ..physics.base import TimestepAccum
+    hyd = pen.cfg.module("hydro")
+    df_, ts_ = {}, TimestepAccum()
+    for nm in ("hydro", "viscosity"):
+        m_ = pen.cfg.module(nm)
+        if m_ is None:
+            continue
+        try:
+            m_.rhs(pen, df_, ts_)
+        except Exception:  # needs unavailable state
+            pass
+    if "uu" not in df_:
+        return None
+    duu = df_["uu"] - pen.fpres()
+    return jnp.max(jnp.abs(duu)) / getattr(hyd, "ulev", 1.0)
+
+
+@diag("dtF")
+def _dtf(pen, st):
+    """force-limited dt fraction (hydro.f90:3910-3916, :3955): Fmax =
+    max|du/dt|/ulev over the assembled momentum RHS."""
+    hyd = pen.cfg.module("hydro")
+    if hyd is None or not getattr(hyd, "lcdt_tauf", False):
+        return jnp.zeros(())
+    fmax = _fmax_hydro(pen)
+    if fmax is None:
+        return jnp.zeros(())
+    return st["dt"] * fmax / getattr(hyd, "cdt_tauf", 1.0)
+
+
+@diag("taufmin")
+def _taufmin(pen, st):
+    hyd = pen.cfg.module("hydro")
+    if hyd is None or not getattr(hyd, "lcdt_tauf", False):
+        return jnp.zeros(())
+    fmax = _fmax_hydro(pen)
+    if fmax is None:
+        return jnp.zeros(())
+    return 1.0 / fmax
+
+
 # ---- selfgravity diagnostics (selfgravity.f90:466-505) --------------------
 def _potself(pen):
     return pen.field("gpotself") if "gpotself" in pen.reg.slots else None
@@ -2400,19 +2595,14 @@ def make_diagnostics(model, names: Iterable[str], allow_unknown=False):
             elif n in ("dtF", "taufmin") \
                     and getattr(cfg.module("hydro"), "lcdt_tauf", False):
                 # force-limited dt diagnostics (hydro.f90:3955-3957):
-                # dtF = dt·max|du/dt|/(cdt_tauf·ulev) — needs the full
-                # assembled RHS, recomputed here at diagnostic cadence
+                # Fmax is sampled at the END of duu_dt — advection +
+                # Coriolis + viscous, WITHOUT the pressure gradient
+                # (entropy.f90:3299) or gravity (equ.f90:990)
                 hydm = cfg.module("hydro")
-                dfa_, _dt1, _dp = model.rhs(fa, grid, state["t"])
-                off_ = 0
-                for nm_, slot_ in reg.slots.items():
-                    if slot_.kind != "pde":
-                        continue
-                    if nm_ == "uu":
-                        break
-                    off_ += slot_.ncomp
-                Fmax = jnp.max(jnp.abs(dfa_[off_:off_ + 3])) / hydm.ulev
-                if n == "dtF":
+                Fmax = _fmax_hydro(pen)
+                if Fmax is None:
+                    out[n] = jnp.zeros(())
+                elif n == "dtF":
                     out[n] = dt * Fmax / hydm.cdt_tauf
                 else:
                     out[n] = 1.0 / jnp.maximum(Fmax, 1e-30)

@@ -41,7 +41,19 @@ class Entropy(ModuleBase):
     lupw_ss: bool = False
     # dt limited by the total entropy tendency |dss/dt|·cv1/cdts
     # (entropy.f90:3440, needed by strong-heating ISM runs)
-    lthdiff_Hmax: bool = False
+    lthdiff_Hmax: bool = False  # dt1 ≥ |df(ss)|·cv1/cdts on the TOTAL
+    #                             entropy RHS (entropy.f90:3440-3443)
+
+    def adjust_df(self, pen, df, ts):
+        if self.lthdiff_Hmax and "ss" in df:
+            import jax.numpy as jnp
+            e = pen.eos
+            cv1 = e.gamma / e.cp
+            cdts = pen.cfg.time.cdts if pen.cfg is not None else 1.0
+            dss = df["ss"]
+            if getattr(dss, "ndim", 3) == 4:
+                dss = dss[0]
+            ts.max_rate(jnp.abs(dss) * cv1 / cdts)
     lweno_transport: bool = False  # WENO flux advection (entropy.f90:3342)
     # heating/cooling layers (conv-slab style)
     luminosity: float = 0.0
@@ -380,9 +392,9 @@ class Entropy(ModuleBase):
                 # uniform entropy ss_const (entropy.f90 'const_ss')
                 return {"ss": jnp.full(spec.shape, self.ampl,
                                        grid.z.dtype)}
-            # isothermal_entropy (eos_idealgas.f90:2050): s such that
-            # T = T0 everywhere given the already-initialized lnrho:
-            # γs/cp = −(γ−1)(lnρ−lnρ0)  →  s = −(cp−cv)(lnρ−lnρ0)
+            # isothermal_entropy (eos_idealgas.f90 isothermal_entropy):
+            # lnTT = ln T0, ss from eoscalc(ilnrho_lnTT):
+            # s = cv(lnT0 − lnTT0) − (cp−cv)(lnρ−lnρ0)
             lnrho = None
             if fields is not None:
                 if "lnrho" in fields:
@@ -391,7 +403,9 @@ class Entropy(ModuleBase):
                     lnrho = jnp.log(jnp.maximum(fields["rho"], 1e-30))
             if lnrho is None:
                 lnrho = jnp.full(spec.shape, eos.lnrho0, grid.z.dtype)
-            return {"ss": -(eos.cp - eos.cv) * (lnrho - eos.lnrho0)}
+            import math as _m
+            ss0 = eos.cv * (_m.log(self.T0) - eos.lnTT0)
+            return {"ss": ss0 - (eos.cp - eos.cv) * (lnrho - eos.lnrho0)}
         if self.init in ("xjump", "yjump", "zjump"):
             from .initcond import init_scalar
             return {"ss": init_scalar(self.init, grid, spec, eos, key,

@@ -214,4 +214,8 @@ class Gravity(ModuleBase):
 
     def rhs(self, pen, df, ts):
         if "uu" in pen.reg.slots:
-            accumulate(df, "uu", self.gvec(pen))
+            g = self.gvec(pen)
+            # cache so hydro's lcdt_tauf force limit can exclude gravity
+            # like the reference (Fmax sampled before duu_dt_grav)
+            pen._cache["_grav_duu"] = g
+            accumulate(df, "uu", g)

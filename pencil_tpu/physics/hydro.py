@@ -114,10 +114,17 @@ class Hydro(ModuleBase):
 
     def adjust_df(self, pen, df, ts):
         # runs after every module's rhs (model post-pass): constrain dt by
-        # the total specific force (hydro.f90:3910-3916)
+        # the force as sampled at the END of duu_dt in the reference
+        # (hydro.f90:3910-3916) — i.e. WITHOUT the pressure gradient
+        # (added later by denergy_dt, entropy.f90:3299) and without the
+        # gravity dispatches (equ.f90:990)
         if self.lcdt_tauf and "uu" in df:
             import jax.numpy as jnp
-            ftot = jnp.max(jnp.abs(df["uu"]), axis=0)
+            duu = df["uu"] - pen.fpres()
+            grav = pen._cache.get("_grav_duu")
+            if grav is not None:
+                duu = duu - grav
+            ftot = jnp.max(jnp.abs(duu), axis=0)
             ts.max_rate(ftot / (self.cdt_tauf * self.ulev))
 
     def rhs(self, pen, df, ts):
