@@ -801,14 +801,28 @@ class ParticlesDust(ModuleBase):
                             mesh_axis_names=mesh_axis_names,
                             mesh_shape=mesh_shape)
             accumulate(df, "uu", fdrag * pen.rho1())
-        # drag CFL: dt1_drag = max(1/τ_s)/cdtp_drag joins dt1_max by max
-        # (reference particles_dust.f90:4839-4908, cdtp_drag=0.2)
-        if getattr(tausp1, "ndim", 0) == 1:
-            tmax = jnp.max(tausp1 * act) if act is not None \
-                else jnp.max(tausp1)
-            ts.max_rate(tmax / 0.2)
-        elif tausp1 > 0.0:
-            ts.max_rate(tausp1 / 0.2)
+        # drag CFL: dt1_drag = (max(1/τ_s) + Σ_cell ε_k/τ_k)/cdtp_drag —
+        # with gas back-reaction the per-cell mass-loading sum joins the
+        # dust side (particles_dust.f90:4839-4908, cdtp_drag=0.2)
+        t1flat = tausp1 if getattr(tausp1, "ndim", 0) == 1 \
+            else jnp.full((xp.shape[0],), tausp1, xp.dtype)
+        if act is not None:
+            t1flat = t1flat * act
+        dt1_dust = jnp.max(t1flat)
+        dt1_gas = 0.0
+        if (self.ldragforce_gas_par or self.eps_dtog > 0.0) and uu_slots:
+            if "rhopswarm" in pstate:
+                mp_vcell = pstate["rhopswarm"]
+            else:
+                mp = (self.eps_dtog if self.eps_dtog > 0 else 1.0) \
+                    * spec.Lx * spec.Ly * spec.Lz / self.npar
+                mp_vcell = mp / (spec.dx * spec.dy * spec.dz)
+            dep = deposit(t1flat * mp_vcell, xp, spec, nloc, "ngp",
+                          dtype=xp.dtype, origin=origin, mask=mask,
+                          mesh_axis_names=mesh_axis_names,
+                          mesh_shape=mesh_shape)
+            dt1_gas = jnp.max(dep * pen.rho1())
+        ts.max_rate((dt1_dust + dt1_gas) / 0.2)
         out = {"xp": dxp, "vp": dvp}
         if Sp is not None and self.llyapunov:
             W = pstate["wp"].reshape(-1, 3, 3)

@@ -292,6 +292,10 @@ class RadiationRay(ModuleBase):
     def _srad(self, pen, lnTT_g, kapparho_g):
         """Source function S = (σSB/π)·T⁴ (initialize_radiation :385
         arad = sigmaSB/pi), optional optically-thin cutoff."""
+        if self.source_function_type == "B2":
+            # S = B² (calc_Srad_B2, radiation_ray.f90:2231 — flux-ring
+            # visualization runs)
+            return self._b2_ghosted(pen)
         if self.source_function_type != "LTE":
             raise NotImplementedError(
                 f"source_function_type='{self.source_function_type}'")
@@ -312,9 +316,19 @@ class RadiationRay(ModuleBase):
         the full ghosted coordinate line in ``grid.z``."""
         return pen.grid.z[None, None, :]
 
+    def _b2_ghosted(self, pen):
+        """B² with nearest-interior-layer ghost fill (calc_kapparho_B2,
+        radiation_ray.f90:2231-2263)."""
+        bb = pen.bb()
+        b2 = bb[0] ** 2 + bb[1] ** 2 + bb[2] ** 2
+        g = pen.cfg.grid.nghost
+        return jnp.pad(b2, ((g, g), (g, g), (g, g)), mode="edge")
+
     def _kapparho(self, pen, lnrho_g, lnTT_g, yH_g):
         """Ghosted κρ per opacity_type (opacity :1917-2163)."""
         ot = self.opacity_type
+        if ot == "B2":
+            return self.kapparho_floor + self._b2_ghosted(pen)
         if self.kapparho_const is not None:
             return (self.kapparho_floor
                     + self.kapparho_const * jnp.ones_like(lnrho_g))
@@ -565,7 +579,10 @@ class RadiationRay(ModuleBase):
             elif "TT" in slots:
                 cv = self._cv(pen)
                 accumulate(df, "TT", pen.rho1() / cv * Q)
-            # radiative cooling timestep (radiative_cooling :1654-1694)
+            has_energy = bool({"ss", "lnTT", "TT"} & set(slots))
+            # radiative cooling timestep (radiative_cooling :1654-1694);
+            # no energy equation (noentropy B² visualization runs) → no
+            # radiative source and no dtrad constraint
             TT = pen.TT()
             rho1 = pen.rho1()
             kappa = K * rho1
@@ -592,7 +609,8 @@ class RadiationRay(ModuleBase):
                 dtrad_thin = self.cdtrad_thin * ell / jnp.maximum(
                     cgam, 1e-30)
                 dt1_rad = 1.0 / (dtrad_thick + dtrad_thin)
-            ts.max_rate(dt1_rad)
+            if has_energy:
+                ts.max_rate(dt1_rad)
         if self.lradpressure and r["KR_Frad"] is not None \
                 and "uu" in slots:
             accumulate(df, "uu",
