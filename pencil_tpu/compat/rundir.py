@@ -1600,7 +1600,17 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         ))
 
     tf_p = grp("testfield")
-    if tf_p or "testfield" in mkf.get("TESTFIELD", ""):
+    if "testfield_xz" in mkf.get("TESTFIELD", ""):
+        from ..physics.testfield import TestfieldXZ
+        modules.append(TestfieldXZ(
+            etatest=float(tf_p.get("etatest", 1e-2)),
+            ktestfield_x=float(tf_p.get("ktestfield_x", 1.0)),
+            ktestfield_z=float(tf_p.get("ktestfield_z", 1.0)),
+            xx0=float(tf_p.get("xx0", 0.0)),
+            zz0=float(tf_p.get("zz0", 0.0)),
+            lsoca=bool(tf_p.get("lsoca", True)),
+        ))
+    elif tf_p or "testfield" in mkf.get("TESTFIELD", ""):
         from ..physics.testfield import TestfieldZ
         modules.append(TestfieldZ(
             etatest=float(tf_p.get("etatest", 1e-2)),

@@ -1468,11 +1468,42 @@ def _tf_eta(pen, st, comp, col):
     return _tf_proj(pen, comp, pair, eta=True)
 
 
+def _txz_coeff(pen, i, j, row):
+    """Volume-mean transport coefficient from the xz test-field EMFs:
+    row 0 → α_ij, row 1 → η_ij1, row 2 → η_ij3 (calc_coefficients,
+    testfield_general.f90:90-140: Minv[row,:]·E_i^{(3(j-1)+q)})."""
+    tf = pen.cfg.module("testfield_xz")
+    if tf is None:
+        return None
+    E = tf.emf_ymean(pen)           # (9, 3, nx, 1, nz)
+    m = tf.minv_row(pen, row)       # 3 × (nx,1,nz)
+    val = sum(m[q] * E[3 * j + q, i] for q in range(3))
+    return jnp.mean(val)
+
+
 for _nm, _c, _p in (
         ("alp11", 0, (0, 1)), ("alp21", 1, (0, 1)), ("alp31", 2, (0, 1)),
         ("alp12", 0, (2, 3)), ("alp22", 1, (2, 3)), ("alp32", 2, (2, 3))):
-    DIAG_REGISTRY[_nm] = (lambda c, p: lambda pen, st:
-                          _tf_proj(pen, c, p))(_c, _p)
+    def _alp_disp(pen, st, c=_c, p=_p):
+        v = _txz_coeff(pen, c, p[0] // 2 if p == (0, 1) else 1, 0)
+        if v is not None:
+            return v
+        return _tf_proj(pen, c, p)
+    DIAG_REGISTRY[_nm] = _alp_disp
+
+# full 3×3 alpha + rank-3 eta of the xz method (alp13/23/33 and eta_ijk
+# have no z-quartet counterpart)
+for _i in range(3):
+    for _j in range(3):
+        def _alp_xz(pen, st, i=_i, j=_j):
+            v = _txz_coeff(pen, i, j, 0)
+            return v if v is not None else jnp.zeros(())
+        DIAG_REGISTRY.setdefault(f"alp{_i+1}{_j+1}", _alp_xz)
+        for _k, _row in ((1, 1), (3, 2)):
+            def _eta_xz(pen, st, i=_i, j=_j, row=_row):
+                v = _txz_coeff(pen, i, j, row)
+                return v if v is not None else jnp.zeros(())
+            DIAG_REGISTRY[f"eta{_i+1}{_j+1}{_k}"] = _eta_xz
 
 for _nm, _c, _col in (
         ("eta11", 0, 0), ("eta21", 1, 0), ("eta31", 2, 0),

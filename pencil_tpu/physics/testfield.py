@@ -112,6 +112,129 @@ class TestfieldZ(ModuleBase):
         return fields
 
 
+@dataclass(frozen=True)
+class TestfieldXZ(ModuleBase):
+    """Test-field method with x- AND z-dependent mean fields (reference
+    ``src/test_methods/testfield_xz.f90`` + the shared machinery in
+    ``testfield_general.f90``).
+
+    itestfield='1': nine test fields B^(p,q) — component p ∈ {x,y,z},
+    profile q ∈ {cx·cz, sx·cz, cx·sz} with cx = cos(kx(x+xx0)) etc.
+    (set_bbtest, testfield_xz.f90:295-317).  Evolution (rhs_daatest,
+    testfield_general.f90:520-576):
+
+        ∂a^q/∂t = η_t ∇²a^q + u'×B^q + (U×b^q − <U×b^q>_y)
+
+    with u' = u − ū_xz (the y-averaged mean flow) and U the FULL
+    velocity.  The y-averaged EMFs E_i^q(x,z) = <U×b^q>_y are inverted
+    point-wise with the analytic matrix Minv (calc_inverse_matrix,
+    testfield_general.f90:615-660) into α_ij(x,z) and η_ijk(x,z), whose
+    volume means are the alp{ij} / eta{ijk} diagnostics
+    (calc_coefficients :90-140)."""
+
+    name: ClassVar[str] = "testfield_xz"
+
+    ktestfield_x: float = 1.0
+    ktestfield_z: float = 1.0
+    xx0: float = 0.0
+    zz0: float = 0.0
+    etatest: float = 1e-2
+    lsoca: bool = False
+
+    def register(self, reg):
+        comps = tuple(f"a{q+1}txz{c}" for q in range(9) for c in "xyz")
+        reg.register("aatest", 27, "pde", comps=comps)
+
+    def _trig(self, pen):
+        kx, kz = self.ktestfield_x, self.ktestfield_z
+        x = pen.grid.xg            # (nx,1,1)
+        z = pen.grid.zg            # (1,1,nz)
+        return (jnp.cos(kx * (x + self.xx0)), jnp.sin(kx * (x + self.xx0)),
+                jnp.cos(kz * (z + self.zz0)), jnp.sin(kz * (z + self.zz0)))
+
+    def bbtest(self, pen, q):
+        cx, sx, cz, sz = self._trig(pen)
+        prof = (cx * cz, sx * cz, cx * sz)[q % 3]
+        comp = q // 3
+        vec = [jnp.zeros_like(prof), jnp.zeros_like(prof),
+               jnp.zeros_like(prof)]
+        vec[comp] = prof
+        return vec
+
+    def emf_ymean(self, pen):
+        """<U×b^q>_y: (9, 3, nx, 1, nz) with the FULL velocity
+        (testfield_after_boundary, testfield_xz.f90:195-260)."""
+        if "txz_emf" in pen._cache:
+            return pen._cache["txz_emf"]
+        uu = pen.uu()
+        aij = jnp.stack([pen.d("aatest", j) for j in range(3)], axis=1)
+        out = []
+        for q in range(9):
+            aq = aij[3 * q:3 * q + 3]
+            b = (aq[2, 1] - aq[1, 2], aq[0, 2] - aq[2, 0],
+                 aq[1, 0] - aq[0, 1])
+            uxb = jnp.stack([
+                uu[1] * b[2] - uu[2] * b[1],
+                uu[2] * b[0] - uu[0] * b[2],
+                uu[0] * b[1] - uu[1] * b[0],
+            ])
+            out.append(jnp.mean(uxb, axis=2, keepdims=True))
+        res = jnp.stack(out)
+        pen._cache["txz_emf"] = res
+        return res
+
+    def minv_row(self, pen, row):
+        """Row of the analytic inversion matrix (itestfield='1',
+        testfield_general.f90:649-656), broadcastable over (nx,1,nz)."""
+        cx, sx, cz, sz = self._trig(pen)
+        kx, kz = self.ktestfield_x, self.ktestfield_z
+        cx1, cz1 = 1.0 / cx, 1.0 / cz
+        if row == 0:
+            return ((1.0 - sx ** 2 - sz ** 2) * cx1 * cz1,
+                    sx * cz1, sz * cx1)
+        if row == 1:
+            return (-sx * cz1 / kx, cx * cz1 / kx,
+                    jnp.zeros_like(sx * cz1))
+        return (-sz * cx1 / kz, jnp.zeros_like(sz * cx1), cz * cx1 / kz)
+
+    def rhs(self, pen, df, ts):
+        uu = pen.uu()
+        uum = jnp.mean(uu, axis=2, keepdims=True)   # ū_xz (y-average)
+        ufl = uu - uum
+        del2 = pen.del2v("aatest")
+        aij = jnp.stack([pen.d("aatest", j) for j in range(3)], axis=1)
+        emfm = self.emf_ymean(pen) if not self.lsoca else None
+        out = []
+        for q in range(9):
+            sl = slice(3 * q, 3 * q + 3)
+            aq = aij[sl]
+            bf = [aq[2, 1] - aq[1, 2], aq[0, 2] - aq[2, 0],
+                  aq[1, 0] - aq[0, 1]]
+            B = self.bbtest(pen, q)
+            uxB = jnp.stack([
+                ufl[1] * B[2] - ufl[2] * B[1],
+                ufl[2] * B[0] - ufl[0] * B[2],
+                ufl[0] * B[1] - ufl[1] * B[0],
+            ])
+            term = uxB + self.etatest * del2[sl]
+            if self.lsoca:
+                term = term + jnp.stack([
+                    uum[1] * bf[2] - uum[2] * bf[1],
+                    uum[2] * bf[0] - uum[0] * bf[2],
+                    uum[0] * bf[1] - uum[1] * bf[0],
+                ])
+            else:
+                uxb = jnp.stack([
+                    uu[1] * bf[2] - uu[2] * bf[1],
+                    uu[2] * bf[0] - uu[0] * bf[2],
+                    uu[0] * bf[1] - uu[1] * bf[0],
+                ])
+                term = term + uxb - emfm[q]
+            out.append(term)
+        accumulate(df, "aatest", jnp.concatenate(out, axis=0))
+        ts.diffus(self.etatest)
+
+
 def transport_coefficients(model, state):
     """Extract (alpha, eta) tensors' measured columns from the current
     state: returns dict alp11, alp21, alp12, alp22, eta11, eta21."""
