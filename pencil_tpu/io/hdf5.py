@@ -57,6 +57,43 @@ def read_var_h5(path):
     return out, t, grid
 
 
+def import_state_h5(model, path, key_seed=0):
+    """Build a framework state from a reference-layout ``var.h5`` —
+    the read half of the ``IO = io_hdf5`` strategy (``src/io_hdf5.f90``
+    input_snap → the same ``data/<comp>`` (mz,my,mx) datasets, ``time``
+    scalar and ``persist/`` records this module writes).  Component
+    datasets are matched to the model's registry slots by name; missing
+    aux slots stay at their init value."""
+    import jax.numpy as jnp
+    import jax
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "allprocs", "var.h5")
+    fields_g, t, grid = read_var_h5(path)
+    reg = model.reg
+    gs = model.cfg.grid
+    g = gs.nghost
+    state = model.init_state(key_seed)
+    dtype = model.dtype
+    out = dict(state["fields"])
+    comp_of = {}
+    for name, slot in reg.slots.items():
+        for ci in range(slot.ncomp):
+            comp_of[reg.comp_names[slot.start + ci]] = (name, ci)
+    for cn, arr in fields_g.items():
+        if cn not in comp_of:
+            continue
+        name, ci = comp_of[cn]
+        interior = jnp.asarray(arr[g:-g, g:-g, g:-g], dtype)
+        if reg.slots[name].ncomp == 1:
+            out[name] = interior
+        else:
+            out[name] = out[name].at[ci].set(interior)
+    state["fields"] = out
+    state["t"] = jnp.asarray(t, state["t"].dtype)
+    return state
+
+
 def export_state_h5(model, state, datadir):
     """Dump a framework state as a reference-layout HDF5 data directory
     (dim.dat + allprocs/var.h5 + index.pro + param.nml with

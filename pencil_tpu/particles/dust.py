@@ -1107,11 +1107,10 @@ class ParticlesDustSharded(ParticlesDust):
             # back-reaction via per-particle swarm densities
             # (particles_dust.f90 ldragforce_gas_par with
             # lparticles_density: force density = Σ w·ρp_swarm·(v−u)/τ)
-            mom = ((vp - ug) * t1 * pstate["rhopswarm"][:, None]).T
-            if act is not None:
-                mom = mom * act[None]
+            mom = ((vp - ug) * tausp1 * pstate["rhopswarm"][:, None]
+                   * active[:, None]).T
             fdrag = deposit(mom, xp, spec, nloc, self.scheme,
-                            dtype=vp.dtype, origin=origin, mask=mask,
+                            dtype=vp.dtype, origin=origin, mask=active,
                             mesh_axis_names=mesh_axis_names,
                             mesh_shape=mesh_shape)
             accumulate(df, "uu", fdrag * pen.rho1())

@@ -45,6 +45,27 @@ def var(varfile="var.npz", datadir="data", trimall=False):
             ns.xp = np.asarray(st["particles"]["xp"])
             ns.vp = np.asarray(st["particles"]["vp"])
         return ns
+    if path.endswith(".h5") or (not os.path.exists(path) and os.path.exists(
+            os.path.join(str(datadir), "allprocs",
+                         str(varfile).replace(".dat", ".h5")))):
+        # IO=io_hdf5 layout: data/allprocs/var.h5 (io_hdf5.f90)
+        if not path.endswith(".h5"):
+            path = os.path.join(str(datadir), "allprocs",
+                                str(varfile).replace(".dat", ".h5"))
+        if not os.path.exists(path):
+            cand = os.path.join(str(datadir), "allprocs",
+                                os.path.basename(path))
+            if os.path.exists(cand):
+                path = cand
+        from ..io.hdf5 import read_var_h5
+        fields, t, grid = read_var_h5(path)
+        ns = SimpleNamespace(t=t, **{k: (v[(slice(3, -3),) * 3]
+                                         if trimall else v)
+                                     for k, v in fields.items()})
+        for k in ("x", "y", "z", "dx", "dy", "dz"):
+            if k in grid:
+                setattr(ns, k, grid[k])
+        return ns
     from ..compat.io_dist import read_var
     vf = read_var(path, datadir=datadir)
     ns = SimpleNamespace(f=vf.f, t=vf.t, x=vf.x, y=vf.y, z=vf.z,

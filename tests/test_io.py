@@ -176,3 +176,30 @@ def test_reference_python_reads_averages(tmp_path):
             float(np.mean(np.asarray(ph.phiavg.rhomphi))), 1.0, atol=1e-3)
     finally:
         os.chdir(cwd)
+
+
+def test_hdf5_state_import(tmp_path):
+    """import_state_h5: the read half of IO=io_hdf5 (io_hdf5.f90
+    input_snap) — a state exported to var.h5 restores bit-exactly."""
+    import numpy as np
+    from pencil_tpu import (Config, Density, EosIdealGas, GridSpec, Hydro,
+                            Model)
+    from pencil_tpu.io.hdf5 import export_state_h5, import_state_h5
+
+    cfg = Config(grid=GridSpec(nx=8, ny=8, nz=8),
+                 modules=(EosIdealGas(), Density(init="sinwave-z", ampl=0.1),
+                          Hydro(init="gaussian-noise", ampl=1e-2)))
+    model = Model(cfg)
+    state = model.init_state(3)
+    datadir = str(tmp_path / "data")
+    export_state_h5(model, state, datadir)
+    st2 = import_state_h5(model, datadir)
+    for k, v in state["fields"].items():
+        np.testing.assert_array_equal(np.asarray(st2["fields"][k]),
+                                      np.asarray(v))
+    assert float(np.asarray(st2["t"])) == float(np.asarray(state["t"]))
+
+    # our post.read reader resolves the h5 layout too
+    import pencil_tpu.post.read as pr
+    v = pr.var("var.h5", datadir=datadir)
+    assert hasattr(v, "ux") and hasattr(v, "lnrho")
