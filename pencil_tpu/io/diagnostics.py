@@ -1112,16 +1112,29 @@ def _vint(pen, x):
     """∫x dV with the true curvilinear volume element (r dr dφ dz /
     r²sinθ dr dθ dφ)."""
     gs = pen.cfg.grid
-    # degenerate axes contribute dVol=1 (reference grid.f90 box_vol /
-    # cdata dVol_x: nxgrid==1 → unit weight, not dx)
+    g = pen.grid
+    # degenerate-axis weights follow reference grid.f90:1050-1230:
+    # cartesian → 1; spherical θ → 2, φ → 2π, r → 1/3; cylindrical
+    # φ → 2π, z → 1, r → 1/2
+    if gs.coords == "cylindrical":
+        wx = gs.dx if gs.nx > 1 else 0.5
+        wy = gs.dy if gs.ny > 1 else 2.0 * jnp.pi
+        wz = gs.dz if gs.nz > 1 else 1.0
+        if gs.nx > 1:
+            x = x * g.xg
+        return jnp.sum(x + 0.0 * x) * wx * wy * wz
+    if gs.coords == "spherical":
+        wx = gs.dx if gs.nx > 1 else 1.0 / 3.0
+        wy = gs.dy if gs.ny > 1 else 2.0
+        wz = gs.dz if gs.nz > 1 else 2.0 * jnp.pi
+        if gs.nx > 1:
+            x = x * g.xg ** 2
+        if gs.ny > 1:
+            x = x * jnp.sin(g.yg)
+        return jnp.sum(x + 0.0 * x) * wx * wy * wz
     dv = ((gs.dx if gs.nx > 1 else 1.0)
           * (gs.dy if gs.ny > 1 else 1.0)
           * (gs.dz if gs.nz > 1 else 1.0))
-    g = pen.grid
-    if gs.coords == "cylindrical":
-        x = x * g.xg
-    elif gs.coords == "spherical":
-        x = x * g.xg ** 2 * jnp.sin(g.yg)
     return jnp.sum(x + 0.0 * x) * dv
 
 

@@ -808,9 +808,10 @@ class ParticlesDust(ModuleBase):
             else jnp.full((xp.shape[0],), tausp1, xp.dtype)
         if act is not None:
             t1flat = t1flat * act
-        dt1_dust = jnp.max(t1flat)
+        dt1_dust = jnp.max(t1flat) if xp.shape[0] else 0.0
         dt1_gas = 0.0
-        if (self.ldragforce_gas_par or self.eps_dtog > 0.0) and uu_slots:
+        if (self.ldragforce_gas_par or self.eps_dtog > 0.0) and uu_slots \
+                and xp.shape[0] > 0:
             if "rhopswarm" in pstate:
                 mp_vcell = pstate["rhopswarm"]
             else:
@@ -1125,7 +1126,24 @@ class ParticlesDustSharded(ParticlesDust):
                             mesh_shape=mesh_shape)
             accumulate(df, "uu", fdrag * pen.rho1())
         if tausp1 > 0.0:
-            ts.max_rate(tausp1 / 0.2)
+            dt1_gas = 0.0
+            if (self.ldragforce_gas_par or self.eps_dtog > 0.0) \
+                    and uu_slots:
+                # same gas-side mass-loading drag limit as the
+                # replicated path (particles_dust.f90:4839-4908)
+                if "rhopswarm" in pstate:
+                    mp_vcell = pstate["rhopswarm"]
+                else:
+                    mp = (self.eps_dtog if self.eps_dtog > 0 else 1.0) \
+                        * spec.Lx * spec.Ly * spec.Lz / self.npar
+                    mp_vcell = mp / (spec.dx * spec.dy * spec.dz)
+                dep = deposit(tausp1 * mp_vcell * active, xp, spec, nloc,
+                              "ngp", dtype=xp.dtype, origin=origin,
+                              mask=active,
+                              mesh_axis_names=mesh_axis_names,
+                              mesh_shape=mesh_shape)
+                dt1_gas = jnp.max(dep * pen.rho1())
+            ts.max_rate((tausp1 + dt1_gas) / 0.2)
         return {"xp": dxp, "vp": dvp, "active": jnp.zeros_like(active)}
 
     def _origin(self, spec, mesh_axis_names, mesh_shape, dtype):
