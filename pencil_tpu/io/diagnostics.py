@@ -1661,6 +1661,11 @@ def _nmigmax(pen, st):
     return p["nmig"]
 
 
+# blocks-decomposition variant (particles_mpicomm_blocks.f90 nmig_max
+# over bricks) — same virtual-rank count here
+DIAG_REGISTRY["nmigmmax"] = _nmigmax
+
+
 @diag("dedragp")
 def _dedragp(pen, st):
     """Volume-mean gas heating by particle drag (particles_dust.f90:

@@ -25,11 +25,14 @@ def _cell_coords(xp, spec, dtype, origin=None):
     else:
         x0 = origin
     d = jnp.asarray([spec.dx, spec.dy, spec.dz], dtype)
-    # periodic axes carry the half-cell origin shift (grid.f90:141
-    # lshift_origin): interior node i sits at x0 + (i + 1/2)·dx, while a
-    # non-periodic axis puts node 0 exactly at x0
-    sh = jnp.asarray([0.5 * dd if ls else 0.0 for ls, dd in
-                      zip(spec.lshift_origin, (spec.dx, spec.dy, spec.dz))],
+    # PERIODIC axes always carry the half-cell origin shift (grid.f90:141
+    # ``if (lperi) xi = xi + 0.5``): interior node i sits at
+    # x0 + (i + 1/2)·dx; non-periodic axes put node 0 exactly at x0
+    # unless lshift_origin asks for cell centres
+    sh = jnp.asarray([0.5 * dd if (per or ls) else 0.0
+                      for per, ls, dd in
+                      zip(spec.periodic, spec.lshift_origin,
+                          (spec.dx, spec.dy, spec.dz))],
                      dtype)
     return (xp - x0 - sh) / d + g
 

@@ -34,7 +34,8 @@ def test_interpolation_exact_for_linear_field():
     dx = spec.dx
     # ghosted linear field f = 2 + 3x (periodic ghosts WRONG for linear, so
     # keep particles away from the boundary)
-    xg = spec.x0 + dx * (np.arange(16 + 6) - g)
+    # periodic grid: node i at x0 + (i + 1/2)dx (grid.f90:141 lperi shift)
+    xg = spec.x0 + dx * (np.arange(16 + 6) - g + 0.5)
     f = (2.0 + 3.0 * xg)[:, None, None] * np.ones((1, 22, 22))
     fg = jnp.asarray(f[None], jnp.float32)
     rng = np.random.default_rng(1)
@@ -217,9 +218,13 @@ def test_sharded_particle_buffers_match_replicated():
     _, shr = run(ParticlesDustSharded, MeshSpec(2, 2, 2), True)
 
     for k in ref["fields"]:
+        # half-cell-correct TSC anchors particles exactly on rint
+        # boundaries for the equidistant lattice; the per-shard drag-CFL
+        # reduction can then differ by one rounding path from the global
+        # one, so cross-layout agreement is f32-trajectory level
         np.testing.assert_allclose(np.asarray(shr["fields"][k]),
                                    np.asarray(ref["fields"][k]),
-                                   rtol=5e-4, atol=1e-6, err_msg=k)
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
     # same particle SET: all 512 still active, positions agree order-free
     act = np.asarray(shr["particles"]["active"]) > 0.5
     assert act.sum() == 512
