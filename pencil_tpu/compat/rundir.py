@@ -609,19 +609,22 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         # fraction, µ = (1+4x_He)/(1+x_He) (eos_ionization.f90 getmu)
         _xHe = float(eos_p.get("xhe", 0.1))
         _mu_from_xHe = (1.0 + 4.0 * _xHe) / (1.0 + _xHe)
-    if ("unit_temperature" in _units and "cp" not in eos_p
-            and _unit_system == "SI"
-            and ("mu" in eos_p or _mu_from_xHe is not None)):
-        # explicit unit_temperature + mu: cp FOLLOWS from the unit system
-        # (eos_idealgas.f90:192-198: Rgas = R_sys·uT/uv², cp =
-        # Rgas·γ/(µ(γ−1)); R_sys = k_B/m_u, ×1e-4 for SI :160-163)
+    if "unit_temperature" in _units and "cp" not in eos_p \
+            and not init_pars.get("lfix_unit_std"):
+        # explicit unit_temperature: cp FOLLOWS from the unit system in
+        # EVERY unit system (eos_idealgas.f90:192-198: Rgas =
+        # R_sys·uT/uv², cp = Rgas·γ/(µ(γ−1)); R_sys = k_B/m_u, ×1e-4
+        # for SI :160-163).  µ is the raw eos_idealgas namelist value
+        # (default 1.0, eos_idealgas.f90:42 — getmu's xHe adjustment
+        # does NOT feed this derivation); ionization EOSes use getmu's µ
         _Rsys = 1.3806505e-16 / 1.66053886e-24
         if str(init_pars.get("unit_system", "cgs")) == "SI":
             _Rsys *= 1e-4
         _Rgas_code = (_Rsys * _units["unit_temperature"]
                       / _units.get("unit_velocity", 1.0) ** 2)
         _mu_eos0 = (float(eos_p["mu"]) if "mu" in eos_p
-                    else _mu_from_xHe)
+                    else (_mu_from_xHe if _mu_from_xHe is not None
+                          else 1.0))
         _cp_eos = (_Rgas_code / _mu_eos0 if _gamma_eos == 1.0 else
                    _Rgas_code * _gamma_eos
                    / (_mu_eos0 * (_gamma_eos - 1.0)))

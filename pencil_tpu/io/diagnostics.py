@@ -2122,6 +2122,135 @@ def _taufmin(pen, st):
     return 1.0 / fmax
 
 
+def _fvisc(pen):
+    """Viscous force from the viscosity module alone (p%fvisc)."""
+    if "fvisc" in pen._cache:
+        return pen._cache["fvisc"]
+    visc = pen.cfg.module("viscosity")
+    if visc is None or "uu" not in pen.reg.slots:
+        return None
+    from ..physics.base import TimestepAccum
+    df_ = {}
+    try:
+        visc.rhs(pen, df_, TimestepAccum())
+    except Exception:
+        return None
+    fv = df_.get("uu")
+    pen._cache["fvisc"] = fv
+    return fv
+
+
+@diag("fviscm")
+def _fviscm(pen, st):
+    fv = _fvisc(pen)
+    if fv is None:
+        return jnp.zeros(())
+    return _vrms(pen, jnp.sum(fv * fv, axis=0))
+
+
+@diag("fviscmax")
+def _fviscmax(pen, st):
+    fv = _fvisc(pen)
+    if fv is None:
+        return jnp.zeros(())
+    return jnp.sqrt(jnp.max(jnp.sum(fv * fv, axis=0)))
+
+
+@diag("fviscmin")
+def _fviscmin(pen, st):
+    fv = _fvisc(pen)
+    if fv is None:
+        return jnp.zeros(())
+    return jnp.min(jnp.sqrt(jnp.sum(fv * fv, axis=0)))
+
+
+def _plasma_beta(pen):
+    """β = 2µ0·p/B² (bfield.f90 beta pencil / magnetic beta1 inverse)."""
+    mag = pen.cfg.module("magnetic") or pen.cfg.module("bfield")
+    mu0 = getattr(mag, "mu0", 1.0) if mag is not None else 1.0
+    pp = pen.rho() * pen.cs2() / getattr(pen.eos, "gamma", 5.0 / 3.0)
+    return 2.0 * mu0 * pp / jnp.maximum(pen.b2(), 1e-30)
+
+
+@diag("betamax")
+def _betamax(pen, st):
+    return jnp.max(_plasma_beta(pen))
+
+
+@diag("betamin")
+def _betamin(pen, st):
+    return jnp.min(_plasma_beta(pen))
+
+
+@diag("dtrad")
+def _dtrad(pen, st):
+    """dt·max(dt1_rad) (radiation_ray.f90:1699, l_dt)."""
+    rad = pen.cfg.module("radiation")
+    if rad is None:
+        return jnp.zeros(())
+    if "dt1_rad" not in pen._cache:
+        from ..physics.base import TimestepAccum
+        try:
+            rad.rhs(pen, {}, TimestepAccum())
+        except Exception:
+            return jnp.zeros(())
+    r = pen._cache.get("dt1_rad")
+    return st["dt"] * jnp.max(r) if r is not None else jnp.zeros(())
+
+
+@diag("ugrhom")
+def _ugrhom(pen, st):
+    """<u·∇ρ> (density.f90 idiag_ugrhom, ugrho pencil)."""
+    if "uu" not in pen.reg.slots or not _has_density(pen):
+        return jnp.zeros(())
+    uu = pen.uu()
+    if "rho" in pen.reg.slots:
+        gr = pen.grad("rho")
+    else:
+        gr = pen.grad("lnrho") * pen.rho()[None]
+    return _vmean(pen, sum(uu[a] * gr[a] for a in range(3)))
+
+
+@diag("divrhoum")
+def _divrhoum(pen, st):
+    """<ρ∇·u + u·∇ρ> = <∇·(ρu)> (hydro.f90:4020 divrhou)."""
+    if "uu" not in pen.reg.slots or not _has_density(pen):
+        return jnp.zeros(())
+    uu = pen.uu()
+    if "rho" in pen.reg.slots:
+        gr = pen.grad("rho")
+    else:
+        gr = pen.grad("lnrho") * pen.rho()[None]
+    ug = sum(uu[a] * gr[a] for a in range(3))
+    return _vmean(pen, pen.rho() * pen.divu() + ug)
+
+
+@diag("divrhourms")
+def _divrhourms(pen, st):
+    if "uu" not in pen.reg.slots or not _has_density(pen):
+        return jnp.zeros(())
+    uu = pen.uu()
+    if "rho" in pen.reg.slots:
+        gr = pen.grad("rho")
+    else:
+        gr = pen.grad("lnrho") * pen.rho()[None]
+    ug = sum(uu[a] * gr[a] for a in range(3))
+    return _vrms(pen, (pen.rho() * pen.divu() + ug) ** 2)
+
+
+@diag("divrhoumax")
+def _divrhoumax(pen, st):
+    if "uu" not in pen.reg.slots or not _has_density(pen):
+        return jnp.zeros(())
+    uu = pen.uu()
+    if "rho" in pen.reg.slots:
+        gr = pen.grad("rho")
+    else:
+        gr = pen.grad("lnrho") * pen.rho()[None]
+    ug = sum(uu[a] * gr[a] for a in range(3))
+    return jnp.max(pen.rho() * pen.divu() + ug)
+
+
 # ---- selfgravity diagnostics (selfgravity.f90:466-505) --------------------
 def _potself(pen):
     return pen.field("gpotself") if "gpotself" in pen.reg.slots else None

@@ -609,6 +609,7 @@ class RadiationRay(ModuleBase):
                 dtrad_thin = self.cdtrad_thin * ell / jnp.maximum(
                     cgam, 1e-30)
                 dt1_rad = 1.0 / (dtrad_thick + dtrad_thin)
+            pen._cache["dt1_rad"] = dt1_rad
             if has_energy:
                 ts.max_rate(dt1_rad)
         if self.lradpressure and r["KR_Frad"] is not None \
