@@ -1180,7 +1180,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
         # cooltype='shell': derive the boundary sound speeds from the
         # polytropic shell profile (entropy.f90:830-868: TT_int/ext from
         # beta1 = cp1·g0/(mpoly+1)·γ/γ_m1, then cs² = (γ−1)cp·TT)
-        _shc = {}
+        _shc = {"cooltype": str(ent_p.get("cooltype", ""))}
         if str(ent_p.get("cooltype", "")) == "shell":
             _eosm = next((m for m in modules if m.name == "eos"), None)
             _gam = _eosm.gamma if _eosm else 5.0 / 3.0
@@ -1231,6 +1231,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             cool=float(ent_p.get("cool", 0.0)),
             wcool=float(ent_p.get("wcool", 0.2)),
             cs2cool=float(ent_p.get("cs2cool", 0.0)),
+            rcool=float(ent_p.get("rcool", 0.0)),
+            r_ext=float(init_pars.get("r_ext",
+                                      run_pars.get("r_ext", 1.0))),
             mpoly0=float(ent_p.get("mpoly0", 1.0)),
             mpoly1=float(ent_p.get("mpoly1", 3.0)),
             mpoly2=float(ent_p.get("mpoly2", 0.0)),

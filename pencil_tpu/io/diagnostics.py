@@ -1218,13 +1218,10 @@ def _ruxuym(pen, st):
 
 @diag("totmass")
 def _totmass(pen, st):
-    """∫ρ dV (idiag_totmass, density.f90:221)."""
-    dv = pen.cfg.grid.dx * pen.cfg.grid.dy * pen.cfg.grid.dz
-    w = pen.vol_weight()
-    rho = pen.rho()
-    if w is not None:
-        rho = rho * (w + 0.0 * rho)
-    return jnp.sum(rho + 0.0 * rho) * dv
+    """∫ρ dV with the true curvilinear volume element (idiag_totmass,
+    density.f90:221 sum_mn_name(lint) + the r/r²sinθ coordinate weights
+    of diagnostics.f90 sum_mn_name)."""
+    return _vint(pen, pen.rho())
 
 
 @diag("shockmax")

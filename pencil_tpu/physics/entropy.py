@@ -62,6 +62,10 @@ class Entropy(ModuleBase):
     wcool: float = 0.2
     cs2cool: float = 0.0
     zcool: float = 0.0          # cooling layer center (default: top boundary)
+    # star-in-a-box radial cooling shell (get_heat_cool_gravr:
+    # rcool default r_ext)
+    rcool: float = 0.0
+    r_ext: float = 1.0
     # spherical-shell boundary cooling (cooltype='shell',
     # entropy.f90:6348-6372 get_heat_cool_gravr): heat/cool layers at
     # r_int/r_ext relaxing cs² → cs2_int/cs2_ext; cs2_int/ext are derived
@@ -303,15 +307,57 @@ class Entropy(ModuleBase):
                 heat = heat - self.cool_int * prof \
                     * (cs2 - self.cs2_int) / self.cs2_int
             out = out + pen.rho1() * pen.TT1() * heat
-        # cooling layer near the top: ds/dt −= cool·prof(z)·(cs²−cs2cool)/cs²
-        if self.cool != 0.0 and self.cooltype != "shell":
+        grav = pen.cfg.module("gravity") if pen.cfg is not None else None
+        lgravr = bool(grav is not None and getattr(grav, "ipotential", ""))
+        if lgravr and (self.luminosity != 0.0 or self.cool != 0.0) \
+                and self.cooltype != "shell":
+            # star-in-a-box (get_heat_cool_gravr, entropy.f90:6286-6386):
+            # normalized CENTRAL gaussian heating + radial-shell cooling;
+            # applied as ds/dt += ρ⁻¹T⁻¹·heat
+            g = pen.grid
+            gs = pen.cfg.grid
+            r = jnp.sqrt(g.xg ** 2 + g.yg ** 2 + g.zg ** 2) \
+                + jnp.zeros((gs.nx, gs.ny, gs.nz), g.z.dtype)
+            dim2 = gs.nz == 1
+            norm = (2.0 * jnp.pi * self.wheat ** 2) ** (-1.0 if dim2
+                                                        else -1.5)
+            heat = self.luminosity * norm \
+                * jnp.exp(-0.5 * (r / self.wheat) ** 2)
+            if self.cool != 0.0:
+                rcool = self.rcool if self.rcool != 0.0 else self.r_ext
+                prof = 0.5 * (1.0 + jnp.tanh((r - rcool)
+                                             / max(self.wcool, 1e-30)))
+                cs2 = pen.cs2()
+                cs2c = self.cs2cool
+                if cs2c == 0.0:
+                    # the isentropic-star init shares cs2cool = cs2_ext =
+                    # cs20·(1 − (γ−1)(Φ(r_ext)−Φ0)/cs20)
+                    # (density.f90:1276-1296) — a static host-side number
+                    import jax as _jax
+                    e = pen.eos
+                    with _jax.ensure_compile_time_eval():
+                        pot_ext = float(grav.potential(
+                            jnp.asarray(float(self.r_ext))))
+                        pot0 = float(jnp.asarray(
+                            getattr(grav, "pot0", 0.0)))
+                    cs2c = e.cs20 * (1.0 - (e.gamma - 1.0)
+                                     * (pot_ext - pot0) / e.cs20)
+                fac = cs2c if cs2c != 0.0 else 1.0
+                term = self.cool * prof * (cs2 - cs2c) / fac
+                if self.cooltype in ("cs2-rho", "Temp-rho", "pressure"):
+                    term = term * pen.rho()   # /rho1 (time-step neutral)
+                heat = heat - term
+            out = out + pen.rho1() * pen.TT1() * heat
+        elif self.cool != 0.0 and self.cooltype != "shell":
+            # vertical-gravity cooling layer near the top:
+            # ds/dt −= cool·prof(z)·(cs²−cs2cool)/cs²
             g = pen.grid
             gs = pen.cfg.grid
             zref = self.zcool if self.zcool != 0.0 else gs.z0 + gs.Lz
             prof = jnp.exp(-0.5 * ((g.zg - zref) / self.wcool) ** 2)
             cs2 = pen.cs2()
             out = out - self.cool * prof * (cs2 - self.cs2cool) / jnp.maximum(cs2, 1e-30)
-        if self.luminosity != 0.0:
+        if self.luminosity != 0.0 and not lgravr:
             # gaussian heating layer at the bottom, total luminosity L
             g = pen.grid
             zbot = pen.cfg.grid.z0
