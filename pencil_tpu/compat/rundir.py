@@ -921,6 +921,8 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             ky=float(hyd_p.get("ky_uu", 1.0)),
             kz=float(hyd_p.get("kz_uu", 1.0)),
             width=float(hyd_p.get("widthuu", 0.1)),
+            # cdata z1 is global; grav_init_pars is where samples set it
+            z1=float(grp("grav").get("z1", grp("entropy").get("z1", 0.0))),
             uu_const=tuple(float(v) for v in _vec3(
                 hyd_p.get("uu_const", [0.0, 0.0, 0.0]), [0.0, 0.0, 0.0])),
             # rnoise_int/ext default to the r_int/r_ext shell radii
@@ -991,42 +993,6 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             lcylindrical_gravity=bool(
                 grav_p.get("lcylindrical_gravity",
                            init_pars.get("lcylindrical_gravity", False))),
-        ))
-
-    # Radial freeze zones (lfreeze_uint/uext etc. → FreezeZones module;
-    # equ.f90:424-520; rfreeze defaults to r_int/r_ext, run.f90:259-260)
-    _rho_name = "rho" if bool(grp("density").get("ldensity_nolog", False)) \
-        else "lnrho"
-    _fz_int, _fz_ext = [], []
-    for stem2, flagi, flage, fname2 in (
-            ("hydro", "lfreeze_uint", "lfreeze_uext", "uu"),
-            ("density", "lfreeze_lnrhoint", "lfreeze_lnrhoext", _rho_name),
-            ("magnetic", "lfreeze_aint", "lfreeze_aext", "aa"),
-            ("entropy", "lfreeze_sint", "lfreeze_sext", "ss")):
-        pg2 = grp(stem2)
-        if bool(pg2.get(flagi, False)):
-            _fz_int.append(fname2)
-        if bool(pg2.get(flage, False)):
-            _fz_ext.append(fname2)
-    if _fz_int or _fz_ext:
-        from ..physics.freeze import FreezeZones
-        _ri0 = float(init_pars.get("r_int", run_pars.get("r_int", 0.0)))
-        _re0 = float(init_pars.get("r_ext", run_pars.get("r_ext", -9e99)))
-        modules.append(FreezeZones(
-            rfreeze_int=float(run_pars.get(
-                "rfreeze_int", _ri0 if _ri0 > 1e-12 else -9e99)),
-            rfreeze_ext=float(run_pars.get(
-                "rfreeze_ext", _re0 if _re0 > -1e99 else -9e99)),
-            wfreeze_int=float(run_pars.get(
-                "wfreeze_int", run_pars.get("wfreeze", 0.0))),
-            wfreeze_ext=float(run_pars.get(
-                "wfreeze_ext", run_pars.get("wfreeze", 0.0))),
-            fshift_int=float(run_pars.get("fshift_int", -1.0)),
-            fshift_ext=float(run_pars.get("fshift_ext", 1.0)),
-            fields_int=tuple(_fz_int),
-            fields_ext=tuple(_fz_ext),
-            lcyl=bool(init_pars.get("lcylinder_in_a_box", False))
-            or grid.coords == "cylindrical",
         ))
 
     # BORDER_PROFILES: quenching (border_frac_*) + per-variable driving
@@ -1201,6 +1167,18 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                         cs2_ext=_gm1 * _cp * _TTe,
                         cs2_int=_gm1 * _cp * _TTi,
                         rshell_int=_ri, rshell_ext=_re)
+        # MLT runs: hcond0 and Fbot derive from mixinglength_flux
+        # (initialize_energy, entropy.f90:669-671)
+        _mlf = float(ent_p.get("mixinglength_flux", 0.0))
+        _h0e = float(ent_p.get("hcond0", 0.0))
+        _fbe = float(ent_p.get("fbot", 0.0))
+        if _mlf != 0.0 and _h0e == 0.0:
+            _gze = float(grp("grav").get("gravz", -1.0))
+            _game = float(eos_p.get("gamma", 5.0 / 3.0))
+            _h0e = (-_mlf * (float(ent_p.get("mpoly0", 1.5)) + 1.0)
+                    * (_game - 1.0) / _game / _gze)
+            if _fbe == 0.0:
+                _fbe = _mlf
         modules.append(Entropy(
             **_shc,
             lweno_transport=lweno,
@@ -1216,7 +1194,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                      float(ent_p.get("center1_z", 0.0))),
             width=float(ent_p.get("widthss", 0.05)),
             iheatcond=_as_tuple(ihc),
-            hcond0=float(ent_p.get("hcond0", 0.0)),
+            hcond0=_h0e,
             chi=float(ent_p.get("chi", 0.0)),
             chi_shock=float(ent_p.get("chi_shock", 0.0)),
             chi_hyper3=float(ent_p.get("chi_hyper3", 0.0)),
@@ -1230,6 +1208,9 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             wheat=float(ent_p.get("wheat", 0.1)),
             cool=float(ent_p.get("cool", 0.0)),
             wcool=float(ent_p.get("wcool", 0.2)),
+            zcool=float(ent_p.get("zcool", 0.0)),
+            cooling_profile=str(ent_p.get("cooling_profile",
+                                          "gaussian")),
             cs2cool=float(ent_p.get("cs2cool", 0.0)),
             rcool=float(ent_p.get("rcool", 0.0)),
             r_ext=float(init_pars.get("r_ext",
@@ -1247,7 +1228,7 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
             chi_t=float(ent_p.get("chi_t", 0.0)),
             chit_prof1=float(ent_p.get("chit_prof1", 1.0)),
             chit_prof2=float(ent_p.get("chit_prof2", 1.0)),
-            Fbot=float(ent_p.get("fbot", 0.0)),
+            Fbot=_fbe,
             Ftop=float(ent_p.get("ftop", 0.0)),
             hcond0_kramers=float(ent_p.get("hcond0_kramers", 0.0)),
             nkramers=float(ent_p.get("nkramers", 1.0)),
@@ -2429,6 +2410,81 @@ def load_rundir(path, nxyz=None) -> Tuple[Config, Dict]:
                     hval = v
             out.append(BC.parse(comp, str(code), lval, hval))
         return tuple(out)
+
+    # Radial freeze zones (lfreeze_uint/uext etc. → FreezeZones module;
+    # equ.f90:424-520; rfreeze defaults to r_int/r_ext, run.f90:259-260)
+    _rho_name = "rho" if bool(grp("density").get("ldensity_nolog", False)) \
+        else "lnrho"
+    _fz_int, _fz_ext = [], []
+    for stem2, flagi, flage, fname2 in (
+            ("hydro", "lfreeze_uint", "lfreeze_uext", "uu"),
+            ("density", "lfreeze_lnrhoint", "lfreeze_lnrhoext", _rho_name),
+            ("magnetic", "lfreeze_aint", "lfreeze_aext", "aa"),
+            ("entropy", "lfreeze_sint", "lfreeze_sext", "ss")):
+        pg2 = grp(stem2)
+        if bool(pg2.get(flagi, False)):
+            _fz_int.append(fname2)
+        if bool(pg2.get(flage, False)):
+            _fz_ext.append(fname2)
+    # run_pars-level per-VARIABLE freeze arrays (cdata lfreeze_varint /
+    # lfreeze_varext, applied in equ.f90:446-505); interpret the flag
+    # list against the reference f-array layout uu,lnrho,ss,aa
+    # (ths_equilibrium_ism.f90:26) and freeze a field when all its
+    # components are flagged
+    def _expand_freeze(flags):
+        if flags is None:
+            return []
+        if isinstance(flags, str):
+            # unsplit namelist value like 'T T T T T T T T'
+            flags = flags.replace(",", " ").split()
+        if not isinstance(flags, (list, tuple)):
+            flags = [flags]
+        flags = [str(v).strip().lower() in ("t", "true", ".true.", "1")
+                 if isinstance(v, str) else bool(v) for v in flags]
+        layout = []
+        have = {m.name for m in modules}
+        if "hydro" in have:
+            layout.append(("uu", 3))
+        if "density" in have:
+            layout.append((_rho_name, 1))
+        if "entropy" in have:
+            layout.append(("ss", 1))
+        if "magnetic" in have:
+            layout.append(("aa", 3))
+        names, i0 = [], 0
+        for fn3, nc3 in layout:
+            fl = flags[i0:i0 + nc3]
+            i0 += nc3
+            if fl and all(fl):
+                names.append(fn3)
+        return names
+    for nm3 in _expand_freeze(run_pars.get("lfreeze_varint")):
+        if nm3 not in _fz_int:
+            _fz_int.append(nm3)
+    for nm3 in _expand_freeze(run_pars.get("lfreeze_varext")):
+        if nm3 not in _fz_ext:
+            _fz_ext.append(nm3)
+    if _fz_int or _fz_ext:
+        from ..physics.freeze import FreezeZones
+        _ri0 = float(init_pars.get("r_int", run_pars.get("r_int", 0.0)))
+        _re0 = float(init_pars.get("r_ext", run_pars.get("r_ext", -9e99)))
+        modules.append(FreezeZones(
+            rfreeze_int=float(run_pars.get(
+                "rfreeze_int", _ri0 if _ri0 > 1e-12 else -9e99)),
+            rfreeze_ext=float(run_pars.get(
+                "rfreeze_ext", _re0 if _re0 > -1e99 else -9e99)),
+            wfreeze_int=float(run_pars.get(
+                "wfreeze_int", run_pars.get("wfreeze", 0.0))),
+            wfreeze_ext=float(run_pars.get(
+                "wfreeze_ext", run_pars.get("wfreeze", 0.0))),
+            fshift_int=float(run_pars.get("fshift_int", -1.0)),
+            fshift_ext=float(run_pars.get("fshift_ext", 1.0)),
+            fields_int=tuple(_fz_int),
+            fields_ext=tuple(_fz_ext),
+            lcyl=bool(init_pars.get("lcylinder_in_a_box", False))
+            or grid.coords == "cylindrical",
+        ))
+
 
     overrides, modules_final = _parity_replay(
         path, tuple(modules), grid, int(run_pars.get("nt", 100)),

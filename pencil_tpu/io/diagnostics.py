@@ -1747,6 +1747,21 @@ DIAG_REGISTRY["apmin"] = _mk_apstat(lambda pen, p: jnp.min(p["ap"]))
 DIAG_REGISTRY["apmax"] = _mk_apstat(lambda pen, p: jnp.max(p["ap"]))
 DIAG_REGISTRY["npswarmm"] = _mk_apstat(
     lambda pen, p: jnp.mean(p.get("npswarm", jnp.zeros(()))))
+# mean coagulation events per particle in the last MC sweep (reference
+# sum_par_name(ncoll_par), particles_coagulation.f90:764-765)
+DIAG_REGISTRY["ncoagpm"] = _mk_apstat(
+    lambda pen, p: jnp.mean(p.get("ncoagp", jnp.zeros(()))))
+
+
+@diag("decollp")
+def _decollp(pen, st):
+    """Collisional heating of the gas (particles_dust.f90:6089
+    sum_mn_name(coll_heat)); zero unless collisional cooling is
+    configured — our dust module does not dissipate collision energy
+    into the gas, matching lcollision_cooling=F runs."""
+    if st.get("particles") is None:
+        return jnp.zeros(())
+    return jnp.zeros(())
 
 
 def _mpt(pen, p):

@@ -122,4 +122,9 @@ class ParticlesCoagulation(ModuleBase):
             nnew = rhosw / mnew
             ap = jnp.where(mutual, anew, ap)
             nsw = jnp.where(mutual, nnew, nsw)
-        return {**pstate, "ap": ap, "npswarm": nsw, "vp": vp}
+        out = {**pstate, "ap": ap, "npswarm": nsw, "vp": vp}
+        if "ncoagp" in pstate:
+            # collisions-per-particle this sweep (reference ncoll_par,
+            # particles_coagulation.f90:764-765)
+            out["ncoagp"] = mutual.astype(ap.dtype)
+        return out

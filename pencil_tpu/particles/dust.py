@@ -475,6 +475,9 @@ class ParticlesDust(ModuleBase):
             else:
                 out["npswarm"] = jnp.full((self.npar,),
                                           self.np_swarm0, dtype)
+            # per-particle coagulation-event count of the last MC sweep
+            # (particles_coagulation.f90:764-765 ncoll_par → ncoagpm)
+            out["ncoagp"] = jnp.zeros((self.npar,), dtype)
         if (self.npar_species > 1 and "taus" not in out
                 and len(self.tausp_species) >= self.npar_species):
             # per-species stopping times from the global particle index
@@ -822,8 +825,33 @@ class ParticlesDust(ModuleBase):
                           dtype=xp.dtype, origin=origin, mask=mask,
                           mesh_axis_names=mesh_axis_names,
                           mesh_shape=mesh_shape)
-            dt1_gas = jnp.max(dep * pen.rho1())
-        ts.max_rate((dt1_dust + dt1_gas) / 0.2)
+            if origin is None and mask is None:
+                # reference combines the two drag rates PER CELL before
+                # taking the max (particles_dust.f90:4904: dt1_drag =
+                # dt1_drag_dust + dt1_drag_gas, both nx-pencil arrays);
+                # max_cell(max_p 1/τ) + max_cell(Σ ε/τ) overestimates
+                # when the stiffest particle sits outside the most
+                # mass-loaded cell — scatter-max 1/τ onto the grid and
+                # add the fields instead
+                from .interp import _cell_coords, NGHOST
+                fc = _cell_coords(xp, spec, xp.dtype, None)
+                idx = jnp.rint(fc).astype(jnp.int32) - NGHOST
+                nxyz = (spec.nx, spec.ny, spec.nz)
+                cs = []
+                for d in range(3):
+                    c = idx[:, d]
+                    cs.append(jnp.mod(c, nxyz[d]) if spec.periodic[d]
+                              else jnp.clip(c, 0, nxyz[d] - 1))
+                flat = (cs[0] * nxyz[1] + cs[1]) * nxyz[2] + cs[2]
+                dustmax = jnp.zeros((nxyz[0] * nxyz[1] * nxyz[2],),
+                                    xp.dtype).at[flat].max(t1flat)
+                ts.max_rate(jnp.max(
+                    dustmax.reshape(nxyz) + dep * pen.rho1()) / 0.2)
+            else:
+                dt1_gas = jnp.max(dep * pen.rho1())
+                ts.max_rate((dt1_dust + dt1_gas) / 0.2)
+        else:
+            ts.max_rate(dt1_dust / 0.2)
         out = {"xp": dxp, "vp": dvp}
         if Sp is not None and self.llyapunov:
             W = pstate["wp"].reshape(-1, 3, 3)

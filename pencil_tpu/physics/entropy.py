@@ -62,6 +62,10 @@ class Entropy(ModuleBase):
     wcool: float = 0.2
     cs2cool: float = 0.0
     zcool: float = 0.0          # cooling layer center (default: top boundary)
+    # z-cooling profile shape (get_heat_cool_gravz, entropy.f90:6243-6268):
+    # 'gaussian' (at ztop), 'step'/'cubic_step' (at z2), 'step2' (at
+    # zcool), 'lin-z'
+    cooling_profile: str = "gaussian"
     # star-in-a-box radial cooling shell (get_heat_cool_gravr:
     # rcool default r_ext)
     rcool: float = 0.0
@@ -349,20 +353,45 @@ class Entropy(ModuleBase):
                 heat = heat - term
             out = out + pen.rho1() * pen.TT1() * heat
         elif self.cool != 0.0 and self.cooltype != "shell":
-            # vertical-gravity cooling layer near the top:
-            # ds/dt −= cool·prof(z)·(cs²−cs2cool)/cs²
+            # vertical-gravity cooling layer (get_heat_cool_gravz,
+            # entropy.f90:6243-6276):
+            # ds/dt −= ρ⁻¹T⁻¹·cool·prof(z)·(cs²−cs2cool)/cs2cool
+            from .initcond import cubic_step as _cstep
             g = pen.grid
             gs = pen.cfg.grid
-            zref = self.zcool if self.zcool != 0.0 else gs.z0 + gs.Lz
-            prof = jnp.exp(-0.5 * ((g.zg - zref) / self.wcool) ** 2)
+            ztop = gs.z0 + gs.Lz
+            cp_ = self.cooling_profile
+            if cp_ == "step":
+                w = max(self.wcool, 1e-30)
+                prof = 0.5 * (1.0 + jnp.tanh((g.zg - self.z2) / w))
+            elif cp_ == "step2":
+                w = max(self.wcool, 1e-30)
+                prof = 0.5 * (1.0 + jnp.tanh((g.zg - self.zcool) / w))
+            elif cp_ == "cubic_step":
+                prof = _cstep(g.zg, self.z2, self.wcool)
+            elif cp_ == "lin-z":
+                prof = g.zg / max(self.wcool, 1e-30)
+            else:               # 'gaussian' (default, at the top)
+                zref = self.zcool if self.zcool != 0.0 else ztop
+                prof = jnp.exp(-0.5 * ((g.zg - zref) / self.wcool) ** 2)
             cs2 = pen.cs2()
-            out = out - self.cool * prof * (cs2 - self.cs2cool) / jnp.maximum(cs2, 1e-30)
+            # cs2cool=0 inherits cs2top (initialize_energy,
+            # entropy.f90:691-699); cs2top itself defaults to cs20
+            cs2c = self.cs2cool if self.cs2cool != 0.0 else \
+                (pen.eos.cs20 if pen.eos is not None else 1.0)
+            out = out - pen.rho1() * pen.TT1() \
+                * self.cool * prof * (cs2 - cs2c) / cs2c
         if self.luminosity != 0.0 and not lgravr:
-            # gaussian heating layer at the bottom, total luminosity L
+            # gaussian heating layer at the bottom, volume-normalized so
+            # the integral is L (entropy.f90:6222-6231)
             g = pen.grid
-            zbot = pen.cfg.grid.z0
+            gs = pen.cfg.grid
+            zbot = gs.z0
             prof = jnp.exp(-0.5 * ((g.zg - zbot) / self.wheat) ** 2)
-            norm = self.luminosity / (self.wheat * (2.0 * jnp.pi) ** 0.5)
+            hnorm = (2.0 * jnp.pi) ** 0.5 / 2.0 * self.wheat * gs.Lx
+            if gs.ny > 1:
+                hnorm = hnorm * gs.Ly
+            norm = self.luminosity / hnorm
             out = out + norm * prof * pen.rho1() * pen.TT1()
 
         accumulate(df, "ss", out)

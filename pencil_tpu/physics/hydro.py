@@ -42,6 +42,9 @@ class Hydro(ModuleBase):
     ky: float = 1.0
     kz: float = 1.0
     width: float = 0.1
+    # global z1 reference height (cdata z1; 'up-down' centres its
+    # gaussian on it, hydro.f90:2196)
+    z1: float = 0.0
     uu_const: tuple = (0.0, 0.0, 0.0)   # init='const_uu' (hydro.f90:1691)
     # per-component (ampl, kx, ky, kz, phase) for the 'sinwave-phase' /
     # 'coswave-phase' / 'trilinear-y' families (reference ampl_ux… arrays)
@@ -272,7 +275,7 @@ class Hydro(ModuleBase):
                              const3=self.uu_const,
                              rnoise_int=self.rnoise_int,
                              rnoise_ext=self.rnoise_ext,
-                             comp_pars=self.comp_pars)
+                             comp_pars=self.comp_pars, z1=self.z1)
         if any(v != 0.0 for v in self.uu_add_const):
             uu = uu + jnp.asarray(self.uu_add_const,
                                   uu.dtype)[:, None, None, None]

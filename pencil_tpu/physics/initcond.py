@@ -109,7 +109,7 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
                 kz=1.0, width=0.1, sigma=1.0, const3=(0.0, 0.0, 0.0),
                 rnoise_int=0.0, rnoise_ext=0.0, radius=1.0, eps_tube=0.0,
                 center1=(0.0, 0.0, 0.0), comp_pars=(),
-                r_int=0.0, r_ext=1.0, inclaa=0.0):
+                r_int=0.0, r_ext=1.0, inclaa=0.0, z1=0.0):
     name = name.lower()
     x, y, z = _coords(grid)
     shape = (spec.nx, spec.ny, spec.nz)
@@ -261,9 +261,9 @@ def init_vector(name, grid, spec, eos, key, ampl=0.0, kx=1.0, ky=1.0,
                           ampl * jnp.cos(kz * z) + zero, zero])
     if name == "up-down":
         # flow up in one spot, down (×0.7) in another, gaussian z-profile
-        # centred on z1=0 (reference init_uu 'up-down', src/hydro.f90:2189)
+        # centred on z1 (reference init_uu 'up-down', src/hydro.f90:2189)
         w = max(width, 1e-6)
-        prof = ampl * jnp.exp(-0.5 * (z / w) ** 2)
+        prof = ampl * jnp.exp(-0.5 * ((z - z1) / w) ** 2)
         x1, y1 = spec.x0 + 0.3 * spec.Lx, spec.y0 + 0.3 * spec.Ly
         x2, y2 = spec.x0 + 0.5 * spec.Lx, spec.y0 + 0.8 * spec.Ly
         r1 = (x - x1) ** 2 + (y - y1) ** 2
