@@ -106,8 +106,8 @@ def test_border_damps_waves():
         time=TimeSpec(itorder=3, dt=2e-3),
         modules=(EosIdealGas(gamma=1.0001), Density(),
                  Hydro(init="gaussian-noise", ampl=1e-2),
-                 BorderProfiles(border_frac_z=0.15, tborder=0.05,
-                                fields=("uu",))),
+                 BorderProfiles(border_frac_z=(0.15, 0.15), tborder=0.05,
+                                driving=(("uu", "zero"),))),
         bcz=(BC.parse("ux", "s"), BC.parse("uy", "s"), BC.parse("uz", "a"),
              BC.parse("lnrho", "s")),
     )
@@ -115,9 +115,13 @@ def test_border_damps_waves():
     state = model.init_state(0)
     u0 = np.abs(np.asarray(state["fields"]["uu"])).max()
     step = model.make_step()
-    for _ in range(50):
+    for _ in range(100):
         state = step(state)
     uu = np.asarray(state["fields"]["uu"])
-    # border zones strongly damped relative to the interior
+    # border zones strongly damped relative to the interior (the border
+    # relaxation reaches a steady balance against waves propagating in,
+    # so compare against the surviving interior amplitude)
     border = np.abs(uu[:, :, :, :3]).max()
-    assert border < 0.3 * u0
+    interior = np.abs(uu[:, :, :, 12:20]).max()
+    assert border < 0.5 * interior
+    assert interior > 0.5 * u0
